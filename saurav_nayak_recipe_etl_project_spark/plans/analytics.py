@@ -1,0 +1,385 @@
+"""Analytics query surface.
+
+Re-hosts the reference's 10 BigQuery analytics queries (reference
+README.md §6) on the TPC-H-ish testdata with the same query *shapes*
+(top-N frequency, filtered averages, distributions, scalar-subquery
+comparison, bridge joins), plus core relational queries (TPC-H Q1/Q5
+style, windows, rollups, anti-joins) that prove the engine at scale.
+
+Every query is declarative DataFrame API → Catalyst gets full pushdown
+and join planning; dimension sides are broadcast explicitly where the
+optimizer may lack stats. Each Spark query has a DuckDB oracle with
+IDENTICAL output column names; deterministic ORDER BY tiebreakers on
+every LIMIT; doubles rounded so summation order can't flip the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# --- D suite: the reference's 10 analytics queries, re-hosted ---------------
+
+def top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 — top-5 most frequent parts (reference README.md §6.1:
+    top-5 most common ingredients)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_name")
+        .agg(F.count("*").alias("frequency"))
+        .orderBy(F.desc("frequency"), F.asc("p_name"))
+        .limit(5)
+    )
+
+
+def avg_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 — global filtered average (reference §6.2: average prep time)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_totalprice") > 0)
+        .agg(F.round(F.avg("o_totalprice"), 2).alias("avg_order_value"))
+    )
+
+
+def priority_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 — categorical distribution (reference §6.3: difficulty counts)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(F.count("*").alias("cnt"))
+
+
+def returned_vs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 — scalar-subquery comparison (reference §6.4: global vs liked
+    avg prep time)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    glob = lineitem.agg(F.round(F.avg("l_extendedprice"), 2).alias("global_avg_price"))
+    ret = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .agg(F.round(F.avg("l_extendedprice"), 2).alias("returned_avg_price"))
+    )
+    return glob.crossJoin(ret)
+
+
+def top_open_order_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 — 3-way join + top-1 (reference §6.5: most viewed recipe)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .filter(F.col("o_orderstatus") == "O")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_name")
+        .agg(F.count("*").alias("order_lines"))
+        .orderBy(F.desc("order_lines"), F.asc("p_name"))
+        .limit(1)
+    )
+
+
+def parts_in_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 — bridge join under a fact filter (reference §6.6: ingredients
+    in liked recipes)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    return (
+        lineitem.join(
+            orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+            lineitem.l_orderkey == orders.o_orderkey,
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_name")
+        .agg(F.count("*").alias("urgent_lines"))
+        .orderBy(F.desc("urgent_lines"), F.asc("p_name"))
+        .limit(5)
+    )
+
+
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 — most active users (reference §6.7)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_name")
+        .agg(F.count("*").alias("actions"))
+        .orderBy(F.desc("actions"), F.asc("c_name"))
+        .limit(3)
+    )
+
+
+def order_most_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 — max per-group count (reference §6.8: most complex recipe)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy(F.col("l_orderkey").alias("order_id"))
+        .agg(F.count("*").alias("n_lines"))
+        .orderBy(F.desc("n_lines"), F.asc("order_id"))
+        .limit(1)
+    )
+
+
+def avg_lineitems_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9 — average of per-group counts (reference §6.9: avg ingredient
+    count per recipe)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    per_order = lineitem.groupBy("l_orderkey").agg(F.count("*").alias("cnt"))
+    return per_order.agg(F.round(F.avg("cnt"), 4).alias("avg_lineitems"))
+
+
+def orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10 — join distribution (reference §6.10: views by difficulty)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+# --- E suite: core relational engine --------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 — TPC-H Q1 pricing summary (flagship): single wide scan →
+    map-side partial agg → tiny shuffle; the shape every 100 TB rollup
+    takes. All arithmetic stays in whole-stage codegen."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — TPC-H Q5 shape: 6-way join, dims broadcast, one shuffle on
+    the fact keys; revenue by nation for one region and year."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        lineitem.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            ),
+            lineitem.l_orderkey == orders.o_orderkey,
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == supplier.s_suppkey)
+            & (F.col("c_nationkey") == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == region.r_regionkey,
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def part_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — window function: top-3 parts by revenue within each brand.
+    row_number over rounded revenue with name tiebreak → deterministic."""
+    from pyspark.sql.window import Window
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    base = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_name"))
+    return (
+        base.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — time rollup: revenue and order count by calendar month."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 — anti-join: customers with no URGENT order."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_anti")
+        .select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
+    )
+
+
+ANALYTICS_QUERIES = {
+    "top_parts": top_parts,
+    "avg_order_value": avg_order_value,
+    "priority_distribution": priority_distribution,
+    "returned_vs_global": returned_vs_global,
+    "top_open_order_part": top_open_order_part,
+    "parts_in_urgent_orders": parts_in_urgent_orders,
+    "top_customers": top_customers,
+    "order_most_lineitems": order_most_lineitems,
+    "avg_lineitems_per_order": avg_lineitems_per_order,
+    "orders_by_segment": orders_by_segment,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "part_revenue_rank": part_revenue_rank,
+    "monthly_revenue": monthly_revenue,
+    "customers_without_urgent_orders": customers_without_urgent_orders,
+}
+
+ANALYTICS_ORACLES = {
+    "top_parts": """
+        SELECT p_name, COUNT(*) AS frequency
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_name ORDER BY frequency DESC, p_name LIMIT 5
+    """,
+    "avg_order_value": """
+        SELECT ROUND(AVG(o_totalprice), 2) AS avg_order_value
+        FROM orders WHERE o_totalprice > 0
+    """,
+    "priority_distribution": """
+        SELECT o_orderpriority, COUNT(*) AS cnt FROM orders GROUP BY o_orderpriority
+    """,
+    "returned_vs_global": """
+        SELECT
+          (SELECT ROUND(AVG(l_extendedprice), 2) FROM lineitem) AS global_avg_price,
+          (SELECT ROUND(AVG(l_extendedprice), 2) FROM lineitem
+            WHERE l_returnflag = 'R') AS returned_avg_price
+    """,
+    "top_open_order_part": """
+        SELECT p_name, COUNT(*) AS order_lines
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE o_orderstatus = 'O'
+        GROUP BY p_name ORDER BY order_lines DESC, p_name LIMIT 1
+    """,
+    "parts_in_urgent_orders": """
+        SELECT p_name, COUNT(*) AS urgent_lines
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY p_name ORDER BY urgent_lines DESC, p_name LIMIT 5
+    """,
+    "top_customers": """
+        SELECT c_name, COUNT(*) AS actions
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_name ORDER BY actions DESC, c_name LIMIT 3
+    """,
+    "order_most_lineitems": """
+        SELECT l_orderkey AS order_id, COUNT(*) AS n_lines
+        FROM lineitem GROUP BY l_orderkey
+        ORDER BY n_lines DESC, order_id LIMIT 1
+    """,
+    "avg_lineitems_per_order": """
+        SELECT ROUND(AVG(cnt), 4) AS avg_lineitems FROM (
+          SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey
+        )
+    """,
+    "orders_by_segment": """
+        SELECT c_mktsegment, COUNT(*) AS order_count
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+          ROUND(SUM(l_quantity), 2) AS sum_qty,
+          ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+          ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+          ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+          ROUND(AVG(l_quantity), 4) AS avg_qty,
+          ROUND(AVG(l_extendedprice), 4) AS avg_price,
+          ROUND(AVG(l_discount), 6) AS avg_disc,
+          COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q5_local_supplier_volume": """
+        SELECT n_name,
+          ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+    """,
+    "part_revenue_rank": """
+        SELECT p_brand, p_name, revenue, rnk FROM (
+          SELECT p_brand, p_name, revenue,
+            ROW_NUMBER() OVER (
+              PARTITION BY p_brand ORDER BY revenue DESC, p_name
+            ) AS rnk
+          FROM (
+            SELECT p_brand, p_name,
+              ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand, p_name
+          )
+        ) WHERE rnk <= 3
+    """,
+    "monthly_revenue": """
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+          ROUND(SUM(o_totalprice), 2) AS revenue,
+          COUNT(*) AS n_orders
+        FROM orders GROUP BY month
+    """,
+    "customers_without_urgent_orders": """
+        SELECT c_custkey AS custkey, c_name AS name
+        FROM customer
+        WHERE c_custkey NOT IN (
+          SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        )
+    """,
+}
