@@ -1,0 +1,135 @@
+"""Normalization operators — the reference's ETL transform core.
+
+The reference walks Firestore docs in Python and hand-builds rows
+(reference src/etl_pipeline.py:44-98: schema mapping, nested-array
+explode for ingredients, enumerate() for step_number, timestamp→ISO).
+Here the same semantics are single declarative expressions: `explode`
+and `posexplode` run inside whole-stage codegen and scale per-partition
+with zero driver involvement.
+
+The nested-document shape is rebuilt from the relational testdata with
+`collect_list(struct(...))` (sorted for determinism), then re-normalized
+— proving both directions of the doc ⇄ star-schema mapping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+
+
+def nest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build Firestore-style nested docs: one row per order with an
+    `items` array-of-struct ordered by line number (the inverse of the
+    reference's explode; src/etl_pipeline.py:71-84)."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    return (
+        lineitem.groupBy("l_orderkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("l_linenumber", "l_partkey", "l_quantity"))
+            ).alias("items")
+        )
+    )
+
+
+def schema_map_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1+B4 — projection/rename + timestamp→ISO cleaning
+    (src/etl_pipeline.py:60-68, cloud_function/main.py:57)."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("user_id"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_iso"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("total"),
+    )
+
+
+def normalize_explode_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 — explode array-of-struct back to a bridge table
+    (src/etl_pipeline.py:71-79, ingredients)."""
+    nested = nest_orders(spark, sf_dir)
+    return nested.select(
+        F.col("l_orderkey").alias("order_id"), F.explode("items").alias("it")
+    ).select(
+        "order_id",
+        F.col("it.l_partkey").alias("part_id"),
+        F.col("it.l_quantity").alias("quantity"),
+    )
+
+
+def normalize_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 — positional explode: 1-based step_number preserving array
+    order (src/etl_pipeline.py:81-84, steps)."""
+    nested = nest_orders(spark, sf_dir)
+    return nested.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.posexplode("items").alias("pos", "it"),
+    ).select(
+        "order_id",
+        (F.col("pos") + 1).cast("long").alias("step_number"),
+        F.col("it.l_partkey").alias("part_id"),
+    )
+
+
+def nest_unnest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 — round-trip integrity: nested array sizes equal the original
+    per-order row counts."""
+    nested = nest_orders(spark, sf_dir)
+    return nested.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.size("items").cast("long").alias("n_items"),
+    )
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — semi-structured JSON field extraction (the Firestore doc
+    field access in src/etl_pipeline.py:44-53, as a codegen expression)."""
+    events = load_table(spark, "events", sf_dir)
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+
+
+NORMALIZE_QUERIES = {
+    "schema_map_orders": schema_map_orders,
+    "normalize_explode_structs": normalize_explode_structs,
+    "normalize_posexplode": normalize_posexplode,
+    "nest_unnest_roundtrip": nest_unnest_roundtrip,
+    "events_json_extract": events_json_extract,
+}
+
+NORMALIZE_ORACLES = {
+    "schema_map_orders": """
+        SELECT o_orderkey AS order_id, o_custkey AS user_id,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date_iso,
+               o_orderpriority AS priority, o_totalprice AS total
+        FROM orders
+    """,
+    "normalize_explode_structs": """
+        SELECT l_orderkey AS order_id, l_partkey AS part_id,
+               l_quantity AS quantity
+        FROM lineitem
+    """,
+    "normalize_posexplode": """
+        SELECT l_orderkey AS order_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_partkey, l_quantity
+               ) AS step_number,
+               l_partkey AS part_id
+        FROM lineitem
+    """,
+    "nest_unnest_roundtrip": """
+        SELECT l_orderkey AS order_id, COUNT(*) AS n_items
+        FROM lineitem GROUP BY l_orderkey
+    """,
+    "events_json_extract": """
+        SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS prop_k
+        FROM events
+    """,
+}

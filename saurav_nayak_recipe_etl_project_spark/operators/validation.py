@@ -1,0 +1,283 @@
+"""Data-quality validation suite.
+
+Re-hosts reference src/data_validation.py (1-200) Spark-first: the
+reference loads CSVs into Python dicts and loops row-by-row checking
+required fields (:104-127), numeric ranges (:110,:153), domain sets
+(:18-19,:114,:141), email-format regex (:44-46) and orphaned foreign
+keys via in-memory ID sets (:137-140,:150), then writes a
+(Table, Record_ID, Status, Issues) report (:176-187).
+
+Here every rule is a null-skipping `concat_ws` of `when(...)` flag
+expressions — one codegen'd projection per table — and orphan checks
+are LEFT joins against (broadcast) key sets, so the whole report is a
+single distributed pass with no driver loop. At 100 TB the report is
+just another DataFrame: filterable, aggregable, writable.
+
+Each `*_issues` function takes DataFrames (so tests can inject dirty
+data); the registered queries wrap them with catalog loads.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+
+VALID_ORDER_STATUS = ("O", "F", "P")
+VALID_ORDER_PRIORITY = (
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+)
+VALID_EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+CUSTOMER_NAME_RE = "^Customer#[0-9]+$"
+
+
+def _report(table: str, record_id: Column, *flags: Column) -> list[Column]:
+    """(Table, Record_ID, Status, Issues) columns, reference
+    data_validation.py:86-94 semantics: FAIL iff any issue, issues
+    joined with '; ', 'OK' when clean."""
+    issues = F.concat_ws("; ", *flags)
+    return [
+        F.lit(table).alias("table_name"),
+        record_id.cast("string").alias("record_id"),
+        F.when(issues == "", "PASS").otherwise("FAIL").alias("status"),
+        F.when(issues == "", "OK").otherwise(issues).alias("issues"),
+    ]
+
+
+def _missing(col: str) -> Column:
+    return F.when(F.col(col).isNull(), f"Missing {col}")
+
+
+def orders_issues(orders: DataFrame) -> DataFrame:
+    return orders.select(
+        *_report(
+            "orders",
+            F.col("o_orderkey"),
+            _missing("o_orderkey"),
+            _missing("o_custkey"),
+            _missing("o_totalprice"),
+            F.when(F.col("o_totalprice") <= 0, "Invalid totalprice"),
+            F.when(
+                ~F.col("o_orderstatus").isin(*VALID_ORDER_STATUS)
+                | F.col("o_orderstatus").isNull(),
+                "Invalid status",
+            ),
+            F.when(
+                ~F.col("o_orderpriority").isin(*VALID_ORDER_PRIORITY)
+                | F.col("o_orderpriority").isNull(),
+                "Invalid priority",
+            ),
+        )
+    )
+
+
+def lineitem_issues(lineitem: DataFrame, orders: DataFrame, part: DataFrame) -> DataFrame:
+    """Range + referential checks; orphans via LEFT joins on key-only
+    projections (the distributed version of data_validation.py's
+    in-memory ID sets, :59-63,:150)."""
+    order_keys = orders.select(F.col("o_orderkey").alias("_ok")).distinct()
+    part_keys = part.select(F.col("p_partkey").alias("_pk")).distinct()
+    joined = (
+        lineitem.join(order_keys, lineitem.l_orderkey == F.col("_ok"), "left")
+        .join(F.broadcast(part_keys), lineitem.l_partkey == F.col("_pk"), "left")
+    )
+    return joined.select(
+        *_report(
+            "lineitem",
+            F.concat_ws("-", "l_orderkey", "l_linenumber"),
+            _missing("l_orderkey"),
+            _missing("l_quantity"),
+            F.when(F.col("l_quantity") <= 0, "Zero/Negative quantity"),
+            F.when(F.col("l_extendedprice") <= 0, "Zero/Negative price"),
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+                "Discount out of range",
+            ),
+            F.when(F.col("_ok").isNull(), "Links to non-existent order"),
+            F.when(F.col("_pk").isNull(), "Links to non-existent part"),
+        )
+    )
+
+
+def events_issues(events: DataFrame, customer: DataFrame) -> DataFrame:
+    cust_keys = customer.select(F.col("c_custkey").alias("_ck")).distinct()
+    joined = events.join(
+        F.broadcast(cust_keys), events.user_id == F.col("_ck"), "left"
+    )
+    return joined.select(
+        *_report(
+            "events",
+            F.col("event_id"),
+            _missing("event_id"),
+            _missing("ts"),
+            _missing("user_id"),
+            F.when(
+                ~F.col("event_type").isin(*VALID_EVENT_TYPES)
+                | F.col("event_type").isNull(),
+                "Invalid type",
+            ),
+            F.when(F.col("_ck").isNull(), "Orphaned User ID"),
+        )
+    )
+
+
+def customer_issues(customer: DataFrame) -> DataFrame:
+    return customer.select(
+        *_report(
+            "customer",
+            F.col("c_custkey"),
+            _missing("c_custkey"),
+            _missing("c_name"),
+            F.when(
+                ~F.col("c_name").rlike(CUSTOMER_NAME_RE) | F.col("c_name").isNull(),
+                "Invalid name format",
+            ),
+            F.when(F.col("c_acctbal") < 0, "Negative acctbal"),
+        )
+    )
+
+
+# --- registered queries -----------------------------------------------------
+
+def validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return orders_issues(load_table(spark, "orders", sf_dir))
+
+
+def validate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lineitem_issues(
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "part", sf_dir),
+    )
+
+
+def validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_issues(
+        load_table(spark, "events", sf_dir),
+        load_table(spark, "customer", sf_dir),
+    )
+
+
+def validate_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return customer_issues(load_table(spark, "customer", sf_dir))
+
+
+def validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 — the full report, one UNION of all per-table passes
+    (reference data_validation.py:168-187), summarized per table so the
+    output stays small at any scale."""
+    full = reduce(
+        DataFrame.unionByName,
+        [
+            validate_orders(spark, sf_dir),
+            validate_lineitem(spark, sf_dir),
+            validate_events(spark, sf_dir),
+            validate_customer(spark, sf_dir),
+        ],
+    )
+    return full.groupBy("table_name", "status").agg(
+        F.count("*").alias("n_records")
+    )
+
+
+VALIDATION_QUERIES = {
+    "validate_orders": validate_orders,
+    "validate_lineitem": validate_lineitem,
+    "validate_events": validate_events,
+    "validate_customer": validate_customer,
+    "validation_report": validation_report,
+}
+
+_ORDERS_SQL = """
+    SELECT 'orders' AS table_name, CAST(o_orderkey AS VARCHAR) AS record_id,
+      CASE WHEN iss = '' THEN 'PASS' ELSE 'FAIL' END AS status,
+      CASE WHEN iss = '' THEN 'OK' ELSE iss END AS issues
+    FROM (
+      SELECT o_orderkey, concat_ws('; ',
+        CASE WHEN o_orderkey IS NULL THEN 'Missing o_orderkey' END,
+        CASE WHEN o_custkey IS NULL THEN 'Missing o_custkey' END,
+        CASE WHEN o_totalprice IS NULL THEN 'Missing o_totalprice' END,
+        CASE WHEN o_totalprice <= 0 THEN 'Invalid totalprice' END,
+        CASE WHEN o_orderstatus NOT IN ('O','F','P')
+               OR o_orderstatus IS NULL THEN 'Invalid status' END,
+        CASE WHEN o_orderpriority NOT IN
+               ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+               OR o_orderpriority IS NULL THEN 'Invalid priority' END
+      ) AS iss FROM orders
+    )
+"""
+
+_LINEITEM_SQL = """
+    SELECT 'lineitem' AS table_name,
+      concat_ws('-', CAST(l_orderkey AS VARCHAR),
+                     CAST(l_linenumber AS VARCHAR)) AS record_id,
+      CASE WHEN iss = '' THEN 'PASS' ELSE 'FAIL' END AS status,
+      CASE WHEN iss = '' THEN 'OK' ELSE iss END AS issues
+    FROM (
+      SELECT l_orderkey, l_linenumber, concat_ws('; ',
+        CASE WHEN l_orderkey IS NULL THEN 'Missing l_orderkey' END,
+        CASE WHEN l_quantity IS NULL THEN 'Missing l_quantity' END,
+        CASE WHEN l_quantity <= 0 THEN 'Zero/Negative quantity' END,
+        CASE WHEN l_extendedprice <= 0 THEN 'Zero/Negative price' END,
+        CASE WHEN l_discount < 0 OR l_discount > 1
+             THEN 'Discount out of range' END,
+        CASE WHEN o.o_orderkey IS NULL THEN 'Links to non-existent order' END,
+        CASE WHEN p.p_partkey IS NULL THEN 'Links to non-existent part' END
+      ) AS iss
+      FROM lineitem l
+      LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        ON l.l_orderkey = o.o_orderkey
+      LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+        ON l.l_partkey = p.p_partkey
+    )
+"""
+
+_EVENTS_SQL = """
+    SELECT 'events' AS table_name, CAST(event_id AS VARCHAR) AS record_id,
+      CASE WHEN iss = '' THEN 'PASS' ELSE 'FAIL' END AS status,
+      CASE WHEN iss = '' THEN 'OK' ELSE iss END AS issues
+    FROM (
+      SELECT event_id, concat_ws('; ',
+        CASE WHEN event_id IS NULL THEN 'Missing event_id' END,
+        CASE WHEN ts IS NULL THEN 'Missing ts' END,
+        CASE WHEN user_id IS NULL THEN 'Missing user_id' END,
+        CASE WHEN event_type NOT IN ('view','click','purchase','signup','error')
+               OR event_type IS NULL THEN 'Invalid type' END,
+        CASE WHEN c.c_custkey IS NULL THEN 'Orphaned User ID' END
+      ) AS iss
+      FROM events e
+      LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON e.user_id = c.c_custkey
+    )
+"""
+
+_CUSTOMER_SQL = """
+    SELECT 'customer' AS table_name, CAST(c_custkey AS VARCHAR) AS record_id,
+      CASE WHEN iss = '' THEN 'PASS' ELSE 'FAIL' END AS status,
+      CASE WHEN iss = '' THEN 'OK' ELSE iss END AS issues
+    FROM (
+      SELECT c_custkey, concat_ws('; ',
+        CASE WHEN c_custkey IS NULL THEN 'Missing c_custkey' END,
+        CASE WHEN c_name IS NULL THEN 'Missing c_name' END,
+        CASE WHEN NOT regexp_matches(c_name, '^Customer#[0-9]+$')
+               OR c_name IS NULL THEN 'Invalid name format' END,
+        CASE WHEN c_acctbal < 0 THEN 'Negative acctbal' END
+      ) AS iss FROM customer
+    )
+"""
+
+VALIDATION_ORACLES = {
+    "validate_orders": _ORDERS_SQL,
+    "validate_lineitem": _LINEITEM_SQL,
+    "validate_events": _EVENTS_SQL,
+    "validate_customer": _CUSTOMER_SQL,
+    "validation_report": f"""
+        SELECT table_name, status, COUNT(*) AS n_records FROM (
+          {_ORDERS_SQL} UNION ALL {_LINEITEM_SQL}
+          UNION ALL {_EVENTS_SQL} UNION ALL {_CUSTOMER_SQL}
+        ) GROUP BY table_name, status
+    """,
+}
