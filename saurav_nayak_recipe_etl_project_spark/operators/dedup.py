@@ -1,0 +1,285 @@
+"""Deduplication operators over the `documents` / `embeddings` tables.
+
+Five dedup families, each picked for a different scale/accuracy point:
+
+- exact           md5 groupBy — one shuffle, exact, cheapest.
+- n-gram Jaccard  shingle-explode pair join — exact near-dup; pairs are
+                  generated ONLY via shared shingles (inverted index),
+                  never a global cross join.
+- MinHash + LSH   32-perm signatures, 8 bands × 4 rows; candidate pairs
+                  only within matching band buckets — the 100 TB path:
+                  cost is O(docs × shingles), pair work is bucket-local.
+- SimHash         64-bit weighted token hash; one explode + one groupBy
+                  with 64 codegen'd bit aggregates.
+- Embedding       cosine-threshold pairs (see similarity.py for the
+                  bucketed ANN variant).
+
+All signature math is built-in (xxhash64, HOFs) — deterministic across
+runs and cluster sizes, no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from saurav_nayak_recipe_etl_project_spark.functions.text_fn import tokens, word_shingles
+from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+
+
+# --- F1 exact ---------------------------------------------------------------
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content hash with
+    the keeper (min id) and the multiplicity."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# --- F2 n-gram Jaccard ------------------------------------------------------
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, tau: float = 0.3,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs.
+
+    Inverted-index join: explode distinct shingles, self-join on the
+    shingle (so only docs sharing content ever meet), count the
+    intersection, then Jaccard = |∩| / (|A|+|B|-|∩|). At extreme scale
+    hot shingles skew the join — AQE skew-join handles it; MinHash
+    below is the cheaper screen.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jacc = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= tau)
+    )
+
+
+# --- F3 MinHash + LSH -------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 32, n: int = 3,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """32-permutation MinHash signature per doc, xxhash64-seeded —
+    deterministic across runs/executors (no RNG state to ship)."""
+    shingles = word_shingles(tokens(F.col(text_col)), n)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda s: F.array_min(
+            F.transform(shingles, lambda sh: F.xxhash64(s, sh))
+        ),
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig")).filter(
+        F.size(F.col("sig")) > 0
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 32, n_bands: int = 8,
+                      tau: float = 0.3, n: int = 3,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Band-bucket candidate join + signature-estimated Jaccard.
+
+    Pairs only form inside an (band_id, band_hash) bucket — the classic
+    LSH trick that keeps pair generation sub-quadratic at any scale.
+    """
+    rows_per_band = n_hashes // n_bands
+    sigs = minhash_signatures(docs, n_hashes, n, text_col, id_col)
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda v: v,
+            )
+        )
+        / F.lit(float(n_hashes))
+    )
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= tau)
+    )
+
+
+# --- F4 SimHash -------------------------------------------------------------
+
+def simhash(docs: DataFrame, bits: int = 64, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash: token-frequency-weighted sign sum per bit.
+
+    Explode → groupBy(doc) with 64 codegen'd conditional sums; packing
+    is a plain bit-shift sum. One shuffle on doc_id, map-side combined.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    weighted = tok.groupBy("doc_id", "token").agg(F.count("*").alias("w"))
+    h = F.xxhash64("token")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(1) == 1, F.col("w"))
+            .otherwise(-F.col("w"))
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = weighted.groupBy("doc_id").agg(*bit_sums)
+    packed = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long") * (1 << j) if j < 63
+                      else F.lit(-(1 << 63)).cast("long")).otherwise(0)
+        packed = term if packed is None else packed + term
+    return agg.select("doc_id", packed.alias("simhash"))
+
+
+# --- F5 embedding-cosine near-dup ------------------------------------------
+
+def embedding_dup_pairs(emb: DataFrame, tau: float = 0.3) -> DataFrame:
+    """Cosine-threshold duplicate pairs (brute force; the LSH-bucketed
+    scale path is similarity.ann_lsh_bucketed). Double-precision fold
+    in element order so the oracle reproduces values exactly."""
+    from saurav_nayak_recipe_etl_project_spark.functions.vector_fn import cosine
+
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    e = emb.select(F.col("vec_id"), v.alias("v"))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= tau)
+    )
+
+
+# --- registry ---------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicates(load_table(spark, "documents", sf_dir))
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load_table(spark, "documents", sf_dir))
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(load_table(spark, "documents", sf_dir))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(load_table(spark, "documents", sf_dir))
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_dup_pairs(load_table(spark, "embeddings", sf_dir))
+
+
+DEDUP_QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding": dedup_embedding,
+}
+
+_SHINGLES = """
+    CASE WHEN len(toks) >= 3 THEN list_distinct(
+      list_transform(generate_series(1, len(toks) - 2),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+    ELSE [] END
+"""
+
+DEDUP_ORACLES = {
+    "dedup_exact": """
+        SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM t
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.3
+    """,
+    # dedup_minhash_lsh / dedup_simhash: xxhash64-based → no portable SQL
+    # oracle; the driver records rows-only checks and tests/test_dedup.py
+    # proves detection behavior on planted duplicates.
+    "dedup_embedding": """
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          ROUND(
+            list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+            6) AS cos_sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+              >= 0.3
+    """,
+}

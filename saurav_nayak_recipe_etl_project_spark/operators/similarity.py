@@ -1,0 +1,156 @@
+"""Similarity search over the `embeddings` table (array<float> column).
+
+- ann_cosine_topk   brute-force cosine top-k: correct baseline. The
+                    query side is tiny and broadcast; the corpus side
+                    streams — so the plan is one broadcast-nested-loop
+                    + per-query window top-k, no global sort.
+- ann_lsh_bucketed  the scale path: deterministic random-hyperplane
+                    sign buckets (xxhash64-derived ±1 planes, no RNG
+                    state), candidates only within a bucket → cost
+                    drops from O(N·Q) to O(N + bucket·Q).
+
+Vector math is JVM higher-order folds (functions/vector_fn.py) — no
+Python, Arrow, or UDF in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from saurav_nayak_recipe_etl_project_spark.functions.vector_fn import cosine
+from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+
+N_QUERIES = 10  # vec_id < 10 are the demo query vectors
+TOP_K = 5
+
+
+def _as_double(col) -> F.Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk(emb: DataFrame, n_queries: int = N_QUERIES,
+                k: int = TOP_K) -> DataFrame:
+    """Brute-force exact top-k neighbors for each query vector."""
+    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+    queries = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    corpus = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine(F.col("qv"), F.col("nv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("cos_sim"), "rank")
+    )
+
+
+def _bucket(v_col, n_planes: int = 8, dim: int = 64) -> F.Column:
+    """Random-hyperplane LSH bucket id: sign bit per plane, packed.
+
+    Plane weights are ±1 derived from xxhash64(plane, dim) parity —
+    fully deterministic, identical on every executor, nothing to
+    broadcast or seed.
+    """
+    def plane_dot(p):
+        return F.aggregate(
+            F.zip_with(
+                v_col,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, d: x * (F.pmod(F.xxhash64(p, d), F.lit(2)) * 2 - 1),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            lambda p: F.when(
+                plane_dot(p) > 0, F.pow(F.lit(2.0), p).cast("int")
+            ).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def lsh_bucketed_topk(emb: DataFrame, n_queries: int = N_QUERIES,
+                      k: int = TOP_K, n_planes: int = 8) -> DataFrame:
+    """Approximate top-k: exact scoring restricted to the query's
+    hyperplane bucket. Recall < 1 by design; scales by bucket count."""
+    e = emb.select(
+        "vec_id",
+        _as_double("embedding").alias("v"),
+    ).withColumn("bucket", _bucket(F.col("v"), n_planes))
+    queries = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("bucket").alias("nbucket"),
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("qbucket") == F.col("nbucket"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "neighbor_id", cosine("qv", "nv").alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("cos_sim"), "rank")
+    )
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk(load_table(spark, "embeddings", sf_dir))
+
+
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_bucketed_topk(load_table(spark, "embeddings", sf_dir))
+
+
+SIMILARITY_QUERIES = {
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_bucketed": ann_lsh_bucketed,
+}
+
+SIMILARITY_ORACLES = {
+    "ann_cosine_topk": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            list_dot_product(q.v, c.v) /
+            (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+              AS sim
+          FROM e q JOIN e c ON q.vec_id < {N_QUERIES}
+                           AND q.vec_id <> c.vec_id
+        )
+        SELECT query_id, neighbor_id, ROUND(sim, 6) AS cos_sim, rank FROM (
+          SELECT query_id, neighbor_id, sim,
+            ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+            ) AS rank
+          FROM scored
+        ) WHERE rank <= {TOP_K}
+    """,
+    # ann_lsh_bucketed: xxhash64-derived planes → no portable oracle;
+    # rows-only check + recall test in tests/test_similarity.py.
+}

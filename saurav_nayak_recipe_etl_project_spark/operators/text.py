@@ -1,0 +1,196 @@
+"""Text-analysis operators over the `documents` table.
+
+The training-data-pipeline extensions mandated beyond the reference's
+own surface: token counting (whitespace + BPE-ish regex), quality
+scoring (length/punct/stopword ratios), language ID (stopword-hit
+heuristic), and content fingerprinting (set-signature + rolling hash).
+
+Everything is built-in-function Column algebra — split, regexp,
+higher-order folds — zero Python in the row path, so throughput is
+whole-stage-codegen bound and the operators scale to 100 TB of text by
+partition count alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from saurav_nayak_recipe_etl_project_spark.functions.text_fn import (
+    BPE_PIECE,
+    rolling_hash,
+    tokens,
+)
+from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+
+STOPWORDS = {
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "ein"),
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "un", "est", "que", "pour"),
+    "zh": ("的", "是", "在", "了", "我", "有", "和", "不"),
+}
+# Flat english-ish stoplist for the quality score.
+QUALITY_STOPWORDS = STOPWORDS["en"]
+
+
+def _hits(toks, words) -> F.Column:
+    lst = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lst, t)))
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 — whitespace and BPE-ish token counts per document."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PIECE), 0)).cast("long")
+        .alias("bpe_tokens"),
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 — quality scoring: length, punctuation ratio, stopword ratio,
+    blended score. Pure integer counts + one division each, so the
+    values are bit-identical across engines."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens(F.col("text"))
+    n_chars = F.length("text")
+    n_tokens = F.size(toks)
+    punct_chars = F.length(F.regexp_replace("text", "[A-Za-z0-9\\s]", ""))
+    stop_hits = _hits(toks, QUALITY_STOPWORDS)
+    punct_ratio = punct_chars / n_chars
+    stop_ratio = stop_hits / n_tokens
+    score = (
+        F.least(F.lit(1.0), n_tokens / F.lit(50.0)) * 0.5
+        + (1 - punct_ratio) * 0.3
+        + F.least(F.lit(1.0), stop_ratio * 5) * 0.2
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 — language ID by per-language stopword hits; deterministic
+    argmax with alphabetical tiebreak via an explicit CASE chain."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens(F.col("text"))
+    hit_cols = {lang: _hits(toks, words) for lang, words in STOPWORDS.items()}
+    with_hits = docs.select(
+        "doc_id", F.col("lang").alias("labeled_lang"),
+        *[c.alias(f"h_{lang}") for lang, c in hit_cols.items()],
+    )
+    best = F.greatest(*[F.col(f"h_{lang}") for lang in STOPWORDS])
+    pred = F.lit("und")
+    for lang in sorted(STOPWORDS, reverse=True):
+        pred = F.when(F.col(f"h_{lang}") == best, lang).otherwise(pred)
+    return with_hits.select(
+        "doc_id",
+        "labeled_lang",
+        F.when(best > 0, pred).otherwise("und").alias("predicted_lang"),
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 — two content fingerprints per doc: an order-insensitive
+    set signature (md5 of sorted distinct tokens; dedup-grade) and an
+    order-sensitive polynomial rolling hash."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens(F.col("text"))
+    set_sig = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    return docs.select(
+        "doc_id",
+        set_sig.alias("set_signature"),
+        rolling_hash(F.col("text")).alias("rolling_hash"),
+    )
+
+
+TEXT_QUERIES = {
+    "text_token_count": text_token_count,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+}
+
+_STOP_SQL = {
+    lang: "(" + ", ".join(f"'{w}'" for w in words) + ")"
+    for lang, words in STOPWORDS.items()
+}
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+TEXT_ORACLES = {
+    "text_token_count": f"""
+        SELECT doc_id,
+          len({_TOKS}) AS ws_tokens,
+          len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+            AS bpe_tokens
+        FROM documents
+    """,
+    "text_quality": f"""
+        SELECT doc_id,
+          CAST(n_chars AS BIGINT) AS n_chars,
+          CAST(n_tokens AS BIGINT) AS n_tokens,
+          ROUND(punct_chars / n_chars, 6) AS punct_ratio,
+          ROUND(stop_hits / n_tokens, 6) AS stopword_ratio,
+          ROUND(
+            LEAST(1.0, n_tokens / 50.0) * 0.5
+            + (1 - punct_chars / n_chars) * 0.3
+            + LEAST(1.0, (stop_hits / n_tokens) * 5) * 0.2, 6
+          ) AS quality_score
+        FROM (
+          SELECT doc_id,
+            length(text) AS n_chars,
+            len({_TOKS}) AS n_tokens,
+            length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+              AS punct_chars,
+            len(list_filter({_TOKS}, t -> t IN {_STOP_SQL['en']}))
+              AS stop_hits
+          FROM documents
+        )
+    """,
+    "text_langid": f"""
+        SELECT doc_id, labeled_lang,
+          CASE WHEN best = 0 THEN 'und'
+               WHEN h_de = best THEN 'de'
+               WHEN h_en = best THEN 'en'
+               WHEN h_es = best THEN 'es'
+               WHEN h_fr = best THEN 'fr'
+               WHEN h_zh = best THEN 'zh'
+               ELSE 'und' END AS predicted_lang
+        FROM (
+          SELECT doc_id, lang AS labeled_lang,
+            h_de, h_en, h_es, h_fr, h_zh,
+            GREATEST(h_de, h_en, h_es, h_fr, h_zh) AS best
+          FROM (
+            SELECT doc_id, lang,
+              len(list_filter({_TOKS}, t -> t IN {_STOP_SQL['de']})) AS h_de,
+              len(list_filter({_TOKS}, t -> t IN {_STOP_SQL['en']})) AS h_en,
+              len(list_filter({_TOKS}, t -> t IN {_STOP_SQL['es']})) AS h_es,
+              len(list_filter({_TOKS}, t -> t IN {_STOP_SQL['fr']})) AS h_fr,
+              len(list_filter({_TOKS}, t -> t IN {_STOP_SQL['zh']})) AS h_zh
+            FROM documents
+          )
+        )
+    """,
+    "text_fingerprint": f"""
+        SELECT doc_id,
+          md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))
+            AS set_signature,
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(text, ''),
+                             c -> CAST(ascii(c) AS BIGINT))),
+            (a, c) -> (a * 31 + c) % 2147483647
+          ) AS rolling_hash
+        FROM documents
+    """,
+}

@@ -1,0 +1,45 @@
+"""ANN behavior: brute-force is exact; LSH-bucketed results are a
+subset of the corpus with correct per-bucket ranking and decent recall
+of the true top-1 when vectors are clustered."""
+
+from __future__ import annotations
+
+import math
+
+from saurav_nayak_recipe_etl_project_spark.operators import similarity as S
+
+
+def _emb(spark):
+    # Two tight clusters around e1 and e2 + the query vectors 0,1.
+    rows = []
+    for i in range(12):
+        if i % 2 == 0:
+            rows.append((i, [1.0, 0.01 * i, 0.0, 0.0]))
+        else:
+            rows.append((i, [0.0, 0.01 * i, 1.0, 0.0]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_exact(spark):
+    out = S.cosine_topk(_emb(spark), n_queries=2, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3]
+        # neighbors of an even query are even (same cluster), odd are odd
+        for r in rows:
+            assert r["neighbor_id"] % 2 == q % 2
+            assert r["cos_sim"] > 0.99
+
+
+def test_lsh_bucket_results_are_ranked_subset(spark):
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in S.cosine_topk(_emb(spark), n_queries=2, k=3).collect()}
+    approx = S.lsh_bucketed_topk(_emb(spark), n_queries=2, k=3).collect()
+    for r in approx:
+        assert r["rank"] >= 1
+        assert not math.isnan(r["cos_sim"])
+    # same-bucket neighbors of a clustered query come from its cluster
+    hits = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert hits & exact, "LSH should recover at least part of the exact top-k"
