@@ -1,0 +1,92 @@
+"""Structured Streaming re-host of the reference's event-driven layer.
+
+The reference refreshes its warehouse via a GCS-triggered Cloud
+Function (reference bigquery_loader_function/main.py — file lands →
+load job). Spark-first that's a file-source `readStream` with
+incremental listing, watermarked event-time windows, and exactly-once
+sinks — the same "new file → processed" contract, minus the glue.
+
+`stream_events_window` (registry) is the batch-mode twin of the
+streaming aggregation: windows are epoch-aligned so batch SQL
+(DuckDB time_bucket) reproduces the streaming result exactly — the
+correctness bridge for the G suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+
+WINDOW = "1 day"
+WATERMARK = "1 day"
+
+
+def _windowed(events: DataFrame) -> DataFrame:
+    """Tumbling-window counts/sums per event type; shared by the batch
+    twin and the streaming pipeline (identical logical plan)."""
+    return (
+        events.groupBy(F.window("ts", WINDOW).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def stream_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 — batch twin of the streaming windowed aggregation."""
+    return _windowed(load_table(spark, "events", sf_dir))
+
+
+def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream over event parquet drops (ns-timestamp safe,
+    same normalization as the batch catalog)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_windowed_stream(spark: SparkSession, source_dir: str,
+                        checkpoint_dir: str, query_name: str) -> None:
+    """Incremental pipeline: file drops → watermarked windowed agg →
+    in-memory sink (swap for parquet/kafka in production), processing
+    everything currently available, exactly once."""
+    events = read_event_stream(spark, source_dir)
+    agg = _windowed(events.withWatermark("ts", WATERMARK))
+    (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+
+
+STREAMING_QUERIES = {"stream_events_window": stream_events_window}
+
+STREAMING_ORACLES = {
+    "stream_events_window": """
+        SELECT
+          strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S')
+            AS window_start,
+          event_type,
+          COUNT(*) AS n,
+          ROUND(SUM(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+}

@@ -1,0 +1,42 @@
+"""The streaming pipeline must reproduce its batch twin exactly when
+fed the same files (availableNow drains everything)."""
+
+from __future__ import annotations
+
+import shutil
+
+from saurav_nayak_recipe_etl_project_spark.streaming import events as E
+
+
+def test_stream_matches_batch(spark, sf_dir, tmp_path):
+    src = tmp_path / "drops"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
+
+    E.run_windowed_stream(
+        spark, str(src), str(tmp_path / "ckpt"), query_name="ev_win_test"
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM ev_win_test").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in E.stream_events_window(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_multimodal_plumbing(spark, sf_dir):
+    from saurav_nayak_recipe_etl_project_spark.operators import multimodal as M
+
+    import pytest
+
+    out = M.multimodal_meta(spark, sf_dir)
+    rows = out.limit(5).collect()
+    assert {c for c in out.columns} == {"doc_id", "n_bytes", "mean_byte"}
+    assert all(r["n_bytes"] > 0 for r in rows)
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(NotImplementedError):
+        M.decode_image_real(M.attach_blobs(docs))
