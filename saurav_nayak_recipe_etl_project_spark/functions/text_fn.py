@@ -19,25 +19,6 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(text), WS_SPLIT)
 
 
-def word_shingles(toks: Column, n: int = 3) -> Column:
-    """Distinct word n-grams; empty array when the doc is too short.
-
-    Built with sequence+transform (codegen) rather than a UDF; the guard
-    avoids Spark's sequence() descending-step surprise when size < n.
-    """
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + j) for j in range(n)]
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
-
 def rolling_hash(chars_src: Column, mod: int = 2147483647, mult: int = 31) -> Column:
     """Polynomial rolling hash over the characters of a string — the
     document-fingerprint primitive, as a left-to-right fold so any

@@ -23,8 +23,47 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from saurav_nayak_recipe_etl_project_spark.functions.text_fn import tokens, word_shingles
+import hashlib
+
+from pyspark.sql.window import Window
+
+from saurav_nayak_recipe_etl_project_spark.functions.text_fn import tokens
 from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+
+
+def shingle_rows(docs: DataFrame, n: int = 3, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Distinct (doc_id, shingle) rows of word n-grams.
+
+    posexplode + window lead() — all whole-stage codegen. (The
+    array-HOF formulation builds every shingle in the interpreted
+    expression evaluator; on 5M shingles that alone dominated runtime.)
+    """
+    toks = tokens(F.col(text_col))
+    t = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    return (
+        t.select("doc_id", F.concat_ws(" ", *leads).alias("shingle"),
+                 leads[-1].alias("_last"))
+        .filter(F.col("_last").isNotNull())
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+
+
+def _mix_consts(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic 30-bit universal-hash constants (md5-derived) —
+    reproducible on any cluster, no RNG state, no overflow under ANSI
+    mode (30-bit a × 32-bit base < 2^62)."""
+    out = []
+    for s in range(n_hashes):
+        a = int.from_bytes(hashlib.md5(f"a{s}".encode()).digest()[:4], "big")
+        b = int.from_bytes(hashlib.md5(f"b{s}".encode()).digest()[:4], "big")
+        out.append(((a & 0x3FFFFFFF) | 1, b & 0x3FFFFFFF))
+    return out
 
 
 # --- F1 exact ---------------------------------------------------------------
@@ -56,10 +95,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, tau: float = 0.3,
     hot shingles skew the join — AQE skew-join handles it; MinHash
     below is the cheaper screen.
     """
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("shingle"),
-    )
+    sh = shingle_rows(docs, n, text_col, id_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -86,16 +122,29 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 32, n: int = 3,
                        text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """32-permutation MinHash signature per doc, xxhash64-seeded —
-    deterministic across runs/executors (no RNG state to ship)."""
-    shingles = word_shingles(tokens(F.col(text_col)), n)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda s: F.array_min(
-            F.transform(shingles, lambda sh: F.xxhash64(s, sh))
-        ),
-    )
-    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig")).filter(
-        F.size(F.col("sig")) > 0
+    deterministic across runs/executors (no RNG state to ship).
+
+    Shape matters twice over: (1) shingles come from the codegen'd
+    window path, not an interpreted HOF; (2) each shingle is
+    string-hashed ONCE (xxhash64 → 32-bit base), and the 32
+    "permutations" are integer mixes (a·h+b mod p) of that base —
+    the classic universal-hash MinHash, ~32× less string hashing.
+    One groupBy with 32 codegen'd mins, map-side combined.
+    """
+    sh = shingle_rows(docs, n, text_col, id_col)
+    base = F.pmod(F.xxhash64("shingle"), F.lit(4294967296)).alias("h")
+    hashed = sh.select("doc_id", base)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(2147483647)).alias(f"h{s}")
+        for s, (a, b) in enumerate(_mix_consts(n_hashes))
+    ]
+    return (
+        hashed.groupBy("doc_id")
+        .agg(*aggs)
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"h{s}") for s in range(n_hashes)]).alias("sig"),
+        )
     )
 
 
@@ -108,8 +157,16 @@ def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 32, n_bands: int = 8,
     Pairs only form inside an (band_id, band_hash) bucket — the classic
     LSH trick that keeps pair generation sub-quadratic at any scale.
     """
+    from pyspark import StorageLevel
+
     rows_per_band = n_hashes // n_bands
-    sigs = minhash_signatures(docs, n_hashes, n, text_col, id_col)
+    # The signature table feeds three plan branches (banding + both
+    # sides of the verify join); persist it once instead of recomputing
+    # the shingle explode 3× — at warehouse scale this is the step
+    # you'd checkpoint to parquet.
+    sigs = minhash_signatures(docs, n_hashes, n, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     bands = sigs.select(
         "doc_id",
         F.posexplode(
@@ -181,23 +238,49 @@ def simhash(docs: DataFrame, bits: int = 64, text_col: str = "text",
 # --- F5 embedding-cosine near-dup ------------------------------------------
 
 def embedding_dup_pairs(emb: DataFrame, tau: float = 0.3) -> DataFrame:
-    """Cosine-threshold duplicate pairs (brute force; the LSH-bucketed
-    scale path is similarity.ann_lsh_bucketed). Double-precision fold
-    in element order so the oracle reproduces values exactly."""
-    from saurav_nayak_recipe_etl_project_spark.functions.vector_fn import cosine
+    """Cosine-threshold duplicate pairs via a broadcast block product.
 
-    v = F.transform("embedding", lambda x: x.cast("double"))
-    e = emb.select(F.col("vec_id"), v.alias("v"))
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.select(
-            "id_a", "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= tau)
+    One side of the pair space is snapshotted as a numpy matrix and
+    broadcast; the other side streams through Arrow-batched mapInPandas
+    doing a single matmul per batch — ~100× the throughput of a
+    per-pair expression fold. This is the standard shape when one side
+    fits in executor memory; when neither does, go through
+    similarity.ann_lsh_bucketed-style bucketing first.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    e = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
+    snap = e.toPandas()
+    ids = snap["vec_id"].to_numpy()
+    mat = np.stack(snap["v"].to_numpy())
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def gen(batches):
+        all_ids, all_mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a_ids = pdf["vec_id"].to_numpy()
+            a = np.stack(pdf["v"].to_numpy())
+            a = a / np.linalg.norm(a, axis=1, keepdims=True)
+            sims = a @ all_mat.T
+            ai, bi = np.nonzero(
+                (sims >= tau) & (a_ids[:, None] < all_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[ai],
+                    "id_b": all_ids[bi],
+                    "cos_sim": np.round(sims[ai, bi], 6),
+                }
+            )
+
+    return e.mapInPandas(gen, schema="id_a long, id_b long, cos_sim double")
 
 
 # --- registry ---------------------------------------------------------------
