@@ -1,0 +1,179 @@
+"""Sessionization — custom stateful operator (G3).
+
+Batch twin: lag + running-sum windows assign gap-based session ids
+declaratively (one shuffle on user_id, both windows share the sort).
+Streaming: `applyInPandasWithState` keeps (session_start, last_ts,
+count) per user and emits a session whenever the gap closes it —
+Spark's state store handles checkpointing/recovery, so the operator
+survives executor loss at any scale.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+from pyspark.sql.window import Window
+
+from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+
+GAP_MINUTES = 30
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = GAP_MINUTES) -> DataFrame:
+    """Gap-based sessions: new session when the per-user gap exceeds
+    `gap_minutes`. lag + cumulative sum over one (user_id, ts) sort."""
+    order = [F.col("ts"), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    gap_s = gap_minutes * 60
+    prev_ts = F.lag("ts").over(w)
+    # Fractional-second epoch diff (cast, not unix_timestamp which
+    # truncates) so boundary gaps agree with the oracle exactly.
+    is_new = F.when(
+        prev_ts.isNull()
+        | ((F.col("ts").cast("double") - prev_ts.cast("double")) > gap_s),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_sess = events.withColumn("session_id", F.sum(is_new).over(run))
+    return (
+        with_sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            .alias("duration_s"),
+        )
+    )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize_batch(load_table(spark, "events", sf_dir))
+
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("start_ts", DoubleType()),
+        StructField("last_ts", DoubleType()),
+        StructField("n_events", LongType()),
+    ]
+)
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def _session_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+    """Per-user state machine: extend the open session or close it and
+    emit. Sessions still open when the stream drains stay in state
+    (they complete on later triggers) — exactly-once semantics come
+    from the state store + checkpoint."""
+    (user_id,) = key
+    gap_s = GAP_MINUTES * 60.0
+    if state.exists:
+        start_ts, last_ts, n = state.get
+    else:
+        start_ts = last_ts = None
+        n = 0
+
+    out: list[tuple[Any, ...]] = []
+    for pdf in pdfs:
+        for ts in sorted(pdf["ts"]):
+            t = ts.timestamp()
+            if last_ts is None:
+                start_ts, last_ts, n = t, t, 1
+            elif t - last_ts > gap_s:
+                out.append((
+                    user_id,
+                    pd.Timestamp(start_ts, unit="s").floor("us"),
+                    pd.Timestamp(last_ts, unit="s").floor("us"),
+                    n,
+                ))
+                start_ts, last_ts, n = t, t, 1
+            else:
+                last_ts, n = t, n + 1
+    state.update((start_ts, last_ts, n))
+    if out:
+        yield pd.DataFrame(
+            out, columns=["user_id", "session_start", "session_end", "n_events"]
+        )
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Streaming sessionization over an event stream (ts must be a
+    proper timestamp column)."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_session_stream(spark: SparkSession, source_dir: str,
+                       checkpoint_dir: str, query_name: str) -> None:
+    from saurav_nayak_recipe_etl_project_spark.streaming.events import read_event_stream
+
+    events = read_event_stream(spark, source_dir)
+    (
+        sessionize_stream(events)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+
+
+STREAMING_SESSION_QUERIES = {"sessionize_events": sessionize_events}
+
+STREAMING_SESSION_ORACLES = {
+    "sessionize_events": """
+        WITH g AS (
+          SELECT user_id, ts, event_id,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                 THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+          SELECT user_id, ts,
+            SUM(new_s) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING
+            ) AS session_id
+          FROM g
+        )
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+          strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+          CAST(epoch(date_trunc('second', MAX(ts)))
+               - epoch(date_trunc('second', MIN(ts))) AS BIGINT) AS duration_s
+        FROM s GROUP BY user_id, session_id
+    """,
+}
