@@ -51,8 +51,12 @@ def test_q5_broadcasts_all_dims(spark, sf_dir):
 
 def test_q1_map_side_combine_single_shuffle(spark, sf_dir):
     plan = _plan(QUERIES["q1_pricing_summary"](spark, sf_dir))
+    import re
+
     assert "partial_sum" in plan          # map-side combine before shuffle
-    assert plan.count("Exchange") == 1    # exactly one shuffle
+    # exactly one shuffle (formatted mode prints each node twice:
+    # once in the tree, once as a "(n) Exchange" detail header)
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
     assert "BatchEvalPython" not in plan  # no Python in the hot path
 
 
