@@ -19,17 +19,25 @@ from saurav_nayak_recipe_etl_project_spark.session import get_spark
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
     "part_revenue_rank",
     "top_parts",
     "monthly_revenue",
     "orders_by_segment",
+    "validation_report",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_embedding",
     "ann_cosine_topk",
     "text_quality",
     "text_token_count",
+    "text_fingerprint",
     "stream_events_window",
+    "sessionize_events",
 ]
 
 

@@ -32,22 +32,45 @@ def _as_double(col) -> F.Column:
 
 def cosine_topk(emb: DataFrame, n_queries: int = N_QUERIES,
                 k: int = TOP_K) -> DataFrame:
-    """Brute-force exact top-k neighbors for each query vector."""
+    """Brute-force exact top-k neighbors for each query vector.
+
+    The (tiny) query matrix is broadcast as numpy and each corpus
+    Arrow batch does ONE matmul against it — the block-product shape
+    that scales linearly with the corpus. Final top-k is a per-query
+    window over the scored pairs (Q×N rows, already small)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
     e = emb.select("vec_id", _as_double("embedding").alias("v"))
-    queries = e.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    corpus = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
-    scored = (
-        corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id", "neighbor_id",
-            cosine(F.col("qv"), F.col("nv")).alias("sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("sim"), F.asc("neighbor_id")
-    )
+    qsnap = e.filter(F.col("vec_id") < n_queries).toPandas()
+    q_ids = qsnap["vec_id"].to_numpy()
+    q_mat = np.stack(qsnap["v"].to_numpy())
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def gen(batches):
+        ids, qm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_ids = pdf["vec_id"].to_numpy()
+            nm = np.stack(pdf["v"].to_numpy())
+            nm = nm / np.linalg.norm(nm, axis=1, keepdims=True)
+            sims = nm @ qm.T                      # (batch, n_queries)
+            qi = np.repeat(ids[None, :], len(n_ids), axis=0)
+            ni = np.repeat(n_ids[:, None], len(ids), axis=1)
+            mask = qi != ni
+            yield pd.DataFrame(
+                {
+                    "query_id": qi[mask],
+                    "neighbor_id": ni[mask],
+                    "sim": sims[mask],
+                }
+            )
+
+    scored = e.mapInPandas(gen, schema="query_id long, neighbor_id long, sim double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
