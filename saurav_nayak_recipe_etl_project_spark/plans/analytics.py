@@ -21,6 +21,16 @@ from pyspark.sql import functions as F
 from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
 
 
+def _money_sum(expr):
+    """Order-independent currency sum: per-row exact integer cents →
+    long sum (associative, exact) → back to dollars. Immune to the
+    float-accumulation-order differences that flip ROUND(SUM(double))
+    at a cent boundary between cluster sizes (or vs the oracle)."""
+    return F.round(
+        F.sum(F.round(expr * 100).cast("long")) / F.lit(100.0), 2
+    )
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, name, sf_dir)
 
@@ -160,9 +170,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
+            _money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _money_sum(disc_price).alias("sum_disc_price"),
+            _money_sum(charge).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -201,8 +211,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
     )
@@ -231,8 +241,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("priority"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("order_id"))
@@ -253,7 +263,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            _money_sum(F.col("l_extendedprice") * F.col("l_discount"))
             .alias("revenue")
         )
     )
@@ -282,8 +292,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("custkey"))
@@ -302,8 +312,8 @@ def part_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
     )
@@ -320,7 +330,7 @@ def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            _money_sum(F.col("o_totalprice")).alias("revenue"),
             F.count("*").alias("n_orders"),
         )
     )
@@ -416,9 +426,9 @@ ANALYTICS_ORACLES = {
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
           ROUND(SUM(l_quantity), 2) AS sum_qty,
-          ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-          ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-          ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+          ROUND(SUM(CAST(ROUND((l_extendedprice) * 100) AS BIGINT)) / 100.0, 2) AS sum_base_price,
+          ROUND(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) / 100.0, 2) AS sum_disc_price,
+          ROUND(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100) AS BIGINT)) / 100.0, 2) AS sum_charge,
           ROUND(AVG(l_quantity), 4) AS avg_qty,
           ROUND(AVG(l_extendedprice), 4) AS avg_price,
           ROUND(AVG(l_discount), 6) AS avg_disc,
@@ -431,7 +441,7 @@ ANALYTICS_ORACLES = {
         SELECT l_orderkey AS order_id,
           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
           o_orderpriority AS priority,
-          ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          ROUND(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) / 100.0, 2) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -442,7 +452,7 @@ ANALYTICS_ORACLES = {
         ORDER BY revenue DESC, order_id LIMIT 10
     """,
     "q6_forecast_revenue": """
-        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+        SELECT ROUND(SUM(CAST(ROUND((l_extendedprice * l_discount) * 100) AS BIGINT)) / 100.0, 2) AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -451,7 +461,7 @@ ANALYTICS_ORACLES = {
     """,
     "q10_returned_items": """
         SELECT c_custkey AS custkey, c_name AS name, n_name AS nation,
-          ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          ROUND(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) / 100.0, 2) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -464,7 +474,7 @@ ANALYTICS_ORACLES = {
     """,
     "q5_local_supplier_volume": """
         SELECT n_name,
-          ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          ROUND(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) / 100.0, 2) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -484,7 +494,7 @@ ANALYTICS_ORACLES = {
             ) AS rnk
           FROM (
             SELECT p_brand, p_name,
-              ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              ROUND(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) / 100.0, 2) AS revenue
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand, p_name
           )
@@ -492,7 +502,7 @@ ANALYTICS_ORACLES = {
     """,
     "monthly_revenue": """
         SELECT strftime(o_orderdate, '%Y-%m') AS month,
-          ROUND(SUM(o_totalprice), 2) AS revenue,
+          ROUND(SUM(CAST(ROUND((o_totalprice) * 100) AS BIGINT)) / 100.0, 2) AS revenue,
           COUNT(*) AS n_orders
         FROM orders GROUP BY month
     """,
