@@ -301,6 +301,33 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 — TPC-H Q18 shape: join against an aggregated-and-filtered
+    subquery (HAVING). The inner agg shrinks the fact table before the
+    join, so the join input is tiny at any scale."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .select(
+            F.col("c_name").alias("name"),
+            F.col("l_orderkey").alias("order_id"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_totalprice").alias("total"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total"), F.asc("order_id"))
+        .limit(20)
+    )
+
+
 def part_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 — window function: top-3 parts by revenue within each brand.
     row_number over rounded revenue with name tiebreak → deterministic."""
@@ -363,6 +390,7 @@ ANALYTICS_QUERIES = {
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_items": q10_returned_items,
+    "q18_large_orders": q18_large_orders,
     "part_revenue_rank": part_revenue_rank,
     "monthly_revenue": monthly_revenue,
     "customers_without_urgent_orders": customers_without_urgent_orders,
@@ -485,6 +513,18 @@ ANALYTICS_ORACLES = {
           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         GROUP BY n_name
+    """,
+    "q18_large_orders": """
+        SELECT c_name AS name, l_orderkey AS order_id,
+          strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+          o_totalprice AS total, total_qty
+        FROM (
+          SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+          FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+        )
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY total DESC, order_id LIMIT 20
     """,
     "part_revenue_rank": """
         SELECT p_brand, p_name, revenue, rnk FROM (
