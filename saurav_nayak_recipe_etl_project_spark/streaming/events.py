@@ -55,6 +55,8 @@ def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
         "value double, props string"
     )
     raw = spark.readStream.schema(schema).parquet(source_dir)
+    # Watermarks require instant-typed (TIMESTAMP, not NTZ) event time —
+    # correct for streaming: late-data reasoning happens on the timeline.
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 

@@ -38,12 +38,13 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = GAP_MINUTES) -> DataF
     w = Window.partitionBy("user_id").orderBy(*order)
     gap_s = gap_minutes * 60
     prev_ts = F.lag("ts").over(w)
-    # Fractional-second epoch diff (cast, not unix_timestamp which
-    # truncates) so boundary gaps agree with the oracle exactly.
+    # Microsecond-exact, timezone-free gap (timestampdiff on the NTZ
+    # column; unix_timestamp would both truncate and drag in the
+    # session timezone) so boundary gaps agree with the oracle exactly.
+    gap_us = F.expr("timestampdiff(MICROSECOND, lag(ts) OVER "
+                    "(PARTITION BY user_id ORDER BY ts, event_id), ts)")
     is_new = F.when(
-        prev_ts.isNull()
-        | ((F.col("ts").cast("double") - prev_ts.cast("double")) > gap_s),
-        1,
+        prev_ts.isNull() | (gap_us > gap_s * 1_000_000), 1
     ).otherwise(0)
     run = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -54,8 +55,10 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = GAP_MINUTES) -> DataF
         .agg(
             F.count("*").alias("n_events"),
             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
-            .alias("duration_s"),
+            F.expr(
+                "timestampdiff(SECOND, date_trunc('second', min(ts)), "
+                "date_trunc('second', max(ts)))"
+            ).alias("duration_s"),
         )
     )
 
