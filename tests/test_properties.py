@@ -1,0 +1,62 @@
+"""Invariant tests over seeded-random corpora (one Spark job per
+property, 200 docs each — the cheap version of property-based testing
+that still catches semantic regressions)."""
+
+from __future__ import annotations
+
+import random
+
+from saurav_nayak_recipe_etl_project_spark.operators import dedup as D
+from saurav_nayak_recipe_etl_project_spark.operators import text as T
+
+VOCAB = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+
+
+def _random_docs(spark, n=200, seed=7):
+    rng = random.Random(seed)
+    rows = [
+        (i, " ".join(rng.choices(VOCAB, k=rng.randint(0, 40))))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_partitions_corpus(spark):
+    docs = _random_docs(spark)
+    out = D.exact_duplicates(docs).collect()
+    assert sum(r["n_copies"] for r in out) == docs.count()
+    assert all(r["n_copies"] >= 1 for r in out)
+
+
+def test_jaccard_pairs_bounded_and_ordered(spark):
+    docs = _random_docs(spark, n=80)
+    pairs = D.ngram_jaccard_pairs(docs, tau=0.0).collect()
+    for r in pairs:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0.0 < r["jaccard"] <= 1.0
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    docs = _random_docs(spark, n=60)
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(docs, tau=0.0).collect()}
+    est = {(r["doc_a"], r["doc_b"]): r["est_jaccard"]
+           for r in D.minhash_lsh_pairs(docs, tau=0.5).collect()}
+    # every confident LSH pair must have materially-similar exact jaccard
+    for pair, e in est.items():
+        assert exact.get(pair, 0.0) > 0.15, (pair, e, exact.get(pair))
+
+
+def test_token_count_invariants(spark, sf_dir):
+    rows = T.text_token_count(spark, sf_dir).collect()
+    for r in rows:
+        assert r["ws_tokens"] >= 0
+        assert r["bpe_tokens"] >= r["ws_tokens"]  # pieces only split further
+
+
+def test_quality_score_in_unit_interval(spark, sf_dir):
+    for r in T.text_quality(spark, sf_dir).collect():
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+        assert 0.0 <= r["stopword_ratio"] <= 1.0
