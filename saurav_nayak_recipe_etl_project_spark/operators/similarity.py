@@ -142,6 +142,93 @@ def lsh_bucketed_topk(emb: DataFrame, n_queries: int = N_QUERIES,
     )
 
 
+def ivf_topk(emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K,
+             n_lists: int = 16, n_probe: int = 4) -> DataFrame:
+    """IVF-style ANN: deterministic coarse quantizer + probed search.
+
+    Centroids are a deterministic hash-sample of the corpus itself
+    (every cluster picks the same ones — no RNG, no kmeans iterations
+    to ship). Each vector is assigned to its nearest centroid (one
+    matmul per Arrow batch); a query scores only vectors in its
+    `n_probe` nearest lists. Scan cost drops by ~n_lists/n_probe while
+    recall stays high for clustered corpora; the inverted-list
+    assignment is exactly how you'd shard a 100 TB vector table.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+
+    # deterministic centroid sample: smallest xxhash64(vec_id) wins
+    cents = (
+        e.withColumn("_h", F.xxhash64("vec_id"))
+        .orderBy("_h").limit(n_lists)
+        .toPandas()
+    )
+    c_mat = np.stack(cents["v"].to_numpy())
+    c_mat = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+    bc_c = spark.sparkContext.broadcast(c_mat)
+
+    def assign(batches):
+        cm = bc_c.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["v"].to_numpy())
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            lists = np.argmax(mn @ cm.T, axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "v": pdf["v"], "list_id": lists}
+            )
+
+    assigned = e.mapInPandas(
+        assign, schema="vec_id long, v array<double>, list_id int"
+    )
+
+    queries = e.filter(F.col("vec_id") < n_queries).toPandas()
+    q_mat = np.stack(queries["v"].to_numpy())
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    probes = np.argsort(-(q_mat @ c_mat.T), axis=1)[:, :n_probe]
+    bc_q = spark.sparkContext.broadcast(
+        (queries["vec_id"].to_numpy(), q_mat, probes)
+    )
+
+    def score(batches):
+        ids, qm, pr = bc_q.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_ids = pdf["vec_id"].to_numpy()
+            lists = pdf["list_id"].to_numpy()
+            m = np.stack(pdf["v"].to_numpy())
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = mn @ qm.T                       # (batch, Q)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(ids)):
+                probe_mask = np.isin(lists, pr[qi]) & (n_ids != ids[qi])
+                out_q.append(np.full(probe_mask.sum(), ids[qi]))
+                out_n.append(n_ids[probe_mask])
+                out_s.append(sims[probe_mask, qi])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "sim": np.concatenate(out_s),
+                }
+            )
+
+    scored = assigned.mapInPandas(
+        score, schema="query_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("cos_sim"), "rank")
+    )
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(load_table(spark, "embeddings", sf_dir))
 
@@ -150,9 +237,14 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(load_table(spark, "embeddings", sf_dir))
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_topk(load_table(spark, "embeddings", sf_dir))
+
+
 SIMILARITY_QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
+    "ann_ivf_topk": ann_ivf_topk,
 }
 
 SIMILARITY_ORACLES = {

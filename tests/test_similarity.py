@@ -33,6 +33,21 @@ def test_brute_force_topk_exact(spark):
             assert r["cos_sim"] > 0.99
 
 
+def test_ivf_recall_on_clustered_vectors(spark):
+    exact = {}
+    for r in S.cosine_topk(_emb(spark), n_queries=2, k=3).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    for r in S.ivf_topk(_emb(spark), n_queries=2, k=3, n_lists=4,
+                        n_probe=2).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # probing half the lists on a 2-cluster corpus must recover most
+    # of the exact top-k
+    for q, want in exact.items():
+        got = approx.get(q, set())
+        assert len(got & want) >= 2, (q, got, want)
+
+
 def test_lsh_bucket_results_are_ranked_subset(spark):
     exact = {(r["query_id"], r["neighbor_id"])
              for r in S.cosine_topk(_emb(spark), n_queries=2, k=3).collect()}
