@@ -1,0 +1,139 @@
+"""Advanced relational shapes: rollup, pivot, exact quantiles, TF-IDF.
+
+All declarative; the pivot is a fixed-column conditional aggregation
+(never a dynamic driver-side pivot discovery pass), and quantiles use
+exact `percentile` with linear interpolation — both reproducible by
+the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from saurav_nayak_recipe_etl_project_spark.functions.text_fn import tokens
+from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (priority, status): subtotal rows materialize the
+    report hierarchy in one pass (one shuffle, grouping-set expansion
+    is map-side)."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / F.lit(100.0), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+def orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order counts by status per priority — fixed pivot columns
+    so the plan is a single conditional aggregation."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_filled"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_pending"),
+    )
+
+
+def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of order value per segment.
+    (`approx_percentile` is the sketch variant for wide keys at scale;
+    exact `percentile` keeps the oracle bridge.)"""
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        )
+    )
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Per-document top-k terms by TF-IDF: explode → tf, df aggs →
+    idf join (tiny, broadcast) → per-doc window top-k. The canonical
+    two-shuffle text-weighting pipeline."""
+    docs = load_table(spark, "documents", sf_dir)
+    n_docs = docs.count()  # scalar; one cheap job
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id", "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", F.round("score", 6).alias("tfidf"), "rnk")
+    )
+
+
+ADVANCED_QUERIES = {
+    "revenue_rollup": revenue_rollup,
+    "orders_status_pivot": orders_status_pivot,
+    "price_quantiles": price_quantiles,
+    "tfidf_top_terms": tfidf_top_terms,
+}
+
+ADVANCED_ORACLES = {
+    "revenue_rollup": """
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+          ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+            AS revenue
+        FROM orders
+        GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    "orders_status_pivot": """
+        SELECT o_orderpriority,
+          COUNT(*) FILTER (o_orderstatus = 'O') AS n_open,
+          COUNT(*) FILTER (o_orderstatus = 'F') AS n_filled,
+          COUNT(*) FILTER (o_orderstatus = 'P') AS n_pending
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "price_quantiles": """
+        SELECT c_mktsegment,
+          ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+          ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+          ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "tfidf_top_terms": """
+        WITH tok AS (
+          SELECT doc_id,
+            unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+        ),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+            tf.tf * ln((SELECT COUNT(*) FROM documents) / (1.0 * df.df))
+              AS score
+          FROM tf JOIN df ON tf.term = df.term
+        )
+        SELECT doc_id, term, ROUND(score, 6) AS tfidf, rnk FROM (
+          SELECT doc_id, term, score,
+            ROW_NUMBER() OVER (
+              PARTITION BY doc_id ORDER BY score DESC, term
+            ) AS rnk
+          FROM scored
+        ) WHERE rnk <= 3
+    """,
+}
