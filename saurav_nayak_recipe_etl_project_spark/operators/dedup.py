@@ -283,6 +283,72 @@ def embedding_dup_pairs(emb: DataFrame, tau: float = 0.3) -> DataFrame:
     return e.mapInPandas(gen, schema="id_a long, id_b long, cos_sim double")
 
 
+# --- F-extension: duplicate-cluster resolution ------------------------------
+
+def dup_clusters(docs: DataFrame, tau: float = 0.5, n: int = 3,
+                 max_iters: int = 10, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Connected components over near-dup edges → (doc_id, cluster_id).
+
+    Pairwise dedup output is not directly actionable (A~B, B~C must
+    collapse to ONE keeper); this resolves transitive clusters by
+    min-label propagation: every doc starts as its own label, then
+    repeatedly takes the min label in its neighborhood. Converges in
+    O(cluster diameter) rounds — near-dup clusters are shallow, so the
+    iteration count stays tiny at any corpus size. localCheckpoint
+    cuts lineage each round (the standard Spark iterative pattern).
+    """
+    edges = (
+        ngram_jaccard_pairs(docs, n=n, tau=tau, text_col=text_col, id_col=id_col)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    # symmetric edge list including self-loops so isolated docs keep
+    # their own label
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+    )
+    labels = docs.select(
+        F.col(id_col).alias("src"), F.col(id_col).cast("long").alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("src", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "src", "left")
+            .select(
+                "src",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label")))
+                .alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "src")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("src").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_clusters(load_table(spark, "documents", sf_dir))
+
+
 # --- registry ---------------------------------------------------------------
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,6 +377,7 @@ DEDUP_QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
+    "dedup_clusters": dedup_clusters,
 }
 
 _SHINGLES = """

@@ -82,7 +82,48 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     )
 
 
+def event_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + percent_rank window frame: quartile label and exact
+    percentile position of every event's value within its type."""
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc("value"), F.asc("event_id")
+    )
+    return events.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+def customer_part_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type aggregation: per customer, the sorted distinct set
+    of brands they ordered plus basket stats — collect_set stays
+    map-side combined; sorting makes the array deterministic."""
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.array_sort(F.collect_set("p_brand")).alias("brands"),
+            F.countDistinct("p_partkey").alias("n_parts"),
+        )
+        .select(
+            "custkey",
+            F.concat_ws(",", "brands").alias("brands_csv"),
+            F.size("brands").cast("long").alias("n_brands"),
+            "n_parts",
+        )
+    )
+
+
 ADVANCED_QUERIES = {
+    "event_value_quartiles": event_value_quartiles,
+    "customer_part_baskets": customer_part_baskets,
     "revenue_rollup": revenue_rollup,
     "orders_status_pivot": orders_status_pivot,
     "price_quantiles": price_quantiles,
@@ -90,6 +131,26 @@ ADVANCED_QUERIES = {
 }
 
 ADVANCED_ORACLES = {
+    "event_value_quartiles": """
+        SELECT event_id, event_type,
+          ntile(4) OVER (
+            PARTITION BY event_type ORDER BY value, event_id
+          ) AS quartile,
+          ROUND(percent_rank() OVER (
+            PARTITION BY event_type ORDER BY value, event_id
+          ), 6) AS pct_rank
+        FROM events
+    """,
+    "customer_part_baskets": """
+        SELECT o_custkey AS custkey,
+          array_to_string(list_sort(list(DISTINCT p_brand)), ',') AS brands_csv,
+          len(list_sort(list(DISTINCT p_brand))) AS n_brands,
+          COUNT(DISTINCT p_partkey) AS n_parts
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        GROUP BY o_custkey
+    """,
     "revenue_rollup": """
         SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
           ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2)

@@ -1,0 +1,53 @@
+"""foreachBatch warehouse upsert — the reference's `bq-auto-loader`
+(WRITE_TRUNCATE per file drop) upgraded to incremental last-write-wins
+state: each micro-batch merges into a keyed parquet table instead of
+replacing it.
+
+foreachBatch gives exactly-once-per-batch semantics (batch_id is
+replay-stable); the merge itself is a window dedup — at warehouse
+scale you'd swap the overwrite for a format with row-level merge
+(Delta/Iceberg), but the merge plan is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def latest_per_key(df: DataFrame, key: str, ts: str, tiebreak: str) -> DataFrame:
+    w = Window.partitionBy(key).orderBy(F.desc(ts), F.desc(tiebreak))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def run_upsert_stream(spark: SparkSession, source_dir: str,
+                      checkpoint_dir: str, state_path: str) -> None:
+    """Event drops → per-user latest-state parquet table."""
+    from saurav_nayak_recipe_etl_project_spark.streaming.events import read_event_stream
+
+    events = read_event_stream(spark, source_dir)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        incoming = latest_per_key(batch_df, "user_id", "ts", "event_id")
+        try:
+            existing = spark.read.parquet(state_path)
+            merged = latest_per_key(
+                existing.unionByName(incoming), "user_id", "ts", "event_id"
+            )
+        except Exception:
+            merged = incoming
+        # materialize before overwriting the path we just read
+        merged.localCheckpoint().write.mode("overwrite").parquet(state_path)
+
+    (
+        events.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
