@@ -65,6 +65,41 @@ def blob_features(blobs: DataFrame) -> DataFrame:
     )
 
 
+FRAME_SCHEMA = "doc_id long, frame_idx int, byte_offset long, frame_sum long"
+
+
+def frame_sample(blobs: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video-style frame sampling plumbing: each payload expands to
+    `n_frames` evenly-spaced 'frames' (1→N row expansion inside
+    mapInPandas — the batch shape a real decoder uses). The frame
+    'content' is a deterministic byte-window sum standing in for the
+    decoded frame."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                n = len(blob)
+                if n == 0:
+                    continue
+                step = max(n // n_frames, 1)
+                for i in range(min(n_frames, n)):
+                    off = i * step
+                    window = blob[off:off + step]
+                    rows.append((doc_id, i, off, sum(window)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "byte_offset", "frame_sum"]
+            )
+
+    return blobs.select("doc_id", "blob").mapInPandas(gen, schema=FRAME_SCHEMA)
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return frame_sample(attach_blobs(docs))
+
+
 def decode_image_real(blobs: DataFrame) -> DataFrame:
     """Real image decode — requires an imaging library not present in
     this container. STUB: clearly-marked unimplemented scale slot."""
@@ -87,11 +122,29 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MULTIMODAL_QUERIES = {"multimodal_meta": multimodal_meta}
+MULTIMODAL_QUERIES = {
+    "multimodal_meta": multimodal_meta,
+    "multimodal_frames": multimodal_frames,
+}
 
 # The text is ASCII in the testdata, so utf-8 bytes == codepoints and
 # the byte-mean is reproducible in SQL exactly.
 MULTIMODAL_ORACLES = {
+    "multimodal_frames": """
+        WITH d AS (
+          SELECT doc_id, text, strlen(text) AS n,
+                 GREATEST(strlen(text) // 4, 1) AS step
+          FROM documents WHERE strlen(text) > 0
+        )
+        SELECT doc_id,
+          CAST(i AS INT) AS frame_idx,
+          CAST(i * step AS BIGINT) AS byte_offset,
+          CAST(list_sum(list_transform(
+                 string_split(substr(text, i * step + 1, step), ''),
+                 c -> ascii(c))) AS BIGINT) AS frame_sum
+        FROM d, generate_series(0, 3) AS t(i)
+        WHERE i < LEAST(4, n)
+    """,
     "multimodal_meta": """
         SELECT doc_id,
           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -121,9 +121,48 @@ def customer_part_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def view_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel: of users who viewed, how many purchased strictly after
+    their first view — two tiny aggregates joined, no event-level
+    shuffle survives past the first groupBy."""
+    events = load_table(spark, "events", sf_dir)
+    first_view = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view_ts"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    converted = (
+        first_view.join(purchases, "user_id")
+        .filter(F.col("p_ts") > F.col("first_view_ts"))
+        .select("user_id").distinct()
+    )
+    return first_view.agg(
+        F.count("*").alias("viewers"),
+    ).crossJoin(converted.agg(F.count("*").alias("converted"))).select(
+        "viewers",
+        "converted",
+        F.round(F.col("converted") / F.col("viewers"), 6).alias("conversion_rate"),
+    )
+
+
+def docs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile by source × lang: volume and size stats."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
 ADVANCED_QUERIES = {
     "event_value_quartiles": event_value_quartiles,
     "customer_part_baskets": customer_part_baskets,
+    "view_purchase_funnel": view_purchase_funnel,
+    "docs_by_source": docs_by_source,
     "revenue_rollup": revenue_rollup,
     "orders_status_pivot": orders_status_pivot,
     "price_quantiles": price_quantiles,
@@ -131,6 +170,27 @@ ADVANCED_QUERIES = {
 }
 
 ADVANCED_ORACLES = {
+    "view_purchase_funnel": """
+        WITH fv AS (
+          SELECT user_id, MIN(ts) AS first_view_ts
+          FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        conv AS (
+          SELECT DISTINCT fv.user_id
+          FROM fv JOIN events e ON e.user_id = fv.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > fv.first_view_ts
+        )
+        SELECT (SELECT COUNT(*) FROM fv) AS viewers,
+               (SELECT COUNT(*) FROM conv) AS converted,
+               ROUND((SELECT COUNT(*) FROM conv) * 1.0 /
+                     (SELECT COUNT(*) FROM fv), 6) AS conversion_rate
+    """,
+    "docs_by_source": """
+        SELECT source, lang, COUNT(*) AS n_docs,
+          ROUND(AVG(n_chars), 4) AS avg_chars,
+          MAX(n_chars) AS max_chars
+        FROM documents GROUP BY source, lang
+    """,
     "event_value_quartiles": """
         SELECT event_id, event_type,
           ntile(4) OVER (
