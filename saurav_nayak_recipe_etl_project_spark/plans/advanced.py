@@ -158,7 +158,21 @@ def docs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per return flag: stddev + correlation.
+    Rounded at 4dp — both engines use numerically-stable single-pass
+    formulations whose results agree well past that precision."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    return lineitem.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+    )
+
+
 ADVANCED_QUERIES = {
+    "lineitem_stats": lineitem_stats,
     "event_value_quartiles": event_value_quartiles,
     "customer_part_baskets": customer_part_baskets,
     "view_purchase_funnel": view_purchase_funnel,
@@ -170,6 +184,13 @@ ADVANCED_QUERIES = {
 }
 
 ADVANCED_ORACLES = {
+    "lineitem_stats": """
+        SELECT l_returnflag, COUNT(*) AS n,
+          ROUND(stddev_samp(l_quantity), 4) AS qty_stddev,
+          ROUND(stddev_samp(l_extendedprice), 4) AS price_stddev,
+          ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "view_purchase_funnel": """
         WITH fv AS (
           SELECT user_id, MIN(ts) AS first_view_ts
