@@ -48,6 +48,18 @@ def test_ivf_recall_on_clustered_vectors(spark):
         assert len(got & want) >= 2, (q, got, want)
 
 
+def test_ivf_kmeans_refinement_improves_or_matches(spark):
+    exact = {}
+    for r in S.cosine_topk(_emb(spark), n_queries=2, k=3).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    refined = {}
+    for r in S.ivf_topk(_emb(spark), n_queries=2, k=3, n_lists=4,
+                        n_probe=2, kmeans_iters=2).collect():
+        refined.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for q, want in exact.items():
+        assert len(refined.get(q, set()) & want) >= 2
+
+
 def test_lsh_bucket_results_are_ranked_subset(spark):
     exact = {(r["query_id"], r["neighbor_id"])
              for r in S.cosine_topk(_emb(spark), n_queries=2, k=3).collect()}

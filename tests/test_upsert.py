@@ -5,7 +5,6 @@ from __future__ import annotations
 
 import shutil
 
-from pyspark.sql import functions as F
 
 from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
 from saurav_nayak_recipe_etl_project_spark.streaming import upsert as U
