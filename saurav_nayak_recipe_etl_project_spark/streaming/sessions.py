@@ -167,10 +167,10 @@ STREAMING_SESSION_ORACLES = {
         ),
         s AS (
           SELECT user_id, ts,
-            SUM(new_s) OVER (
+            CAST(SUM(new_s) OVER (
               PARTITION BY user_id ORDER BY ts, event_id
               ROWS UNBOUNDED PRECEDING
-            ) AS session_id
+            ) AS BIGINT) AS session_id
           FROM g
         )
         SELECT user_id, session_id, COUNT(*) AS n_events,
