@@ -171,8 +171,81 @@ def lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def parts_bought_together(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: top part pairs co-occurring in an
+    order. The self-join is keyed on l_orderkey so pair blowup is
+    bounded by per-order basket size (small by construction), never
+    corpus-quadratic."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(
+            F.col("a.l_partkey").alias("pk_a"), F.col("b.l_partkey").alias("pk_b")
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+    pa = part.select(F.col("p_partkey").alias("pk_a"), F.col("p_name").alias("part_a"))
+    pb = part.select(F.col("p_partkey").alias("pk_b"), F.col("p_name").alias("part_b"))
+    return (
+        pairs.join(F.broadcast(pa), "pk_a").join(F.broadcast(pb), "pk_b")
+        .select("part_a", "part_b", "n_orders")
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(10)
+    )
+
+
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window over an aggregate: month-over-month revenue delta."""
+    monthly = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / F.lit(100.0), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias("mom_delta"),
+    )
+
+
+def sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling (~25%): md5-hex threshold
+    compare — reproducible on any engine/cluster, no RNG state, and
+    the sample is stable under repartitioning (keyed on content, not
+    position)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.filter(F.md5("text") < "4").select("doc_id", "lang", "source")
+
+
+def redact_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrub: digit runs → <NUM>; output the redacted-text
+    hash + counts so the result stays small at any scale."""
+    docs = load_table(spark, "documents", sf_dir)
+    redacted = F.regexp_replace("text", "[0-9]+", "<NUM>")
+    return docs.select(
+        "doc_id",
+        F.md5(redacted).alias("redacted_hash"),
+        (F.length("text") - F.length(F.regexp_replace("text", "[0-9]", "")))
+        .cast("long").alias("n_digits"),
+    )
+
+
 ADVANCED_QUERIES = {
     "lineitem_stats": lineitem_stats,
+    "parts_bought_together": parts_bought_together,
+    "monthly_revenue_growth": monthly_revenue_growth,
+    "sample_documents": sample_documents,
+    "redact_numbers": redact_numbers,
     "event_value_quartiles": event_value_quartiles,
     "customer_part_baskets": customer_part_baskets,
     "view_purchase_funnel": view_purchase_funnel,
@@ -190,6 +263,44 @@ ADVANCED_ORACLES = {
           ROUND(stddev_samp(l_extendedprice), 4) AS price_stddev,
           ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "parts_bought_together": """
+        WITH items AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        pairs AS (
+          SELECT a.l_partkey AS pk_a, b.l_partkey AS pk_b,
+                 COUNT(*) AS n_orders
+          FROM items a JOIN items b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY a.l_partkey, b.l_partkey
+        )
+        SELECT pa.p_name AS part_a, pb.p_name AS part_b, n_orders
+        FROM pairs
+        JOIN part pa ON pa.p_partkey = pk_a
+        JOIN part pb ON pb.p_partkey = pk_b
+        ORDER BY n_orders DESC, part_a, part_b LIMIT 10
+    """,
+    "monthly_revenue_growth": """
+        WITH m AS (
+          SELECT strftime(o_orderdate, '%Y-%m') AS month,
+            ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+              AS revenue
+          FROM orders GROUP BY month
+        )
+        SELECT month, revenue,
+          ROUND(revenue - lag(revenue) OVER (ORDER BY month), 2) AS mom_delta
+        FROM m
+    """,
+    "sample_documents": """
+        SELECT doc_id, lang, source FROM documents WHERE md5(text) < '4'
+    """,
+    "redact_numbers": """
+        SELECT doc_id,
+          md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS redacted_hash,
+          length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+            AS n_digits
+        FROM documents
     """,
     "view_purchase_funnel": """
         WITH fv AS (
