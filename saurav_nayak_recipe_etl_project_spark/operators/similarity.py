@@ -281,6 +281,71 @@ def ivf_topk(emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K,
     )
 
 
+def knn_label_accuracy(emb: DataFrame, k: int = 5) -> DataFrame:
+    """Embedding-quality eval: leave-one-out kNN label prediction over
+    the whole corpus (broadcast matmul per batch), majority vote with
+    deterministic min-label tiebreak, one summary row.
+
+    The all-pairs scoring is the same block-product as cosine_topk —
+    linear passes over the corpus against a broadcast side."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    e = emb.select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    snap = e.toPandas()
+    ids = snap["vec_id"].to_numpy()
+    labels = snap["label"].to_numpy()
+    mat = np.stack(snap["v"].to_numpy())
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, labels, mat))
+
+    def gen(batches):
+        a_ids, a_labels, a_mat = bc.value
+        order = np.argsort(a_ids)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            b_ids = pdf["vec_id"].to_numpy()
+            b_lab = pdf["label"].to_numpy()
+            m = np.stack(pdf["v"].to_numpy())
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = mn @ a_mat.T
+            preds = []
+            for i in range(len(b_ids)):
+                s = sims[i].copy()
+                s[a_ids == b_ids[i]] = -np.inf          # leave-one-out
+                # top-k by (sim desc, vec_id asc) — deterministic
+                idx = np.lexsort((a_ids, -s))[:k]
+                votes = a_labels[idx]
+                vals, counts = np.unique(votes, return_counts=True)
+                preds.append(int(vals[counts == counts.max()].min()))
+            yield pd.DataFrame(
+                {
+                    "vec_id": b_ids,
+                    "actual": b_lab,
+                    "predicted": np.array(preds),
+                }
+            )
+
+    per_vec = e.mapInPandas(gen, schema="vec_id long, actual int, predicted int")
+    return per_vec.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("actual") == F.col("predicted"), 1).otherwise(0))
+        .cast("long").alias("n_correct"),
+        F.round(
+            F.sum(F.when(F.col("actual") == F.col("predicted"), 1).otherwise(0))
+            / F.count("*"), 6
+        ).alias("accuracy"),
+    )
+
+
+def ann_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_label_accuracy(load_table(spark, "embeddings", sf_dir))
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(load_table(spark, "embeddings", sf_dir))
 
@@ -297,6 +362,7 @@ SIMILARITY_QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_knn_label_accuracy": ann_knn_label_accuracy,
 }
 
 SIMILARITY_ORACLES = {
@@ -320,4 +386,39 @@ SIMILARITY_ORACLES = {
     """,
     # ann_lsh_bucketed: xxhash64-derived planes → no portable oracle;
     # rows-only check + recall test in tests/test_similarity.py.
+    "ann_knn_label_accuracy": """
+        WITH e AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        scored AS (
+          SELECT a.vec_id AS q, a.label AS al, b.vec_id AS nb,
+            b.label AS nl,
+            list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+              AS sim
+          FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        ),
+        top5 AS (
+          SELECT q, al, nl FROM (
+            SELECT q, al, nl,
+              ROW_NUMBER() OVER (PARTITION BY q ORDER BY sim DESC, nb) AS rn
+            FROM scored
+          ) WHERE rn <= 5
+        ),
+        votes AS (
+          SELECT q, al, nl, COUNT(*) AS c,
+            MAX(COUNT(*)) OVER (PARTITION BY q) AS cmax
+          FROM top5 GROUP BY q, al, nl
+        ),
+        pred AS (
+          SELECT q, al, MIN(nl) AS predicted
+          FROM votes WHERE c = cmax GROUP BY q, al
+        )
+        SELECT COUNT(*) AS n,
+          CAST(SUM(CASE WHEN al = predicted THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_correct,
+          ROUND(SUM(CASE WHEN al = predicted THEN 1 ELSE 0 END) * 1.0
+                / COUNT(*), 6) AS accuracy
+        FROM pred
+    """,
 }
