@@ -32,7 +32,7 @@ from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
 
 
 def shingle_rows(docs: DataFrame, n: int = 3, text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
+                 id_col: str = "doc_id", distinct: bool = True) -> DataFrame:
     """Distinct (doc_id, shingle) rows of word n-grams.
 
     posexplode + window lead() — all whole-stage codegen. (The
@@ -45,13 +45,13 @@ def shingle_rows(docs: DataFrame, n: int = 3, text_col: str = "text",
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
-    return (
+    rows = (
         t.select("doc_id", F.concat_ws(" ", *leads).alias("shingle"),
                  leads[-1].alias("_last"))
         .filter(F.col("_last").isNotNull())
         .select("doc_id", "shingle")
-        .distinct()
     )
+    return rows.distinct() if distinct else rows
 
 
 def _mix_consts(n_hashes: int) -> list[tuple[int, int]]:

@@ -113,7 +113,33 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition score: fraction of all 3-gram occurrences taken by
+    the single most repeated 3-gram — the boilerplate/spam signal
+    training-data filters cut on. One explode + two aggregations."""
+    from saurav_nayak_recipe_etl_project_spark.operators.dedup import shingle_rows
+
+    docs = load_table(spark, "documents", sf_dir)
+    sh = shingle_rows(docs, n=3, distinct=False)
+    per_shingle = sh.groupBy("doc_id", "shingle").agg(F.count("*").alias("c"))
+    return (
+        per_shingle.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_shingles"),
+            F.max("c").alias("max_repeat"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("max_repeat").cast("long").alias("max_repeat"),
+            F.round(F.col("max_repeat") / F.col("n_shingles"), 6)
+            .alias("repetition_ratio"),
+        )
+    )
+
+
 TEXT_QUERIES = {
+    "text_repetition": text_repetition,
     "text_token_count": text_token_count,
     "text_quality": text_quality,
     "text_langid": text_langid,
@@ -128,6 +154,28 @@ _STOP_SQL = {
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 
 TEXT_ORACLES = {
+    "text_repetition": f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+            unnest(list_transform(
+              generate_series(1, len(toks) - 2),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            )) AS shingle
+          FROM t WHERE len(toks) >= 3
+        ),
+        per AS (
+          SELECT doc_id, shingle, COUNT(*) AS c FROM sh
+          GROUP BY doc_id, shingle
+        )
+        SELECT doc_id,
+          CAST(SUM(c) AS BIGINT) AS n_shingles,
+          CAST(MAX(c) AS BIGINT) AS max_repeat,
+          ROUND(MAX(c) * 1.0 / SUM(c), 6) AS repetition_ratio
+        FROM per GROUP BY doc_id
+    """,
     "text_token_count": f"""
         SELECT doc_id,
           len({_TOKS}) AS ws_tokens,
