@@ -109,10 +109,12 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, tau: float = 0.3,
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jacc = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    # filter on the unrounded value (like the oracle), round only for
+    # output — keeps threshold semantics identical across engines
     return (
         inter.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(jacc >= tau)
         .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= tau)
     )
 
 
