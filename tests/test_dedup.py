@@ -49,6 +49,22 @@ def test_minhash_lsh_finds_near_dup(spark):
     assert (1, 4) not in pairs
 
 
+def test_lsh_verified_matches_exact_for_high_sim(spark, sf_dir):
+    """Two-stage LSH-verified pairs must report the exact jaccard for
+    every pair they surface, and recover all high-similarity pairs."""
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(docs, tau=0.5).collect()}
+    staged = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+              for r in D.lsh_verified_pairs(docs, tau=0.5).collect()}
+    for pair, j in staged.items():
+        assert exact[pair] == j          # verified jaccard is exact
+    high = {p for p, j in exact.items() if j >= 0.7}
+    assert high <= set(staged), "missed high-similarity pair"
+
+
 def test_simhash_near_means_close(spark):
     hashes = {r["doc_id"]: r["simhash"] for r in D.simhash(_docs(spark)).collect()}
     assert hashes[1] == hashes[2]
