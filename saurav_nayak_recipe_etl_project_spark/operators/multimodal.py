@@ -100,6 +100,39 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(attach_blobs(docs))
 
 
+HIST_SCHEMA = ("doc_id long, " +
+               ", ".join(f"bin{i} long" for i in range(8)))
+
+
+def byte_histogram(blobs: DataFrame) -> DataFrame:
+    """Resize/thumbnail analog: reduce each payload to a fixed 8-bin
+    byte histogram (the downsampling shape a real `resize` kernel
+    has — bytes in, small fixed-size vector out), vectorized with
+    numpy per Arrow batch."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"]}
+            hists = []
+            for blob in pdf["blob"]:
+                arr = np.frombuffer(blob, dtype=np.uint8)
+                hists.append(np.bincount(arr >> 5, minlength=8))
+            h = (np.stack(hists) if hists
+                 else np.zeros((0, 8), dtype=np.int64))
+            for i in range(8):
+                out[f"bin{i}"] = h[:, i]
+            yield pd.DataFrame(out)
+
+    return blobs.select("doc_id", "blob").mapInPandas(gen, schema=HIST_SCHEMA)
+
+
+def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return byte_histogram(attach_blobs(docs))
+
+
 def decode_image_real(blobs: DataFrame) -> DataFrame:
     """Real image decode — requires an imaging library not present in
     this container. STUB: clearly-marked unimplemented scale slot."""
@@ -125,11 +158,32 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 MULTIMODAL_QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_frames": multimodal_frames,
+    "multimodal_byte_histogram": multimodal_byte_histogram,
 }
 
 # The text is ASCII in the testdata, so utf-8 bytes == codepoints and
 # the byte-mean is reproducible in SQL exactly.
 MULTIMODAL_ORACLES = {
+    # ASCII text → utf-8 bytes == codepoints, so the byte histogram is
+    # reproducible in SQL: bin = codepoint >> 5 (i.e. // 32).
+    "multimodal_byte_histogram": """
+        WITH c AS (
+          SELECT doc_id,
+            list_transform(string_split(text, ''), ch -> ascii(ch) // 32)
+              AS bins
+          FROM documents
+        )
+        SELECT doc_id,
+          CAST(len(list_filter(bins, b -> b = 0)) AS BIGINT) AS bin0,
+          CAST(len(list_filter(bins, b -> b = 1)) AS BIGINT) AS bin1,
+          CAST(len(list_filter(bins, b -> b = 2)) AS BIGINT) AS bin2,
+          CAST(len(list_filter(bins, b -> b = 3)) AS BIGINT) AS bin3,
+          CAST(len(list_filter(bins, b -> b = 4)) AS BIGINT) AS bin4,
+          CAST(len(list_filter(bins, b -> b = 5)) AS BIGINT) AS bin5,
+          CAST(len(list_filter(bins, b -> b = 6)) AS BIGINT) AS bin6,
+          CAST(len(list_filter(bins, b -> b = 7)) AS BIGINT) AS bin7
+        FROM c
+    """,
     "multimodal_frames": """
         WITH d AS (
           SELECT doc_id, text, strlen(text) AS n,
