@@ -61,6 +61,25 @@ def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch variant of price_quantiles: approx_percentile (t-digest
+    style) — the one to use when the key space is wide enough that
+    exact per-group sorting is the bottleneck. Bounded relative error,
+    no full sort, mergeable across partitions. Rows-only (sketch
+    output is engine-specific); accuracy vs the exact operator is
+    asserted in tests/test_properties.py."""
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("p50"),
+            F.expr("approx_percentile(o_totalprice, 0.9, 1000)").alias("p90"),
+        )
+    )
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """Per-document top-k terms by TF-IDF: explode → tf, df aggs →
     idf join (tiny, broadcast) → per-doc window top-k. The canonical
@@ -253,6 +272,7 @@ ADVANCED_QUERIES = {
     "revenue_rollup": revenue_rollup,
     "orders_status_pivot": orders_status_pivot,
     "price_quantiles": price_quantiles,
+    "price_quantiles_approx": price_quantiles_approx,
     "tfidf_top_terms": tfidf_top_terms,
 }
 

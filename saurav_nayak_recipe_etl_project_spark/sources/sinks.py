@@ -34,5 +34,14 @@ def read_warehouse_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_csv_lake(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Typed read-back of a lake CSV (the reference's validator re-reads
+    its CSVs; schema string keeps types explicit — no inference job)."""
+    return (
+        spark.read.schema(schema).option("header", "true")
+        .option("mode", "PERMISSIVE").csv(path)
+    )
+
+
 def table_path(root: str, name: str) -> str:
     return os.path.join(root, name)

@@ -48,6 +48,38 @@ def test_minhash_estimate_tracks_exact_jaccard(spark):
         assert exact.get(pair, 0.0) > 0.15, (pair, e, exact.get(pair))
 
 
+def test_approx_percentile_tracks_exact(spark, sf_dir):
+    from saurav_nayak_recipe_etl_project_spark.plans.advanced import (
+        price_quantiles,
+        price_quantiles_approx,
+    )
+
+    exact = {r["c_mktsegment"]: (r["p50"], r["p90"])
+             for r in price_quantiles(spark, sf_dir).collect()}
+    approx = {r["c_mktsegment"]: (r["p50"], r["p90"])
+              for r in price_quantiles_approx(spark, sf_dir).collect()}
+    for seg, (e50, e90) in exact.items():
+        a50, a90 = approx[seg]
+        assert abs(a50 - e50) / e50 < 0.05
+        assert abs(a90 - e90) / e90 < 0.05
+
+
+def test_csv_lake_typed_roundtrip(spark, sf_dir, tmp_path):
+    from saurav_nayak_recipe_etl_project_spark.sources import sinks
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    sinks.write_csv_lake(orders, str(tmp_path / "orders"))
+    back = sinks.read_csv_lake(
+        spark, str(tmp_path / "orders"),
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderstatus string",
+    )
+    assert back.schema == orders.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, orders.collect()))
+
+
 def test_token_count_invariants(spark, sf_dir):
     rows = T.text_token_count(spark, sf_dir).collect()
     for r in rows:
