@@ -60,6 +60,40 @@ def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, Dat
     return {name: load_table(spark, name, sf_dir) for name in TABLES}
 
 
+# Expected column contracts. The reference lists "Schema Rigidity" as
+# a limitation (README §7: silent breakage if the source schema
+# drifts); here drift is an explicit, checkable contract instead.
+EXPECTED_COLUMNS = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "embeddings": ["vec_id", "embedding", "label"],
+}
+
+
+def check_catalog_contracts(spark: SparkSession,
+                            sf_dir: str = DEFAULT_SF_DIR) -> dict[str, list[str]]:
+    """Schema-drift check: per table, the columns missing vs the
+    contract (empty dict == everything matches). Run it at pipeline
+    start so drift fails loudly up front, not deep in a query."""
+    problems: dict[str, list[str]] = {}
+    for name, expected in EXPECTED_COLUMNS.items():
+        have = set(load_table(spark, name, sf_dir).columns)
+        missing = [c for c in expected if c not in have]
+        if missing:
+            problems[name] = missing
+    return problems
+
+
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register all tables as temp views so plans/ can use spark.sql too."""
     for name in TABLES:

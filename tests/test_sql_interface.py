@@ -6,6 +6,14 @@ from __future__ import annotations
 from saurav_nayak_recipe_etl_project_spark.sources.catalog import register_views
 
 
+def test_catalog_contracts_hold(spark, sf_dir):
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        check_catalog_contracts,
+    )
+
+    assert check_catalog_contracts(spark, sf_dir) == {}
+
+
 def test_sql_over_registered_views(spark, sf_dir):
     register_views(spark, sf_dir)
     row = spark.sql(
