@@ -78,9 +78,63 @@ def run_windowed_stream(spark: SparkSession, source_dir: str,
     )
 
 
-STREAMING_QUERIES = {"stream_events_window": stream_events_window}
+def top_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the incremental top-k: top-10 users by event
+    volume (the continuously-maintained leaderboard shape from the
+    incremental top-k literature)."""
+    events = load_table(spark, "events", sf_dir)
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.round(F.col("value") * 100).cast("long"))
+                    / F.lit(100.0), 2).alias("total_value"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+def run_topk_stream(spark: SparkSession, source_dir: str,
+                    checkpoint_dir: str, query_name: str, k: int = 10) -> None:
+    """Continuously-maintained top-k leaderboard: complete-mode agg +
+    per-trigger sorted limit. State is one row per user — bounded by
+    key cardinality, not stream length."""
+    events = read_event_stream(spark, source_dir)
+    agg = (
+        events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.round(F.col("value") * 100).cast("long"))
+                    / F.lit(100.0), 2).alias("total_value"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(k)
+    )
+    (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+
+
+STREAMING_QUERIES = {
+    "stream_events_window": stream_events_window,
+    "top_event_users": top_event_users,
+}
 
 STREAMING_ORACLES = {
+    "top_event_users": """
+        SELECT user_id, COUNT(*) AS n_events,
+          ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 2)
+            AS total_value
+        FROM events GROUP BY user_id
+        ORDER BY n_events DESC, user_id LIMIT 10
+    """,
     "stream_events_window": """
         SELECT
           strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S')

@@ -27,6 +27,20 @@ def test_stream_matches_batch(spark, sf_dir, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_streaming_topk_matches_batch(spark, sf_dir, tmp_path):
+    src = tmp_path / "drops"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
+    E.run_topk_stream(spark, str(src), str(tmp_path / "ck2"), "topk_test")
+    got = [(r["user_id"], r["n_events"], r["total_value"])
+           for r in spark.sql(
+               "SELECT * FROM topk_test ORDER BY n_events DESC, user_id"
+           ).collect()]
+    want = [(r["user_id"], r["n_events"], r["total_value"])
+            for r in E.top_event_users(spark, sf_dir).collect()]
+    assert got == want and len(got) == 10
+
+
 def test_multimodal_plumbing(spark, sf_dir):
     from saurav_nayak_recipe_etl_project_spark.operators import multimodal as M
 
