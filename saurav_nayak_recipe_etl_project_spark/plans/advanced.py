@@ -61,6 +61,31 @@ def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rolling_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per day, the trailing-7-day revenue sum.
+    Ordered on integer epoch-days so the range frame is engine-exact;
+    daily revenue uses the integer-cents sum to stay order-stable."""
+    orders = load_table(spark, "orders", sf_dir)
+    daily = (
+        orders.groupBy(
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("timestamp_ntz"))
+            .alias("epoch_day")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+        )
+    )
+    w = (
+        Window.orderBy("epoch_day")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        F.col("epoch_day").cast("long").alias("epoch_day"),
+        F.round(F.col("cents") / F.lit(100.0), 2).alias("day_revenue"),
+        F.round(F.sum("cents").over(w) / F.lit(100.0), 2).alias("trailing_7d"),
+    )
+
+
 def price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch variant of price_quantiles: approx_percentile (t-digest
     style) — the one to use when the key space is wide enough that
@@ -273,6 +298,7 @@ ADVANCED_QUERIES = {
     "orders_status_pivot": orders_status_pivot,
     "price_quantiles": price_quantiles,
     "price_quantiles_approx": price_quantiles_approx,
+    "rolling_weekly_revenue": rolling_weekly_revenue,
     "tfidf_top_terms": tfidf_top_terms,
 }
 
@@ -342,6 +368,20 @@ ADVANCED_ORACLES = {
           ROUND(AVG(n_chars), 4) AS avg_chars,
           MAX(n_chars) AS max_chars
         FROM documents GROUP BY source, lang
+    """,
+    "rolling_weekly_revenue": """
+        WITH daily AS (
+          SELECT date_diff('day', TIMESTAMP '1970-01-01 00:00:00', o_orderdate)
+                   AS epoch_day,
+                 SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+          FROM orders GROUP BY epoch_day
+        )
+        SELECT CAST(epoch_day AS BIGINT) AS epoch_day,
+          ROUND(cents / 100.0, 2) AS day_revenue,
+          ROUND(SUM(cents) OVER (
+            ORDER BY epoch_day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+          ) / 100.0, 2) AS trailing_7d
+        FROM daily
     """,
     "event_value_quartiles": """
         SELECT event_id, event_type,
