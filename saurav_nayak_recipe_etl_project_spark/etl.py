@@ -57,3 +57,33 @@ def run_document_etl(spark: SparkSession, source_path: str,
         load_warehouse_table(df, table_path(warehouse_dir, name))
         counts[name] = df.count()
     return counts
+
+
+def run_full_star_etl(spark: SparkSession, users_path: str, orders_path: str,
+                      interactions_path: str, lake_dir: str,
+                      warehouse_dir: str) -> dict[str, int]:
+    """The reference's complete flow: three document collections →
+    four-table star schema (users, orders fact, order_items ordered
+    bridge, interactions log) → lake + warehouse
+    (src/etl_pipeline.py:28-134 end-to-end)."""
+    from saurav_nayak_recipe_etl_project_spark.sources.documents import (
+        INTERACTION_DOC_SCHEMA,
+        USER_DOC_SCHEMA,
+    )
+
+    users = read_documents(spark, users_path, USER_DOC_SCHEMA).filter(
+        F.col("user_id").isNotNull()
+    ).drop("_corrupt_record")
+    interactions = read_documents(
+        spark, interactions_path, INTERACTION_DOC_SCHEMA
+    ).filter(F.col("interaction_id").isNotNull()).drop("_corrupt_record")
+    tables = normalize_documents(read_documents(spark, orders_path))
+    tables["users"] = users
+    tables["interactions"] = interactions
+
+    counts: dict[str, int] = {}
+    for name, df in tables.items():
+        write_csv_lake(df, table_path(lake_dir, name))
+        load_warehouse_table(df, table_path(warehouse_dir, name))
+        counts[name] = df.count()
+    return counts

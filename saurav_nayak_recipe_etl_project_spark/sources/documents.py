@@ -50,6 +50,56 @@ def read_documents(spark: SparkSession, path: str,
     return spark.read.schema(full_schema).json(path)
 
 
+USER_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("username", T.StringType()),
+        T.StructField("segment", T.StringType()),
+        T.StructField("balance", T.DoubleType()),
+    ]
+)
+
+INTERACTION_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("interaction_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("rating", T.DoubleType()),
+        T.StructField("at", T.StringType()),
+    ]
+)
+
+
+def export_user_documents(spark: SparkSession, sf_dir: str, out_path: str) -> None:
+    """users collection analog (reference users docs → users.csv)."""
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+
+    customer = load_table(spark, "customer", sf_dir)
+    customer.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_name").alias("username"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("balance"),
+    ).write.mode("overwrite").json(out_path)
+
+
+def export_interaction_documents(spark: SparkSession, sf_dir: str,
+                                 out_path: str) -> None:
+    """interactions collection analog (view/like/cook_attempt log →
+    events with optional rating; reference interactions docs)."""
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+
+    events = load_table(spark, "events", sf_dir)
+    events.select(
+        F.col("event_id").alias("interaction_id"),
+        "user_id",
+        F.col("event_type").alias("type"),
+        F.when(F.col("event_type") == "purchase", F.round(F.col("value"), 2))
+        .alias("rating"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("at"),
+    ).write.mode("overwrite").json(out_path)
+
+
 def export_order_documents(spark: SparkSession, sf_dir: str, out_path: str) -> None:
     """Build nested order docs from the relational tables and write
     JSONL — the fixture generator standing in for the upstream

@@ -40,6 +40,29 @@ def test_document_etl_roundtrip(spark, sf_dir, tmp_path):
     assert set(lake.columns) == {"order_id", "user_id", "status", "total", "order_date"}
 
 
+def test_full_star_etl(spark, sf_dir, tmp_path):
+    from saurav_nayak_recipe_etl_project_spark.sources.documents import (
+        export_interaction_documents,
+        export_user_documents,
+    )
+
+    export_user_documents(spark, sf_dir, str(tmp_path / "u"))
+    export_order_documents(spark, sf_dir, str(tmp_path / "o"))
+    export_interaction_documents(spark, sf_dir, str(tmp_path / "i"))
+    counts = etl.run_full_star_etl(
+        spark, str(tmp_path / "u"), str(tmp_path / "o"), str(tmp_path / "i"),
+        str(tmp_path / "lake"), str(tmp_path / "wh"),
+    )
+    assert counts["users"] == load_table(spark, "customer", sf_dir).count()
+    assert counts["orders"] == load_table(spark, "orders", sf_dir).count()
+    assert counts["order_items"] == load_table(spark, "lineitem", sf_dir).count()
+    assert counts["interactions"] == load_table(spark, "events", sf_dir).count()
+    # all four tables land in both tiers
+    for t in ("users", "orders", "order_items", "interactions"):
+        assert (tmp_path / "lake" / t).exists()
+        assert (tmp_path / "wh" / t).exists()
+
+
 def test_corrupt_documents_quarantined(spark, tmp_path):
     p = tmp_path / "bad"
     p.mkdir()
