@@ -1,0 +1,93 @@
+"""Warehouse maintenance operators.
+
+The operational side of running the star schema at scale: SCD2
+dimension history, small-file compaction, and subject-erasure
+(GDPR-style) deletes. All plain DataFrame ops + overwrite loads; on a
+table format with row-level merge (Delta/Iceberg) the plans are the
+same, only the sink changes.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def scd2_merge(current: DataFrame, updates: DataFrame, key: str,
+               attrs: list[str], effective_col: str = "effective_date",
+               valid_from: str = "valid_from",
+               valid_to: str = "valid_to") -> DataFrame:
+    """Slowly-changing-dimension type 2 merge.
+
+    `current` holds history rows (`valid_to` null = active); `updates`
+    holds (key, attrs, effective_date). Active rows whose attributes
+    changed get closed at the update's effective date and a new active
+    version is appended; unchanged updates are no-ops. One join on the
+    key — broadcast the updates side when it is small.
+    """
+    upd = updates.select(
+        F.col(key), *[F.col(a).alias(f"_u_{a}") for a in attrs],
+        F.col(effective_col).alias("_eff"),
+    )
+    active = current.filter(F.col(valid_to).isNull())
+    history = current.filter(F.col(valid_to).isNotNull())
+
+    joined = active.join(upd, key, "left")
+    changed = F.coalesce(
+        ~sum(
+            (F.col(a).eqNullSafe(F.col(f"_u_{a}"))).cast("int") for a in attrs
+        ).eqNullSafe(F.lit(len(attrs))),
+        F.lit(False),
+    ) & F.col("_eff").isNotNull()
+
+    closed = joined.filter(changed).select(
+        *[F.col(c) for c in current.columns if c != valid_to],
+        F.col("_eff").alias(valid_to),
+    )
+    unchanged = joined.filter(~changed).select(*current.columns)
+    new_versions = joined.filter(changed).select(
+        F.col(key),
+        *[F.col(f"_u_{a}").alias(a) for a in attrs],
+        F.col("_eff").alias(valid_from),
+        F.lit(None).cast(dict(current.dtypes)[valid_to]).alias(valid_to),
+    )
+    return history.unionByName(unchanged).unionByName(closed).unionByName(
+        new_versions
+    )
+
+
+def compact_parquet(spark: SparkSession, path: str,
+                    target_mb: int = 128) -> int:
+    """Small-file compaction: rewrite a parquet table into
+    ceil(bytes/target) files. The #1 operational fix for long-lived
+    append-heavy tables (file-listing and task-scheduling costs scale
+    with file count, not bytes). Returns the new file count."""
+    import glob
+    import os
+
+    files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    # stage through a temp dir: can't overwrite a path while reading it
+    tmp = path.rstrip("/") + "__compact"
+    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n_out
+
+
+def forget_subject(tables: dict[str, DataFrame], key_cols: dict[str, str],
+                   subject_id: int) -> dict[str, DataFrame]:
+    """Subject-erasure: drop every row belonging to `subject_id` across
+    all tables (key_cols maps table name → its subject key column).
+    Returns the filtered tables; callers truncate-load them back."""
+    out = {}
+    for name, df in tables.items():
+        col = key_cols.get(name)
+        out[name] = df.filter(F.col(col) != subject_id) if col else df
+    return out

@@ -1,0 +1,60 @@
+"""Warehouse maintenance: SCD2 history semantics, compaction
+preserves data while cutting file counts, subject erasure is complete."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from saurav_nayak_recipe_etl_project_spark.operators import maintenance as MT
+from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+
+
+def test_scd2_merge_versions_changed_rows(spark):
+    current = spark.createDataFrame(
+        [
+            (1, "GOLD", "2024-01-01", None),
+            (2, "SILVER", "2024-01-01", None),
+            (3, "BRONZE", "2023-01-01", "2024-01-01"),   # already closed
+            (3, "GOLD", "2024-01-01", None),
+        ],
+        "cust long, tier string, valid_from string, valid_to string",
+    )
+    updates = spark.createDataFrame(
+        [(1, "PLATINUM", "2024-06-01"),   # change → new version
+         (2, "SILVER", "2024-06-01")],    # no change → no-op
+        "cust long, tier string, effective_date string",
+    )
+    out = MT.scd2_merge(current, updates, key="cust", attrs=["tier"])
+    rows = {(r["cust"], r["tier"], r["valid_to"]) for r in out.collect()}
+    assert (1, "GOLD", "2024-06-01") in rows          # closed
+    assert (1, "PLATINUM", None) in rows               # new active
+    assert (2, "SILVER", None) in rows                 # untouched
+    assert (3, "BRONZE", "2024-01-01") in rows         # history kept
+    assert (3, "GOLD", None) in rows                   # active w/o update
+    assert out.count() == 5
+
+
+def test_compaction_preserves_rows(spark, sf_dir, tmp_path):
+    orders = load_table(spark, "orders", sf_dir)
+    path = str(tmp_path / "frag")
+    orders.repartition(37).write.parquet(path)
+    before = len(glob.glob(f"{path}/*.parquet"))
+    n = MT.compact_parquet(spark, path, target_mb=128)
+    after = len(glob.glob(f"{path}/*.parquet"))
+    assert before == 37 and after == n and n < before
+    assert spark.read.parquet(path).count() == orders.count()
+
+
+def test_forget_subject_is_complete(spark, sf_dir):
+    tables = {
+        "customer": load_table(spark, "customer", sf_dir),
+        "orders": load_table(spark, "orders", sf_dir),
+        "events": load_table(spark, "events", sf_dir),
+    }
+    keys = {"customer": "c_custkey", "orders": "o_custkey", "events": "user_id"}
+    out = MT.forget_subject(tables, keys, subject_id=7)
+    for name, df in out.items():
+        assert df.filter(F.col(keys[name]) == 7).count() == 0
+    assert out["customer"].count() == tables["customer"].count() - 1
