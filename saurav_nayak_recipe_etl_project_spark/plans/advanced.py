@@ -202,6 +202,29 @@ def docs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PRIORITY_SEVERITY = {
+    "1-URGENT": 5, "2-HIGH": 4, "3-MEDIUM": 3, "4-NOT SPECIFIED": 2, "5-LOW": 1,
+}
+
+
+def severity_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal-map dim lookup: tiny static dimensions don't need a
+    broadcast join at all — a compile-time `create_map` keeps the
+    lookup inside codegen with zero exchange."""
+    orders = load_table(spark, "orders", sf_dir)
+    m = F.create_map(
+        *[F.lit(x) for kv in PRIORITY_SEVERITY.items() for x in kv]
+    )
+    return (
+        orders.withColumn("severity", m[F.col("o_orderpriority")])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.avg("severity"), 4).alias("avg_severity"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
 def lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates per return flag: stddev + correlation.
     Rounded at 4dp — both engines use numerically-stable single-pass
@@ -286,6 +309,7 @@ def redact_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ADVANCED_QUERIES = {
     "lineitem_stats": lineitem_stats,
+    "severity_by_status": severity_by_status,
     "parts_bought_together": parts_bought_together,
     "monthly_revenue_growth": monthly_revenue_growth,
     "sample_documents": sample_documents,
@@ -368,6 +392,15 @@ ADVANCED_ORACLES = {
           ROUND(AVG(n_chars), 4) AS avg_chars,
           MAX(n_chars) AS max_chars
         FROM documents GROUP BY source, lang
+    """,
+    "severity_by_status": """
+        SELECT o_orderstatus,
+          ROUND(AVG(CASE o_orderpriority
+            WHEN '1-URGENT' THEN 5 WHEN '2-HIGH' THEN 4
+            WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 2
+            WHEN '5-LOW' THEN 1 END), 4) AS avg_severity,
+          COUNT(*) AS n_orders
+        FROM orders GROUP BY o_orderstatus
     """,
     "rolling_weekly_revenue": """
         WITH daily AS (
