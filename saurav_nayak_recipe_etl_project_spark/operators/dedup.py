@@ -392,6 +392,50 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(load_table(spark, "documents", sf_dir))
 
 
+# --- F-extension: train/test contamination ----------------------------------
+
+def cross_corpus_overlap(docs_a: DataFrame, docs_b: DataFrame,
+                         tau: float = 0.5, n: int = 3,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Contamination check: near-dup pairs ACROSS two corpora (e.g.
+    training set vs eval set) — the overlap you must remove before
+    reporting benchmark numbers. Same inverted-index join as
+    ngram_jaccard_pairs but pairs only form across the corpus boundary,
+    so within-corpus duplication costs nothing."""
+    sa = shingle_rows(docs_a, n, text_col, id_col).withColumnRenamed(
+        "doc_id", "a_id"
+    )
+    sb = shingle_rows(docs_b, n, text_col, id_col).withColumnRenamed(
+        "doc_id", "b_id"
+    )
+    na = sa.groupBy("a_id").agg(F.count("*").alias("n_a"))
+    nb = sb.groupBy("b_id").agg(F.count("*").alias("n_b"))
+    inter = (
+        sa.join(sb, "shingle")
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    jacc = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.join(na, "a_id").join(nb, "b_id")
+        .filter(jacc >= tau)
+        .select("a_id", "b_id", F.round(jacc, 6).alias("jaccard"))
+    )
+
+
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry demo: treat even/odd doc_ids as two corpora and find
+    cross-corpus near-dups (the planted near-dup pairs in the testdata
+    that straddle the parity split)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return cross_corpus_overlap(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        tau=0.5,
+    )
+
+
 # --- registry ---------------------------------------------------------------
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -422,6 +466,7 @@ DEDUP_QUERIES = {
     "dedup_embedding": dedup_embedding,
     "dedup_clusters": dedup_clusters,
     "dedup_lsh_verified": dedup_lsh_verified,
+    "dedup_contamination": dedup_contamination,
 }
 
 _SHINGLES = """
@@ -458,6 +503,27 @@ DEDUP_ORACLES = {
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.3
+    """,
+    "dedup_contamination": f"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM t
+        ),
+        sa AS (SELECT doc_id AS a_id, shingle FROM sh WHERE a_id % 2 = 0),
+        sb AS (SELECT doc_id AS b_id, shingle FROM sh WHERE b_id % 2 = 1),
+        na AS (SELECT a_id, COUNT(*) AS n_a FROM sa GROUP BY a_id),
+        nb AS (SELECT b_id, COUNT(*) AS n_b FROM sb GROUP BY b_id),
+        inter AS (
+          SELECT a_id, b_id, COUNT(*) AS inter
+          FROM sa JOIN sb USING (shingle) GROUP BY a_id, b_id
+        )
+        SELECT a_id, b_id,
+               ROUND(inter / (n_a + n_b - inter), 6) AS jaccard
+        FROM inter JOIN na USING (a_id) JOIN nb USING (b_id)
+        WHERE inter / (n_a + n_b - inter) >= 0.5
     """,
     # dedup_minhash_lsh / dedup_simhash: xxhash64-based → no portable SQL
     # oracle; the driver records rows-only checks and tests/test_dedup.py
