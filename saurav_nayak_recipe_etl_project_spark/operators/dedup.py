@@ -438,8 +438,26 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- registry ---------------------------------------------------------------
 
+def drop_exact_duplicates(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """APPLY the exact dedup: return the corpus with only the keeper
+    (min id) of each content-hash group — the actual cleaning step,
+    not just the report. One window over the hash, no join back."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(load_table(spark, "documents", sf_dir))
+
+
+def documents_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return drop_exact_duplicates(docs).select("doc_id", "lang", "source")
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,6 +485,7 @@ DEDUP_QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_lsh_verified": dedup_lsh_verified,
     "dedup_contamination": dedup_contamination,
+    "documents_deduped": documents_deduped,
 }
 
 _SHINGLES = """
@@ -503,6 +522,13 @@ DEDUP_ORACLES = {
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.3
+    """,
+    "documents_deduped": """
+        SELECT doc_id, lang, source FROM (
+          SELECT doc_id, lang, source,
+            ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM documents
+        ) WHERE rn = 1
     """,
     "dedup_contamination": f"""
         WITH t AS (

@@ -207,6 +207,26 @@ PRIORITY_SEVERITY = {
 }
 
 
+def event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly flags on event values: the standard
+    streaming-adjacent monitor. Stats come from one tiny agg joined
+    back broadcast; the z computation stays row-local codegen."""
+    events = load_table(spark, "events", sf_dir)
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("_mu"), F.stddev_samp("value").alias("_sd")
+    )
+    z = (F.col("value") - F.col("_mu")) / F.col("_sd")
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "event_id", "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(z, 4).alias("z_score"),
+        )
+    )
+
+
 def severity_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Literal-map dim lookup: tiny static dimensions don't need a
     broadcast join at all — a compile-time `create_map` keeps the
@@ -310,6 +330,7 @@ def redact_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
 ADVANCED_QUERIES = {
     "lineitem_stats": lineitem_stats,
     "severity_by_status": severity_by_status,
+    "event_anomalies": event_anomalies,
     "parts_bought_together": parts_bought_together,
     "monthly_revenue_growth": monthly_revenue_growth,
     "sample_documents": sample_documents,
@@ -392,6 +413,17 @@ ADVANCED_ORACLES = {
           ROUND(AVG(n_chars), 4) AS avg_chars,
           MAX(n_chars) AS max_chars
         FROM documents GROUP BY source, lang
+    """,
+    "event_anomalies": """
+        WITH s AS (
+          SELECT event_type, AVG(value) AS mu, stddev_samp(value) AS sd
+          FROM events GROUP BY event_type
+        )
+        SELECT event_id, e.event_type,
+          ROUND(value, 4) AS value,
+          ROUND((value - mu) / sd, 4) AS z_score
+        FROM events e JOIN s ON e.event_type = s.event_type
+        WHERE abs((value - mu) / sd) > 2.5
     """,
     "severity_by_status": """
         SELECT o_orderstatus,
