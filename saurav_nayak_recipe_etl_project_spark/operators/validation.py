@@ -124,6 +124,41 @@ def events_issues(events: DataFrame, customer: DataFrame) -> DataFrame:
     )
 
 
+def part_issues(part: DataFrame) -> DataFrame:
+    return part.select(
+        *_report(
+            "part",
+            F.col("p_partkey"),
+            _missing("p_partkey"),
+            _missing("p_name"),
+            F.when(F.col("p_size") <= 0, "Invalid size"),
+            F.when(F.col("p_retailprice") <= 0, "Invalid retailprice"),
+            F.when(
+                ~F.col("p_brand").rlike("^Brand#[0-9]+$")
+                | F.col("p_brand").isNull(),
+                "Invalid brand format",
+            ),
+        )
+    )
+
+
+def supplier_issues(supplier: DataFrame) -> DataFrame:
+    return supplier.select(
+        *_report(
+            "supplier",
+            F.col("s_suppkey"),
+            _missing("s_suppkey"),
+            _missing("s_name"),
+            F.when(
+                ~F.col("s_name").rlike("^Supplier#[0-9]+$")
+                | F.col("s_name").isNull(),
+                "Invalid name format",
+            ),
+            F.when(F.col("s_acctbal") < 0, "Negative acctbal"),
+        )
+    )
+
+
 def customer_issues(customer: DataFrame) -> DataFrame:
     return customer.select(
         *_report(
@@ -165,6 +200,14 @@ def validate_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer_issues(load_table(spark, "customer", sf_dir))
 
 
+def validate_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return part_issues(load_table(spark, "part", sf_dir))
+
+
+def validate_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return supplier_issues(load_table(spark, "supplier", sf_dir))
+
+
 def validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6 — the full report, one UNION of all per-table passes
     (reference data_validation.py:168-187), summarized per table so the
@@ -176,6 +219,8 @@ def validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             validate_lineitem(spark, sf_dir),
             validate_events(spark, sf_dir),
             validate_customer(spark, sf_dir),
+            validate_part(spark, sf_dir),
+            validate_supplier(spark, sf_dir),
         ],
     )
     return full.groupBy("table_name", "status").agg(
@@ -188,8 +233,41 @@ VALIDATION_QUERIES = {
     "validate_lineitem": validate_lineitem,
     "validate_events": validate_events,
     "validate_customer": validate_customer,
+    "validate_part": validate_part,
+    "validate_supplier": validate_supplier,
     "validation_report": validation_report,
 }
+
+_PART_SQL = """
+    SELECT 'part' AS table_name, CAST(p_partkey AS VARCHAR) AS record_id,
+      CASE WHEN iss = '' THEN 'PASS' ELSE 'FAIL' END AS status,
+      CASE WHEN iss = '' THEN 'OK' ELSE iss END AS issues
+    FROM (
+      SELECT p_partkey, concat_ws('; ',
+        CASE WHEN p_partkey IS NULL THEN 'Missing p_partkey' END,
+        CASE WHEN p_name IS NULL THEN 'Missing p_name' END,
+        CASE WHEN p_size <= 0 THEN 'Invalid size' END,
+        CASE WHEN p_retailprice <= 0 THEN 'Invalid retailprice' END,
+        CASE WHEN NOT regexp_matches(p_brand, '^Brand#[0-9]+$')
+               OR p_brand IS NULL THEN 'Invalid brand format' END
+      ) AS iss FROM part
+    )
+"""
+
+_SUPPLIER_SQL = """
+    SELECT 'supplier' AS table_name, CAST(s_suppkey AS VARCHAR) AS record_id,
+      CASE WHEN iss = '' THEN 'PASS' ELSE 'FAIL' END AS status,
+      CASE WHEN iss = '' THEN 'OK' ELSE iss END AS issues
+    FROM (
+      SELECT s_suppkey, concat_ws('; ',
+        CASE WHEN s_suppkey IS NULL THEN 'Missing s_suppkey' END,
+        CASE WHEN s_name IS NULL THEN 'Missing s_name' END,
+        CASE WHEN NOT regexp_matches(s_name, '^Supplier#[0-9]+$')
+               OR s_name IS NULL THEN 'Invalid name format' END,
+        CASE WHEN s_acctbal < 0 THEN 'Negative acctbal' END
+      ) AS iss FROM supplier
+    )
+"""
 
 _ORDERS_SQL = """
     SELECT 'orders' AS table_name, CAST(o_orderkey AS VARCHAR) AS record_id,
@@ -274,10 +352,13 @@ VALIDATION_ORACLES = {
     "validate_lineitem": _LINEITEM_SQL,
     "validate_events": _EVENTS_SQL,
     "validate_customer": _CUSTOMER_SQL,
+    "validate_part": _PART_SQL,
+    "validate_supplier": _SUPPLIER_SQL,
     "validation_report": f"""
         SELECT table_name, status, COUNT(*) AS n_records FROM (
           {_ORDERS_SQL} UNION ALL {_LINEITEM_SQL}
           UNION ALL {_EVENTS_SQL} UNION ALL {_CUSTOMER_SQL}
+          UNION ALL {_PART_SQL} UNION ALL {_SUPPLIER_SQL}
         ) GROUP BY table_name, status
     """,
 }
