@@ -301,6 +301,79 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_priority_with_big_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-suite, TPC-H Q4 shape: EXISTS semi-join — order counts by
+    priority for orders containing at least one high-quantity line.
+    LEFT SEMI keeps the fact table un-duplicated (no fan-out, no
+    distinct needed)."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    big = lineitem.filter(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume — revenue by (supplier
+    nation, customer nation, year) for one nation pair, both
+    directions."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    rev_pair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair | rev_pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio — share of revenue
+    from one part-type family in one month, as a percentage."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    promo = F.when(F.col("p_type") == "ECONOMY", rev_cents).otherwise(0)
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-06-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.sum(promo) * 100.0 / F.sum(rev_cents), 6
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E9 — TPC-H Q18 shape: join against an aggregated-and-filtered
     subquery (HAVING). The inner agg shrinks the fact table before the
@@ -391,6 +464,9 @@ ANALYTICS_QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_items": q10_returned_items,
     "q18_large_orders": q18_large_orders,
+    "q4_priority_with_big_items": q4_priority_with_big_items,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q14_promo_effect": q14_promo_effect,
     "part_revenue_rank": part_revenue_rank,
     "monthly_revenue": monthly_revenue,
     "customers_without_urgent_orders": customers_without_urgent_orders,
@@ -513,6 +589,45 @@ ANALYTICS_ORACLES = {
           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         GROUP BY n_name
+    """,
+    "q4_priority_with_big_items": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_quantity > 45
+        )
+        GROUP BY o_orderpriority
+    """,
+    "q7_volume_shipping": """
+        SELECT supp_nation, cust_nation, order_year,
+          ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) / 100.0, 2) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+            CAST(year(o_orderdate) AS BIGINT) AS order_year,
+            l_extendedprice, l_discount
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        )
+        GROUP BY supp_nation, cust_nation, order_year
+    """,
+    "q14_promo_effect": """
+        SELECT ROUND(
+          SUM(CASE WHEN p_type = 'ECONOMY'
+              THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                   AS BIGINT) ELSE 0 END) * 100.0
+          / SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)), 6) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
     """,
     "q18_large_orders": """
         SELECT c_name AS name, l_orderkey AS order_id,
