@@ -8,4 +8,19 @@ the semantics (and then always Arrow-batched).
 
 from saurav_nayak_recipe_etl_project_spark.session import get_spark
 
-__all__ = ["get_spark"]
+
+def queries():
+    """Registry of all named queries: name -> fn(spark, sf_dir)."""
+    from saurav_nayak_recipe_etl_project_spark.registry import QUERIES
+
+    return dict(QUERIES)
+
+
+def oracles():
+    """DuckDB oracle SQL per oracle-able query name."""
+    from saurav_nayak_recipe_etl_project_spark.registry import ORACLES
+
+    return dict(ORACLES)
+
+
+__all__ = ["get_spark", "queries", "oracles"]
