@@ -305,6 +305,21 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (75/12.5/12.5, md5-hex
+    ranges of the content): stable under repartitioning and re-runs,
+    and keyed on content so exact duplicates always land in the same
+    split — no train/test leakage through dup copies."""
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.md5("text")
+    split = (
+        F.when(h < "c", "train")           # 12/16 of the hex space
+        .when(h < "e", "val")              # 2/16
+        .otherwise("test")                 # 2/16
+    )
+    return docs.select("doc_id", split.alias("split"))
+
+
 def sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-hash sampling (~25%): md5-hex threshold
     compare — reproducible on any engine/cluster, no RNG state, and
@@ -334,6 +349,7 @@ ADVANCED_QUERIES = {
     "parts_bought_together": parts_bought_together,
     "monthly_revenue_growth": monthly_revenue_growth,
     "sample_documents": sample_documents,
+    "split_assignment": split_assignment,
     "redact_numbers": redact_numbers,
     "event_value_quartiles": event_value_quartiles,
     "customer_part_baskets": customer_part_baskets,
@@ -385,6 +401,13 @@ ADVANCED_ORACLES = {
     """,
     "sample_documents": """
         SELECT doc_id, lang, source FROM documents WHERE md5(text) < '4'
+    """,
+    "split_assignment": """
+        SELECT doc_id,
+          CASE WHEN md5(text) < 'c' THEN 'train'
+               WHEN md5(text) < 'e' THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents
     """,
     "redact_numbers": """
         SELECT doc_id,
