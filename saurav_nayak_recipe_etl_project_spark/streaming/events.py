@@ -122,6 +122,27 @@ def run_topk_stream(spark: SparkSession, source_dir: str,
     )
 
 
+def run_dedup_stream(spark: SparkSession, source_dir: str,
+                     checkpoint_dir: str, query_name: str) -> None:
+    """Streaming dedup: at-least-once upstream delivery → exactly-once
+    downstream rows. dropDuplicatesWithinWatermark keys state on
+    event_id and expires it with the watermark, so dedup state stays
+    bounded no matter how long the stream runs."""
+    events = read_event_stream(spark, source_dir)
+    deduped = events.withWatermark("ts", "30 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+
+
 STREAMING_QUERIES = {
     "stream_events_window": stream_events_window,
     "top_event_users": top_event_users,

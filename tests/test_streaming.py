@@ -41,6 +41,20 @@ def test_streaming_topk_matches_batch(spark, sf_dir, tmp_path):
     assert got == want and len(got) == 10
 
 
+def test_stream_dedup_drops_redelivered_events(spark, sf_dir, tmp_path):
+    src = tmp_path / "drops"
+    src.mkdir()
+    # the same file delivered twice = upstream at-least-once redelivery
+    shutil.copy(f"{sf_dir}/events.parquet", src / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", src / "b.parquet")
+    E.run_dedup_stream(spark, str(src), str(tmp_path / "ckd"), "dedup_stream_test")
+    got = spark.sql(
+        "SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedup_stream_test"
+    ).collect()[0]
+    want = E.load_table(spark, "events", sf_dir).count()
+    assert got["n"] == got["d"] == want
+
+
 def test_multimodal_plumbing(spark, sf_dir):
     from saurav_nayak_recipe_etl_project_spark.operators import multimodal as M
 
