@@ -26,3 +26,20 @@ def test_entry_smoke(spark):
 def test_all_queries_have_callable(spark):
     for name, fn in QUERIES.items():
         assert callable(fn), name
+
+
+def test_harness_detects_mismatches(spark, sf_dir):
+    """Meta-test: the comparator must FAIL on wrong values, wrong row
+    counts, and wrong column names — otherwise every green above is
+    vacuous."""
+    df = QUERIES["priority_distribution"](spark, sf_dir)
+    for bad_sql in (
+        # wrong values
+        "SELECT o_orderpriority, COUNT(*) + 1 AS cnt FROM orders GROUP BY 1",
+        # wrong row count
+        "SELECT o_orderpriority, COUNT(*) AS cnt FROM orders GROUP BY 1 LIMIT 2",
+        # wrong column name
+        "SELECT o_orderpriority, COUNT(*) AS wrong FROM orders GROUP BY 1",
+    ):
+        with pytest.raises(AssertionError):
+            assert_matches_oracle(df, bad_sql, sf_dir)
