@@ -285,6 +285,33 @@ def parts_bought_together(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def part_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase graph degree distribution: how many distinct
+    co-ordered partners each part has, histogrammed. The graph never
+    materializes globally — degrees come straight off the
+    order-bounded pair join."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    degrees = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") != F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("pk"))
+        .agg(F.countDistinct(F.col("b.l_partkey")).alias("degree"))
+    )
+    return degrees.groupBy("degree").agg(F.count("*").alias("n_parts"))
+
+
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order value (50k buckets) — the
+    profiling primitive; integer bucketing, no sort."""
+    orders = load_table(spark, "orders", sf_dir)
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("long")
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_orders")
+    )
+
+
 def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window over an aggregate: month-over-month revenue delta."""
     monthly = (
@@ -347,6 +374,8 @@ ADVANCED_QUERIES = {
     "severity_by_status": severity_by_status,
     "event_anomalies": event_anomalies,
     "parts_bought_together": parts_bought_together,
+    "part_degree_distribution": part_degree_distribution,
+    "price_histogram": price_histogram,
     "monthly_revenue_growth": monthly_revenue_growth,
     "sample_documents": sample_documents,
     "split_assignment": split_assignment,
@@ -387,6 +416,21 @@ ADVANCED_ORACLES = {
         JOIN part pa ON pa.p_partkey = pk_a
         JOIN part pb ON pb.p_partkey = pk_b
         ORDER BY n_orders DESC, part_a, part_b LIMIT 10
+    """,
+    "part_degree_distribution": """
+        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        degrees AS (
+          SELECT a.l_partkey AS pk, COUNT(DISTINCT b.l_partkey) AS degree
+          FROM items a JOIN items b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+          GROUP BY a.l_partkey
+        )
+        SELECT degree, COUNT(*) AS n_parts FROM degrees GROUP BY degree
+    """,
+    "price_histogram": """
+        SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY bucket
     """,
     "monthly_revenue_growth": """
         WITH m AS (
