@@ -244,6 +244,7 @@ def lsh_verified_pairs(docs: DataFrame, tau: float = 0.5, n_hashes: int = 32,
 
 
 def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage dedup: LSH candidates verified with exact Jaccard."""
     return lsh_verified_pairs(load_table(spark, "documents", sf_dir))
 
 
@@ -389,6 +390,7 @@ def dup_clusters(docs: DataFrame, tau: float = 0.5, n: int = 3,
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters over near-dup edges (min-label propagation)."""
     return dup_clusters(load_table(spark, "documents", sf_dir))
 
 
@@ -452,27 +454,33 @@ def drop_exact_duplicates(docs: DataFrame, text_col: str = "text",
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup report: content-hash groups with keeper id and copy count."""
     return exact_duplicates(load_table(spark, "documents", sf_dir))
 
 
 def documents_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus with only the keeper of each exact-duplicate group."""
     docs = load_table(spark, "documents", sf_dir)
     return drop_exact_duplicates(docs).select("doc_id", "lang", "source")
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs via inverted-index join."""
     return ngram_jaccard_pairs(load_table(spark, "documents", sf_dir))
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature + banded LSH candidate pairs with estimated Jaccard."""
     return minhash_lsh_pairs(load_table(spark, "documents", sf_dir))
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (frequency-weighted token hash)."""
     return simhash(load_table(spark, "documents", sf_dir))
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cosine-threshold near-duplicate pairs (broadcast matmul)."""
     return embedding_dup_pairs(load_table(spark, "embeddings", sf_dir))
 
 

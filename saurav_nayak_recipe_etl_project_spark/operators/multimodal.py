@@ -96,6 +96,7 @@ def frame_sample(blobs: DataFrame, n_frames: int = 4) -> DataFrame:
 
 
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evenly-spaced frame samples per binary payload (1-to-N expansion)."""
     docs = load_table(spark, "documents", sf_dir)
     return frame_sample(attach_blobs(docs))
 
@@ -129,6 +130,7 @@ def byte_histogram(blobs: DataFrame) -> DataFrame:
 
 
 def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bin byte histogram per payload (resize/thumbnail analog)."""
     docs = load_table(spark, "documents", sf_dir)
     return byte_histogram(attach_blobs(docs))
 

@@ -343,18 +343,22 @@ def knn_label_accuracy(emb: DataFrame, k: int = 5) -> DataFrame:
 
 
 def ann_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out kNN label-prediction accuracy over the corpus."""
     return knn_label_accuracy(load_table(spark, "embeddings", sf_dir))
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k neighbors for the demo query vectors."""
     return cosine_topk(load_table(spark, "embeddings", sf_dir))
 
 
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed approximate top-k neighbors."""
     return lsh_bucketed_topk(load_table(spark, "embeddings", sf_dir))
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: coarse-quantizer lists, n_probe search."""
     return ivf_topk(load_table(spark, "embeddings", sf_dir))
 
 

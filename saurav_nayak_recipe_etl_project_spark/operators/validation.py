@@ -178,10 +178,12 @@ def customer_issues(customer: DataFrame) -> DataFrame:
 # --- registered queries -----------------------------------------------------
 
 def validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level quality report for orders (nulls, ranges, domains)."""
     return orders_issues(load_table(spark, "orders", sf_dir))
 
 
 def validate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level quality report for lineitem (ranges, FK orphans)."""
     return lineitem_issues(
         load_table(spark, "lineitem", sf_dir),
         load_table(spark, "orders", sf_dir),
@@ -190,6 +192,7 @@ def validate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level quality report for events (domain, orphans, nulls)."""
     return events_issues(
         load_table(spark, "events", sf_dir),
         load_table(spark, "customer", sf_dir),
@@ -197,14 +200,17 @@ def validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def validate_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level quality report for customer (nulls, name format, balance)."""
     return customer_issues(load_table(spark, "customer", sf_dir))
 
 
 def validate_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level quality report for part (size, price, brand format)."""
     return part_issues(load_table(spark, "part", sf_dir))
 
 
 def validate_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level quality report for supplier (name format, balance)."""
     return supplier_issues(load_table(spark, "supplier", sf_dir))
 
 

@@ -64,6 +64,7 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = GAP_MINUTES) -> DataF
 
 
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based user sessions (30-min) with counts and durations."""
     return sessionize_batch(load_table(spark, "events", sf_dir))
 
 
