@@ -46,15 +46,21 @@ def stream_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _windowed(load_table(spark, "events", sf_dir))
 
 
-def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+def read_event_stream(spark: SparkSession, source_dir: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source stream over event parquet drops (ns-timestamp safe,
-    same normalization as the batch catalog)."""
+    same normalization as the batch catalog). `max_files_per_trigger`
+    throttles micro-batch size (and lets tests force multi-batch runs
+    to exercise cross-batch state)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = (
         "event_id long, ts long, user_id long, event_type string, "
         "value double, props string"
     )
-    raw = spark.readStream.schema(schema).parquet(source_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(source_dir)
     # Watermarks require instant-typed (TIMESTAMP, not NTZ) event time —
     # correct for streaming: late-data reasoning happens on the timeline.
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

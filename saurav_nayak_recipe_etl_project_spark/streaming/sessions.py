@@ -138,10 +138,11 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
 
 
 def run_session_stream(spark: SparkSession, source_dir: str,
-                       checkpoint_dir: str, query_name: str) -> None:
+                       checkpoint_dir: str, query_name: str,
+                       max_files_per_trigger: int | None = None) -> None:
     from saurav_nayak_recipe_etl_project_spark.streaming.events import read_event_stream
 
-    events = read_event_stream(spark, source_dir)
+    events = read_event_stream(spark, source_dir, max_files_per_trigger)
     (
         sessionize_stream(events)
         .writeStream.outputMode("append")

@@ -9,6 +9,60 @@ import shutil
 from saurav_nayak_recipe_etl_project_spark.streaming import sessions as S
 
 
+def test_sessions_survive_micro_batch_boundaries(spark, sf_dir, tmp_path):
+    """Split the events by time into two files and force one file per
+    micro-batch: sessions spanning the split must merge via the state
+    store, reproducing the same completed sessions as a single batch."""
+    from pyspark.sql import functions as F
+
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+
+    events = load_table(spark, "events", sf_dir)
+    us = F.expr("timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    cut = events.agg(F.expr(
+        "percentile(timestampdiff(MICROSECOND, "
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts), 0.5)"
+    )).collect()[0][0]
+    src = tmp_path / "drops"
+    src.mkdir()
+    for tag, cond in [("a", us <= cut), ("b", us > cut)]:
+        half_dir = tmp_path / f"half_{tag}"
+        # re-emit with ns ts as long to match the stream reader's schema
+        # (exact integer us -> ns; a double round-trip would lose us
+        # precision at epoch scale)
+        ns = (F.expr("timestampdiff(MICROSECOND, "
+                     "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)") * 1000)
+        (events.filter(cond)
+         .withColumn("ts", ns.cast("long"))
+         .coalesce(1).write.parquet(str(half_dir)))
+        import glob
+        import shutil as sh
+
+        part = glob.glob(f"{half_dir}/part-*.parquet")[0]
+        sh.copy(part, src / f"{tag}.parquet")
+
+    S.run_session_stream(
+        spark, str(src), str(tmp_path / "ckpt2"), query_name="sess_mb_test",
+        max_files_per_trigger=1,
+    )
+    streamed = spark.sql(
+        "SELECT user_id, n_events FROM sess_mb_test"
+    ).collect()
+    batch = S.sessionize_events(spark, sf_dir).collect()
+    last = {}
+    for r in batch:
+        cur = last.get(r["user_id"])
+        if cur is None or r["session_id"] > cur["session_id"]:
+            last[r["user_id"]] = r
+    want = sorted(
+        (r["user_id"], r["n_events"]) for r in batch
+        if last[r["user_id"]]["session_id"] != r["session_id"]
+    )
+    got = sorted((r["user_id"], r["n_events"]) for r in streamed)
+    assert got == want and len(got) > 0
+
+
 def test_stream_sessions_match_batch_completed(spark, sf_dir, tmp_path):
     src = tmp_path / "drops"
     src.mkdir()
