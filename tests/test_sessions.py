@@ -63,6 +63,23 @@ def test_sessions_survive_micro_batch_boundaries(spark, sf_dir, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_native_session_window_agrees_with_lag_cumsum(spark, sf_dir):
+    """Two independent sessionization algorithms (built-in
+    session_window vs lag+cumsum) must produce the same sessions."""
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+
+    events = load_table(spark, "events", sf_dir)
+    native = sorted(
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in S.sessionize_native(events).collect()
+    )
+    ours = sorted(
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in S.sessionize_batch(events).collect()
+    )
+    assert native == ours
+
+
 def test_stream_sessions_match_batch_completed(spark, sf_dir, tmp_path):
     src = tmp_path / "drops"
     src.mkdir()
