@@ -51,3 +51,77 @@ def _load_optional() -> None:
 
 
 _load_optional()
+
+
+# The driver oracles only the FIRST 50 registry entries per round.  Round 1
+# verified the original first 50; round 2 front-loads the 30 queries that
+# had no driver row yet (advanced/streaming/multimodal/text tail) plus any
+# new round-2 queries, then the most load-bearing repeats, so every query
+# earns an externally-confirmed CORRECTNESS row across rounds.
+_DRIVER_PRIORITY = [
+    # -- never driver-verified in round 1 (registry tail [50:80]) --
+    "text_langid",
+    "text_fingerprint",
+    "multimodal_meta",
+    "multimodal_frames",
+    "multimodal_byte_histogram",
+    "asof_latest_order",
+    "lineitem_stats",
+    "severity_by_status",
+    "event_anomalies",
+    "parts_bought_together",
+    "part_degree_distribution",
+    "price_histogram",
+    "monthly_revenue_growth",
+    "sample_documents",
+    "split_assignment",
+    "redact_numbers",
+    "event_value_quartiles",
+    "customer_part_baskets",
+    "view_purchase_funnel",
+    "docs_by_source",
+    "revenue_rollup",
+    "orders_status_pivot",
+    "price_quantiles",
+    "price_quantiles_approx",
+    "rolling_weekly_revenue",
+    "tfidf_top_terms",
+    "stream_events_window",
+    "top_event_users",
+    "sessionize_events",
+    "view_purchase_attribution",
+    # -- new in round 2 (registered by their suites; no-op if absent) --
+    "ann_recall_at_k",
+    "text_langid_ngram",
+    "dedup_stream_lsh_batch",
+    # -- load-bearing repeats from the round-1 driver-verified set --
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_orders",
+    "q14_promo_effect",
+    "validation_report",
+    "dedup_exact",
+    "dedup_lsh_verified",
+    "dedup_embedding",
+    "dedup_contamination",
+    "documents_deduped",
+    "ann_cosine_topk",
+    "ann_knn_label_accuracy",
+    "text_token_count",
+    "text_quality",
+]
+
+
+def _reorder() -> None:
+    """Mutate QUERIES in place so iteration follows _DRIVER_PRIORITY."""
+    ordered = {n: QUERIES[n] for n in _DRIVER_PRIORITY if n in QUERIES}
+    for name, fn in list(QUERIES.items()):
+        ordered.setdefault(name, fn)
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
+_reorder()
