@@ -281,16 +281,73 @@ def simhash(docs: DataFrame, bits: int = 64, text_col: str = "text",
 
 # --- F5 embedding-cosine near-dup ------------------------------------------
 
-def embedding_dup_pairs(emb: DataFrame, tau: float = 0.3) -> DataFrame:
-    """Cosine-threshold duplicate pairs via a broadcast block product.
+def embedding_dup_pairs(emb: DataFrame, tau: float = 0.3,
+                        n_blocks: int = 8) -> DataFrame:
+    """EXACT cosine-threshold duplicate pairs via distributed block
+    products — no driver-side collect anywhere.
 
-    One side of the pair space is snapshotted as a numpy matrix and
-    broadcast; the other side streams through Arrow-batched mapInPandas
-    doing a single matmul per batch — ~100× the throughput of a
-    per-pair expression fold. This is the standard shape when one side
-    fits in executor memory; when neither does, go through
-    similarity.ann_lsh_bucketed-style bucketing first.
+    Each vector is hashed into one of `n_blocks` blocks; every row is
+    shuffled to each unordered block pair (i<=j) it participates in and
+    `applyInPandas` does ONE matmul per block pair. Memory per task is
+    two blocks (tune `n_blocks` so 2·N/B vectors fit an executor);
+    shuffle volume is B× the table — the standard exact all-pairs
+    trade. All-pairs at low tau is intrinsically quadratic compute:
+    at true 100 TB scale use `embedding_dup_pairs_bucketed` (LSH
+    candidates) and keep this as the exactness oracle.
     """
+    import numpy as np
+    import pandas as pd
+
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    # replicate each row to every unordered block pair it belongs to:
+    # the (i,j) group (i<=j) receives block i rows once (other=j) and
+    # block j rows once (other=i)
+    rep = e.select(
+        "vec_id", "v", "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("other"),
+    ).select(
+        "vec_id", "v", "blk",
+        F.least("blk", "other").alias("bi"),
+        F.greatest("blk", "other").alias("bj"),
+    )
+
+    def pair_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack(pdf["v"].to_numpy())
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        if bi == bj:
+            sims = mat @ mat.T
+            ai, aj = np.nonzero((sims >= tau) & (ids[:, None] < ids[None, :]))
+            return pd.DataFrame(
+                {"id_a": ids[ai], "id_b": ids[aj],
+                 "cos_sim": np.round(sims[ai, aj], 6)}
+            )
+        ma = pdf["blk"].to_numpy() == bi
+        a_ids, b_ids = ids[ma], ids[~ma]
+        sims = mat[ma] @ mat[~ma].T
+        ai, bjx = np.nonzero(sims >= tau)
+        ida, idb = a_ids[ai], b_ids[bjx]
+        lo, hi = np.minimum(ida, idb), np.maximum(ida, idb)
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cos_sim": np.round(sims[ai, bjx], 6)}
+        )
+
+    return rep.groupBy("bi", "bj").applyInPandas(
+        pair_block, schema="id_a long, id_b long, cos_sim double"
+    )
+
+
+def embedding_dup_pairs_broadcast(emb: DataFrame, tau: float = 0.3) -> DataFrame:
+    """Broadcast-matmul variant of `embedding_dup_pairs` for when ONE
+    side fits in memory: snapshot the table as a numpy matrix,
+    broadcast it, and stream Arrow batches through a single matmul
+    each. Caps at driver/executor memory by construction — use the
+    blocked or bucketed form beyond that."""
     import numpy as np
     import pandas as pd
 
@@ -327,10 +384,56 @@ def embedding_dup_pairs(emb: DataFrame, tau: float = 0.3) -> DataFrame:
     return e.mapInPandas(gen, schema="id_a long, id_b long, cos_sim double")
 
 
+def embedding_dup_pairs_bucketed(emb: DataFrame, tau: float = 0.3,
+                                 n_planes: int = 4,
+                                 n_tables: int = 8) -> DataFrame:
+    """The 100 TB shape: hyperplane-LSH bucket first, exact cosine only
+    WITHIN a bucket — pair generation is bucket-local, so neither a
+    driver collect nor a B× replication shuffle ever happens.
+    `n_tables` independent plane sets are OR-ed (multi-table LSH):
+    single-table recall for angle θ is (1-θ/π)^planes, L tables lift
+    it to 1-(1-p)^L. Recall<1 by design; the blocked exact form above
+    is the oracle it is measured against in tests."""
+    import numpy as np
+    import pandas as pd
+
+    from saurav_nayak_recipe_etl_project_spark.operators.similarity import _bucket
+
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    bucketed = None
+    for t in range(n_tables):
+        part = e.select(
+            "vec_id", "v", F.lit(t).alias("tbl"),
+            _bucket(F.col("v"), n_planes, plane_offset=t * n_planes)
+            .alias("bucket"),
+        )
+        bucketed = part if bucketed is None else bucketed.unionByName(part)
+
+    def pair_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack(pdf["v"].to_numpy())
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        ai, aj = np.nonzero((sims >= tau) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame(
+            {"id_a": ids[ai], "id_b": ids[aj],
+             "cos_sim": np.round(sims[ai, aj], 6)}
+        )
+
+    return (
+        bucketed.groupBy("tbl", "bucket")
+        .applyInPandas(pair_bucket, schema="id_a long, id_b long, cos_sim double")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 # --- F-extension: duplicate-cluster resolution ------------------------------
 
 def dup_clusters(docs: DataFrame, tau: float = 0.5, n: int = 3,
-                 max_iters: int = 10, text_col: str = "text",
+                 max_iters: int = 50, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Connected components over near-dup edges → (doc_id, cluster_id).
 
@@ -341,9 +444,17 @@ def dup_clusters(docs: DataFrame, tau: float = 0.5, n: int = 3,
     O(cluster diameter) rounds — near-dup clusters are shallow, so the
     iteration count stays tiny at any corpus size. localCheckpoint
     cuts lineage each round (the standard Spark iterative pattern).
+
+    Edges come from the sub-quadratic two-stage path
+    (`lsh_verified_pairs`: LSH band candidates → exact-Jaccard verify),
+    not the quadratic inverted-index join — same verified-pair columns,
+    linear-in-candidates cost.
+
+    `max_iters` is a SAFETY CAP, not a tuning knob: non-convergence
+    raises instead of silently returning partially-propagated labels.
     """
     edges = (
-        ngram_jaccard_pairs(docs, n=n, tau=tau, text_col=text_col, id_col=id_col)
+        lsh_verified_pairs(docs, tau=tau, n=n, text_col=text_col, id_col=id_col)
         .select("doc_a", "doc_b")
         .persist()
     )
@@ -358,6 +469,7 @@ def dup_clusters(docs: DataFrame, tau: float = 0.5, n: int = 3,
     labels = docs.select(
         F.col(id_col).alias("src"), F.col(id_col).cast("long").alias("label")
     ).localCheckpoint()
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             sym.join(labels.withColumnRenamed("src", "dst"), "dst")
@@ -382,8 +494,15 @@ def dup_clusters(docs: DataFrame, tau: float = 0.5, n: int = 3,
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters: min-label propagation did not converge within "
+            f"{max_iters} iterations — a duplicate chain has diameter > "
+            f"{max_iters}; raise max_iters rather than using partial labels"
+        )
     return labels.select(
         F.col("src").alias("doc_id"), F.col("label").alias("cluster_id")
     )
@@ -480,8 +599,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding cosine-threshold near-duplicate pairs (broadcast matmul)."""
+    """Embedding cosine-threshold near-duplicate pairs (exact,
+    distributed block products — no driver collect)."""
     return embedding_dup_pairs(load_table(spark, "embeddings", sf_dir))
+
+
+def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via hyperplane-LSH buckets (the
+    sub-quadratic 100 TB path; recall measured against the exact form
+    in tests)."""
+    return embedding_dup_pairs_bucketed(load_table(spark, "embeddings", sf_dir))
 
 
 DEDUP_QUERIES = {
@@ -490,6 +617,7 @@ DEDUP_QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
+    "dedup_embedding_bucketed": dedup_embedding_bucketed,
     "dedup_clusters": dedup_clusters,
     "dedup_lsh_verified": dedup_lsh_verified,
     "dedup_contamination": dedup_contamination,

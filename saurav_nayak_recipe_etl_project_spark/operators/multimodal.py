@@ -40,28 +40,50 @@ def attach_blobs(docs: DataFrame) -> DataFrame:
     )
 
 
-def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _make_feature_batches():
     """Arrow-batched feature extraction over binary payloads — the
-    real-decoder slot. Pure-Python per batch, vectorized where it
-    counts; deterministic so results are reproducible cluster-wide."""
-    for pdf in batches:
-        n_bytes = pdf["blob"].map(len)
-        mean_byte = pdf["blob"].map(
-            lambda b: (sum(b) / len(b)) if len(b) else 0.0
-        )
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "n_bytes": n_bytes.astype("int64"),
-                "mean_byte": mean_byte.astype("float64"),
-            }
-        )
+    real-decoder slot. Byte math is numpy `frombuffer` views (zero
+    copy), never per-byte Python; deterministic so results are
+    reproducible cluster-wide.
+
+    Returned as a CLOSURE so cloudpickle ships it by value: a
+    module-level function is pickled by reference and Python workers
+    that don't have this repo on sys.path (the external driver's
+    session) would fail to import it.
+    """
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = pdf["blob"]
+            n_bytes = blobs.map(len).to_numpy(dtype="int64")
+            sums = np.fromiter(
+                (np.frombuffer(b, dtype=np.uint8).sum(dtype=np.int64)
+                 for b in blobs),
+                dtype="int64", count=len(blobs),
+            )
+            mean_byte = np.divide(
+                sums, n_bytes, out=np.zeros(len(blobs)), where=n_bytes > 0
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes,
+                    "mean_byte": mean_byte,
+                }
+            )
+
+    return feature_batches
+
+
+_feature_batches = _make_feature_batches()
 
 
 def blob_features(blobs: DataFrame) -> DataFrame:
     """mapInPandas over (doc_id, blob) → per-payload features."""
     return blobs.select("doc_id", "blob").mapInPandas(
-        _feature_batches, schema=FEATURE_SCHEMA
+        _make_feature_batches(), schema=FEATURE_SCHEMA
     )
 
 
@@ -74,6 +96,7 @@ def frame_sample(blobs: DataFrame, n_frames: int = 4) -> DataFrame:
     mapInPandas — the batch shape a real decoder uses). The frame
     'content' is a deterministic byte-window sum standing in for the
     decoded frame."""
+    import numpy as np
     import pandas as pd
 
     def gen(batches):
@@ -83,11 +106,14 @@ def frame_sample(blobs: DataFrame, n_frames: int = 4) -> DataFrame:
                 n = len(blob)
                 if n == 0:
                     continue
+                arr = np.frombuffer(blob, dtype=np.uint8)
                 step = max(n // n_frames, 1)
                 for i in range(min(n_frames, n)):
                     off = i * step
-                    window = blob[off:off + step]
-                    rows.append((doc_id, i, off, sum(window)))
+                    frame_sum = int(
+                        arr[off:off + step].sum(dtype=np.int64)
+                    )
+                    rows.append((doc_id, i, off, frame_sum))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "frame_idx", "byte_offset", "frame_sum"]
             )

@@ -78,12 +78,15 @@ def cosine_topk(emb: DataFrame, n_queries: int = N_QUERIES,
     )
 
 
-def _bucket(v_col, n_planes: int = 8, dim: int = 64) -> F.Column:
+def _bucket(v_col, n_planes: int = 8, dim: int = 64,
+            plane_offset: int = 0) -> F.Column:
     """Random-hyperplane LSH bucket id: sign bit per plane, packed.
 
     Plane weights are ±1 derived from xxhash64(plane, dim) parity —
     fully deterministic, identical on every executor, nothing to
-    broadcast or seed.
+    broadcast or seed. `plane_offset` selects an independent plane set
+    (multi-table LSH: OR-ing L tables lifts recall from p to
+    1-(1-p)^L at L× candidate cost — the standard recall knob).
     """
     def plane_dot(p):
         return F.aggregate(
@@ -98,9 +101,10 @@ def _bucket(v_col, n_planes: int = 8, dim: int = 64) -> F.Column:
 
     return F.aggregate(
         F.transform(
-            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            F.sequence(F.lit(plane_offset), F.lit(plane_offset + n_planes - 1)),
             lambda p: F.when(
-                plane_dot(p) > 0, F.pow(F.lit(2.0), p).cast("int")
+                plane_dot(p) > 0,
+                F.pow(F.lit(2.0), p - plane_offset).cast("int"),
             ).otherwise(0),
         ),
         F.lit(0),
@@ -109,30 +113,48 @@ def _bucket(v_col, n_planes: int = 8, dim: int = 64) -> F.Column:
 
 
 def lsh_bucketed_topk(emb: DataFrame, n_queries: int = N_QUERIES,
-                      k: int = TOP_K, n_planes: int = 8) -> DataFrame:
+                      k: int = TOP_K, n_planes: int = 4,
+                      n_tables: int = 8) -> DataFrame:
     """Approximate top-k: exact scoring restricted to the query's
-    hyperplane bucket. Recall < 1 by design; scales by bucket count."""
-    e = emb.select(
-        "vec_id",
-        _as_double("embedding").alias("v"),
-    ).withColumn("bucket", _bucket(F.col("v"), n_planes))
-    queries = e.filter(F.col("vec_id") < n_queries).select(
+    hyperplane buckets across `n_tables` independent plane sets
+    (multi-table OR lifts single-table recall p to 1-(1-p)^L).
+    Candidates are deduped BEFORE cosine scoring, so each surviving
+    pair is scored exactly once. Recall < 1 by design; scales by
+    bucket count × tables."""
+    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+    # one row per (vector, table) with that table's bucket id
+    bucketed = None
+    for t in range(n_tables):
+        part = e.select(
+            "vec_id", "v", F.lit(t).alias("tbl"),
+            _bucket(F.col("v"), n_planes, plane_offset=t * n_planes)
+            .alias("bucket"),
+        )
+        bucketed = part if bucketed is None else bucketed.unionByName(part)
+    queries = bucketed.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("tbl").alias("qtbl"),
         F.col("bucket").alias("qbucket"),
     )
-    corpus = e.select(
+    corpus = bucketed.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("v").alias("nv"),
+        "tbl",
         F.col("bucket").alias("nbucket"),
     )
-    scored = (
+    cand = (
         corpus.join(
             F.broadcast(queries),
-            (F.col("qbucket") == F.col("nbucket"))
+            (F.col("qtbl") == F.col("tbl"))
+            & (F.col("qbucket") == F.col("nbucket"))
             & (F.col("query_id") != F.col("neighbor_id")),
         )
-        .select("query_id", "neighbor_id", cosine("qv", "nv").alias("sim"))
+        .select("query_id", "neighbor_id", "qv", "nv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine("qv", "nv").alias("sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -192,7 +214,7 @@ def refine_centroids(e: DataFrame, c_mat, iters: int = 2):
 
 
 def ivf_topk(emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K,
-             n_lists: int = 16, n_probe: int = 4,
+             n_lists: int = 16, n_probe: int = 6,
              kmeans_iters: int = 0) -> DataFrame:
     """IVF-style ANN: deterministic coarse quantizer + probed search.
 
@@ -281,57 +303,81 @@ def ivf_topk(emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K,
     )
 
 
-def knn_label_accuracy(emb: DataFrame, k: int = 5) -> DataFrame:
-    """Embedding-quality eval: leave-one-out kNN label prediction over
-    the whole corpus (broadcast matmul per batch), majority vote with
-    deterministic min-label tiebreak, one summary row.
+def knn_label_accuracy(emb: DataFrame, k: int = 5,
+                       sample_mod: int = 10) -> DataFrame:
+    """Embedding-quality eval: leave-one-out kNN label prediction on a
+    deterministic sample of query vectors (vec_id % sample_mod == 0),
+    majority vote with min-label tiebreak, one summary row.
 
-    The all-pairs scoring is the same block-product as cosine_topk —
-    linear passes over the corpus against a broadcast side."""
+    Scale shape: ONLY the small query sample is collected and
+    broadcast; the full corpus streams through Arrow batches, each
+    batch emitting a LOCAL top-k per query (partial reduction — safe
+    because a global top-k element is a local top-k element of its
+    batch). The global window then reduces #batches·Q·k rows, so
+    neither the driver nor any task ever holds the corpus. A
+    production eval would hash the id before sampling; plain modulo
+    keeps the sample portable to the SQL oracle."""
     import numpy as np
     import pandas as pd
 
     spark = emb.sparkSession
-    e = emb.select(
-        "vec_id", "label", _as_double("embedding").alias("v")
-    )
-    snap = e.toPandas()
-    ids = snap["vec_id"].to_numpy()
-    labels = snap["label"].to_numpy()
-    mat = np.stack(snap["v"].to_numpy())
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, labels, mat))
+    e = emb.select("vec_id", "label", _as_double("embedding").alias("v"))
+    qsnap = e.filter(F.col("vec_id") % sample_mod == 0).toPandas()
+    q_ids = qsnap["vec_id"].to_numpy()
+    q_labels = qsnap["label"].to_numpy()
+    q_mat = np.stack(qsnap["v"].to_numpy())
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, q_labels, q_mat))
 
     def gen(batches):
-        a_ids, a_labels, a_mat = bc.value
-        order = np.argsort(a_ids)
+        ids, labels, qm = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            b_ids = pdf["vec_id"].to_numpy()
-            b_lab = pdf["label"].to_numpy()
+            n_ids = pdf["vec_id"].to_numpy()
+            n_lab = pdf["label"].to_numpy()
             m = np.stack(pdf["v"].to_numpy())
             mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-            sims = mn @ a_mat.T
-            preds = []
-            for i in range(len(b_ids)):
-                s = sims[i].copy()
-                s[a_ids == b_ids[i]] = -np.inf          # leave-one-out
-                # top-k by (sim desc, vec_id asc) — deterministic
-                idx = np.lexsort((a_ids, -s))[:k]
-                votes = a_labels[idx]
-                vals, counts = np.unique(votes, return_counts=True)
-                preds.append(int(vals[counts == counts.max()].min()))
-            yield pd.DataFrame(
-                {
-                    "vec_id": b_ids,
-                    "actual": b_lab,
-                    "predicted": np.array(preds),
-                }
-            )
+            sims = mn @ qm.T                        # (batch, Q)
+            out = []
+            for qi in range(len(ids)):
+                s = sims[:, qi].copy()
+                s[n_ids == ids[qi]] = -np.inf       # leave-one-out
+                # local top-k by (sim desc, neighbor_id asc)
+                idx = np.lexsort((n_ids, -s))[:k]
+                idx = idx[np.isfinite(s[idx])]
+                out.append(pd.DataFrame(
+                    {
+                        "query_id": np.full(len(idx), ids[qi]),
+                        "actual": np.full(len(idx), labels[qi]),
+                        "neighbor_id": n_ids[idx],
+                        "n_label": n_lab[idx],
+                        "sim": s[idx],
+                    }
+                ))
+            if out:
+                yield pd.concat(out, ignore_index=True)
 
-    per_vec = e.mapInPandas(gen, schema="vec_id long, actual int, predicted int")
-    return per_vec.agg(
+    cand = e.mapInPandas(
+        gen,
+        schema="query_id long, actual int, neighbor_id long, "
+               "n_label int, sim double",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    topk = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    votes = topk.groupBy("query_id", "actual", "n_label").agg(
+        F.count("*").alias("c")
+    )
+    wq = Window.partitionBy("query_id")
+    pred = (
+        votes.withColumn("cmax", F.max("c").over(wq))
+        .filter(F.col("c") == F.col("cmax"))
+        .groupBy("query_id", "actual")
+        .agg(F.min("n_label").alias("predicted"))
+    )
+    return pred.agg(
         F.count("*").alias("n"),
         F.sum(F.when(F.col("actual") == F.col("predicted"), 1).otherwise(0))
         .cast("long").alias("n_correct"),
@@ -343,8 +389,53 @@ def knn_label_accuracy(emb: DataFrame, k: int = 5) -> DataFrame:
 
 
 def ann_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leave-one-out kNN label-prediction accuracy over the corpus."""
+    """Leave-one-out kNN label-prediction accuracy on a deterministic
+    query sample (corpus streams; only the sample is broadcast)."""
     return knn_label_accuracy(load_table(spark, "embeddings", sf_dir))
+
+
+def recall_at_k(emb: DataFrame, n_queries: int = N_QUERIES,
+                k: int = TOP_K) -> DataFrame:
+    """Quantified ANN quality: recall@k of each approximate path
+    (hyperplane-LSH buckets, IVF probes) against the exact brute-force
+    top-k — one row per method. Every input is deterministic
+    (hash-derived planes/centroids, id tiebreaks), so the recall value
+    is stable across runs and cluster shapes; tests pin a floor."""
+    exact = cosine_topk(emb, n_queries, k).select("query_id", "neighbor_id")
+    approx = (
+        lsh_bucketed_topk(emb, n_queries, k)
+        .select("query_id", "neighbor_id")
+        .withColumn("method", F.lit("lsh_bucketed"))
+        .unionByName(
+            ivf_topk(emb, n_queries, k)
+            .select("query_id", "neighbor_id")
+            .withColumn("method", F.lit("ivf"))
+        )
+    )
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("method")
+        .agg(F.count("*").alias("hits"))
+    )
+    methods = approx.select("method").distinct()
+    # 1×1 scalar combine (same cleared shape as returned_vs_global)
+    return (
+        methods.join(hits, "method", "left")
+        .crossJoin(n_exact)
+        .select(
+            "method",
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)) / F.col("n_exact"), 6
+            ).alias("recall_at_k"),
+        )
+        .orderBy("method")
+    )
+
+
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the LSH-bucketed and IVF ANN paths vs exact top-k."""
+    return recall_at_k(load_table(spark, "embeddings", sf_dir))
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -367,6 +458,7 @@ SIMILARITY_QUERIES = {
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_knn_label_accuracy": ann_knn_label_accuracy,
+    "ann_recall_at_k": ann_recall_at_k,
 }
 
 SIMILARITY_ORACLES = {
@@ -401,6 +493,7 @@ SIMILARITY_ORACLES = {
             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
               AS sim
           FROM e a JOIN e b ON a.vec_id <> b.vec_id
+          WHERE a.vec_id % 10 = 0
         ),
         top5 AS (
           SELECT q, al, nl FROM (

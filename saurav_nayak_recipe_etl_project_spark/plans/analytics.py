@@ -381,10 +381,14 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
+    # filter on the UNROUNDED sum (matching the oracle's HAVING) and
+    # round only in the projection — rounding before the threshold
+    # would flip groups at the 150 boundary
     big = (
         lineitem.groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
-        .filter(F.col("total_qty") > 150)
+        .agg(F.sum("l_quantity").alias("_raw_qty"))
+        .filter(F.col("_raw_qty") > 150)
+        .select("l_orderkey", F.round(F.col("_raw_qty"), 2).alias("total_qty"))
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)

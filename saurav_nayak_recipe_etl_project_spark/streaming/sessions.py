@@ -32,8 +32,11 @@ GAP_MINUTES = 30
 
 
 def sessionize_batch(events: DataFrame, gap_minutes: int = GAP_MINUTES) -> DataFrame:
-    """Gap-based sessions: new session when the per-user gap exceeds
-    `gap_minutes`. lag + cumulative sum over one (user_id, ts) sort."""
+    """Gap-based sessions: new session only when the per-user gap
+    EXCEEDS `gap_minutes` — a gap exactly equal to the duration merges,
+    matching Spark's `session_window` (verified by the exact-boundary
+    fixture in tests/test_sessions.py). lag + cumulative sum over one
+    (user_id, ts) sort."""
     order = [F.col("ts"), F.col("event_id")]
     w = Window.partitionBy("user_id").orderBy(*order)
     gap_s = gap_minutes * 60
@@ -105,23 +108,35 @@ OUTPUT_SCHEMA = StructType(
 )
 
 
-def _session_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
-                state: GroupState) -> Iterator[pd.DataFrame]:
+def _make_session_fn(gap_minutes: int = GAP_MINUTES):
     """Per-user state machine: extend the open session or close it and
     emit. Sessions still open when the stream drains stay in state
     (they complete on later triggers) — exactly-once semantics come
-    from the state store + checkpoint."""
-    (user_id,) = key
-    gap_s = GAP_MINUTES * 60.0
-    if state.exists:
-        start_ts, last_ts, n = state.get
-    else:
-        start_ts = last_ts = None
-        n = 0
+    from the state store + checkpoint.
 
-    out: list[tuple[Any, ...]] = []
-    for pdf in pdfs:
-        for ts in sorted(pdf["ts"]):
+    Built as a CLOSURE so cloudpickle ships it by value — a
+    module-level function is pickled by reference and Python workers
+    without this repo on sys.path could not import it."""
+    gap_s = gap_minutes * 60.0
+
+    def session_fn(key: tuple, pdfs: Iterator["pd.DataFrame"],
+                   state: GroupState) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            start_ts, last_ts, n = state.get
+        else:
+            start_ts = last_ts = None
+            n = 0
+
+        # applyInPandasWithState delivers a group's rows as MULTIPLE
+        # pandas chunks with no cross-chunk time ordering — sort once
+        # over the whole group, never per-chunk, or unordered groups
+        # mis-segment.
+        all_ts = sorted(ts for pdf in pdfs for ts in pdf["ts"])
+        out: list[tuple[Any, ...]] = []
+        for ts in all_ts:
             t = ts.timestamp()
             if last_ts is None:
                 start_ts, last_ts, n = t, t, 1
@@ -135,11 +150,17 @@ def _session_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
                 start_ts, last_ts, n = t, t, 1
             else:
                 last_ts, n = t, n + 1
-    state.update((start_ts, last_ts, n))
-    if out:
-        yield pd.DataFrame(
-            out, columns=["user_id", "session_start", "session_end", "n_events"]
-        )
+        state.update((start_ts, last_ts, n))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "session_start", "session_end", "n_events"],
+            )
+
+    return session_fn
+
+
+_session_fn = _make_session_fn()
 
 
 def sessionize_stream(events: DataFrame) -> DataFrame:
@@ -148,7 +169,7 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
     return (
         events.groupBy("user_id")
         .applyInPandasWithState(
-            _session_fn,
+            _make_session_fn(),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",

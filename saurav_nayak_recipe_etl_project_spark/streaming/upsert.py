@@ -34,12 +34,19 @@ def run_upsert_stream(spark: SparkSession, source_dir: str,
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         incoming = latest_per_key(batch_df, "user_id", "ts", "event_id")
-        try:
+        # Only a genuinely-missing state path means "first batch" —
+        # corrupt files or IO errors must propagate, not silently
+        # overwrite the accumulated state with one micro-batch.
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(state_path)
+        fs = jvm_path.getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        if fs.exists(jvm_path):
             existing = spark.read.parquet(state_path)
             merged = latest_per_key(
                 existing.unionByName(incoming), "user_id", "ts", "event_id"
             )
-        except Exception:
+        else:
             merged = incoming
         # materialize before overwriting the path we just read
         merged.localCheckpoint().write.mode("overwrite").parquet(state_path)

@@ -108,3 +108,63 @@ def test_stream_sessions_match_batch_completed(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_exact_boundary_gap_semantics_match_native(spark):
+    """Exact-boundary fixture: a gap EXACTLY equal to the session
+    duration MERGES in Spark's session_window (empirically: windows
+    merge while next.start <= prev.end); one microsecond more splits.
+    The lag+cumsum path must agree on both sides of the boundary."""
+    from pyspark.sql import functions as F
+
+    events = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 00:00:00.000000"),
+            (2, 1, "2024-01-01 00:30:00.000000"),  # gap == 30:00 → merges
+            (3, 2, "2024-01-01 00:00:00.000000"),
+            (4, 2, "2024-01-01 00:30:00.000001"),  # gap > 30:00 → splits
+        ],
+        "event_id long, user_id long, ts_s string",
+    ).select("event_id", "user_id",
+             F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+    ours = sorted(
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in S.sessionize_batch(events).collect()
+    )
+    native = sorted(
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in S.sessionize_native(events).collect()
+    )
+    assert ours == native == [
+        (1, "2024-01-01 00:00:00", 2),
+        (2, "2024-01-01 00:00:00", 1),
+        (2, "2024-01-01 00:30:00", 1),
+    ]
+
+
+def test_session_fn_sorts_across_chunks():
+    """applyInPandasWithState delivers a group as multiple unordered
+    chunks; the state fn must sort the WHOLE group, not per chunk."""
+    import pandas as pd
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    # two chunks, out of time order: chunk2's event belongs between
+    # chunk1's two sessions
+    chunk1 = pd.DataFrame({"ts": pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 02:00:00"])})
+    chunk2 = pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 00:10:00"])})
+    state = FakeState()
+    out = list(S._session_fn((1,), iter([chunk1, chunk2]), state))
+    assert len(out) == 1
+    closed = out[0]
+    # one closed session covering 00:00–00:10 with 2 events
+    assert closed["n_events"].tolist() == [2]
+    assert str(closed["session_end"].iloc[0]) == "2024-01-01 00:10:00"
+    # open session in state holds the 02:00 event
+    start_ts, last_ts, n = state.value
+    assert n == 1 and start_ts == last_ts

@@ -70,3 +70,22 @@ def test_lsh_bucket_results_are_ranked_subset(spark):
     # same-bucket neighbors of a clustered query come from its cluster
     hits = {(r["query_id"], r["neighbor_id"]) for r in approx}
     assert hits & exact, "LSH should recover at least part of the exact top-k"
+
+
+def test_recall_at_k_values_and_determinism(spark, sf_dir):
+    """recall@k rows: one per method, in [0,1], deterministic across
+    runs (hash-derived planes/centroids, id tiebreaks)."""
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    r1 = {r["method"]: r["recall_at_k"]
+          for r in S.recall_at_k(emb).collect()}
+    r2 = {r["method"]: r["recall_at_k"]
+          for r in S.recall_at_k(emb).collect()}
+    assert set(r1) == {"lsh_bucketed", "ivf"}
+    assert r1 == r2
+    for v in r1.values():
+        assert 0.0 <= v <= 1.0
+    # IVF probes a quarter of the lists on clustered data — recall
+    # should be well above zero
+    assert r1["ivf"] >= 0.5
