@@ -78,10 +78,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F9 — language ID by per-language stopword hits; deterministic
-    argmax with alphabetical tiebreak via an explicit CASE chain."""
-    docs = load_table(spark, "documents", sf_dir)
+def stopword_langid(docs: DataFrame) -> DataFrame:
+    """Language ID by per-language stopword hits; deterministic argmax
+    with alphabetical tiebreak via an explicit CASE chain."""
     toks = tokens(F.col("text"))
     hit_cols = {lang: _hits(toks, words) for lang, words in STOPWORDS.items()}
     with_hits = docs.select(
@@ -97,6 +96,80 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "labeled_lang",
         F.when(best > 0, pred).otherwise("und").alias("predicted_lang"),
     )
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 — language ID by per-language stopword hits."""
+    return stopword_langid(load_table(spark, "documents", sf_dir))
+
+
+N_PROFILE_TRIGRAMS = 64
+
+
+def _char_trigrams(docs: DataFrame, *cols: str) -> DataFrame:
+    """One row per char-3-gram occurrence (with multiplicity):
+    explode a position sequence, then a codegen'd substr — the same
+    explode-not-HOF shape as shingle_rows. Texts under 3 chars are
+    filtered first (Spark's sequence(1, 0) DESCENDS, it isn't empty)."""
+    return docs.filter(F.length("text") >= 3).select(
+        *cols, "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 2)).alias("i"),
+    ).select(*cols, F.col("text").substr(F.col("i"), F.lit(3)).alias("tg"))
+
+
+def charngram_langid(docs: DataFrame,
+                     profile_docs: DataFrame | None = None,
+                     top_n: int = N_PROFILE_TRIGRAMS) -> DataFrame:
+    """Char-3-gram-profile language ID.
+
+    Profiles are the `top_n` most frequent character trigrams per
+    labeled language in `profile_docs` (default: the corpus itself) —
+    built distributed (explode → count → per-lang rank) but tiny
+    (langs × top_n rows), so the scoring join broadcasts the profile.
+    A doc's score for a language is how many of its trigram
+    OCCURRENCES appear in that language's profile; argmax with
+    alphabetical tiebreak, 'und' when nothing matches. Char profiles
+    pick up orthography (accents, digraphs, CJK) that the stopword
+    heuristic misses on stopword-free text."""
+    from pyspark.sql.window import Window
+
+    profile_src = profile_docs if profile_docs is not None else docs
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("tg"))
+    profile = (
+        _char_trigrams(profile_src, "lang")
+        .groupBy("lang", "tg")
+        .agg(F.count("*").alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .select(F.col("lang").alias("p_lang"), "tg")
+    )
+    doc_tg = _char_trigrams(docs, "doc_id")
+    hits = (
+        doc_tg.join(F.broadcast(profile), "tg")
+        .groupBy("doc_id")
+        .agg(*[
+            F.sum(F.when(F.col("p_lang") == lang, 1).otherwise(0))
+            .alias(f"h_{lang}")
+            for lang in STOPWORDS
+        ])
+    )
+    scored = docs.select(
+        "doc_id", F.col("lang").alias("labeled_lang")
+    ).join(hits, "doc_id", "left").na.fill(0)
+    best = F.greatest(*[F.col(f"h_{lang}") for lang in STOPWORDS])
+    pred = F.lit("und")
+    for lang in sorted(STOPWORDS, reverse=True):
+        pred = F.when(F.col(f"h_{lang}") == best, lang).otherwise(pred)
+    return scored.select(
+        "doc_id",
+        "labeled_lang",
+        F.when(best > 0, pred).otherwise("und").alias("predicted_lang"),
+    )
+
+
+def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-3-gram-profile language ID (profiles from the corpus)."""
+    return charngram_langid(load_table(spark, "documents", sf_dir))
 
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,6 +216,7 @@ TEXT_QUERIES = {
     "text_token_count": text_token_count,
     "text_quality": text_quality,
     "text_langid": text_langid,
+    "text_langid_ngram": text_langid_ngram,
     "text_fingerprint": text_fingerprint,
 }
 
@@ -227,6 +301,52 @@ TEXT_ORACLES = {
               len(list_filter({_TOKS}, t -> t IN {_STOP_SQL['zh']})) AS h_zh
             FROM documents
           )
+        )
+    """,
+    "text_langid_ngram": """
+        WITH tg AS (
+          SELECT doc_id, lang,
+            unnest(list_transform(generate_series(1, length(text) - 2),
+                                  i -> substr(text, CAST(i AS INT), 3)))
+              AS tg
+          FROM documents WHERE length(text) >= 3
+        ),
+        prof AS (
+          SELECT lang AS p_lang, tg FROM (
+            SELECT lang, tg, COUNT(*) AS c,
+              ROW_NUMBER() OVER (
+                PARTITION BY lang ORDER BY COUNT(*) DESC, tg
+              ) AS rn
+            FROM tg GROUP BY lang, tg
+          ) WHERE rn <= 64
+        ),
+        hits AS (
+          SELECT d.doc_id,
+            SUM(CASE WHEN p_lang = 'de' THEN 1 ELSE 0 END) AS h_de,
+            SUM(CASE WHEN p_lang = 'en' THEN 1 ELSE 0 END) AS h_en,
+            SUM(CASE WHEN p_lang = 'es' THEN 1 ELSE 0 END) AS h_es,
+            SUM(CASE WHEN p_lang = 'fr' THEN 1 ELSE 0 END) AS h_fr,
+            SUM(CASE WHEN p_lang = 'zh' THEN 1 ELSE 0 END) AS h_zh
+          FROM tg d JOIN prof p USING (tg)
+          GROUP BY d.doc_id
+        )
+        SELECT doc_id, labeled_lang,
+          CASE WHEN best IS NULL OR best = 0 THEN 'und'
+               WHEN h_de = best THEN 'de'
+               WHEN h_en = best THEN 'en'
+               WHEN h_es = best THEN 'es'
+               WHEN h_fr = best THEN 'fr'
+               WHEN h_zh = best THEN 'zh'
+               ELSE 'und' END AS predicted_lang
+        FROM (
+          SELECT d.doc_id, d.lang AS labeled_lang,
+            COALESCE(h_de, 0) AS h_de, COALESCE(h_en, 0) AS h_en,
+            COALESCE(h_es, 0) AS h_es, COALESCE(h_fr, 0) AS h_fr,
+            COALESCE(h_zh, 0) AS h_zh,
+            GREATEST(COALESCE(h_de, 0), COALESCE(h_en, 0),
+                     COALESCE(h_es, 0), COALESCE(h_fr, 0),
+                     COALESCE(h_zh, 0)) AS best
+          FROM documents d LEFT JOIN hits USING (doc_id)
         )
     """,
     "text_fingerprint": f"""
