@@ -451,6 +451,256 @@ def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: 8-way join, national market share of one nation
+    inside one region's ECONOMY-part market by order year. Every
+    dimension side broadcasts; the only shuffle is the year groupBy.
+    Ratio of two conditional money sums (integer-cents exact)."""
+    part = _t(spark, sf_dir, "part")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    n1 = nation.alias("n1")   # customer nation → region filter
+    n2 = nation.alias("n2")   # supplier nation → market-share target
+    vol_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    base = (
+        lineitem
+        .join(F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
+              F.col("l_partkey") == part.p_partkey)
+        .join(orders.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        ), F.col("l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+              F.col("n1.n_regionkey") == region.r_regionkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey"))
+    )
+    return (
+        base.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("n2.n_name") == "NATION_3", vol_cents)
+                  .otherwise(F.lit(0))).alias("_nat"),
+            F.sum(vol_cents).alias("_all"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("_nat") / F.col("_all"), 6).alias("mkt_share"),
+        )
+    )
+
+
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp table, so profit =
+    revenue without supply cost): PROMO-part profit per supplier
+    nation per order year. Part/supplier/nation broadcast; one shuffle
+    on the groupBy keys."""
+    part = _t(spark, sf_dir, "part")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        lineitem
+        .join(F.broadcast(part.filter(F.col("p_type") == "PROMO")),
+              F.col("l_partkey") == part.p_partkey)
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("sum_profit")
+        )
+    )
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT join customer→orders, two-phase
+    aggregation (orders per customer, then customers per order-count).
+    The left join keeps zero-order customers — the bucket the inner
+    join silently drops."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            customer.c_custkey == orders.o_custkey, "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue view over a quarter, then the
+    supplier(s) hitting the MAX — scalar-subquery compare on exact
+    integer cents (1×1 cross join, the cleared combine shape)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    revenue = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                        * 100).cast("long")
+            ).alias("_cents")
+        )
+    )
+    top = revenue.agg(F.max("_cents").alias("_max"))
+    return (
+        revenue.crossJoin(top)
+        .filter(F.col("_cents") == F.col("_max"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("name"),
+            F.round(F.col("_cents") / F.lit(100.0), 2).alias("total_revenue"),
+        )
+    )
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (container → brand+size filter; this schema has
+    no p_container): yearly revenue lost to small-quantity orders of
+    one brand's small parts. The per-part average is a second
+    aggregate over the SAME semi-joined lineitem subset; the
+    threshold compare is cross-multiplied (qty·5·cnt < sum_qty) so no
+    float division can flip a boundary row."""
+    part = _t(spark, sf_dir, "part")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    target = part.filter(
+        (F.col("p_brand") == "Brand#11") & (F.col("p_size") < 10)
+    ).select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(target), F.col("l_partkey") == F.col("p_partkey")
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("_sum_qty"),
+        F.count("*").alias("_cnt"),
+    ).withColumnRenamed("l_partkey", "_pk")
+    small = li.join(per_part, F.col("l_partkey") == F.col("_pk")).filter(
+        F.col("l_quantity") * 5 * F.col("_cnt") < F.col("_sum_qty")
+    )
+    return small.agg(
+        F.round(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            / F.lit(100.0) / F.lit(7.0), 2
+        ).alias("avg_yearly")
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a DISJUNCTION of conjunctive
+    brand/size/quantity ranges (container/shipinstruct columns absent
+    here). Catalyst pushes the common join key and per-branch
+    predicates; one broadcast join, one aggregate."""
+    part = _t(spark, sf_dir, "part")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    joined = lineitem.join(
+        F.broadcast(part), F.col("l_partkey") == part.p_partkey
+    )
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 5))
+         & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#13") & (F.col("p_size").between(1, 10))
+           & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#14") & (F.col("p_size").between(1, 15))
+           & (F.col("l_quantity").between(20, 30)))
+    )
+    return joined.filter(cond).agg(
+        _money_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("revenue")
+    )
+
+
+def q21_returned_alone_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: no commit/receipt dates, so the
+    "failed the order" marker is l_returnflag = 'R'): suppliers whose
+    returned lineitem is the ONLY return in a multi-supplier finished
+    order. The EXISTS/NOT-EXISTS pair becomes one per-order aggregate
+    (distinct suppliers, distinct returning suppliers) joined back —
+    no correlated re-scans of the fact table."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    li = lineitem.join(
+        orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"), "left_semi",
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("_n_supp_r"),
+    )
+    returners = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    blamed = returners.join(
+        per_order.filter(
+            (F.col("_n_supp") > 1) & (F.col("_n_supp_r") == 1)
+        ).select("l_orderkey"),
+        "l_orderkey", "left_semi",
+    )
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .select(F.col("s_name").alias("name"), "numwait")
+        .orderBy(F.desc("numwait"), F.asc("name"))
+        .limit(20)
+    )
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (no c_phone → group by nation directly):
+    well-funded customers who never ordered, counted per nation.
+    Scalar average via exact integer cents (cross-multiplied compare),
+    anti join against orders, nation broadcast."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    bal_cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    avg_pos = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bal_cents).alias("_sum_c"), F.count("*").alias("_n_c")
+    )
+    return (
+        customer.crossJoin(avg_pos)
+        .filter(bal_cents * F.col("_n_c") > F.col("_sum_c"))
+        .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("numcust"),
+            _money_sum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
 ANALYTICS_QUERIES = {
     "top_parts": top_parts,
     "avg_order_value": avg_order_value,
@@ -474,6 +724,14 @@ ANALYTICS_QUERIES = {
     "part_revenue_rank": part_revenue_rank,
     "monthly_revenue": monthly_revenue,
     "customers_without_urgent_orders": customers_without_urgent_orders,
+    "q8_market_share": q8_market_share,
+    "q9_profit_by_nation_year": q9_profit_by_nation_year,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q21_returned_alone_suppliers": q21_returned_alone_suppliers,
+    "q22_idle_customers": q22_idle_customers,
 }
 
 ANALYTICS_ORACLES = {
@@ -671,5 +929,139 @@ ANALYTICS_ORACLES = {
         WHERE c_custkey NOT IN (
           SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         )
+    """,
+    "q8_market_share": """
+        SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+          ROUND(
+            SUM(CASE WHEN n2.n_name = 'NATION_3'
+                THEN CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+                ELSE 0 END)
+            * 1.0 /
+            SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)),
+            6) AS mkt_share
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY o_year
+    """,
+    "q9_profit_by_nation_year": """
+        SELECT n_name AS nation,
+          EXTRACT(YEAR FROM o_orderdate) AS o_year,
+          ROUND(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) / 100.0, 2)
+            AS sum_profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey AND p_type = 'PROMO'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    """,
+    "q13_order_count_distribution": """
+        SELECT c_count, COUNT(*) AS custdist FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey
+        ) GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "q15_top_supplier": """
+        WITH revenue AS (
+          SELECT l_suppkey,
+            SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT))
+              AS cents
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey AS suppkey, s_name AS name,
+          ROUND(cents / 100.0, 2) AS total_revenue
+        FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        WHERE cents = (SELECT MAX(cents) FROM revenue)
+    """,
+    "q17_small_qty_revenue": """
+        WITH target AS (
+          SELECT p_partkey FROM part
+          WHERE p_brand = 'Brand#11' AND p_size < 10
+        ),
+        li AS (
+          SELECT l_partkey, l_quantity, l_extendedprice
+          FROM lineitem JOIN target ON l_partkey = p_partkey
+        ),
+        per_part AS (
+          SELECT l_partkey AS pk, SUM(l_quantity) AS sum_qty,
+                 COUNT(*) AS cnt
+          FROM li GROUP BY l_partkey
+        )
+        SELECT ROUND(
+          SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 / 7.0, 2
+        ) AS avg_yearly
+        FROM li JOIN per_part ON l_partkey = pk
+        WHERE l_quantity * 5 * cnt < sum_qty
+    """,
+    "q19_disjunctive_revenue": """
+        SELECT
+          ROUND(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) / 100.0, 2)
+            AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "q21_returned_alone_suppliers": """
+        WITH li AS (
+          SELECT l_orderkey, l_suppkey, l_returnflag
+          FROM lineitem
+          WHERE l_orderkey IN (
+            SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+          )
+        ),
+        per_order AS (
+          SELECT l_orderkey,
+            COUNT(DISTINCT l_suppkey) AS n_supp,
+            COUNT(DISTINCT CASE WHEN l_returnflag = 'R'
+                                THEN l_suppkey END) AS n_supp_r
+          FROM li GROUP BY l_orderkey
+        ),
+        blamed AS (
+          SELECT DISTINCT r.l_orderkey, r.l_suppkey
+          FROM li r
+          WHERE r.l_returnflag = 'R'
+            AND r.l_orderkey IN (
+              SELECT l_orderkey FROM per_order
+              WHERE n_supp > 1 AND n_supp_r = 1
+            )
+        )
+        SELECT s_name AS name, COUNT(*) AS numwait
+        FROM blamed JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_name
+        ORDER BY numwait DESC, name
+        LIMIT 20
+    """,
+    "q22_idle_customers": """
+        WITH avg_pos AS (
+          SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS sum_c,
+                 COUNT(*) AS n_c
+          FROM customer WHERE c_acctbal > 0
+        )
+        SELECT n_name AS nation, COUNT(*) AS numcust,
+          ROUND(SUM(CAST(ROUND((c_acctbal) * 100) AS BIGINT)) / 100.0, 2)
+            AS totacctbal
+        FROM customer CROSS JOIN avg_pos
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * n_c > sum_c
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+        GROUP BY 1
     """,
 }
