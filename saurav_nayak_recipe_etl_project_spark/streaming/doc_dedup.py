@@ -12,11 +12,25 @@ semantics ("dup if ANY of the 8 band keys was seen") cannot be keyed
 as a single equality column, and chaining a stateful explode-dedup
 with a per-doc all-bands aggregate is two stateful operators. Instead
 each micro-batch joins its band keys against the accumulated band-key
-state table (broadcast-sized keys, parquet-backed like the upsert
-sink), appends survivors to the output, and unions its keys into
-state — exactly-once per batch via foreachBatch's replay-stable
-batch_id. State grows with corpus band keys; at warehouse scale you
-would prune it with a retention window, same as a watermark.
+state table and appends ONLY the batch's new keys.
+
+Scale + exactly-once design (round-3 rewrite):
+- State is parquet partitioned by batch_id: each batch writes one new
+  partition holding only the keys it introduced (anti-join against
+  prior state), so per-batch state WRITE is O(batch), not O(corpus).
+- foreachBatch is at-least-once; the sink is made idempotent with the
+  replay-stable batch_id: survivors and new state keys both go to
+  per-batch_id partition dirs in OVERWRITE mode, and the survivor /
+  new-key computation reads state EXCLUDING its own batch_id
+  partition — a replayed batch recomputes byte-identical output and
+  overwrites the same two dirs. No committed-batch marker needed.
+- Retention: `retention_batches=N` prunes the state view to the last
+  N batch partitions (partition-pruned read) and deletes expired
+  partition dirs — state on disk is bounded, same role as a
+  watermark. Default None keeps everything (exact dedup).
+The cross-batch membership check still reads the retained state once
+per batch — unavoidable for exact set membership without an indexed
+store; the round-2 defect was the O(corpus) re-WRITE, now gone.
 """
 
 from __future__ import annotations
@@ -80,16 +94,95 @@ def dedup_stream_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_band_dedup(load_table(spark, "documents", sf_dir))
 
 
+def _read_state(spark: SparkSession, state_path: str):
+    """State view (band_id, band_hash, batch_id) or empty frame.
+
+    The state layout is `state_path/batch_id=N/…` — standard hive
+    partitioning, so batch_id predicates prune to whole directories."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(state_path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jvm_path) or not fs.listStatus(jvm_path):
+        return spark.createDataFrame(
+            [], "band_id int, band_hash long, batch_id long"
+        ), fs
+    return (
+        spark.read.option("basePath", state_path).parquet(state_path)
+    ), fs
+
+
+def _process_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
+                   state_path: str, out_path: str,
+                   retention_batches: int | None = None) -> None:
+    """One micro-batch of the dedup: idempotent under replay.
+
+    All writes are OVERWRITEs of per-batch_id partition dirs, and the
+    state view excludes this batch's own partition, so re-running the
+    same (batch_df, batch_id) reproduces identical output."""
+    batch_df = batch_df.localCheckpoint()
+    bands = band_keys(batch_df).localCheckpoint()
+    seen, fs = _read_state(spark, state_path)
+    # exclude own partition (replay) + expired partitions (retention);
+    # both prune at the directory level before any file is read
+    seen = seen.filter(F.col("batch_id") != batch_id)
+    if retention_batches is not None:
+        seen = seen.filter(F.col("batch_id") > batch_id - 1 - retention_batches)
+    seen_keys = seen.select("band_id", "band_hash")
+    # cross-batch dups: any band key already in retained state
+    cross = (
+        bands.join(seen_keys, ["band_id", "band_hash"], "left_semi")
+        .select("doc_id")
+    )
+    # within-batch dups: share a bucket with a smaller doc_id
+    bucket_min = bands.groupBy("band_id", "band_hash").agg(
+        F.min("doc_id").alias("min_doc")
+    )
+    within = (
+        bands.join(bucket_min, ["band_id", "band_hash"])
+        .filter(F.col("doc_id") > F.col("min_doc"))
+        .select("doc_id")
+    )
+    dup_ids = cross.unionByName(within).distinct()
+    survivors = batch_df.join(dup_ids, "doc_id", "left_anti")
+    survivors.write.mode("overwrite").parquet(
+        f"{out_path}/batch_id={batch_id}"
+    )
+    # append-only state: only the keys this batch introduces; O(batch)
+    # written bytes regardless of corpus size
+    new_keys = (
+        bands.select("band_id", "band_hash").distinct()
+        .join(seen_keys, ["band_id", "band_hash"], "left_anti")
+    )
+    new_keys.write.mode("overwrite").parquet(
+        f"{state_path}/batch_id={batch_id}"
+    )
+    if retention_batches is not None:
+        cutoff = batch_id - retention_batches
+        state_dir = spark._jvm.org.apache.hadoop.fs.Path(state_path)
+        if fs.exists(state_dir):
+            for status in fs.listStatus(state_dir):
+                name = status.getPath().getName()
+                if name.startswith("batch_id="):
+                    try:
+                        old = int(name.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if old <= cutoff:
+                        fs.delete(status.getPath(), True)
+
+
 def run_doc_dedup_stream(spark: SparkSession, source_dir: str,
                          checkpoint_dir: str, state_path: str,
                          out_path: str,
-                         max_files_per_trigger: int | None = None) -> None:
+                         max_files_per_trigger: int | None = None,
+                         retention_batches: int | None = None) -> None:
     """Document drops → near-dup-filtered parquet of survivors.
 
     Each micro-batch: band keys of incoming docs are checked against
-    (a) the accumulated state table (docs seen in earlier batches) and
-    (b) smaller-doc_id docs within the batch; survivors append to
-    `out_path`, and ALL incoming docs' band keys union into state."""
+    (a) the retained band-key state (docs seen in earlier batches) and
+    (b) smaller-doc_id docs within the batch; survivors land in
+    `out_path/batch_id=N`, and only the batch's NEW band keys land in
+    `state_path/batch_id=N`. See module docstring for the
+    idempotency and retention design."""
     schema = "doc_id long, lang string, source string, text string"
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -97,44 +190,8 @@ def run_doc_dedup_stream(spark: SparkSession, source_dir: str,
     docs = reader.parquet(source_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.localCheckpoint()
-        bands = band_keys(batch_df).localCheckpoint()
-        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(state_path)
-        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(jvm_path):
-            seen = spark.read.parquet(state_path)
-        else:
-            seen = spark.createDataFrame(
-                [], "band_id int, band_hash long"
-            )
-        # cross-batch dups: any band key already in state
-        cross = (
-            bands.join(
-                seen.select("band_id", "band_hash").distinct(),
-                ["band_id", "band_hash"],
-                "left_semi",
-            )
-            .select("doc_id")
-        )
-        # within-batch dups: share a bucket with a smaller doc_id
-        bucket_min = bands.groupBy("band_id", "band_hash").agg(
-            F.min("doc_id").alias("min_doc")
-        )
-        within = (
-            bands.join(bucket_min, ["band_id", "band_hash"])
-            .filter(F.col("doc_id") > F.col("min_doc"))
-            .select("doc_id")
-        )
-        dup_ids = cross.unionByName(within).distinct()
-        survivors = batch_df.join(dup_ids, "doc_id", "left_anti")
-        survivors.write.mode("append").parquet(out_path)
-        new_state = (
-            seen.select("band_id", "band_hash")
-            .unionByName(bands.select("band_id", "band_hash"))
-            .distinct()
-            .localCheckpoint()  # materialize before overwriting its source
-        )
-        new_state.write.mode("overwrite").parquet(state_path)
+        _process_batch(spark, batch_df, batch_id, state_path, out_path,
+                       retention_batches)
 
     (
         docs.writeStream.foreachBatch(process)

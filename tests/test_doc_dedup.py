@@ -4,6 +4,8 @@ arrive in doc_id order."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from saurav_nayak_recipe_etl_project_spark.streaming import doc_dedup as D
 
 SCHEMA = "doc_id long, lang string, source string, text string"
@@ -77,6 +79,79 @@ def test_stream_agrees_with_batch_twin(spark, tmp_path):
         r["doc_id"] for r in D.lsh_band_dedup(twin).filter("kept").collect()
     )
     assert streamed == batch_kept
+
+
+def test_state_write_scales_with_batch_not_corpus(spark, tmp_path):
+    """Each batch's state partition holds only the keys IT introduced:
+    written state is O(batch), not O(corpus) — the round-2 defect was a
+    full-state rewrite per micro-batch."""
+    src = tmp_path / "drops"
+    src.mkdir()
+    for tag, rows in [("a", BATCH1), ("b", BATCH2)]:
+        part, shutil = _write_batch(spark, rows, tmp_path / f"stage_{tag}")
+        shutil.copy(part, src / f"{tag}.parquet")
+
+    state = tmp_path / "state"
+    D.run_doc_dedup_stream(
+        spark, str(src), str(tmp_path / "ckpt"), str(state),
+        str(tmp_path / "out"), max_files_per_trigger=1,
+    )
+    per_batch = {
+        r["batch_id"]: r["n"]
+        for r in spark.read.option("basePath", str(state))
+        .parquet(str(state))
+        .groupBy("batch_id").agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(per_batch) == {0, 1}
+    # batch 0: 2 docs x 8 bands = up to 16 distinct keys
+    assert per_batch[0] <= 16
+    # batch 1 introduced only doc 5's fresh keys plus doc 3's non-colliding
+    # bands — strictly fewer than a full rewrite (16 + batch-2 keys)
+    assert per_batch[1] < per_batch[0] + 24
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running _process_batch with the
+    same (batch_df, batch_id) after a completed first run must reproduce
+    identical survivors and state — no duplicate output rows."""
+    state, out = str(tmp_path / "state"), str(tmp_path / "out")
+    b1 = spark.createDataFrame(BATCH1, SCHEMA)
+    b2 = spark.createDataFrame(BATCH2, SCHEMA)
+    D._process_batch(spark, b1, 0, state, out)
+    D._process_batch(spark, b2, 1, state, out)
+    first = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    n_state = spark.read.parquet(state).count()
+    # replay batch 1 (crash-after-commit scenario: state for batch 1
+    # already written, checkpoint not yet advanced)
+    D._process_batch(spark, b2, 1, state, out)
+    again = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert again == first == [1, 2, 5]
+    assert spark.read.parquet(state).count() == n_state
+
+
+def test_retention_forgets_old_band_keys(spark, tmp_path):
+    """With retention_batches=1, a key last seen 2 batches ago is
+    expired: the same doc re-arriving is KEPT, and the expired state
+    partition is deleted from disk."""
+    state, out = str(tmp_path / "state"), str(tmp_path / "out")
+    b1 = spark.createDataFrame(BATCH1, SCHEMA)
+    fresh = spark.createDataFrame(
+        [(10, "en", "web", "unrelated filler text about astronomy and "
+                           "telescopes pointed at distant spiral galaxies")],
+        SCHEMA,
+    )
+    replay_doc1 = spark.createDataFrame([(20, "en", "web", _BASE)], SCHEMA)
+    D._process_batch(spark, b1, 0, state, out, retention_batches=1)
+    D._process_batch(spark, fresh, 1, state, out, retention_batches=1)
+    # batch 2: doc 20 duplicates doc 1, but batch 0's keys are expired
+    D._process_batch(spark, replay_doc1, 2, state, out, retention_batches=1)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert 20 in kept
+    import os
+
+    dirs = sorted(os.listdir(state))
+    assert "batch_id=0" not in dirs  # expired partition physically gone
 
 
 def test_batch_twin_on_corpus(spark, sf_dir):
