@@ -86,16 +86,42 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, tau: float = 0.3,
                         text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs.
+                        id_col: str = "doc_id",
+                        max_df_pct: int | None = 20) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs over the df-pruned shingle
+    space.
 
     Inverted-index join: explode distinct shingles, self-join on the
     shingle (so only docs sharing content ever meet), count the
-    intersection, then Jaccard = |∩| / (|A|+|B|-|∩|). At extreme scale
-    hot shingles skew the join — AQE skew-join handles it; MinHash
-    below is the cheaper screen.
+    intersection, then Jaccard = |∩| / (|A|+|B|-|∩|).
+
+    `max_df_pct` is the document-frequency prune standard in near-dup
+    literature: a shingle present in more than that percent of docs is
+    boilerplate, contributes no dedup signal, and is exactly the hot
+    key that makes the self-join quadratic (pair count per shingle is
+    df², so one 50%-df shingle alone generates n²/4 pairs). Pruning is
+    a broadcast ANTI join against the (tiny by construction) hot set;
+    the compare is integer cross-multiplied (df·100 > pct·n_docs) so
+    the oracle can reproduce it bit-exactly. A shingle is hot only if
+    it ALSO appears in more than 5 docs absolute — the floor keeps
+    tiny corpora exact (at 4 docs, 2-doc overlap is signal, not
+    boilerplate). Sizes and Jaccard are computed over the pruned
+    space — both engines see the same sets. None disables the prune
+    (the un-pruned exactness oracle).
     """
     sh = shingle_rows(docs, n, text_col, id_col)
+    if max_df_pct is not None:
+        n_docs = docs.select(F.count("*").alias("_n_docs"))
+        hot = (
+            sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+            .crossJoin(n_docs)
+            .filter(
+                (F.col("_df") > 5)
+                & (F.col("_df") * 100 > F.lit(max_df_pct) * F.col("_n_docs"))
+            )
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -470,7 +496,11 @@ def dup_clusters(docs: DataFrame, tau: float = 0.5, n: int = 3,
         F.col(id_col).alias("src"), F.col(id_col).cast("long").alias("label")
     ).localCheckpoint()
     converged = False
-    for _ in range(max_iters):
+    # max_iters + 1 passes: convergence is only OBSERVED by a pass that
+    # changes nothing, so a chain whose propagation finishes exactly on
+    # pass max_iters still needs one more look — the cap bounds
+    # *propagation* work, matching the documented diameter condition
+    for _ in range(max_iters + 1):
         neighbor_min = (
             sym.join(labels.withColumnRenamed("src", "dst"), "dst")
             .groupBy("src")
@@ -584,7 +614,9 @@ def documents_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs via inverted-index join."""
+    """Exact word-3-gram Jaccard near-dup pairs via inverted-index join
+    with the >20%-document-frequency shingle prune (bounds hot-key
+    pair blowup; oracle applies the identical prune)."""
     return ngram_jaccard_pairs(load_table(spark, "documents", sf_dir))
 
 
@@ -599,16 +631,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding cosine-threshold near-duplicate pairs (exact,
-    distributed block products — no driver collect)."""
-    return embedding_dup_pairs(load_table(spark, "embeddings", sf_dir))
-
-
-def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs via hyperplane-LSH buckets (the
-    sub-quadratic 100 TB path; recall measured against the exact form
-    in tests)."""
+    """Embedding near-dup pairs — THE DEFAULT IS THE SCALE PATH:
+    hyperplane-LSH buckets, exact cosine only within a bucket
+    (sub-quadratic pair generation; recall vs the exact form is
+    pinned in tests). Rows-only for the driver: bucket membership
+    depends on xxhash64 planes with no portable SQL oracle. For the
+    exactness oracle use `dedup_embedding_exact` — the same split as
+    dedup_lsh_verified (scale) vs dedup_ngram_jaccard (oracle)."""
     return embedding_dup_pairs_bucketed(load_table(spark, "embeddings", sf_dir))
+
+
+def dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERIFICATION-ONLY exact cosine-threshold pairs (distributed
+    block products — no driver collect, but all block pairs run:
+    O(n²) flops). Keeps the DuckDB oracle honest; at 100 TB use
+    `dedup_embedding` (LSH-bucketed) and treat this as the recall
+    oracle it is."""
+    return embedding_dup_pairs(load_table(spark, "embeddings", sf_dir))
 
 
 DEDUP_QUERIES = {
@@ -617,7 +656,7 @@ DEDUP_QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
-    "dedup_embedding_bucketed": dedup_embedding_bucketed,
+    "dedup_embedding_exact": dedup_embedding_exact,
     "dedup_clusters": dedup_clusters,
     "dedup_lsh_verified": dedup_lsh_verified,
     "dedup_contamination": dedup_contamination,
@@ -642,8 +681,16 @@ DEDUP_ORACLES = {
           SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
           FROM documents
         ),
-        sh AS (
+        sh_all AS (
           SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM t
+        ),
+        hot AS (
+          SELECT shingle FROM sh_all GROUP BY shingle
+          HAVING COUNT(*) > 5
+             AND COUNT(*) * 100 > 20 * (SELECT COUNT(*) FROM documents)
+        ),
+        sh AS (
+          SELECT doc_id, shingle FROM sh_all ANTI JOIN hot USING (shingle)
         ),
         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
         inter AS (
@@ -687,10 +734,11 @@ DEDUP_ORACLES = {
         FROM inter JOIN na USING (a_id) JOIN nb USING (b_id)
         WHERE inter / (n_a + n_b - inter) >= 0.5
     """,
-    # dedup_minhash_lsh / dedup_simhash: xxhash64-based → no portable SQL
-    # oracle; the driver records rows-only checks and tests/test_dedup.py
-    # proves detection behavior on planted duplicates.
-    "dedup_embedding": """
+    # dedup_minhash_lsh / dedup_simhash / dedup_embedding (LSH-bucketed):
+    # xxhash64-based → no portable SQL oracle; the driver records rows-only
+    # checks and tests/test_dedup.py proves detection behavior on planted
+    # duplicates (+ recall vs the exact form below).
+    "dedup_embedding_exact": """
         WITH e AS (
           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         )

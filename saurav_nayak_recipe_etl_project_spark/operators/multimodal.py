@@ -101,21 +101,41 @@ def frame_sample(blobs: DataFrame, n_frames: int = 4) -> DataFrame:
 
     def gen(batches):
         for pdf in batches:
-            rows = []
-            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                n = len(blob)
-                if n == 0:
-                    continue
-                arr = np.frombuffer(blob, dtype=np.uint8)
-                step = max(n // n_frames, 1)
-                for i in range(min(n_frames, n)):
-                    off = i * step
-                    frame_sum = int(
-                        arr[off:off + step].sum(dtype=np.int64)
-                    )
-                    rows.append((doc_id, i, off, frame_sum))
+            blob_list = [b for b in pdf["blob"] if len(b) > 0]
+            doc_ids = np.array(
+                [d for d, b in zip(pdf["doc_id"], pdf["blob"]) if len(b) > 0],
+                dtype=np.int64,
+            )
+            if not blob_list:
+                yield pd.DataFrame(
+                    {"doc_id": np.array([], dtype=np.int64),
+                     "frame_idx": np.array([], dtype=np.int32),
+                     "byte_offset": np.array([], dtype=np.int64),
+                     "frame_sum": np.array([], dtype=np.int64)}
+                )
+                continue
+            # ragged blobs → ONE flat array + exclusive prefix sum; every
+            # frame sum is then csum[end]-csum[start] — no per-row loop
+            lens = np.array([len(b) for b in blob_list], dtype=np.int64)
+            base = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            big = np.frombuffer(b"".join(blob_list), dtype=np.uint8)
+            csum = np.concatenate(
+                ([0], np.cumsum(big, dtype=np.int64))
+            )
+            step = np.maximum(lens // n_frames, 1)
+            k = np.minimum(n_frames, lens)             # frames per doc
+            doc_rep = np.repeat(np.arange(len(lens)), k)
+            frame_idx = np.arange(k.sum()) - np.repeat(np.cumsum(k) - k, k)
+            off = frame_idx * step[doc_rep]
+            end = np.minimum(off + step[doc_rep], lens[doc_rep])
+            sums = csum[base[doc_rep] + end] - csum[base[doc_rep] + off]
             yield pd.DataFrame(
-                rows, columns=["doc_id", "frame_idx", "byte_offset", "frame_sum"]
+                {
+                    "doc_id": doc_ids[doc_rep],
+                    "frame_idx": frame_idx.astype(np.int32),
+                    "byte_offset": off,
+                    "frame_sum": sums,
+                }
             )
 
     return blobs.select("doc_id", "blob").mapInPandas(gen, schema=FRAME_SCHEMA)

