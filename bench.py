@@ -96,6 +96,12 @@ HEADLINE = [
     "text_langid_ngram",
     "stream_events_window",
     "sessionize_events",
+    # round-3 additions: the bucketed range join (equi-joinified
+    # interval join), the two-shuffle cohort rollup, and the
+    # full-outer snapshot diff — join shapes the list didn't cover.
+    "range_join_windows",
+    "cohort_retention",
+    "snapshot_diff",
 ]
 
 

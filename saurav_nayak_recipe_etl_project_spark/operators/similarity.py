@@ -466,7 +466,49 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(load_table(spark, "embeddings", sf_dir))
 
 
+def centroid_classify(emb: DataFrame, decimals: int = 6) -> DataFrame:
+    """Nearest-centroid classifier over the embedding column: per-label
+    centroids (one (label, dim) shuffle — posexplode + avg, map-side
+    combined), then every vector scored against the TINY centroid table
+    (n_labels rows, broadcast — the crossJoin is bounded by the label
+    count, never corpus×corpus). Centroid dims are rounded before the
+    cosine so the oracle's independently-averaged centroids agree
+    bit-for-bit. Returns per-label n / n_correct / accuracy."""
+    e = emb.select("vec_id", "label", _as_double("embedding").alias("v"))
+    dims = e.select("label", F.posexplode("v").alias("pos", "x"))
+    cent = dims.groupBy("label", "pos").agg(F.avg("x").alias("m"))
+    cvec = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform("pm", lambda s: F.round(s["m"], decimals)).alias("c"),
+        )
+    )
+    scored = e.crossJoin(F.broadcast(cvec)).select(
+        "vec_id",
+        "label",
+        "c_label",
+        F.round(cosine(F.col("v"), F.col("c")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("c_label"))
+    pred = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return pred.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("label") == F.col("c_label")).cast("long")).alias("n_correct"),
+        F.round(
+            F.sum((F.col("label") == F.col("c_label")).cast("long")) / F.count("*"), 6
+        ).alias("accuracy"),
+    )
+
+
+def ann_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label nearest-centroid classification accuracy."""
+    return centroid_classify(load_table(spark, "embeddings", sf_dir))
+
+
 SIMILARITY_QUERIES = {
+    "ann_nearest_centroid": ann_nearest_centroid,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_topk": ann_ivf_topk,
@@ -475,6 +517,47 @@ SIMILARITY_QUERIES = {
 }
 
 SIMILARITY_ORACLES = {
+    "ann_nearest_centroid": """
+        WITH e AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        dims AS (
+          SELECT label, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS x
+          FROM e
+        ),
+        cent AS (
+          SELECT label, pos, AVG(x) AS m FROM dims GROUP BY label, pos
+        ),
+        cvec AS (
+          SELECT label AS c_label,
+            list_transform(list(m ORDER BY pos), y -> round(y, 6)) AS c
+          FROM cent GROUP BY label
+        ),
+        scored AS (
+          SELECT e.vec_id, e.label, cvec.c_label,
+            ROUND(list_dot_product(e.v, cvec.c) /
+              (sqrt(list_dot_product(e.v, e.v)) *
+               sqrt(list_dot_product(cvec.c, cvec.c))), 6) AS cos
+          FROM e CROSS JOIN cvec
+        ),
+        pred AS (
+          SELECT vec_id, label, c_label FROM (
+            SELECT vec_id, label, c_label,
+              ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, c_label
+              ) AS rn
+            FROM scored
+          ) WHERE rn = 1
+        )
+        SELECT label, COUNT(*) AS n,
+          CAST(SUM(CASE WHEN label = c_label THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_correct,
+          ROUND(SUM(CASE WHEN label = c_label THEN 1 ELSE 0 END) * 1.0
+                / COUNT(*), 6) AS accuracy
+        FROM pred GROUP BY label
+    """,
     "ann_cosine_topk": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         scored AS (

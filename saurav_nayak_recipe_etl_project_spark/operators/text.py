@@ -211,7 +211,37 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite keep/drop document filter (Gopher-style rule stack),
+    language-neutral so CJK text is not penalized for lacking spaces:
+    char-length bounds, digit-ratio, whitespace-ratio, and a
+    distinct-token repetition rule. Emits the failure reasons as a
+    fixed-order CSV so a pipeline can report WHY rows dropped —
+    pure Column algebra, one scan, no shuffle."""
+    docs = load_table(spark, "documents", sf_dir)
+    n_chars = F.length("text")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    digits = n_chars - F.length(F.regexp_replace("text", "[0-9]", ""))
+    spaces = n_chars - F.length(F.regexp_replace("text", "\\s", ""))
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
+    reasons = F.concat_ws(
+        ",",
+        F.when(digits / n_chars > 0.2, "digit_heavy"),
+        F.when((n_tokens >= 5) & (distinct_ratio < 0.3), "repetitive"),
+        F.when(spaces / n_chars > 0.5, "space_heavy"),
+        F.when(n_chars > 20000, "too_long"),
+        F.when(n_chars < 20, "too_short"),
+    )
+    return docs.select(
+        "doc_id",
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+    )
+
+
 TEXT_QUERIES = {
+    "quality_filter_pipeline": quality_filter_pipeline,
     "text_repetition": text_repetition,
     "text_token_count": text_token_count,
     "text_quality": text_quality,
@@ -228,6 +258,28 @@ _STOP_SQL = {
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 
 TEXT_ORACLES = {
+    "quality_filter_pipeline": f"""
+        SELECT doc_id, reasons = '' AS keep, reasons FROM (
+          SELECT doc_id, concat_ws(',',
+            CASE WHEN digits / n_chars > 0.2 THEN 'digit_heavy' END,
+            CASE WHEN n_tokens >= 5 AND distinct_toks / n_tokens < 0.3
+                 THEN 'repetitive' END,
+            CASE WHEN spaces / n_chars > 0.5 THEN 'space_heavy' END,
+            CASE WHEN n_chars > 20000 THEN 'too_long' END,
+            CASE WHEN n_chars < 20 THEN 'too_short' END
+          ) AS reasons FROM (
+            SELECT doc_id,
+              length(text) AS n_chars,
+              len({_TOKS}) AS n_tokens,
+              len(list_distinct({_TOKS})) AS distinct_toks,
+              length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                AS digits,
+              length(text) - length(regexp_replace(text, '\\s', '', 'g'))
+                AS spaces
+            FROM documents
+          )
+        )
+    """,
     "text_repetition": f"""
         WITH t AS (
           SELECT doc_id, {_TOKS} AS toks FROM documents

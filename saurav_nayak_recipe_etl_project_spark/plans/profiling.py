@@ -1,0 +1,122 @@
+"""Dataset profiling & sampling: fixed-size stratified sample,
+approx-distinct verification, key-skew diagnostics.
+
+Reference parity: the reference's only profiling artifact is the
+validation_report CSV (src/data_validation.py); these add the profile
+surface a 100 TB corpus actually needs before a training run — how
+big is each stratum, how skewed are the join keys, and can we trust
+the cheap cardinality sketch.
+
+Scale notes:
+- stratified_sample uses one window per stratum (shuffle on the
+  stratum key). Strata are language-sized (few, large) so the sort is
+  the cost; at extreme strata sizes swap the full sort for a two-phase
+  per-partition top-n (same result, the window here keeps the oracle
+  bridge exact).
+- approx_distinct_bounds is the HLL++ counterpart of the GK
+  rank-bounds oracle: the sketch value is engine-specific, so we
+  assert the GUARANTEE (relative error vs the exact count) and emit
+  booleans that hash-match a constant-true oracle.
+- skew_diagnostics is two aggregations (per-key count, then global
+  stats over the counts) — both map-side combined; output is one row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+
+SAMPLE_PER_STRATUM = 20
+# approx_count_distinct rsd; acceptance band is 5% (≈5 sigma for the
+# HLL++ estimator at rsd=0.01 — deterministic data, so stably green).
+ADC_RSD = 0.01
+ADC_TOL = 0.05
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size sample per language stratum: rank by
+    md5(doc_id|text) inside each stratum, keep the first N. Content-
+    keyed, so the sample is stable under repartitioning and re-runs —
+    no RNG state, unlike df.sampleBy."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat_ws("|", "doc_id", "text"))
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= SAMPLE_PER_STRATUM)
+        .select("doc_id", "lang", "rn")
+    )
+
+
+def approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ cardinality with an in-plan accuracy assertion: per event
+    type, |approx - exact| must stay within ADC_TOL of exact (floor of
+    1 for tiny groups). Emits booleans; the oracle is constant-true,
+    so any out-of-band sketch value hash-mismatches."""
+    ev = load_table(spark, "events", sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", ADC_RSD).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    err = F.abs(F.col("approx_users") - F.col("exact_users"))
+    band = F.greatest(F.lit(1.0), F.col("exact_users") * ADC_TOL)
+    return agg.select(
+        "event_type", (err <= band).alias("distinct_ok")
+    )
+
+
+def skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile for lineitem.l_partkey: key count, max and
+    mean per-key frequency, p99 frequency, max/mean skew factor, and
+    the hottest key's share of all rows — the numbers that decide
+    whether a join needs salting or AQE skew handling."""
+    li = load_table(spark, "lineitem", sf_dir)
+    per_key = li.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    return per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.avg("cnt"), 4).alias("avg_cnt"),
+        F.expr("percentile(cnt, 0.99)").alias("p99_cnt"),
+        F.round(F.max("cnt") / F.avg("cnt"), 4).alias("skew_factor"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_share"),
+    )
+
+
+PROFILING_QUERIES = {
+    "stratified_sample": stratified_sample,
+    "approx_distinct_bounds": approx_distinct_bounds,
+    "skew_diagnostics": skew_diagnostics,
+}
+
+PROFILING_ORACLES = {
+    "stratified_sample": f"""
+        SELECT doc_id, lang, rn FROM (
+          SELECT doc_id, lang,
+            CAST(ROW_NUMBER() OVER (
+              PARTITION BY lang ORDER BY md5(concat_ws('|', doc_id, text))
+            ) AS BIGINT) AS rn
+          FROM documents
+        ) WHERE rn <= {SAMPLE_PER_STRATUM}
+    """,
+    # constant-true bounds oracle (same pattern as price_quantiles_approx):
+    # the Spark side computes the booleans from exact counts; any sketch
+    # value outside the band fails the hash match.
+    "approx_distinct_bounds": """
+        SELECT DISTINCT event_type, TRUE AS distinct_ok FROM events
+    """,
+    "skew_diagnostics": """
+        WITH per_key AS (
+          SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey
+        )
+        SELECT COUNT(*) AS n_keys, MAX(cnt) AS max_cnt,
+          ROUND(AVG(cnt), 4) AS avg_cnt,
+          quantile_cont(cnt, 0.99) AS p99_cnt,
+          ROUND(MAX(cnt) / AVG(cnt), 4) AS skew_factor,
+          ROUND(MAX(cnt) * 1.0 / SUM(cnt), 6) AS top_share
+        FROM per_key
+    """,
+}

@@ -38,6 +38,10 @@ def _load_optional() -> None:
         ("saurav_nayak_recipe_etl_project_spark.operators.text", "TEXT_QUERIES", "TEXT_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.operators.multimodal", "MULTIMODAL_QUERIES", "MULTIMODAL_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.operators.asof", "ASOF_QUERIES", "ASOF_ORACLES"),
+        ("saurav_nayak_recipe_etl_project_spark.operators.delta", "DELTA_QUERIES", "DELTA_ORACLES"),
+        ("saurav_nayak_recipe_etl_project_spark.operators.rangejoin", "RANGEJOIN_QUERIES", "RANGEJOIN_ORACLES"),
+        ("saurav_nayak_recipe_etl_project_spark.plans.temporal", "TEMPORAL_QUERIES", "TEMPORAL_ORACLES"),
+        ("saurav_nayak_recipe_etl_project_spark.plans.profiling", "PROFILING_QUERIES", "PROFILING_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.plans.advanced", "ADVANCED_QUERIES", "ADVANCED_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.streaming.events", "STREAMING_QUERIES", "STREAMING_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.streaming.sessions", "STREAMING_SESSION_QUERIES", "STREAMING_SESSION_ORACLES"),
@@ -78,6 +82,17 @@ _DRIVER_PRIORITY = [
     # -- new in round 3 --
     "q12_priority_by_linestatus",
     "q16_supplier_part_counts",
+    "cohort_retention",
+    "event_transitions",
+    "gapfill_daily_revenue",
+    "snapshot_diff",
+    "cdc_apply",
+    "stratified_sample",
+    "approx_distinct_bounds",
+    "skew_diagnostics",
+    "range_join_windows",
+    "quality_filter_pipeline",
+    "ann_nearest_centroid",
     # -- semantics changed in round 3: needs fresh external rows --
     "dedup_ngram_jaccard",
     "dedup_clusters",
@@ -89,16 +104,12 @@ _DRIVER_PRIORITY = [
     "ann_ivf_topk",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    # -- load-bearing repeats --
+    # -- load-bearing repeats (green r2 rows; trimmed to fit the
+    #    round-3 additions inside the driver's 50-entry window) --
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
-    "q10_returned_items",
-    "q18_large_orders",
-    "q14_promo_effect",
-    "q4_priority_with_big_items",
-    "q7_volume_shipping",
     "validation_report",
     "dedup_exact",
     "dedup_lsh_verified",
@@ -107,18 +118,11 @@ _DRIVER_PRIORITY = [
     "ann_cosine_topk",
     "text_token_count",
     "text_quality",
-    "text_langid",
     "text_langid_ngram",
-    "text_fingerprint",
-    "text_repetition",
     "dedup_stream_lsh_batch",
     "stream_events_window",
-    "top_event_users",
     "sessionize_events",
     "view_purchase_attribution",
-    "sample_documents",
-    "split_assignment",
-    "multimodal_meta",
 ]
 
 

@@ -1,0 +1,93 @@
+"""Edge-semantics tests for the round-3 generic operators: table_diff,
+apply_changelog, and bucketed_interval_join (the registry queries are
+oracle-verified in test_analytics.py; these pin the operator contracts
+on handcrafted frames where every boundary case is visible)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from saurav_nayak_recipe_etl_project_spark.operators.delta import (
+    apply_changelog,
+    table_diff,
+)
+from saurav_nayak_recipe_etl_project_spark.operators.rangejoin import (
+    bucketed_interval_join,
+)
+
+
+def test_table_diff_classifies_all_change_types(spark):
+    cur = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    pri = spark.createDataFrame(
+        [(1, "a"), (2, "OLD"), (9, "gone")], "k int, v string"
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in table_diff(cur, pri, "k", ["v"]).collect()
+    }
+    assert got == {2: "changed", 3: "added", 9: "removed"}  # 1 unchanged: absent
+
+
+def test_table_diff_hash_separates_columns(spark):
+    # ("ab","c") must not collide with ("a","bc") — the unit separator
+    # in the concat keeps column boundaries.
+    cur = spark.createDataFrame([(1, "ab", "c")], "k int, x string, y string")
+    pri = spark.createDataFrame([(1, "a", "bc")], "k int, x string, y string")
+    rows = table_diff(cur, pri, "k", ["x", "y"]).collect()
+    assert [r["change_type"] for r in rows] == ["changed"]
+
+
+def test_apply_changelog_latest_wins_and_delete_drops(spark):
+    log = spark.createDataFrame(
+        [
+            ("u1", 1, 1, "upsert", 10.0),
+            ("u1", 2, 2, "upsert", 20.0),   # latest u1 -> survives with 20
+            ("u2", 1, 3, "upsert", 5.0),
+            ("u2", 3, 4, "delete", 0.0),    # latest u2 is delete -> dropped
+            ("u3", 5, 5, "upsert", 7.0),
+            ("u3", 5, 6, "upsert", 8.0),    # ts tie: event_id breaks it
+        ],
+        "user_id string, ts long, event_id long, op string, val double",
+    )
+    out = {
+        r["user_id"]: (r["final_value"], r["n_ops"])
+        for r in apply_changelog(
+            log, "user_id", ["ts", "event_id"], "op", "val"
+        ).collect()
+    }
+    assert out == {"u1": (20.0, 2), "u3": (8.0, 2)}
+
+
+def test_bucketed_interval_join_matches_naive(spark):
+    # intervals spanning 1, 2 and 3 buckets (width 10), plus boundary
+    # points: start inclusive, end exclusive.
+    points = spark.createDataFrame(
+        [(p,) for p in [0, 5, 9, 10, 15, 19, 20, 29, 30, 35]], "p long"
+    )
+    intervals = spark.createDataFrame(
+        [(1, 5, 15), (2, 10, 20), (3, 0, 30), (4, 19, 21)],
+        "iid long, lo long, hi long",
+    )
+    got = sorted(
+        (r["iid"], r["p"])
+        for r in bucketed_interval_join(
+            points, intervals, "p", "lo", "hi", 10
+        ).collect()
+    )
+    naive = sorted(
+        (r["iid"], r["p"])
+        for r in points.crossJoin(intervals)
+        .filter((F.col("p") >= F.col("lo")) & (F.col("p") < F.col("hi")))
+        .collect()
+    )
+    assert got == naive and len(got) > 0
+
+
+def test_bucketed_interval_join_no_duplicate_pairs(spark):
+    # one point inside an interval that spans 3 buckets must appear once
+    points = spark.createDataFrame([(15,)], "p long")
+    intervals = spark.createDataFrame([(1, 0, 30)], "iid long, lo long, hi long")
+    rows = bucketed_interval_join(points, intervals, "p", "lo", "hi", 10).collect()
+    assert len(rows) == 1
