@@ -103,13 +103,55 @@ def gapfill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weekly_active_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly active users split into new vs returning — the product
+    health view on top of the cohort machinery: same (user, week)
+    distinct + first-week join, one more groupBy on week."""
+    ev = load_table(spark, "events", sf_dir)
+    weeks = ev.select("user_id", F.expr(_EPOCH_WEEK).alias("week")).distinct()
+    cohort = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.join(cohort, "user_id")
+        .groupBy(F.col("week").cast("long").alias("week"))
+        .agg(
+            F.count("*").alias("n_active"),
+            F.sum((F.col("week") == F.col("cohort_week")).cast("long")).alias(
+                "n_new"
+            ),
+            (
+                F.count("*")
+                - F.sum((F.col("week") == F.col("cohort_week")).cast("long"))
+            ).alias("n_returning"),
+        )
+    )
+
+
 TEMPORAL_QUERIES = {
     "cohort_retention": cohort_retention,
+    "weekly_active_breakdown": weekly_active_breakdown,
     "event_transitions": event_transitions,
     "gapfill_daily_revenue": gapfill_daily_revenue,
 }
 
 TEMPORAL_ORACLES = {
+    "weekly_active_breakdown": """
+        WITH weeks AS (
+          SELECT DISTINCT user_id,
+            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS week
+          FROM events
+        ),
+        cohort AS (
+          SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id
+        )
+        SELECT CAST(week AS BIGINT) AS week,
+          COUNT(*) AS n_active,
+          CAST(SUM(CASE WHEN week = cohort_week THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_new,
+          COUNT(*) - SUM(CASE WHEN week = cohort_week THEN 1 ELSE 0 END)
+            AS n_returning
+        FROM weeks JOIN cohort USING (user_id)
+        GROUP BY week
+    """,
     "cohort_retention": """
         WITH weeks AS (
           SELECT DISTINCT user_id,

@@ -40,6 +40,7 @@ def _load_optional() -> None:
         ("saurav_nayak_recipe_etl_project_spark.operators.asof", "ASOF_QUERIES", "ASOF_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.operators.delta", "DELTA_QUERIES", "DELTA_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.operators.rangejoin", "RANGEJOIN_QUERIES", "RANGEJOIN_ORACLES"),
+        ("saurav_nayak_recipe_etl_project_spark.operators.topk", "TOPK_QUERIES", "TOPK_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.plans.temporal", "TEMPORAL_QUERIES", "TEMPORAL_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.plans.profiling", "PROFILING_QUERIES", "PROFILING_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.plans.advanced", "ADVANCED_QUERIES", "ADVANCED_ORACLES"),
@@ -93,6 +94,8 @@ _DRIVER_PRIORITY = [
     "range_join_windows",
     "quality_filter_pipeline",
     "ann_nearest_centroid",
+    "topk_parts_per_brand",
+    "weekly_active_breakdown",
     # -- semantics changed in round 3: needs fresh external rows --
     "dedup_ngram_jaccard",
     "dedup_clusters",
@@ -122,7 +125,6 @@ _DRIVER_PRIORITY = [
     "dedup_stream_lsh_batch",
     "stream_events_window",
     "sessionize_events",
-    "view_purchase_attribution",
 ]
 
 

@@ -85,6 +85,35 @@ def test_bucketed_interval_join_matches_naive(spark):
     assert got == naive and len(got) > 0
 
 
+def test_topk_group_limit_pushdown_planned(spark, sf_dir):
+    """The rank-limit filter must plan a PARTIAL WindowGroupLimit below
+    the exchange (map-side prune) — the invariant that keeps top-k per
+    group from shuffling every row at scale."""
+    from saurav_nayak_recipe_etl_project_spark.operators.topk import (
+        assert_group_limit_pushdown,
+        topk_per_group,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/part.parquet")
+    out = topk_per_group(df, ["p_brand"], "p_retailprice", ["p_partkey"], 3)
+    assert_group_limit_pushdown(out)
+    # and it matches the naive collect-and-sort on the same data
+    import itertools
+
+    rows = sorted(
+        ((r["p_brand"], r["p_retailprice"], r["p_partkey"]) for r in df.collect()),
+        key=lambda t: (t[0], -t[1], t[2]),
+    )
+    naive = {
+        brand: [t[2] for t in itertools.islice(grp, 3)]
+        for brand, grp in itertools.groupby(rows, key=lambda t: t[0])
+    }
+    got: dict = {}
+    for r in out.orderBy("p_brand", "rank").collect():
+        got.setdefault(r["p_brand"], []).append(r["p_partkey"])
+    assert got == naive
+
+
 def test_bucketed_interval_join_no_duplicate_pairs(spark):
     # one point inside an interval that spans 3 buckets must appear once
     points = spark.createDataFrame([(15,)], "p long")
