@@ -147,8 +147,8 @@ TEMPORAL_ORACLES = {
           COUNT(*) AS n_active,
           CAST(SUM(CASE WHEN week = cohort_week THEN 1 ELSE 0 END) AS BIGINT)
             AS n_new,
-          COUNT(*) - SUM(CASE WHEN week = cohort_week THEN 1 ELSE 0 END)
-            AS n_returning
+          CAST(COUNT(*) - SUM(CASE WHEN week = cohort_week THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_returning
         FROM weeks JOIN cohort USING (user_id)
         GROUP BY week
     """,
