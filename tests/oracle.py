@@ -1,12 +1,85 @@
 """DuckDB cross-check harness mirroring the driver's correctness gate:
 run the Spark query and the oracle SQL on the same parquet, then compare
-row count, column names, and order-insensitive values."""
+row count, column names, column TYPE CLASSES, and order-insensitive values.
+
+Type awareness matters: DuckDB's SUM over integers returns HUGEINT while
+Spark returns bigint. Both print identically through str(), so a
+stringified comparison is blind to the width drift the driver's value
+hash detects (this exact gap produced the round-3 red rows for
+q12_priority_by_linestatus and weekly_active_breakdown). Here every
+column type is mapped to a canonical class and HUGEINT is its own class
+that no Spark type maps to, so an un-cast HUGEINT oracle fails locally
+before it ever reaches the driver.
+"""
 
 from __future__ import annotations
 
 import math
+import re
 
 import duckdb
+
+# Canonical type classes. Spark and DuckDB names both map into this
+# space; a query/oracle pair must agree per column. HUGEINT (int128)
+# deliberately maps to its own class — Spark cannot produce it, so any
+# oracle emitting it is a bug (cast to BIGINT in the oracle SQL).
+_DUCK_CLASS = {
+    "TINYINT": "int",
+    "SMALLINT": "int",
+    "INTEGER": "int",
+    "BIGINT": "int",
+    "UTINYINT": "int",
+    "USMALLINT": "int",
+    "UINTEGER": "int",
+    "UBIGINT": "int128",
+    "HUGEINT": "int128",
+    "UHUGEINT": "int128",
+    "FLOAT": "float",
+    "DOUBLE": "float",
+    "VARCHAR": "str",
+    "BOOLEAN": "bool",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp",
+    "TIMESTAMP WITH TIME ZONE": "timestamp",
+    "TIME": "time",
+    "BLOB": "binary",
+    "INTERVAL": "interval",
+}
+
+_SPARK_CLASS = {
+    "tinyint": "int",
+    "smallint": "int",
+    "int": "int",
+    "integer": "int",
+    "bigint": "int",
+    "long": "int",
+    "float": "float",
+    "double": "float",
+    "string": "str",
+    "boolean": "bool",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+    "binary": "binary",
+}
+
+
+def _duck_type_class(t: str) -> str:
+    t = str(t).upper()
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t.endswith("[]") or t.startswith("STRUCT") or t.startswith("MAP"):
+        return "nested"
+    return _DUCK_CLASS.get(t, t.lower())
+
+
+def _spark_type_class(t: str) -> str:
+    t = t.lower()
+    if t.startswith("decimal"):
+        return "decimal"
+    if t.startswith(("array", "struct", "map")):
+        return "nested"
+    return _SPARK_CLASS.get(t, t)
 
 
 def run_oracle(sql: str, sf_dir: str):
@@ -20,29 +93,55 @@ def run_oracle(sql: str, sf_dir: str):
                 f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
             )
         rel = con.sql(sql)
-        return rel.columns, rel.fetchall()
+        return rel.columns, [str(t) for t in rel.types], rel.fetchall()
     finally:
         con.close()
 
 
 def _norm(v):
+    # Value normalization carries a python-type tag so an int-valued and a
+    # float-valued column never compare equal even when they print alike
+    # (3 vs 3.0 both reach "3" through naive str()).
+    if isinstance(v, bool):
+        return f"b:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return f"{v:.9g}"
-    return str(v)
+            return "f:NaN"
+        return f"f:{v:.9g}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    return f"o:{v}"
 
 
 def assert_matches_oracle(spark_df, sql: str, sf_dir: str):
-    cols, oracle_rows = run_oracle(sql, sf_dir)
+    cols, duck_types, oracle_rows = run_oracle(sql, sf_dir)
     oracle_cols = [c.lower() for c in cols]
 
     spark_cols = [c.lower() for c in spark_df.columns]
+    spark_types = dict(
+        (c.lower(), t) for c, t in spark_df.dtypes
+    )
     spark_rows = [tuple(r) for r in spark_df.collect()]
 
     assert sorted(spark_cols) == sorted(oracle_cols), (
         f"columns differ: spark={spark_cols} oracle={oracle_cols}"
     )
+
+    # Column type-class agreement (the driver's hash is type-sensitive;
+    # this is the local proxy for it).
+    duck_class = dict(zip(oracle_cols, (_duck_type_class(t) for t in duck_types)))
+    mismatched_types = []
+    for c in spark_cols:
+        sc = _spark_type_class(spark_types[c])
+        oc = duck_class[c]
+        if sc != oc:
+            mismatched_types.append((c, spark_types[c], sc, oc))
+    assert not mismatched_types, (
+        "column type classes differ (cast the oracle expression — e.g. "
+        "DuckDB SUM(int) yields HUGEINT, cast it to BIGINT): "
+        f"{mismatched_types}"
+    )
+
     assert len(spark_rows) == len(oracle_rows), (
         f"row count differs: spark={len(spark_rows)} oracle={len(oracle_rows)}"
     )
