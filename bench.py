@@ -13,6 +13,7 @@ import glob
 import hashlib
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -68,7 +69,7 @@ def prepare_multifile(spark, sf_dir: str, n_files: int = 8) -> str:
 # semi-join + per-order aggregate).  The 20 round-2 names are all kept
 # (dedup_embedding now measures the bucketed default — the exact path
 # is a verification oracle, not a headline) so per-query deltas stay
-# apples-to-apples; methodology pinned at best-of-2 (min).
+# apples-to-apples; methodology: N=5 iterations, min + median reported.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -133,28 +134,33 @@ def main() -> None:
                 except Exception as exc:
                     print(f"# warmup {name} skipped: {exc}", file=sys.stderr)
 
-    # Best-of-N per query (min): single-iteration timings on a shared
-    # box swing 2-3x from CPU contention; the minimum is the stable
-    # estimate of what the plan actually costs.
-    n_iter = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+    # N iterations per query, report BOTH min and median: single-run
+    # timings on a shared box swing 2-3x from CPU contention. The min
+    # estimates what the plan costs on a quiet machine; the median shows
+    # how noisy the run was (round-4 lesson: best-of-2 swung ±100% on an
+    # idle round, masking any real regression signal).
+    n_iter = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        best = None
+        runs: list[float] = []
         for _ in range(n_iter):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             # noop sink materializes every output column (count() would
             # let Catalyst prune the aggregates away).
             df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            runs.append(time.perf_counter() - t0)
+        best = min(runs)
+        med = statistics.median(runs)
         timings[name] = round(best, 3)
+        medians[name] = round(med, 3)
         total += best
-        print(f"# {name}: {best:.3f}s", file=sys.stderr)
+        print(f"# {name}: min {best:.3f}s median {med:.3f}s", file=sys.stderr)
 
     print(
         json.dumps(
@@ -163,7 +169,15 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "conditions": {
+                    "iters": n_iter,
+                    "stat": "min (queries) + median (queries_median)",
+                    "master": spark.sparkContext.master,
+                    "cpus": os.cpu_count(),
+                    "load_avg_start": round(os.getloadavg()[0], 2),
+                },
             }
         )
     )

@@ -270,7 +270,17 @@ def lsh_verified_pairs(docs: DataFrame, tau: float = 0.5, n_hashes: int = 32,
 
 
 def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage dedup: LSH candidates verified with exact Jaccard."""
+    """Two-stage dedup: LSH candidates verified with exact Jaccard.
+
+    Oracle note: the SQL oracle is the FULL exact Jaccard pair set at
+    tau=0.5 (un-pruned). Since the verify stage makes every emitted
+    pair exact (LSH output ⊆ exact set by construction), hash-equality
+    with the oracle asserts 100% recall of the banding stage on this
+    corpus — verified equal at sf0.001 and sf0.01. The planted
+    near-dups sit at jaccard≈1 where the 8×4-band S-curve catch
+    probability is ≈1-(1-j⁴)⁸ ≈ 0.9998+; a future testdata regen that
+    plants borderline (j≈0.5) pairs would legitimately surface here as
+    a recall miss."""
     return lsh_verified_pairs(load_table(spark, "documents", sf_dir))
 
 
@@ -705,6 +715,31 @@ DEDUP_ORACLES = {
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.3
+    """,
+    # dedup_lsh_verified: the exact un-pruned tau=0.5 pair set. Every
+    # LSH-verified pair is exact, so equality == 100% banding recall
+    # (see dedup_lsh_verified docstring).
+    "dedup_lsh_verified": f"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM t
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5
     """,
     "documents_deduped": """
         SELECT doc_id, lang, source FROM (

@@ -60,14 +60,16 @@ _load_optional()
 
 
 # The driver oracles only the FIRST 50 registry entries per round.  The
-# union of r1+r2 rows covers all but 9 queries; round 3 front-loads those
-# 9 (the 8 snapshot-commit TPC-H analogs + the bucketed embedding dedup,
-# now the `dedup_embedding` default), the round-3 additions (q12/q16,
-# dedup_embedding_exact, the bounds-oracled approx quantiles), and every
-# query whose semantics changed this round (df-pruned Jaccard, clusters,
-# recall harness), then the most load-bearing repeats.
+# r1-r4 union covers all 107 queries; round 5 front-loads the three
+# entries whose semantics/oracles changed this round (fixed-size kNN
+# sample, the recall-bounds harness, the newly-oracled LSH-verified
+# dedup), then the broad repeats.
 _DRIVER_PRIORITY = [
-    # -- never driver-verified (round-2 snapshot-commit TPC-H tail) --
+    # -- changed in round 5: need fresh driver rows --
+    "ann_knn_label_accuracy",
+    "ann_recall_at_k",
+    "dedup_lsh_verified",
+    # -- round-2 snapshot-commit TPC-H tail --
     "q8_market_share",
     "q9_profit_by_nation_year",
     "q13_order_count_distribution",
@@ -99,8 +101,6 @@ _DRIVER_PRIORITY = [
     # -- semantics changed in round 3: needs fresh external rows --
     "dedup_ngram_jaccard",
     "dedup_clusters",
-    "ann_recall_at_k",
-    "ann_knn_label_accuracy",
     "price_quantiles_approx",
     # -- rows-only ANN/sketch tail last verified in round 1 --
     "ann_lsh_bucketed",
@@ -115,7 +115,6 @@ _DRIVER_PRIORITY = [
     "q6_forecast_revenue",
     "validation_report",
     "dedup_exact",
-    "dedup_lsh_verified",
     "dedup_contamination",
     "documents_deduped",
     "ann_cosine_topk",

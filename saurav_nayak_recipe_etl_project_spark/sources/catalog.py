@@ -41,19 +41,67 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS) which Spark's parquet
-    reader rejects; read nanos as long and rebuild the timestamp with
-    exact integer division (ns -> us) — no floating point on the path,
-    so microsecond values match the DuckDB oracle bit-for-bit."""
+def event_ts_is_nanos(path: str) -> bool:
+    """True when the parquet at `path` (file or directory of files)
+    stores `ts` as TIMESTAMP(NANOS) or a raw int64 — either way Spark
+    surfaces it as long (under nanosAsLong) holding epoch-nanoseconds.
+    One driver-side footer read, O(1) regardless of data volume; this
+    is the single source of truth for the storage unit so the batch
+    catalog and the streaming reader can never diverge on it."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+        if not files:
+            # Empty stream source: assume modern µs timestamps (the
+            # testdata default); a ns drop into an initially-empty dir
+            # is re-probed by callers per run, not cached.
+            return False
+        path = files[0]
+    t = pq.read_schema(path).field("ts").type
+    if pa.types.is_timestamp(t):
+        return t.unit == "ns"
+    return pa.types.is_integer(t)
+
+
+def normalize_event_ts(df: DataFrame, instant: bool = False) -> DataFrame:
+    """Shared batch/stream event-time normalization. Whatever the
+    storage unit (`ts` read as epoch-ns long, or a proper µs parquet
+    timestamp), emit a timestamp column:
+
+    - instant=False → TIMESTAMP_NTZ, bit-exact vs the DuckDB oracle
+      (integer ns→µs division, no floating point).
+    - instant=True → TIMESTAMP (instant), required for watermarks;
+      with the UTC session timezone (session.py) the two render
+      identically, so stream output matches the batch twin.
+    """
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
-        df = df.withColumn("ts", F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+        if instant:
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn(
+            "ts",
+            F.expr("timestampadd(MICROSECOND, ts div 1000, "
+                   "TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
+        )
+    if instant and ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-robust events loader: probe-free (reads, then branches on
+    the surfaced dtype via normalize_event_ts)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return normalize_event_ts(df)
 
 
 def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

@@ -48,13 +48,22 @@ def stream_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def read_event_stream(spark: SparkSession, source_dir: str,
                       max_files_per_trigger: int | None = None) -> DataFrame:
-    """File-source stream over event parquet drops (ns-timestamp safe,
-    same normalization as the batch catalog). `max_files_per_trigger`
-    throttles micro-batch size (and lets tests force multi-batch runs
-    to exercise cross-batch state)."""
+    """File-source stream over event parquet drops, storage-unit aware:
+    probes one parquet footer (catalog.event_ts_is_nanos) to decide
+    whether `ts` arrives as epoch-ns long (TIMESTAMP(NANOS) data) or a
+    proper µs timestamp, then applies the SAME normalization helper as
+    the batch catalog — batch and stream cannot diverge on units.
+    `max_files_per_trigger` throttles micro-batch size (and lets tests
+    force multi-batch runs to exercise cross-batch state)."""
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        event_ts_is_nanos,
+        normalize_event_ts,
+    )
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_field = "ts long" if event_ts_is_nanos(source_dir) else "ts timestamp"
     schema = (
-        "event_id long, ts long, user_id long, event_type string, "
+        f"event_id long, {ts_field}, user_id long, event_type string, "
         "value double, props string"
     )
     reader = spark.readStream.schema(schema)
@@ -63,7 +72,7 @@ def read_event_stream(spark: SparkSession, source_dir: str,
     raw = reader.parquet(source_dir)
     # Watermarks require instant-typed (TIMESTAMP, not NTZ) event time —
     # correct for streaming: late-data reasoning happens on the timeline.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw, instant=True)
 
 
 def run_windowed_stream(spark: SparkSession, source_dir: str,

@@ -15,7 +15,6 @@ before it ever reaches the driver.
 from __future__ import annotations
 
 import math
-import re
 
 import duckdb
 
@@ -70,7 +69,14 @@ def _duck_type_class(t: str) -> str:
         return "decimal"
     if t.endswith("[]") or t.startswith("STRUCT") or t.startswith("MAP"):
         return "nested"
-    return _DUCK_CLASS.get(t, t.lower())
+    if t in _DUCK_CLASS:
+        return _DUCK_CLASS[t]
+    # TIMESTAMP_S / TIMESTAMP_MS / TIMESTAMP_NS and tz variants: all
+    # second-or-finer instants — same class as TIMESTAMP (an oracle
+    # reading ns-precision parquet must not spuriously mismatch).
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    return t.lower()
 
 
 def _spark_type_class(t: str) -> str:
@@ -98,16 +104,18 @@ def run_oracle(sql: str, sf_dir: str):
         con.close()
 
 
-def _norm(v):
+def _norm(v, float_digits: int = 9):
     # Value normalization carries a python-type tag so an int-valued and a
     # float-valued column never compare equal even when they print alike
-    # (3 vs 3.0 both reach "3" through naive str()).
+    # (3 vs 3.0 both reach "3" through naive str()). float_digits drops to
+    # 6 for float32 columns: 9 significant digits exceeds float32
+    # precision (~7) and would manufacture false mismatches.
     if isinstance(v, bool):
         return f"b:{v}"
     if isinstance(v, float):
         if math.isnan(v):
             return "f:NaN"
-        return f"f:{v:.9g}"
+        return f"f:{v:.{float_digits}g}"
     if isinstance(v, int):
         return f"i:{v}"
     return f"o:{v}"
@@ -122,6 +130,15 @@ def assert_matches_oracle(spark_df, sql: str, sf_dir: str):
         (c.lower(), t) for c, t in spark_df.dtypes
     )
     spark_rows = [tuple(r) for r in spark_df.collect()]
+
+    # Duplicate output names would silently collapse the dicts/index
+    # lookups below into comparing the wrong (or the same) column twice.
+    assert len(set(spark_cols)) == len(spark_cols), (
+        f"duplicate Spark output columns: {spark_cols}"
+    )
+    assert len(set(oracle_cols)) == len(oracle_cols), (
+        f"duplicate oracle output columns: {oracle_cols}"
+    )
 
     assert sorted(spark_cols) == sorted(oracle_cols), (
         f"columns differ: spark={spark_cols} oracle={oracle_cols}"
@@ -148,8 +165,20 @@ def assert_matches_oracle(spark_df, sql: str, sf_dir: str):
 
     s_idx = [spark_cols.index(c) for c in sorted(spark_cols)]
     o_idx = [oracle_cols.index(c) for c in sorted(oracle_cols)]
-    s_vals = sorted(tuple(_norm(r[i]) for i in s_idx) for r in spark_rows)
-    o_vals = sorted(tuple(_norm(r[i]) for i in o_idx) for r in oracle_rows)
+    # float32 on either side → compare at float32-safe precision
+    duck_by_col = dict(zip(oracle_cols, duck_types))
+    digits = [
+        6
+        if (spark_types[c] == "float" or str(duck_by_col[c]).upper() == "FLOAT")
+        else 9
+        for c in sorted(spark_cols)
+    ]
+    s_vals = sorted(
+        tuple(_norm(r[i], d) for i, d in zip(s_idx, digits)) for r in spark_rows
+    )
+    o_vals = sorted(
+        tuple(_norm(r[i], d) for i, d in zip(o_idx, digits)) for r in oracle_rows
+    )
     mism = [
         (a, b) for a, b in zip(s_vals, o_vals) if a != b
     ]

@@ -161,3 +161,55 @@ def test_batch_twin_on_corpus(spark, sf_dir):
     n_kept = sum(r["kept"] for r in rows)
     # the corpus has planted dups, so some docs drop — but most survive
     assert 0 < n_kept < n_docs
+
+
+def test_state_read_prunes_to_touched_buckets(spark, tmp_path):
+    """The membership read must scan ONLY the bucket dirs the incoming
+    batch touches: a one-doc batch (≤ 8 band keys → ≤ 8 buckets) after
+    a large corpus batch must read a strict subset of state files, and
+    every file it reads must live under a touched bucket dir."""
+    import re
+
+    state, out = str(tmp_path / "state"), str(tmp_path / "out")
+    # batch 0: a corpus wide enough to populate many bucket dirs
+    corpus = [
+        (i, "en", "web",
+         f"document number {i} talks about topic {i % 7} in a "
+         f"distinctive way with unique token t{i} and filler words "
+         f"spread across several sentences for shingling")
+        for i in range(60)
+    ]
+    b0 = spark.createDataFrame(corpus, SCHEMA)
+    D._process_batch(spark, b0, 0, state, out)
+
+    # one-doc batch: its 8 band keys touch at most 8 of the 16 buckets
+    b1 = spark.createDataFrame(
+        [(999, "en", "web", "a tiny single new document about nothing")],
+        SCHEMA,
+    )
+    bands = D.band_keys(b1).withColumn(
+        "bucket",
+        F.pmod(F.col("band_hash"), F.lit(D.N_STATE_BUCKETS)).cast("int"),
+    )
+    touched = sorted({r["bucket"] for r in bands.select("bucket").collect()})
+    assert len(touched) <= D.N_BANDS < D.N_STATE_BUCKETS
+
+    seen, _ = D._retained_seen(spark, state, 1, None, touched)
+    read_files = {
+        r["f"]
+        for r in seen.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    all_files = {
+        r["f"]
+        for r in D._read_state(spark, state)[0]
+        .select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert read_files, "pruned state read came back empty"
+    assert len(read_files) < len(all_files), (
+        "bucket prune read as many files as the full state scan"
+    )
+    for f in read_files:
+        m = re.search(r"bucket=(\d+)", f)
+        assert m and int(m.group(1)) in touched, (
+            f"read a file outside the touched buckets: {f}"
+        )
