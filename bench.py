@@ -103,6 +103,12 @@ HEADLINE = [
     "range_join_windows",
     "cohort_retention",
     "snapshot_diff",
+    # round-5 additions: training-batch assembly (sharded prefix-sum
+    # packing, quota-rank source mixing) and the grouping-sets
+    # expansion — all prior names kept for round-over-round deltas.
+    "pack_sequences",
+    "rebalance_sources",
+    "orders_grouping_sets",
 ]
 
 

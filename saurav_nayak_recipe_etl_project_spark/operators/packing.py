@@ -1,0 +1,171 @@
+"""Training-batch assembly operators over the `documents` table:
+token-budget sequence packing and temperature-scaled source mixing.
+
+Both are standard large-scale LLM-pretraining data steps (beyond the
+reference's own surface, like the dedup/similarity suites): packing
+turns variable-length documents into fixed-token-budget training
+sequences; temperature mixing rebalances a source/domain distribution
+so head sources don't drown the tail (the n^alpha sampling rule used
+for multilingual corpora).
+
+Scale design:
+- Packing is the concat-then-chunk scheme: documents are concatenated
+  in a deterministic order and cut into BUDGET-token chunks; a doc is
+  assigned to the chunk where it BEGINS. The prefix-sum that implies is
+  computed per (lang, shard) — shard = doc_id div SHARD_SIZE — so every
+  window partition is bounded by SHARD_SIZE docs and the whole op
+  parallelizes by shard count regardless of corpus size (a single
+  global ordering would serialize the prefix sum into one task).
+- Mixing computes one tiny per-source count aggregate (map-side
+  combined), derives integer quotas from it (integer-scaled sqrt
+  weights, so the arithmetic is associative and bit-portable to the
+  SQL oracle — a float Σ√n would round differently per engine), and
+  keeps the first quota docs per source by md5 content rank: the same
+  content-keyed, repartition-stable sampling used by
+  plans/profiling.stratified_sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from saurav_nayak_recipe_etl_project_spark.functions.text_fn import tokens
+from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+
+SEQ_BUDGET = 256     # tokens per packed training sequence
+SHARD_SIZE = 100     # docs per packing shard (bounds each window task)
+MIX_ALPHA_SQRT = True  # temperature alpha = 0.5 (sqrt weighting)
+MIX_BUDGET = 200     # total docs the rebalanced mix keeps
+WEIGHT_SCALE = 1_000_000  # integer weight scale: round(sqrt(n) * 1e6)
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F25 — token-budget sequence packing (concat-then-chunk): per
+    (lang, shard), documents are laid end-to-end in doc_id order and
+    the token stream is cut every SEQ_BUDGET tokens; each doc reports
+    the sequence where it starts and its offset within it. One bounded
+    window per shard; no Python in the row path."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.expr(f"doc_id div {SHARD_SIZE}").alias("shard"),
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "tokens_before",
+            F.coalesce(
+                F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "shard",
+            "n_tokens",
+            F.expr(f"tokens_before div {SEQ_BUDGET}").alias("seq_id"),
+            F.expr(f"tokens_before % {SEQ_BUDGET}").alias("seq_offset"),
+        )
+    )
+
+
+def rebalance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F26 — temperature-scaled source mixing (alpha = 0.5): per-source
+    quotas ∝ √n_source (normalized to MIX_BUDGET docs, integer floor
+    arithmetic end-to-end), filled by md5 content rank so the kept set
+    is deterministic and stable under repartitioning. Head sources are
+    capped, tail sources keep proportionally more — the standard
+    multilingual/domain rebalancing rule. The quota table is one row
+    per source (broadcast); the only full-data pass is the rank
+    window, partitioned by source."""
+    docs = load_table(spark, "documents", sf_dir)
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    weights = counts.select(
+        "source",
+        "n_docs",
+        F.round(F.sqrt(F.col("n_docs")) * WEIGHT_SCALE).cast("long").alias("w"),
+    )
+    total_w = weights.agg(F.sum("w").alias("sum_w"))
+    quotas = (
+        weights.crossJoin(total_w)  # scalar combine: one row × n_sources
+        .select(
+            "source",
+            F.least(
+                F.col("n_docs"),
+                F.greatest(
+                    F.lit(1).cast("long"),
+                    F.expr(f"(w * {MIX_BUDGET}) div sum_w"),
+                ),
+            ).alias("quota"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat_ws("|", "doc_id", "text")), "doc_id"
+    )
+    ranked = docs.withColumn("rn", F.row_number().over(w).cast("long"))
+    return (
+        ranked.join(F.broadcast(quotas), "source")
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "source", "rn", "quota")
+    )
+
+
+PACKING_QUERIES = {
+    "pack_sequences": pack_sequences,
+    "rebalance_sources": rebalance_sources,
+}
+
+PACKING_ORACLES = {
+    "pack_sequences": f"""
+        WITH t AS (
+          SELECT doc_id, lang, doc_id // {SHARD_SIZE} AS shard,
+            CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+              AS n_tokens
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, lang, shard, n_tokens,
+            CAST(COALESCE(SUM(n_tokens) OVER (
+              PARTITION BY lang, shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) AS BIGINT) AS tokens_before
+          FROM t
+        )
+        SELECT doc_id, lang, shard, n_tokens,
+          tokens_before // {SEQ_BUDGET} AS seq_id,
+          tokens_before % {SEQ_BUDGET} AS seq_offset
+        FROM c
+    """,
+    "rebalance_sources": f"""
+        WITH counts AS (
+          SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+        ),
+        weights AS (
+          SELECT source, n_docs,
+            CAST(ROUND(SQRT(n_docs) * {WEIGHT_SCALE}) AS BIGINT) AS w
+          FROM counts
+        ),
+        quotas AS (
+          SELECT source,
+            LEAST(n_docs, GREATEST(1,
+              (w * {MIX_BUDGET}) // (SELECT SUM(w) FROM weights))) AS quota
+          FROM weights
+        ),
+        ranked AS (
+          SELECT doc_id, source,
+            CAST(ROW_NUMBER() OVER (
+              PARTITION BY source
+              ORDER BY md5(doc_id || '|' || text), doc_id
+            ) AS BIGINT) AS rn
+          FROM documents
+        )
+        SELECT doc_id, ranked.source AS source, rn, CAST(quota AS BIGINT) AS quota
+        FROM ranked JOIN quotas ON ranked.source = quotas.source
+        WHERE rn <= quota
+    """,
+}

@@ -33,6 +33,30 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS beyond ROLLUP's strict hierarchy:
+    (priority, status), (status), () — the (status)-only subtotal is
+    NOT a rollup prefix, which is the point. One shuffle; the
+    grouping-set expansion is map-side like rollup/cube. GROUPING()
+    flags disambiguate real NULL keys from subtotal rows."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupingSets(
+            [["o_orderpriority", "o_orderstatus"], ["o_orderstatus"], []],
+            "o_orderpriority", "o_orderstatus",
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / F.lit(100.0), 2
+            ).alias("revenue"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        )
+    )
+
+
 def orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot order counts by status per priority — fixed pivot columns
     so the plan is a single conditional aggregation."""
@@ -419,6 +443,7 @@ ADVANCED_QUERIES = {
     "view_purchase_funnel": view_purchase_funnel,
     "docs_by_source": docs_by_source,
     "revenue_rollup": revenue_rollup,
+    "orders_grouping_sets": orders_grouping_sets,
     "orders_status_pivot": orders_status_pivot,
     "price_quantiles": price_quantiles,
     "price_quantiles_approx": price_quantiles_approx,
@@ -575,6 +600,17 @@ ADVANCED_ORACLES = {
             AS revenue
         FROM orders
         GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    "orders_grouping_sets": """
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+          ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+            AS revenue,
+          CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+          CAST(GROUPING(o_orderstatus) AS INT) AS g_status
+        FROM orders
+        GROUP BY GROUPING SETS (
+          (o_orderpriority, o_orderstatus), (o_orderstatus), ()
+        )
     """,
     "orders_status_pivot": """
         SELECT o_orderpriority,

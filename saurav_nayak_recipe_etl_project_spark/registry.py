@@ -41,6 +41,7 @@ def _load_optional() -> None:
         ("saurav_nayak_recipe_etl_project_spark.operators.delta", "DELTA_QUERIES", "DELTA_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.operators.rangejoin", "RANGEJOIN_QUERIES", "RANGEJOIN_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.operators.topk", "TOPK_QUERIES", "TOPK_ORACLES"),
+        ("saurav_nayak_recipe_etl_project_spark.operators.packing", "PACKING_QUERIES", "PACKING_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.plans.temporal", "TEMPORAL_QUERIES", "TEMPORAL_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.plans.profiling", "PROFILING_QUERIES", "PROFILING_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.plans.advanced", "ADVANCED_QUERIES", "ADVANCED_ORACLES"),
@@ -65,6 +66,10 @@ _load_optional()
 # sample, the recall-bounds harness, the newly-oracled LSH-verified
 # dedup), then the broad repeats.
 _DRIVER_PRIORITY = [
+    # -- new in round 5 --
+    "pack_sequences",
+    "rebalance_sources",
+    "orders_grouping_sets",
     # -- changed in round 5: need fresh driver rows --
     "ann_knn_label_accuracy",
     "ann_recall_at_k",

@@ -1,0 +1,113 @@
+"""Sequence packing + temperature source mixing: semantics pinned
+against hand-computable fixtures, oracle agreement at sf0.001."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from saurav_nayak_recipe_etl_project_spark.operators import packing as P
+
+
+def test_pack_sequences_concat_then_chunk_semantics(spark, sf_dir):
+    out = P.pack_sequences(spark, sf_dir).collect()
+    assert len(out) > 0
+    by_key = {}
+    for r in out:
+        by_key.setdefault((r["lang"], r["shard"]), []).append(r)
+    for rows in by_key.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        running = 0
+        for r in rows:
+            # each doc starts at the running token offset of its shard
+            assert r["seq_id"] == running // P.SEQ_BUDGET
+            assert r["seq_offset"] == running % P.SEQ_BUDGET
+            running += r["n_tokens"]
+        # seq ids are monotone within a shard
+        seqs = [r["seq_id"] for r in rows]
+        assert seqs == sorted(seqs)
+
+
+def test_pack_sequences_shard_bounds_window(spark, sf_dir):
+    out = P.pack_sequences(spark, sf_dir)
+    per_shard = out.groupBy("lang", "shard").count().collect()
+    assert all(r["count"] <= P.SHARD_SIZE for r in per_shard)
+
+
+def test_rebalance_quotas_follow_sqrt_weights(spark, sf_dir):
+    out = P.rebalance_sources(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) == sum(
+        r["quota"] for r in out.groupBy("source").agg(
+            F.first("quota").alias("quota")
+        ).collect()
+    )
+    # every kept doc respects its source quota and rank
+    assert all(r["rn"] <= r["quota"] for r in rows)
+    # uniform corpus (equal source counts) → near-equal quotas
+    quotas = {r["source"]: r["quota"]
+              for r in out.select("source", "quota").distinct().collect()}
+    assert max(quotas.values()) - min(quotas.values()) <= 1
+
+
+def test_rebalance_flattens_skewed_sources(spark):
+    # 2 sources, 90/10 split, budget 20: sqrt weighting gives the tail
+    # source MORE than its proportional share (proportional would be 2)
+    rows = [(i, "en", "big" if i < 90 else "small",
+             f"doc {i} text with content") for i in range(100)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    import saurav_nayak_recipe_etl_project_spark.operators.packing as P2
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    weights = counts.select(
+        "source", "n_docs",
+        F.round(F.sqrt(F.col("n_docs")) * P2.WEIGHT_SCALE).cast("long").alias("w"),
+    )
+    total = weights.agg(F.sum("w").alias("sum_w"))
+    quotas = {
+        r["source"]: r["quota"]
+        for r in weights.crossJoin(total).select(
+            "source",
+            F.least(
+                F.col("n_docs"),
+                F.greatest(F.lit(1).cast("long"),
+                           F.expr("(w * 20) div sum_w")),
+            ).alias("quota"),
+        ).collect()
+    }
+    assert quotas["small"] > 2            # above proportional share
+    assert quotas["big"] < 18             # head source capped below its share
+    assert quotas["small"] <= 10          # never above its own count
+
+
+def test_packing_oracles_match(spark, sf_dir):
+    from tests.oracle import assert_matches_oracle
+
+    for name in ("pack_sequences", "rebalance_sources"):
+        assert_matches_oracle(
+            P.PACKING_QUERIES[name](spark, sf_dir),
+            P.PACKING_ORACLES[name],
+            sf_dir,
+        )
+
+
+def test_grouping_sets_subtotals_consistent(spark, sf_dir):
+    from saurav_nayak_recipe_etl_project_spark.plans.advanced import (
+        orders_grouping_sets,
+    )
+
+    rows = orders_grouping_sets(spark, sf_dir).collect()
+    detail = [r for r in rows if r["g_priority"] == 0 and r["g_status"] == 0]
+    by_status = [r for r in rows if r["g_priority"] == 1 and r["g_status"] == 0]
+    grand = [r for r in rows if r["g_priority"] == 1 and r["g_status"] == 1]
+    assert len(grand) == 1
+    assert sum(r["n_orders"] for r in detail) == grand[0]["n_orders"]
+    # per-status subtotals must equal the sum of their detail rows
+    from collections import defaultdict
+    agg = defaultdict(int)
+    for r in detail:
+        agg[r["o_orderstatus"]] += r["n_orders"]
+    assert {r["o_orderstatus"]: r["n_orders"] for r in by_status} == dict(agg)
+    # rollup would not contain the (status)-only grouping: every
+    # by-status row has the priority key nulled
+    assert all(r["o_orderpriority"] is None for r in by_status)
