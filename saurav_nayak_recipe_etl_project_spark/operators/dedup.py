@@ -549,7 +549,12 @@ def dup_clusters(docs: DataFrame, tau: float = 0.5, n: int = 3,
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive duplicate clusters over near-dup edges (min-label propagation)."""
+    """Transitive duplicate clusters over near-dup edges (min-label
+    propagation). Oracled: the edge set equals the exact tau=0.5 pair
+    set on this corpus (see dedup_lsh_verified), so the SQL oracle
+    rebuilds the same components as a recursive transitive closure —
+    distributed label propagation vs single-node WITH RECURSIVE, same
+    clusters."""
     return dup_clusters(load_table(spark, "documents", sf_dir))
 
 
@@ -773,6 +778,44 @@ DEDUP_ORACLES = {
     # xxhash64-based → no portable SQL oracle; the driver records rows-only
     # checks and tests/test_dedup.py proves detection behavior on planted
     # duplicates (+ recall vs the exact form below).
+    # dedup_clusters: min-id connected components over the verified pair
+    # set. Portable because the edge set equals the EXACT tau=0.5 pair
+    # set (see dedup_lsh_verified), and components-with-min-label is a
+    # transitive closure — WITH RECURSIVE reach, then MIN(peer) per doc.
+    "dedup_clusters": f"""
+        WITH RECURSIVE
+        t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM t
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ),
+        edges AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5
+        ),
+        sym AS (
+          SELECT doc_a AS s, doc_b AS d FROM edges
+          UNION SELECT doc_b, doc_a FROM edges
+        ),
+        reach(doc, peer) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.doc, s.d FROM reach r JOIN sym s ON r.peer = s.s
+        )
+        SELECT doc AS doc_id, CAST(MIN(peer) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY doc
+    """,
     "dedup_embedding_exact": """
         WITH e AS (
           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

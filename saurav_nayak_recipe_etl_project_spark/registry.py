@@ -74,6 +74,7 @@ _DRIVER_PRIORITY = [
     "ann_knn_label_accuracy",
     "ann_recall_at_k",
     "dedup_lsh_verified",
+    "dedup_clusters",
     # -- round-2 snapshot-commit TPC-H tail --
     "q8_market_share",
     "q9_profit_by_nation_year",
@@ -105,7 +106,6 @@ _DRIVER_PRIORITY = [
     "weekly_active_breakdown",
     # -- semantics changed in round 3: needs fresh external rows --
     "dedup_ngram_jaccard",
-    "dedup_clusters",
     "price_quantiles_approx",
     # -- rows-only ANN/sketch tail last verified in round 1 --
     "ann_lsh_bucketed",

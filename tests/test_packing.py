@@ -111,3 +111,39 @@ def test_grouping_sets_subtotals_consistent(spark, sf_dir):
     # rollup would not contain the (status)-only grouping: every
     # by-status row has the priority key nulled
     assert all(r["o_orderpriority"] is None for r in by_status)
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_new_op_plan_shapes(spark, sf_dir):
+    """Plan regressions guard: packing is one bounded-window shuffle,
+    grouping sets expand map-side around one shuffle, and nothing
+    drops to Python row processing."""
+    import re
+
+    from saurav_nayak_recipe_etl_project_spark.plans.advanced import (
+        orders_grouping_sets,
+    )
+
+    pack = _plan(P.pack_sequences(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Exchange", pack, re.M)) == 1
+    assert "BatchEvalPython" not in pack
+
+    gs = _plan(orders_grouping_sets(spark, sf_dir))
+    assert "Expand" in gs  # grouping-set expansion is map-side
+    assert len(re.findall(r"^\(\d+\) Exchange", gs, re.M)) == 1
+
+    mix = _plan(P.rebalance_sources(spark, sf_dir))
+    # the quota table must reach the full-data rank via broadcast,
+    # never a shuffled sort-merge join
+    assert "BroadcastHashJoin" in mix or "BroadcastNestedLoopJoin" in mix
+    assert "SortMergeJoin" not in mix
+    assert "BatchEvalPython" not in mix
