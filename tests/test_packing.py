@@ -147,3 +147,14 @@ def test_new_op_plan_shapes(spark, sf_dir):
     assert "BroadcastHashJoin" in mix or "BroadcastNestedLoopJoin" in mix
     assert "SortMergeJoin" not in mix
     assert "BatchEvalPython" not in mix
+
+
+def test_new_ops_handle_empty_corpus(spark, tmp_path):
+    """Empty documents table in → empty result out (no crash, no
+    null-quota rows), through the real operator entry points."""
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    empty.write.parquet(str(tmp_path / "documents.parquet"))
+    assert P.pack_sequences(spark, str(tmp_path)).count() == 0
+    assert P.rebalance_sources(spark, str(tmp_path)).count() == 0
