@@ -112,8 +112,13 @@ _DRIVER_PRIORITY = [
     "ann_ivf_topk",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    # -- load-bearing repeats (green r2 rows; trimmed to fit the
-    #    round-3 additions inside the driver's 50-entry window) --
+    # -- streaming batch twins: the round-5 unit fix touched their
+    #    shared reader, so they need fresh driver rows this round --
+    "stream_events_window",
+    "sessionize_events",
+    "dedup_stream_lsh_batch",
+    # -- load-bearing repeats (stable green rows; trimmed so the
+    #    round-5 additions fit the driver's 50-entry window) --
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -126,9 +131,6 @@ _DRIVER_PRIORITY = [
     "text_token_count",
     "text_quality",
     "text_langid_ngram",
-    "dedup_stream_lsh_batch",
-    "stream_events_window",
-    "sessionize_events",
 ]
 
 
