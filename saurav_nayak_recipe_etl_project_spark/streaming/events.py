@@ -93,6 +93,30 @@ def run_windowed_stream(spark: SparkSession, source_dir: str,
     )
 
 
+def run_windowed_stream_append(spark: SparkSession, source_dir: str,
+                               checkpoint_dir: str, out_path: str) -> None:
+    """Append-mode twin of run_windowed_stream: emits a window ONLY
+    once the watermark passes its end (finalized, exactly-once rows) —
+    the state-bounded production mode. Complete mode re-emits every
+    window each trigger and keeps ALL windows in state forever;
+    append + watermark expires closed windows, so state is bounded by
+    the watermark horizon regardless of stream age. Events older than
+    the watermark are dropped (pinned in tests/test_late_data.py).
+    Sink is parquet (fault-tolerant, checkpoint-recoverable — the
+    memory sink cannot resume an append query across restarts)."""
+    events = read_event_stream(spark, source_dir)
+    agg = _windowed(events.withWatermark("ts", WATERMARK))
+    (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+
+
 def top_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the incremental top-k: top-10 users by event
     volume (the continuously-maintained leaderboard shape from the
