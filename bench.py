@@ -109,6 +109,9 @@ HEADLINE = [
     "pack_sequences",
     "rebalance_sources",
     "orders_grouping_sets",
+    # the full ANN quality harness (exact + LSH + IVF + trained PQ):
+    # one number that moves if any approximate path gets slower
+    "ann_recall_at_k",
 ]
 
 
