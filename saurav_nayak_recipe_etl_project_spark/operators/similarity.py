@@ -522,9 +522,16 @@ def pq_topk(emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K,
         .filter(F.col("_r") <= shortlist)
         .select("query_id", "neighbor_id")
     )
-    # exact re-rank of the tiny shortlist: broadcast it against the
-    # corpus (semi-sized join), broadcast the Q query vectors, cosine
-    # in JVM column algebra — no Python in this stage
+    return _exact_rerank(e, short, q_ids, q_mat, k)
+
+
+def _exact_rerank(e: DataFrame, short: DataFrame, q_ids, q_mat,
+                  k: int) -> DataFrame:
+    """Exact cosine re-rank of a tiny (Q × shortlist) candidate set:
+    broadcast the shortlist against the corpus (semi-sized join),
+    broadcast the Q query vectors, cosine in JVM column algebra — no
+    Python in this stage."""
+    spark = e.sparkSession
     qv = spark.createDataFrame(
         [(int(i), [float(x) for x in q_mat[j]])
          for j, i in enumerate(q_ids)],
@@ -542,6 +549,127 @@ def pq_topk(emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 6).alias("cos_sim"), "rank")
     )
+
+
+def ivfpq_topk(emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K,
+               n_lists: int = 16, n_probe: int = 8, m_sub: int = 8,
+               k_codes: int = 64, n_train: int = 1024,
+               train_iters: int = 10, shortlist: int = 200) -> DataFrame:
+    """IVF+PQ composition — the FAISS-IVFPQ serving shape and the full
+    100 TB story in one operator: the IVF coarse quantizer SHARDS the
+    corpus (each vector lives in one inverted list; a query touches
+    only its n_probe nearest lists, cutting scan cost ~n_lists/n_probe)
+    while PQ COMPRESSES it (each vector's residual from its list
+    centroid is stored as m_sub codes). Search: per query, ADC over
+    residual codebooks within probed lists, approx sim = q·c_list +
+    q·residual̂ (the q·c_list term is a per-(query, list) constant);
+    shortlist → exact cosine re-rank.
+
+    Residual encoding matters: residuals are centered near zero, so
+    the shared codebooks spend their 64 codes on the deviation from
+    the list centroid instead of on corpus-global structure — the
+    classic IVFPQ accuracy win over PQ-on-raw-vectors. All driver-side
+    state is bounded (n_lists centroids, sample-trained codebooks,
+    Q-sized LUTs); determinism as everywhere (hash sample, first-k
+    init, id tiebreaks)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+
+    # coarse quantizer: same deterministic hash-sample rule as ivf_topk
+    cents = (
+        e.withColumn("_h", F.xxhash64("vec_id"))
+        .orderBy("_h").limit(n_lists)
+        .toPandas()
+    )
+    c_mat = np.stack(cents["v"].to_numpy())
+    c_mat = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+
+    # residual codebooks trained driver-side on the bounded hash sample
+    samp = (
+        e.withColumn("_h", F.xxhash64("vec_id"))
+        .orderBy("_h").limit(n_train)
+        .toPandas()
+    )
+    X = np.stack(samp["v"].to_numpy())
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    n, dim = X.shape
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+    res = X - c_mat[np.argmax(X @ c_mat.T, axis=1)]
+    Rs = res.reshape(n, m_sub, dsub)
+    books = []
+    for mi in range(m_sub):
+        pts = Rs[:, mi, :]
+        C = pts[: k_codes].copy()
+        for _ in range(train_iters):
+            d = ((pts[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for j in range(k_codes):
+                mask = assign == j
+                if mask.any():
+                    C[j] = pts[mask].mean(0)
+        books.append(C)
+    codebooks = np.stack(books)                  # (m_sub, k_codes, dsub)
+    cb_sq = (codebooks ** 2).sum(axis=2)
+
+    queries = e.filter(F.col("vec_id") < n_queries).toPandas()
+    q_ids = queries["vec_id"].to_numpy()
+    q_mat = np.stack(queries["v"].to_numpy())
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_cent = q_mat @ c_mat.T                      # (Q, n_lists): q·c_l
+    probes = np.argsort(-q_cent, axis=1)[:, :n_probe]
+    lut = np.einsum(
+        "qmd,mkd->qmk", q_mat.reshape(len(q_ids), m_sub, dsub), codebooks
+    )
+    bc = spark.sparkContext.broadcast(
+        (q_ids, q_cent, probes, lut, c_mat, codebooks, cb_sq)
+    )
+
+    def scan(batches):
+        ids, qc, pr, lt, cm, cb, cbsq = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_ids = pdf["vec_id"].to_numpy()
+            m = np.stack(pdf["v"].to_numpy())
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            lists = np.argmax(mn @ cm.T, axis=1)          # (B,)
+            r = (mn - cm[lists]).reshape(len(n_ids), m_sub, dsub)
+            adc = np.zeros((len(n_ids), len(ids)))
+            for mi in range(m_sub):
+                d = cbsq[mi][None, :] - 2.0 * (r[:, mi, :] @ cb[mi].T)
+                codes = np.argmin(d, axis=1)
+                adc += lt[:, mi, codes].T                 # q·residual̂
+            out = []
+            for qi in range(len(ids)):
+                probe_mask = np.isin(lists, pr[qi]) & (n_ids != ids[qi])
+                if not probe_mask.any():
+                    continue
+                s = adc[probe_mask, qi] + qc[qi, lists[probe_mask]]
+                sub_ids = n_ids[probe_mask]
+                idx = np.lexsort((sub_ids, -s))[:shortlist]
+                out.append(pd.DataFrame({
+                    "query_id": np.full(len(idx), ids[qi]),
+                    "neighbor_id": sub_ids[idx],
+                    "adc": s[idx],
+                }))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    cand = e.mapInPandas(
+        scan, schema="query_id long, neighbor_id long, adc double"
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    short = (
+        cand.withColumn("_r", F.row_number().over(ws))
+        .filter(F.col("_r") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(e, short, q_ids, q_mat, k)
 
 
 def recall_at_k(emb: DataFrame, n_queries: int = N_QUERIES,
@@ -566,6 +694,11 @@ def recall_at_k(emb: DataFrame, n_queries: int = N_QUERIES,
             .select("query_id", "neighbor_id")
             .withColumn("method", F.lit("pq"))
         )
+        .unionByName(
+            ivfpq_topk(emb, n_queries, k)
+            .select("query_id", "neighbor_id")
+            .withColumn("method", F.lit("ivfpq"))
+        )
     )
     n_exact = exact.agg(F.count("*").alias("n_exact"))
     hits = (
@@ -576,9 +709,9 @@ def recall_at_k(emb: DataFrame, n_queries: int = N_QUERIES,
     # literal method rows — a method that returns ZERO candidates must
     # still report recall 0.0, not vanish from the output
     methods = emb.sparkSession.createDataFrame(
-        [("ivf",), ("lsh_bucketed",), ("pq",)], "method string"
+        [("ivf",), ("ivfpq",), ("lsh_bucketed",), ("pq",)], "method string"
     )
-    # 3×1 scalar combine (same cleared shape as returned_vs_global);
+    # 4×1 scalar combine (same cleared shape as returned_vs_global);
     # n_exact=0 (empty corpus) yields a defined 0.0, not null
     return (
         methods.join(hits, "method", "left")
@@ -602,7 +735,9 @@ def recall_at_k(emb: DataFrame, n_queries: int = N_QUERIES,
 # sf0.001/0.01/0.1 — floors sit comfortably below every observed value
 # at every SF while still catching a real recall collapse
 # (plane/centroid/codebook hashing change, candidate-gen bug).
-RECALL_FLOORS = {"ivf": 0.5, "lsh_bucketed": 0.6, "pq": 0.6}
+# ivfpq measured 0.68-0.74 (probe-recall-bounded: it can never beat the
+# IVF stage's list recall, but residual-PQ + re-rank holds most of it).
+RECALL_FLOORS = {"ivf": 0.5, "ivfpq": 0.55, "lsh_bucketed": 0.6, "pq": 0.6}
 
 
 def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -755,6 +890,8 @@ SIMILARITY_ORACLES = {
     # RECALL_FLOORS, so any below-floor recall hash-mismatches here.
     "ann_recall_at_k": """
         SELECT 'ivf' AS method, TRUE AS recall_ok
+        UNION ALL
+        SELECT 'ivfpq' AS method, TRUE AS recall_ok
         UNION ALL
         SELECT 'lsh_bucketed' AS method, TRUE AS recall_ok
         UNION ALL

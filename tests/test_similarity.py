@@ -82,7 +82,7 @@ def test_recall_at_k_values_and_determinism(spark, sf_dir):
           for r in S.recall_at_k(emb).collect()}
     r2 = {r["method"]: r["recall_at_k"]
           for r in S.recall_at_k(emb).collect()}
-    assert set(r1) == {"lsh_bucketed", "ivf", "pq"}
+    assert set(r1) == {"lsh_bucketed", "ivf", "pq", "ivfpq"}
     assert r1 == r2
     for v in r1.values():
         assert 0.0 <= v <= 1.0
@@ -93,3 +93,6 @@ def test_recall_at_k_values_and_determinism(spark, sf_dir):
     # PQ is trained + exact-re-ranked, so it must beat its floor with
     # margin at the test SF
     assert r1["pq"] >= 0.8
+    # IVFPQ is bounded by its probe stage's list recall but must hold
+    # its floor
+    assert r1["ivfpq"] >= 0.55
