@@ -53,6 +53,25 @@ def event_ts_is_nanos(path: str) -> bool:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    def _is_nanos(one: str) -> bool:
+        # Classify by what SPARK will surface, not what pyarrow reads:
+        # only INT64 TIMESTAMP(NANOS) (and raw int64 epochs) arrive as
+        # long under nanosAsLong. Legacy INT96 timestamps read as
+        # timestamp[ns] in pyarrow too, but Spark decodes them as
+        # proper timestamps — grouping them with ns here would both
+        # misclassify the file and falsely flag a µs+INT96 dir as
+        # mixed-unit.
+        t = pq.read_schema(one).field("ts").type
+        if pa.types.is_integer(t):
+            return True
+        if pa.types.is_timestamp(t) and t.unit == "ns":
+            meta_schema = pq.ParquetFile(one).schema
+            for i in range(len(meta_schema)):
+                col = meta_schema.column(i)
+                if col.name == "ts":
+                    return col.physical_type != "INT96"
+        return False
+
     if os.path.isdir(path):
         files = sorted(
             glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
@@ -62,11 +81,24 @@ def event_ts_is_nanos(path: str) -> bool:
             # testdata default); a ns drop into an initially-empty dir
             # is re-probed by callers per run, not cached.
             return False
-        path = files[0]
-    t = pq.read_schema(path).field("ts").type
-    if pa.types.is_timestamp(t):
-        return t.unit == "ns"
-    return pa.types.is_integer(t)
+        # A streaming source gets a FIXED schema from this probe, so a
+        # dir holding both units would silently misread whichever unit
+        # the probe didn't pick. Footer reads are cheap (metadata-only,
+        # driver-side, no row data) — check every file and fail loudly
+        # on a mixed-unit source instead of misreading half of it.
+        units = {f: _is_nanos(f) for f in files}
+        distinct = set(units.values())
+        if len(distinct) > 1:
+            ns = [f for f, v in units.items() if v]
+            us = [f for f, v in units.items() if not v]
+            raise ValueError(
+                "mixed ts storage units in one source dir (a fixed-schema "
+                f"stream cannot read both): ns-unit files e.g. {ns[:3]}, "
+                f"µs-unit files e.g. {us[:3]} — split the source by unit "
+                "or rewrite one side"
+            )
+        return distinct.pop()
+    return _is_nanos(path)
 
 
 def normalize_event_ts(df: DataFrame, instant: bool = False) -> DataFrame:

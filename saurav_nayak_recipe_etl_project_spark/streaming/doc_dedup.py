@@ -45,6 +45,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from saurav_nayak_recipe_etl_project_spark.streaming import await_or_raise
+
 from saurav_nayak_recipe_etl_project_spark.operators.dedup import (
     minhash_signatures,
 )
@@ -117,9 +119,18 @@ def _read_state(spark: SparkSession, state_path: str):
         return spark.createDataFrame(
             [], "band_id int, band_hash long, batch_id long, bucket int"
         ), fs
-    return (
-        spark.read.option("basePath", state_path).parquet(state_path)
-    ), fs
+    state = spark.read.option("basePath", state_path).parquet(state_path)
+    if "bucket" not in state.columns:
+        # Pre-bucket-layout state dir (no bucket= subdirs): bucket is a
+        # pure function of band_hash, so backfill it in the view. Reads
+        # of legacy partitions lose directory pruning (correctness
+        # unchanged); new batches still write the partitioned layout,
+        # so the state migrates forward as legacy batches expire.
+        state = state.withColumn(
+            "bucket",
+            F.pmod(F.col("band_hash"), F.lit(N_STATE_BUCKETS)).cast("int"),
+        )
+    return state, fs
 
 
 def _retained_seen(spark: SparkSession, state_path: str, batch_id: int,
@@ -224,12 +235,11 @@ def run_doc_dedup_stream(spark: SparkSession, source_dir: str,
         _process_batch(spark, batch_df, batch_id, state_path, out_path,
                        retention_batches)
 
-    (
+    await_or_raise(
         docs.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
-        .awaitTermination(120)
     )
 
 

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from saurav_nayak_recipe_etl_project_spark.streaming import await_or_raise
+
 from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
 
 WINDOW = "1 day"
@@ -82,14 +84,13 @@ def run_windowed_stream(spark: SparkSession, source_dir: str,
     everything currently available, exactly once."""
     events = read_event_stream(spark, source_dir)
     agg = _windowed(events.withWatermark("ts", WATERMARK))
-    (
+    await_or_raise(
         agg.writeStream.outputMode("complete")
         .format("memory")
         .queryName(query_name)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
-        .awaitTermination(120)
     )
 
 
@@ -106,14 +107,13 @@ def run_windowed_stream_append(spark: SparkSession, source_dir: str,
     memory sink cannot resume an append query across restarts)."""
     events = read_event_stream(spark, source_dir)
     agg = _windowed(events.withWatermark("ts", WATERMARK))
-    (
+    await_or_raise(
         agg.writeStream.outputMode("append")
         .format("parquet")
         .option("path", out_path)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
-        .awaitTermination(120)
     )
 
 
@@ -150,14 +150,13 @@ def run_topk_stream(spark: SparkSession, source_dir: str,
         .orderBy(F.desc("n_events"), F.asc("user_id"))
         .limit(k)
     )
-    (
+    await_or_raise(
         agg.writeStream.outputMode("complete")
         .format("memory")
         .queryName(query_name)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
-        .awaitTermination(120)
     )
 
 
@@ -171,14 +170,13 @@ def run_dedup_stream(spark: SparkSession, source_dir: str,
     deduped = events.withWatermark("ts", "30 days").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    (
+    await_or_raise(
         deduped.writeStream.outputMode("append")
         .format("memory")
         .queryName(query_name)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
-        .awaitTermination(120)
     )
 
 

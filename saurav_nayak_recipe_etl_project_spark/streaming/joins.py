@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from saurav_nayak_recipe_etl_project_spark.streaming import await_or_raise
+
 from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
 
 ATTRIBUTION_WINDOW = "1 hour"
@@ -63,14 +65,13 @@ def run_attribution_stream(spark: SparkSession, source_dir: str,
         views.withWatermark("v_ts", "2 hours"),
         purchases.withWatermark("p_ts", "2 hours"),
     )
-    (
+    await_or_raise(
         out.writeStream.outputMode("append")
         .format("memory")
         .queryName(query_name)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
-        .awaitTermination(120)
     )
 
 

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from saurav_nayak_recipe_etl_project_spark.streaming import await_or_raise
 from pyspark.sql.window import Window
 
 
@@ -51,10 +53,9 @@ def run_upsert_stream(spark: SparkSession, source_dir: str,
         # materialize before overwriting the path we just read
         merged.localCheckpoint().write.mode("overwrite").parquet(state_path)
 
-    (
+    await_or_raise(
         events.writeStream.foreachBatch(merge)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
-        .awaitTermination(120)
     )
