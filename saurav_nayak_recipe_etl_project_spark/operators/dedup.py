@@ -286,19 +286,30 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- F4 SimHash -------------------------------------------------------------
 
-def simhash(docs: DataFrame, bits: int = 64, text_col: str = "text",
-            id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash: token-frequency-weighted sign sum per bit.
+SIMHASH_BITS = 60  # 15 md5 hex chars — fits BIGINT in both engines
 
-    Explode → groupBy(doc) with 64 codegen'd conditional sums; packing
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """60-bit SimHash: token-frequency-weighted sign sum per bit.
+
+    Explode → groupBy(doc) with 60 codegen'd conditional sums; packing
     is a plain bit-shift sum. One shuffle on doc_id, map-side combined.
+
+    The per-token hash is the first 15 hex chars of md5(token) parsed
+    as an integer — PORTABLE: md5 is bit-identical in every engine, so
+    a SQL oracle reproduces the exact codes (DuckDB:
+    ('0x'||substr(md5(token),1,15))::BIGINT), unlike xxhash64 whose
+    seed/variant is Spark-private. 60 bits keeps the value positive
+    and inside BIGINT on both sides; hamming resolution at 60 vs 64
+    bits is equivalent for near-dup work.
     """
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("token"),
     )
     weighted = tok.groupBy("doc_id", "token").agg(F.count("*").alias("w"))
-    h = F.xxhash64("token")
+    h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, j).bitwiseAND(1) == 1, F.col("w"))
@@ -309,8 +320,9 @@ def simhash(docs: DataFrame, bits: int = 64, text_col: str = "text",
     agg = weighted.groupBy("doc_id").agg(*bit_sums)
     packed = None
     for j in range(bits):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long") * (1 << j) if j < 63
-                      else F.lit(-(1 << 63)).cast("long")).otherwise(0)
+        assert j < 63, "simhash packing requires bits <= 62 (positive long)"
+        term = F.when(F.col(f"b{j}") > 0,
+                      F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
         packed = term if packed is None else packed + term
     return agg.select("doc_id", packed.alias("simhash"))
 
@@ -636,12 +648,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signature + banded LSH candidate pairs with estimated Jaccard."""
-    return minhash_lsh_pairs(load_table(spark, "documents", sf_dir))
+    """MinHash-LSH banding recall, hash-verifiable (containment
+    oracle): every EXACT tau=0.5 Jaccard pair (computed un-pruned, the
+    dedup_lsh_verified oracle set) is checked for membership in the
+    MinHash band-candidate set. `lsh_covered` must be TRUE on every
+    row for the constant-true oracle to hash-match, so a banding
+    recall miss (signature bug, band split change, hash drift) goes
+    RED at the driver. Raw candidate pairs with estimated Jaccard:
+    minhash_lsh_pairs() (planted-dup behavior pinned in
+    tests/test_dedup.py)."""
+    docs = load_table(spark, "documents", sf_dir)
+    exact = ngram_jaccard_pairs(docs, tau=0.5, max_df_pct=None)
+    cand = minhash_lsh_pairs(docs, tau=0.0).select("doc_a", "doc_b")
+    return (
+        exact.join(cand.withColumn("_c", F.lit(True)), ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a", "doc_b", "jaccard",
+            F.coalesce(F.col("_c"), F.lit(False)).alias("lsh_covered"),
+        )
+    )
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (frequency-weighted token hash)."""
+    """60-bit SimHash per document (frequency-weighted token hash),
+    md5-derived and therefore bit-exactly reproduced by the SQL
+    oracle — the codes themselves are hash-verified, not just bounds."""
     return simhash(load_table(spark, "documents", sf_dir))
 
 
@@ -684,6 +715,18 @@ _SHINGLES = """
                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
     ELSE [] END
 """
+
+# Generated fragments for the portable simhash oracle: one conditional
+# sum per bit, then a CASE-sum pack — the same 60 expressions the Spark
+# side aggregates, so the codes agree bit-for-bit.
+_SIMHASH_BIT_SUMS = ",\n            ".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN w ELSE -w END) AS b{j}"
+    for j in range(SIMHASH_BITS)
+)
+_SIMHASH_PACK = "\n            + ".join(
+    f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(SIMHASH_BITS)
+)
 
 DEDUP_ORACLES = {
     "dedup_exact": """
@@ -774,10 +817,63 @@ DEDUP_ORACLES = {
         FROM inter JOIN na USING (a_id) JOIN nb USING (b_id)
         WHERE inter / (n_a + n_b - inter) >= 0.5
     """,
-    # dedup_minhash_lsh / dedup_simhash / dedup_embedding (LSH-bucketed):
-    # xxhash64-based → no portable SQL oracle; the driver records rows-only
-    # checks and tests/test_dedup.py proves detection behavior on planted
-    # duplicates (+ recall vs the exact form below).
+    # dedup_minhash_lsh: containment oracle — the Spark side emits the
+    # EXACT un-pruned tau=0.5 pair set (identical to the
+    # dedup_lsh_verified oracle) plus lsh_covered = membership in the
+    # MinHash band-candidate set; the oracle re-derives the exact pairs
+    # and asserts TRUE coverage, so the hash matches iff banding recall
+    # on the exact pair set is 100%.
+    "dedup_minhash_lsh": f"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM t
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard,
+               TRUE AS lsh_covered
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    """,
+    # dedup_simhash: the per-token hash is md5-derived (bit-identical
+    # across engines), so the oracle recomputes the exact 60-bit codes.
+    "dedup_simhash": f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+          FROM documents
+        ),
+        w AS (
+          SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS w
+          FROM tok GROUP BY doc_id, token
+        ),
+        h AS (
+          SELECT doc_id, w,
+                 ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+          FROM w
+        ),
+        bits AS (
+          SELECT doc_id,
+            {_SIMHASH_BIT_SUMS}
+          FROM h GROUP BY doc_id
+        )
+        SELECT doc_id,
+          CAST({_SIMHASH_PACK} AS BIGINT) AS simhash
+        FROM bits
+    """,
+    # dedup_embedding (LSH-bucketed): xxhash64-derived buckets → no
+    # portable SQL oracle; rows-only + recall tests vs the exact form.
     # dedup_clusters: min-id connected components over the verified pair
     # set. Portable because the edge set equals the EXACT tau=0.5 pair
     # set (see dedup_lsh_verified), and components-with-min-label is a

@@ -101,10 +101,37 @@ def lsh_band_dedup(docs: DataFrame) -> DataFrame:
 
 
 def dedup_stream_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch twin of the streaming MinHash-band dedup (rows-only:
-    xxhash64 band keys have no portable SQL oracle; twin-agreement and
-    planted-near-dup behavior are pinned in tests/test_doc_dedup.py)."""
-    return lsh_band_dedup(load_table(spark, "documents", sf_dir))
+    """Stream-vs-batch equality gate, hash-verifiable (batch-twin
+    oracle): replays the corpus through the streaming micro-batch
+    processor (_process_batch) as two doc_id-ordered batches with real
+    state dirs, then emits per-doc `agree` = (streamed kept-status ==
+    single-pass batch twin). The oracle asserts TRUE for every doc_id,
+    so any cross-batch state bug (membership miss, replay
+    non-idempotency, bucket-prune error) goes RED at the driver.
+    Equality holds because state records EVERY band key of a batch
+    (kept or dropped), so "key in state" ⟺ "shares a bucket with a
+    smaller doc_id" under an ordered split. Raw kept/dropped output:
+    lsh_band_dedup() (replay + planted-dup behavior pinned in
+    tests/test_doc_dedup.py)."""
+    import tempfile
+
+    docs = load_table(spark, "documents", sf_dir)
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    mid = (lo + hi) // 2 if lo is not None else 0
+    tmp = tempfile.mkdtemp(prefix="stream_lsh_replay_")
+    state, out = f"{tmp}/state", f"{tmp}/out"
+    _process_batch(spark, docs.filter(F.col("doc_id") <= mid), 0, state, out)
+    _process_batch(spark, docs.filter(F.col("doc_id") > mid), 1, state, out)
+    streamed = (
+        spark.read.parquet(out)
+        .select("doc_id").withColumn("_skept", F.lit(True))
+    )
+    batch = lsh_band_dedup(docs)
+    return batch.join(streamed, "doc_id", "left").select(
+        "doc_id",
+        (F.col("kept") == F.coalesce(F.col("_skept"), F.lit(False)))
+        .alias("agree"),
+    )
 
 
 def _read_state(spark: SparkSession, state_path: str):
@@ -244,4 +271,9 @@ def run_doc_dedup_stream(spark: SparkSession, source_dir: str,
 
 
 STREAM_DOC_DEDUP_QUERIES = {"dedup_stream_lsh_batch": dedup_stream_lsh_batch}
-STREAM_DOC_DEDUP_ORACLES: dict[str, str] = {}
+# Batch-twin equality oracle: the Spark side computes agreement between
+# the micro-batch replay and the single-pass twin; the oracle pins it
+# TRUE for every document.
+STREAM_DOC_DEDUP_ORACLES: dict[str, str] = {
+    "dedup_stream_lsh_batch": "SELECT doc_id, TRUE AS agree FROM documents",
+}

@@ -155,12 +155,19 @@ def test_retention_forgets_old_band_keys(spark, tmp_path):
 
 
 def test_batch_twin_on_corpus(spark, sf_dir):
-    out = D.dedup_stream_lsh_batch(spark, sf_dir)
-    rows = out.collect()
-    n_docs = len(rows)
-    n_kept = sum(r["kept"] for r in rows)
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+
+    kept_rows = D.lsh_band_dedup(load_table(spark, "documents", sf_dir)).collect()
+    n_docs = len(kept_rows)
+    n_kept = sum(r["kept"] for r in kept_rows)
     # the corpus has planted dups, so some docs drop — but most survive
     assert 0 < n_kept < n_docs
+
+    # registry entry: micro-batch replay must agree with the twin on
+    # EVERY doc (the driver's batch-twin equality oracle)
+    out = D.dedup_stream_lsh_batch(spark, sf_dir).collect()
+    assert len(out) == n_docs
+    assert all(r["agree"] for r in out)
 
 
 def test_state_read_prunes_to_touched_buckets(spark, tmp_path):
