@@ -676,15 +676,46 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load_table(spark, "documents", sf_dir))
 
 
+# Bucketed embedding-dedup quality floors for the bounds oracle:
+# measured recall 0.69-0.71 across sf0.001/0.01/0.1 (hyperplane
+# buckets at tau=0.3 — LOW-similarity pairs hash apart often; at the
+# production dedup threshold (tau>=0.8) the same buckets catch nearly
+# everything). Precision is 1.0 by construction (exact cosine inside
+# buckets) and asserted exactly, not floored.
+EMBED_DEDUP_RECALL_FLOOR = 0.6
+
+
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs — THE DEFAULT IS THE SCALE PATH:
-    hyperplane-LSH buckets, exact cosine only within a bucket
-    (sub-quadratic pair generation; recall vs the exact form is
-    pinned in tests). Rows-only for the driver: bucket membership
-    depends on xxhash64 planes with no portable SQL oracle. For the
-    exactness oracle use `dedup_embedding_exact` — the same split as
-    dedup_lsh_verified (scale) vs dedup_ngram_jaccard (oracle)."""
-    return embedding_dup_pairs_bucketed(load_table(spark, "embeddings", sf_dir))
+    """Bucketed embedding-dedup quality gate, hash-verifiable (bounds
+    oracle): one row (n_exact_pairs, recall_ok, precision_ok)
+    comparing the LSH-bucketed pair set against the exact
+    cosine-threshold pair set. n_exact_pairs is value-verified against
+    the oracle's own exact-pair count; recall_ok floors bucketed
+    recall at EMBED_DEDUP_RECALL_FLOOR; precision_ok asserts ZERO
+    bucketed pairs outside the exact set (exact cosine inside buckets
+    guarantees it — a violation means the bucket-local scoring broke).
+    Raw production pairs: embedding_dup_pairs_bucketed() (the scale
+    path); raw exact pairs: `dedup_embedding_exact`."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    exact = embedding_dup_pairs(emb).select(
+        "id_a", "id_b").withColumn("_e", F.lit(1))
+    buck = embedding_dup_pairs_bucketed(emb).select(
+        "id_a", "id_b").withColumn("_b", F.lit(1))
+    both = exact.join(buck, ["id_a", "id_b"], "full")
+    n_exact = F.sum(F.coalesce(F.col("_e"), F.lit(0)))
+    n_hit = F.sum(
+        F.when(F.col("_e").isNotNull() & F.col("_b").isNotNull(), 1)
+        .otherwise(0)
+    )
+    n_false = F.sum(
+        F.when(F.col("_e").isNull() & F.col("_b").isNotNull(), 1).otherwise(0)
+    )
+    return both.agg(
+        n_exact.cast("long").alias("n_exact_pairs"),
+        (n_hit >= F.lit(EMBED_DEDUP_RECALL_FLOOR) * n_exact)
+        .alias("recall_ok"),
+        (n_false == 0).alias("precision_ok"),
+    )
 
 
 def dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -872,8 +903,20 @@ DEDUP_ORACLES = {
           CAST({_SIMHASH_PACK} AS BIGINT) AS simhash
         FROM bits
     """,
-    # dedup_embedding (LSH-bucketed): xxhash64-derived buckets → no
-    # portable SQL oracle; rows-only + recall tests vs the exact form.
+    # dedup_embedding: bounds oracle — the exact-pair count is
+    # value-verified (same pair SQL as dedup_embedding_exact) and the
+    # bucketed path's recall/precision booleans are pinned TRUE.
+    "dedup_embedding": """
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+               TRUE AS recall_ok, TRUE AS precision_ok
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+              >= 0.3
+    """,
     # dedup_clusters: min-id connected components over the verified pair
     # set. Portable because the edge set equals the EXACT tau=0.5 pair
     # set (see dedup_lsh_verified), and components-with-min-label is a

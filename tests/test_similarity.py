@@ -39,22 +39,22 @@ def test_ivf_recall_on_clustered_vectors(spark):
         exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     approx = {}
     for r in S.ivf_topk(_emb(spark), n_queries=2, k=3, n_lists=4,
-                        n_probe=2).collect():
+                        scan_frac=0.5).collect():
         approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    # probing half the lists on a 2-cluster corpus must recover most
-    # of the exact top-k
+    # a half-corpus probe budget on a 2-cluster corpus must recover
+    # most of the exact top-k
     for q, want in exact.items():
         got = approx.get(q, set())
         assert len(got & want) >= 2, (q, got, want)
 
 
-def test_ivf_kmeans_refinement_improves_or_matches(spark):
+def test_ivf_longer_training_improves_or_matches(spark):
     exact = {}
     for r in S.cosine_topk(_emb(spark), n_queries=2, k=3).collect():
         exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     refined = {}
     for r in S.ivf_topk(_emb(spark), n_queries=2, k=3, n_lists=4,
-                        n_probe=2, kmeans_iters=2).collect():
+                        scan_frac=0.5, train_iters=14).collect():
         refined.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     for q, want in exact.items():
         assert len(refined.get(q, set()) & want) >= 2
