@@ -62,14 +62,102 @@ def prepare_multifile(spark, sf_dir: str, n_files: int = 8) -> str:
         f.write(sf_dir)
     return dest
 
+# Key columns to offset per 10x copy so referential integrity holds
+# across copies (orders of copy i join customers of copy i, etc.).
+# nation/region stay single-copy: shared dims, realistically fixed.
+_10X_KEY_COLS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+_10X_OFFSET = 100_000_000
+
+# Verification HARNESSES excluded from the 10x block, with reasons —
+# recorded in the JSON so the cap is never silent. Both contain the
+# deliberately-superlinear exact n-gram pair join kept as the
+# exactness oracle; their production twins (dedup_lsh_verified,
+# minhash_lsh_pairs via dedup_stream_lsh_batch) ARE in the 10x list.
+_10X_EXCLUDED = {
+    "dedup_ngram_jaccard":
+        "superlinear-by-design exactness oracle (NOTES.md: 3.9->50.3s "
+        "at 10x); production twin dedup_lsh_verified is measured",
+    "dedup_minhash_lsh":
+        "containment harness embedding the same un-pruned exact pair "
+        "join; production banding path measured via "
+        "dedup_lsh_verified / dedup_stream_lsh_batch",
+}
+
+
+def prepare_10x(spark, sf_dir: str, n_copies: int = 10) -> str:
+    """Key-offset duplication of the corpus (the NOTES.md 10x harness,
+    now built into the bench): each table becomes n_copies unions with
+    all join keys shifted by copy_i * _10X_OFFSET, so every join/agg
+    sees n_copies-x rows with intact referential integrity. Cached
+    under /tmp by source tag; build cost is paid once, outside the
+    timed region."""
+    import pyspark.sql.functions as F
+
+    sizes = sorted(
+        (os.path.basename(p), os.path.getsize(p), int(os.path.getmtime(p)))
+        for p in glob.glob(os.path.join(sf_dir, "*.parquet"))
+    )
+    tag = hashlib.md5(f"10x|{sf_dir}|{sizes}|{n_copies}".encode()).hexdigest()[:10]
+    dest = f"/tmp/spark_graft_bench10x_{tag}"
+    ready = os.path.join(dest, "_READY")
+    if (os.path.exists(ready)
+            and os.environ.get("SPARK_GRAFT_BENCH_REBUILD", "0") != "1"):
+        return dest
+    os.makedirs(dest, exist_ok=True)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for path in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        name = os.path.basename(path)[: -len(".parquet")]
+        df = spark.read.parquet(path)
+        keys = _10X_KEY_COLS.get(name)
+        if keys:
+            copies = []
+            for i in range(n_copies):
+                c = df
+                for kcol in keys:
+                    c = c.withColumn(
+                        kcol, F.col(kcol) + F.lit(i * _10X_OFFSET)
+                    )
+                copies.append(c)
+            out = copies[0]
+            for c in copies[1:]:
+                out = out.unionByName(c)
+        else:
+            out = df
+        parts = (8 * (n_copies if keys else 1)
+                 if name in _FAN_OUT_TABLES else 1)
+        out.repartition(parts).write.mode("overwrite").parquet(
+            os.path.join(dest, f"{name}.parquet")
+        )
+    with open(ready, "w") as f:
+        f.write(sf_dir)
+    return dest
+
+
 # Round-3 widening: the scale-path dedups (dedup_lsh_verified,
 # LSH-bucketed dedup_embedding, dedup_stream_lsh_batch), the char-ngram
 # langid, and three TPC-H join shapes the old list didn't exercise
 # (q8 8-way broadcast snowflake, q13 left-join two-phase agg, q21
 # semi-join + per-order aggregate).  The 20 round-2 names are all kept
-# (dedup_embedding now measures the bucketed default — the exact path
-# is a verification oracle, not a headline) so per-query deltas stay
-# apples-to-apples; methodology: N=5 iterations, min + median reported.
+# so per-query deltas stay apples-to-apples; methodology: N=5
+# iterations, min + median reported.
+#
+# ROUND-6 COMPARABILITY NOTE: dedup_minhash_lsh, dedup_embedding, and
+# dedup_stream_lsh_batch changed SEMANTICS in round 6 (they are now
+# hash-verified gates: containment / bounds-summary / replay-equality
+# — each strictly heavier than the raw r5 operator it verifies), and
+# ann_recall_at_k trains a 2x larger sample with OPQ. Their r6-vs-r5
+# deltas measure the semantics change, not a plan regression; the
+# unchanged production paths are still benched via dedup_lsh_verified,
+# dedup_exact, and ann_cosine_topk.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -171,25 +259,64 @@ def main() -> None:
         total += best
         print(f"# {name}: min {best:.3f}s median {med:.3f}s", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "conditions": {
-                    "iters": n_iter,
-                    "stat": "min (queries) + median (queries_median)",
-                    "master": spark.sparkContext.master,
-                    "cpus": os.cpu_count(),
-                    "load_avg_start": round(os.getloadavg()[0], 2),
-                },
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "queries_median": medians,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "conditions": {
+            "iters": n_iter,
+            "stat": "min (queries) + median (queries_median)",
+            "master": spark.sparkContext.master,
+            "cpus": os.cpu_count(),
+            "load_avg_start": round(os.getloadavg()[0], 2),
+        },
+    }
+
+    # 10x scaling block (default on at the driver's sf0.1 run): the
+    # headline list minus the labeled superlinear verification
+    # harnesses, on the key-offset 10x corpus — so scaling regressions
+    # of the dedup_ngram_jaccard class surface in the per-round BENCH
+    # artifact, not only in NOTES.md. Fewer iterations (default 2):
+    # the point is the sf-to-10x RATIO per query, not microbenchmark
+    # precision.
+    run_10x = os.environ.get("SPARK_GRAFT_BENCH_10X",
+                             "1" if sf == "0.1" else "0") != "0"
+    if run_10x:
+        orig_sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR",
+                                     "/root/testdata/sf0.1")
+        big_dir = prepare_10x(spark, orig_sf_dir)
+        n_iter_10x = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS_10X", "2"))
+        t_10x: dict[str, float] = {}
+        total_10x = 0.0
+        for name in HEADLINE:
+            fn = QUERIES.get(name)
+            if fn is None or name in _10X_EXCLUDED:
+                continue
+            runs = []
+            for _ in range(n_iter_10x):
+                t0 = time.perf_counter()
+                fn(spark, big_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            best = min(runs)
+            t_10x[name] = round(best, 3)
+            total_10x += best
+            base = timings.get(name)
+            ratio = f" ({best / base:.1f}x vs sf)" if base else ""
+            print(f"# 10x {name}: min {best:.3f}s{ratio}", file=sys.stderr)
+        result["queries_10x"] = t_10x
+        result["value_10x"] = round(total_10x, 3)
+        result["conditions_10x"] = {
+            "n_copies": 10,
+            "iters": n_iter_10x,
+            "stat": "min",
+            "excluded": _10X_EXCLUDED,
+            "load_avg_start": round(os.getloadavg()[0], 2),
+        }
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -41,13 +41,14 @@ MIX_BUDGET = 200     # total docs the rebalanced mix keeps
 WEIGHT_SCALE = 1_000_000  # integer weight scale: round(sqrt(n) * 1e6)
 
 
-def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F25 — token-budget sequence packing (concat-then-chunk): per
-    (lang, shard), documents are laid end-to-end in doc_id order and
-    the token stream is cut every SEQ_BUDGET tokens; each doc reports
-    the sequence where it starts and its offset within it. One bounded
-    window per shard; no Python in the row path."""
-    docs = load_table(spark, "documents", sf_dir)
+def pack_sequences_df(docs: DataFrame) -> DataFrame:
+    """Core of F25 (see pack_sequences): per (lang, shard), documents
+    are laid end-to-end in doc_id order and the token stream is cut
+    every SEQ_BUDGET tokens; each doc reports the sequence where it
+    starts and its offset within it. The window partition key includes
+    shard = doc_id div SHARD_SIZE, so NO partition ever exceeds
+    SHARD_SIZE docs — a 99%-one-lang corpus still splits into bounded
+    window tasks (pinned in tests/test_packing.py skew test)."""
     w = Window.partitionBy("lang", "shard").orderBy("doc_id")
     return (
         docs.select(
@@ -74,16 +75,24 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def rebalance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F26 — temperature-scaled source mixing (alpha = 0.5): per-source
-    quotas ∝ √n_source (normalized to MIX_BUDGET docs, integer floor
-    arithmetic end-to-end), filled by md5 content rank so the kept set
-    is deterministic and stable under repartitioning. Head sources are
-    capped, tail sources keep proportionally more — the standard
-    multilingual/domain rebalancing rule. The quota table is one row
-    per source (broadcast); the only full-data pass is the rank
-    window, partitioned by source."""
-    docs = load_table(spark, "documents", sf_dir)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F25 — token-budget sequence packing (concat-then-chunk): one
+    bounded window per shard; no Python in the row path."""
+    return pack_sequences_df(load_table(spark, "documents", sf_dir))
+
+
+def rebalance_sources_df(docs: DataFrame,
+                         budget: int = MIX_BUDGET) -> DataFrame:
+    """Core of F26 (see rebalance_sources): per-source quotas ∝
+    √n_source (normalized to `budget` docs, integer floor arithmetic
+    end-to-end), filled by md5 content rank so the kept set is
+    deterministic and stable under repartitioning. Head sources are
+    capped, tail sources keep proportionally more, and every source
+    keeps AT LEAST one doc (the greatest(1, ·) floor — a single-doc
+    tail source is never silently dropped; pinned in
+    tests/test_packing.py skew test). The quota table is one row per
+    source (broadcast); the only full-data pass is the rank window,
+    partitioned by source."""
     counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
     weights = counts.select(
         "source",
@@ -99,7 +108,7 @@ def rebalance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_docs"),
                 F.greatest(
                     F.lit(1).cast("long"),
-                    F.expr(f"(w * {MIX_BUDGET}) div sum_w"),
+                    F.expr(f"(w * {budget}) div sum_w"),
                 ),
             ).alias("quota"),
         )
@@ -113,6 +122,12 @@ def rebalance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("quota"))
         .select("doc_id", "source", "rn", "quota")
     )
+
+
+def rebalance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F26 — temperature-scaled source mixing (alpha = 0.5) over the
+    documents table; see rebalance_sources_df."""
+    return rebalance_sources_df(load_table(spark, "documents", sf_dir))
 
 
 PACKING_QUERIES = {

@@ -60,77 +60,78 @@ def _load_optional() -> None:
 _load_optional()
 
 
-# The driver oracles only the FIRST 50 registry entries per round.  The
-# r1-r4 union covers all 107 queries; round 5 front-loads the three
-# entries whose semantics/oracles changed this round (fixed-size kNN
-# sample, the recall-bounds harness, the newly-oracled LSH-verified
-# dedup), then the broad repeats.
+# The driver oracles only the FIRST 50 registry entries per round.
+# ROTATION POLICY (round 6 onward): each round's 50-entry window is
+#   (1) every entry whose semantics, oracle, or load-bearing internals
+#       changed this round (front-loaded — fresh external rows for
+#       every change), then
+#   (2) the STALEST entries first — ordered by the round each was last
+#       externally verified in (computed from the CORRECTNESS_r*.json
+#       union) — until the window is full.
+# With ~110 entries and a 50-entry window, stalest-first guarantees
+# every entry is re-verified at least every 3 rounds even with ~10
+# changed entries front-loaded per round. Round-6 window: 7 changed
+# entries + all 27 last-verified-in-r1 entries + the 16 alphabetically
+# first of the 30 last-verified-in-r2 entries; the remaining 14 r2
+# entries + 3 r4 entries lead round 7's fill.
 _DRIVER_PRIORITY = [
-    # -- new in round 5 --
-    "pack_sequences",
-    "rebalance_sources",
-    "orders_grouping_sets",
-    # -- changed in round 5: need fresh driver rows --
-    "ann_knn_label_accuracy",
-    "ann_recall_at_k",
-    "dedup_lsh_verified",
-    "dedup_clusters",
-    # -- round-2 snapshot-commit TPC-H tail --
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_revenue",
-    "q21_returned_alone_suppliers",
-    "q22_idle_customers",
-    # -- embedding dedup: bucketed scale path is now the default
-    #    (rows-only) with the exact form as its oracle twin --
-    "dedup_embedding",
-    "dedup_embedding_exact",
-    # -- new in round 3 --
-    "q12_priority_by_linestatus",
-    "q16_supplier_part_counts",
-    "cohort_retention",
-    "event_transitions",
-    "gapfill_daily_revenue",
-    "snapshot_diff",
-    "cdc_apply",
-    "stratified_sample",
-    "approx_distinct_bounds",
-    "skew_diagnostics",
-    "range_join_windows",
-    "quality_filter_pipeline",
-    "ann_nearest_centroid",
-    "topk_parts_per_brand",
-    "weekly_active_breakdown",
-    # -- semantics changed in round 3: needs fresh external rows --
-    "dedup_ngram_jaccard",
-    "price_quantiles_approx",
-    # -- rows-only ANN/sketch tail last verified in round 1 --
-    "ann_lsh_bucketed",
-    "ann_ivf_topk",
+    # -- changed in round 6: new/changed oracles (minhash containment,
+    #    portable simhash, stream replay-equality, per-query ANN
+    #    bounds, embedding-dedup bounds) and the retuned recall
+    #    harness (trained IVF, OPQ, raised floors) --
     "dedup_minhash_lsh",
     "dedup_simhash",
-    # -- streaming batch twins: the round-5 unit fix touched their
-    #    shared reader, so they need fresh driver rows this round --
-    "stream_events_window",
-    "sessionize_events",
     "dedup_stream_lsh_batch",
-    # -- load-bearing repeats (stable green rows; trimmed so the
-    #    round-5 additions fit the driver's 50-entry window) --
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "validation_report",
-    "dedup_exact",
-    "dedup_contamination",
-    "documents_deduped",
-    "ann_cosine_topk",
-    "text_token_count",
-    "text_quality",
-    "text_langid_ngram",
+    "ann_lsh_bucketed",
+    "ann_ivf_topk",
+    "dedup_embedding",
+    "ann_recall_at_k",
+    # -- stalest: last externally verified in round 1 (all 27) --
+    "avg_lineitems_per_order",
+    "avg_order_value",
+    "customers_without_urgent_orders",
+    "events_json_extract",
+    "monthly_revenue",
+    "nest_unnest_roundtrip",
+    "normalize_explode_structs",
+    "normalize_posexplode",
+    "order_most_lineitems",
+    "orders_by_segment",
+    "part_revenue_rank",
+    "parts_in_urgent_orders",
+    "priority_distribution",
+    "q4_priority_with_big_items",
+    "q7_volume_shipping",
+    "returned_vs_global",
+    "schema_map_orders",
+    "text_repetition",
+    "top_customers",
+    "top_open_order_part",
+    "top_parts",
+    "validate_customer",
+    "validate_events",
+    "validate_lineitem",
+    "validate_orders",
+    "validate_part",
+    "validate_supplier",
+    # -- next-stalest: last verified in round 2 (first 16 of 30;
+    #    the other 14 lead round 7's fill) --
+    "asof_latest_order",
+    "customer_part_baskets",
+    "docs_by_source",
+    "event_anomalies",
+    "event_value_quartiles",
+    "lineitem_stats",
+    "monthly_revenue_growth",
+    "multimodal_byte_histogram",
+    "multimodal_frames",
+    "multimodal_meta",
+    "orders_status_pivot",
+    "part_degree_distribution",
+    "parts_bought_together",
+    "price_histogram",
+    "price_quantiles",
+    "q10_returned_items",
 ]
 
 

@@ -80,6 +80,60 @@ def test_rebalance_flattens_skewed_sources(spark):
     assert quotas["small"] <= 10          # never above its own count
 
 
+def test_pack_sequences_shard_bound_under_extreme_lang_skew(spark):
+    """Adversarial skew: one lang holds 99% of the corpus. The window
+    partition key includes shard = doc_id div SHARD_SIZE, so no window
+    task may ever see more than SHARD_SIZE docs — the property that
+    keeps the prefix-sum parallel at 100 TB even on a one-language
+    corpus."""
+    n = 1000
+    rows = [(i, "en" if i < 990 else "fr", "web",
+             f"tok{i} " * (1 + i % 7)) for i in range(n)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    out = P.pack_sequences_df(docs)
+    per_part = out.groupBy("lang", "shard").count().collect()
+    assert max(r["count"] for r in per_part) <= P.SHARD_SIZE
+    # the dominant lang still spreads over many shards (parallelism)
+    en_shards = {r["shard"] for r in per_part if r["lang"] == "en"}
+    assert len(en_shards) >= n * 0.99 // P.SHARD_SIZE
+    # and chunk accounting stays exact inside every skewed partition
+    by_key = {}
+    for r in out.collect():
+        by_key.setdefault((r["lang"], r["shard"]), []).append(r)
+    for key_rows in by_key.values():
+        key_rows.sort(key=lambda r: r["doc_id"])
+        running = 0
+        for r in key_rows:
+            assert r["seq_id"] == running // P.SEQ_BUDGET
+            assert r["seq_offset"] == running % P.SEQ_BUDGET
+            running += r["n_tokens"]
+
+
+def test_rebalance_single_doc_tail_source_never_dropped(spark):
+    """Adversarial skew: a 10_000-doc head source next to a ONE-doc
+    tail source. The greatest(1, ·) quota floor must keep the tail
+    doc (its proportional quota rounds to 0), and the head source
+    must absorb the cap."""
+    rows = [(i, "en", "head", f"doc {i} words here") for i in range(10_000)]
+    rows.append((10_000, "en", "tail", "the only tail doc"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    out = P.rebalance_sources_df(docs, budget=50).collect()
+    by_source = {}
+    for r in out:
+        by_source.setdefault(r["source"], []).append(r)
+    # floor: the single tail doc survives with quota >= 1
+    assert len(by_source.get("tail", [])) == 1
+    assert by_source["tail"][0]["quota"] >= 1
+    assert by_source["tail"][0]["doc_id"] == 10_000
+    # head capped at its quota, near (but never above) the budget
+    assert len(by_source["head"]) == by_source["head"][0]["quota"]
+    assert len(out) <= 50 + 1  # budget + at most the floored tail doc
+
+
 def test_packing_oracles_match(spark, sf_dir):
     from tests.oracle import assert_matches_oracle
 
