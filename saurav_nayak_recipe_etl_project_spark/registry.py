@@ -42,6 +42,7 @@ def _load_optional() -> None:
         ("saurav_nayak_recipe_etl_project_spark.operators.rangejoin", "RANGEJOIN_QUERIES", "RANGEJOIN_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.operators.topk", "TOPK_QUERIES", "TOPK_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.operators.packing", "PACKING_QUERIES", "PACKING_ORACLES"),
+        ("saurav_nayak_recipe_etl_project_spark.operators.vector_index", "VECTOR_INDEX_QUERIES", "VECTOR_INDEX_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.plans.temporal", "TEMPORAL_QUERIES", "TEMPORAL_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.plans.profiling", "PROFILING_QUERIES", "PROFILING_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.plans.advanced", "ADVANCED_QUERIES", "ADVANCED_ORACLES"),
@@ -70,11 +71,15 @@ _load_optional()
 #       union) — until the window is full.
 # With ~110 entries and a 50-entry window, stalest-first guarantees
 # every entry is re-verified at least every 3 rounds even with ~10
-# changed entries front-loaded per round. Round-6 window: 7 changed
-# entries + all 27 last-verified-in-r1 entries + the 16 alphabetically
-# first of the 30 last-verified-in-r2 entries; the remaining 14 r2
-# entries + 3 r4 entries lead round 7's fill.
+# changed entries front-loaded per round. Round-6 window: 2 new + 7
+# changed entries + all 27 last-verified-in-r1 entries + the 14
+# alphabetically first of the 30 last-verified-in-r2 entries; the
+# remaining 16 r2 entries + 3 r4 entries lead round 7's fill.
 _DRIVER_PRIORITY = [
+    # -- NEW in round 6: partitioned vector index (streamed-adds
+    #    replay equality + pruned-search recall gate) --
+    "ann_index_stream_batch",
+    "ann_index_partitioned_search",
     # -- changed in round 6: new/changed oracles (minhash containment,
     #    portable simhash, stream replay-equality, per-query ANN
     #    bounds, embedding-dedup bounds) and the retuned recall
@@ -114,8 +119,8 @@ _DRIVER_PRIORITY = [
     "validate_orders",
     "validate_part",
     "validate_supplier",
-    # -- next-stalest: last verified in round 2 (first 16 of 30;
-    #    the other 14 lead round 7's fill) --
+    # -- next-stalest: last verified in round 2 (first 14 of 30;
+    #    the other 16 lead round 7's fill) --
     "asof_latest_order",
     "customer_part_baskets",
     "docs_by_source",
@@ -130,8 +135,6 @@ _DRIVER_PRIORITY = [
     "part_degree_distribution",
     "parts_bought_together",
     "price_histogram",
-    "price_quantiles",
-    "q10_returned_items",
 ]
 
 
