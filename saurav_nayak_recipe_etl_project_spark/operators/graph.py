@@ -1,0 +1,133 @@
+"""Graph analytics over the co-purchase graph (parts co-occurring in
+an order), DataFrame-native: PageRank as unrolled power iterations in
+FIXED-POINT integer arithmetic.
+
+Why fixed-point: a float PageRank is not portable — measured 34/2000
+node values flipping their 9th significant digit between Spark and
+DuckDB purely from float-sum order (join/aggregation order is engine-
+private). The same problem the money sums hit (analytics._money_sum),
+same cure: all mass lives in integer micro-units (SCALE = 1e12), every
+per-edge share is an integer floor-division, every damping step is
+integer multiply-then-divide — associative, order-independent,
+bit-identical on any engine and any partitioning. The ~1e-12 mass
+leak per floor-division is irrelevant to ranking and a price worth
+paying for a hash-verifiable iterative operator.
+
+Scale shape: edges come from the per-order part self-join (bounded by
+order size, the parts_bought_together argument); each iteration is
+one broadcast-degree join + one groupBy(dst) shuffle over the edge
+table — iterations unrolled, no driver-side loop state beyond the
+plan. At 100 TB you checkpoint pr between iterations; here 3
+iterations compose into one plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+
+PR_SCALE = 1_000_000_000_000  # 1e12 micro-units of probability mass
+PR_ITERS = 3
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an integer ratio
+
+
+def copurchase_edges(li: DataFrame) -> DataFrame:
+    """Directed edge list (src, dst) of parts sharing an order, both
+    directions, distinct. Pair generation is per-order (inverted-index
+    shape): only parts that actually co-occur ever meet."""
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, "o")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def pagerank_fixed_point(edges: DataFrame, n_iters: int = PR_ITERS) -> DataFrame:
+    """(node, pr_micro) after `n_iters` damped power iterations in
+    integer micro-units. Every arithmetic step is integer and
+    floor-divided, so the result is bit-exact across engines,
+    partitionings, and join orders — the property the SQL oracle
+    hash-verifies."""
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("pr_micro", F.lit(0).cast("long"))
+    init = PR_SCALE // n_nodes
+    base = (15 * init) // PR_DAMP_DEN  # (1-d) * uniform mass, integer
+    pr = nodes.withColumn("pr_micro", F.lit(init).cast("long"))
+    for _ in range(n_iters):
+        contrib = (
+            edges.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("pr_micro div deg")).alias("c"))
+        )
+        pr = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (F.lit(base)
+                 + F.expr(f"({PR_DAMP_NUM} * coalesce(c, 0)) div {PR_DAMP_DEN}"))
+                .cast("long").alias("pr_micro"),
+            )
+        )
+    return pr
+
+
+def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E51 — PageRank over the co-purchase part graph (fixed-point,
+    3 unrolled iterations). Full node list with integer micro-unit
+    mass; ranking-stable and hash-verified against the identically
+    unrolled SQL oracle."""
+    edges = copurchase_edges(load_table(spark, "lineitem", sf_dir))
+    return pagerank_fixed_point(edges)
+
+
+def _pagerank_oracle_sql(n_iters: int = PR_ITERS) -> str:
+    """The oracle mirrors the exact integer recurrence, iterations
+    unrolled as chained CTEs (init/base computed inline from the same
+    integer formulas)."""
+    sql = f"""
+        WITH edges AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+          WHERE a.l_partkey <> b.l_partkey
+        ),
+        deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        consts AS (
+          SELECT CAST({PR_SCALE} // COUNT(*) AS BIGINT) AS init,
+                 CAST((15 * ({PR_SCALE} // COUNT(*))) // {PR_DAMP_DEN} AS BIGINT)
+                   AS base
+          FROM nodes
+        ),
+        it0 AS (SELECT node, init AS pr FROM nodes, consts)"""
+    prev = "it0"
+    for i in range(1, n_iters + 1):
+        sql += f""",
+        c{i} AS (
+          SELECT dst, CAST(SUM(pr // deg) AS BIGINT) AS c
+          FROM edges JOIN {prev} ON {prev}.node = edges.src
+          JOIN deg USING (src) GROUP BY dst
+        ),
+        it{i} AS (
+          SELECT node,
+            CAST(base + ({PR_DAMP_NUM} * COALESCE(c, 0)) // {PR_DAMP_DEN}
+              AS BIGINT) AS pr
+          FROM nodes CROSS JOIN consts
+          LEFT JOIN c{i} ON c{i}.dst = nodes.node
+        )"""
+        prev = f"it{i}"
+    sql += f"""
+        SELECT node, pr AS pr_micro FROM {prev}"""
+    return sql
+
+
+GRAPH_QUERIES = {"part_pagerank": part_pagerank}
+GRAPH_ORACLES = {"part_pagerank": _pagerank_oracle_sql()}

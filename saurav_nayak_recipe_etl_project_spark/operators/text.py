@@ -240,7 +240,68 @@ def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_KS = (5, 20, 100, 10000)
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F28 — vocabulary coverage curve (tokenizer-training corpus
+    stat): for each candidate vocab size K, the fraction of all token
+    OCCURRENCES covered by the top-K word types (ranked by frequency,
+    word tiebreak). This is the first number a BPE/word-piece
+    training run needs — how big a vocab buys how much coverage.
+
+    Scale shape: one token explode + one word groupBy (map-side
+    combined) shrinks the corpus to its VOCABULARY, and everything
+    after (rank window + cumulative sum + K probes) runs on vocab-
+    sized data. Counts stay integer until the final ratio, so the
+    oracle agrees bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("n"))
+    )
+    w_rank = Window.orderBy(F.desc("n"), F.asc("w"))
+    ranked = words.select(
+        "n",
+        F.row_number().over(w_rank).cast("long").alias("rank"),
+    ).withColumn(
+        "cum", F.sum("n").over(
+            Window.orderBy("rank")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    )
+    totals = words.agg(
+        F.sum("n").alias("total_tokens"),
+        F.count("*").alias("vocab_size"),
+    )
+    ks = spark.range(0).sparkSession.createDataFrame(
+        [(k,) for k in VOCAB_KS], "k long"
+    )
+    covered = (
+        ranked.crossJoin(F.broadcast(ks))  # vocab x 3 rows
+        .filter(F.col("rank") <= F.col("k"))
+        .groupBy("k").agg(F.max("cum").alias("covered_tokens"))
+    )
+    return (
+        ks.join(covered, "k", "left")
+        .crossJoin(totals)
+        .select(
+            "k",
+            "vocab_size",
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            "total_tokens",
+            F.round(
+                F.coalesce("covered_tokens", F.lit(0))
+                / F.col("total_tokens"), 6
+            ).alias("coverage"),
+        )
+    )
+
+
 TEXT_QUERIES = {
+    "vocab_coverage": vocab_coverage,
     "quality_filter_pipeline": quality_filter_pipeline,
     "text_repetition": text_repetition,
     "text_token_count": text_token_count,
@@ -258,6 +319,38 @@ _STOP_SQL = {
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 
 TEXT_ORACLES = {
+    "vocab_coverage": f"""
+        WITH words AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+          FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+          GROUP BY w
+        ),
+        ranked AS (
+          SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rank
+          FROM words
+        ),
+        cum AS (
+          SELECT rank, SUM(n) OVER (
+            ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+          ) AS cum FROM ranked
+        ),
+        totals AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS total_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS vocab_size
+          FROM words
+        ),
+        ks AS (SELECT CAST(unnest([5, 20, 100, 10000]) AS BIGINT) AS k),
+        covered AS (
+          SELECT k, MAX(cum) AS covered_tokens
+          FROM cum JOIN ks ON rank <= k GROUP BY k
+        )
+        SELECT k, vocab_size,
+          CAST(COALESCE(covered_tokens, 0) AS BIGINT) AS covered_tokens,
+          total_tokens,
+          ROUND(COALESCE(covered_tokens, 0) * 1.0 / total_tokens, 6)
+            AS coverage
+        FROM ks LEFT JOIN covered USING (k) CROSS JOIN totals
+    """,
     "quality_filter_pipeline": f"""
         SELECT doc_id, reasons = '' AS keep, reasons FROM (
           SELECT doc_id, concat_ws(',',
