@@ -200,6 +200,12 @@ HEADLINE = [
     # the full ANN quality harness (exact + LSH + IVF + trained PQ):
     # one number that moves if any approximate path gets slower
     "ann_recall_at_k",
+    # round-6 additions: the iterative fixed-point graph shape, the
+    # vocab-sized text rollup, and the partitioned-index search path
+    # (index build + pruned scan) — all prior names kept.
+    "part_pagerank",
+    "vocab_coverage",
+    "ann_index_partitioned_search",
 ]
 
 
@@ -336,18 +342,29 @@ def main() -> None:
         "sf": result["sf"],
     }
     if "value_10x" in result:
-        compact["value_10x"] = result["value_10x"]
-        compact["ratio_10x"] = {
+        ratios = {
             k: round(v / max(timings.get(k, 0.0), 1e-9), 1)
             for k, v in result["queries_10x"].items()
+        }
+        worst = max(ratios, key=ratios.get)
+        compact["value_10x"] = result["value_10x"]
+        # the full per-query ratio map lives in bench_detail.json; the
+        # compact line carries the scaling SIGNAL — the worst ratio and
+        # every query at >= 4x wall on 10x rows (superlinear suspects)
+        compact["r10x_max"] = [worst, ratios[worst]]
+        compact["r10x_over_4x"] = {
+            k: r for k, r in sorted(ratios.items()) if r >= 4.0
         }
         compact["detail"] = "bench_detail.json"
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:
-        # drop the per-query ratio map before ever exceeding the
-        # driver's stdout window; the detail file keeps everything
-        compact.pop("ratio_10x", None)
-        compact["ratio_10x_dropped"] = "see bench_detail.json (stdout cap)"
+        # trim the flagged map before ever exceeding the driver's
+        # 2000-char stdout window; the detail file keeps everything
+        compact["r10x_over_4x"] = dict(
+            sorted(compact["r10x_over_4x"].items(),
+                   key=lambda kv: -kv[1])[:5]
+        )
+        compact["r10x_over_4x_truncated"] = True
         line = json.dumps(compact, separators=(",", ":"))
     assert len(line) <= 1900, f"bench stdout line {len(line)} chars"
     print(line)

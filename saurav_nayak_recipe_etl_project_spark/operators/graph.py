@@ -53,6 +53,14 @@ def pagerank_fixed_point(edges: DataFrame, n_iters: int = PR_ITERS) -> DataFrame
     floor-divided, so the result is bit-exact across engines,
     partitionings, and join orders — the property the SQL oracle
     hash-verifies."""
+    from pyspark import StorageLevel
+
+    # the edge table feeds deg, nodes, the n_nodes count, AND every
+    # iteration's join — without a persist the per-order self-join
+    # that builds it re-executes ~(n_iters + 3) times through lineage
+    # (measured 7.1s -> 2.6s at sf0.1 with the persist). At warehouse
+    # scale this is the step you materialize to parquet once.
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.count()
@@ -62,9 +70,15 @@ def pagerank_fixed_point(edges: DataFrame, n_iters: int = PR_ITERS) -> DataFrame
     base = (15 * init) // PR_DAMP_DEN  # (1-d) * uniform mass, integer
     pr = nodes.withColumn("pr_micro", F.lit(init).cast("long"))
     for _ in range(n_iters):
+        # pr and deg are NODE-sized (the distinct-parts dimension, not
+        # the edge fact) — broadcast them so each iteration is one
+        # edge-table pass + one groupBy(dst) shuffle, never a shuffle
+        # of the edge table onto src. For graphs whose node table
+        # outgrows broadcast, drop the hints and pre-partition edges
+        # and pr by the join key instead.
         contrib = (
-            edges.join(pr.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
+            edges.join(F.broadcast(pr.withColumnRenamed("node", "src")), "src")
+            .join(F.broadcast(deg), "src")
             .groupBy("dst")
             .agg(F.sum(F.expr("pr_micro div deg")).alias("c"))
         )
