@@ -70,3 +70,20 @@ def test_vocab_coverage_monotone_and_oracle(spark, sf_dir):
     assert_matches_oracle(
         vocab_coverage(spark, sf_dir), TEXT_ORACLES["vocab_coverage"], sf_dir
     )
+
+
+def test_pagerank_plan_shape(spark, sf_dir):
+    """Every iteration must join the node-sized pr/deg tables by
+    BROADCAST (never shuffling the edge fact onto src) and nothing
+    may fall out of codegen into Python row processing."""
+    import contextlib
+    import io
+
+    df = G.GRAPH_QUERIES["part_pagerank"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
