@@ -211,6 +211,27 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_reasons(text_col: F.Column | None = None) -> F.Column:
+    """Failure-reason CSV Column for the Gopher-style rule stack —
+    exposed as a pure Column so composers (pipelines.py) can filter
+    inline on the SAME scan instead of joining a second load."""
+    text = text_col if text_col is not None else F.col("text")
+    n_chars = F.length(text)
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    digits = n_chars - F.length(F.regexp_replace(text, F.lit("[0-9]"), F.lit("")))
+    spaces = n_chars - F.length(F.regexp_replace(text, F.lit("\\s"), F.lit("")))
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
+    return F.concat_ws(
+        ",",
+        F.when(digits / n_chars > 0.2, "digit_heavy"),
+        F.when((n_tokens >= 5) & (distinct_ratio < 0.3), "repetitive"),
+        F.when(spaces / n_chars > 0.5, "space_heavy"),
+        F.when(n_chars > 20000, "too_long"),
+        F.when(n_chars < 20, "too_short"),
+    )
+
+
 def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite keep/drop document filter (Gopher-style rule stack),
     language-neutral so CJK text is not penalized for lacking spaces:
@@ -219,20 +240,7 @@ def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-order CSV so a pipeline can report WHY rows dropped —
     pure Column algebra, one scan, no shuffle."""
     docs = load_table(spark, "documents", sf_dir)
-    n_chars = F.length("text")
-    toks = tokens(F.col("text"))
-    n_tokens = F.size(toks)
-    digits = n_chars - F.length(F.regexp_replace("text", "[0-9]", ""))
-    spaces = n_chars - F.length(F.regexp_replace("text", "\\s", ""))
-    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
-    reasons = F.concat_ws(
-        ",",
-        F.when(digits / n_chars > 0.2, "digit_heavy"),
-        F.when((n_tokens >= 5) & (distinct_ratio < 0.3), "repetitive"),
-        F.when(spaces / n_chars > 0.5, "space_heavy"),
-        F.when(n_chars > 20000, "too_long"),
-        F.when(n_chars < 20, "too_short"),
-    )
+    reasons = quality_reasons()
     return docs.select(
         "doc_id",
         (reasons == "").alias("keep"),

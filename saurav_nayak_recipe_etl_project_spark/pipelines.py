@@ -1,0 +1,113 @@
+"""End-to-end training-data export: the capstone composition proving
+the pipeline operators CHAIN — quality filter → exact dedup → sequence
+packing — in one declarative plan Catalyst optimizes as a whole (the
+filter and the dedup window both run before the packing shuffle; no
+intermediate materialization needed).
+
+Stage order is the standard corpus-prep order: drop junk first
+(cheapest test, biggest volume cut), dedup what's left (keeper = min
+doc_id per content hash), then pack survivors into fixed-token-budget
+training sequences per (lang, shard). The output is the SHARD
+MANIFEST a training job consumes: one row per packed sequence with
+its doc count, token count, and first doc — and the whole thing is
+hash-verified against a single composed SQL oracle, so a change to
+ANY stage's semantics (filter rule, keeper rule, packing math) goes
+RED at the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from saurav_nayak_recipe_etl_project_spark.operators.dedup import (
+    drop_exact_duplicates,
+)
+from saurav_nayak_recipe_etl_project_spark.operators.packing import (
+    SEQ_BUDGET,
+    SHARD_SIZE,
+    pack_sequences_df,
+)
+from saurav_nayak_recipe_etl_project_spark.operators.text import (
+    quality_reasons,
+)
+from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+
+
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter → exact-dedup → pack, emitting the per-sequence
+    shard manifest (lang, shard, seq_id, n_docs, seq_tokens,
+    first_doc_id)."""
+    docs = load_table(spark, "documents", sf_dir)
+    # inline filter on the same scan — no self-join against a second
+    # load of the table (quality_reasons is a pure Column)
+    kept = docs.filter(quality_reasons() == "")
+    deduped = drop_exact_duplicates(kept)
+    packed = pack_sequences_df(deduped)
+    return packed.groupBy("lang", "shard", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+    )
+
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+PIPELINE_QUERIES = {"training_data_pipeline": training_data_pipeline}
+
+# One composed oracle for the full chain. The rule constants are
+# intentionally repeated from the per-stage oracles: if any stage's
+# semantics drift from its oracle, BOTH that stage's entry and this
+# composition hash-mismatch — double coverage, not duplication debt.
+PIPELINE_ORACLES = {
+    "training_data_pipeline": f"""
+        WITH q AS (
+          SELECT doc_id FROM (
+            SELECT doc_id,
+              length(text) AS n_chars,
+              len({_TOKS}) AS n_tokens,
+              len(list_distinct({_TOKS})) AS distinct_toks,
+              length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                AS digits,
+              length(text) - length(regexp_replace(text, '\\s', '', 'g'))
+                AS spaces
+            FROM documents
+          )
+          WHERE NOT (digits / n_chars > 0.2)
+            AND NOT (n_tokens >= 5 AND distinct_toks / n_tokens < 0.3)
+            AND NOT (spaces / n_chars > 0.5)
+            AND NOT (n_chars > 20000)
+            AND NOT (n_chars < 20)
+        ),
+        kept AS (
+          SELECT d.* FROM documents d JOIN q USING (doc_id)
+        ),
+        deduped AS (
+          SELECT doc_id, lang, text FROM (
+            SELECT doc_id, lang, text,
+              ROW_NUMBER() OVER (
+                PARTITION BY md5(text) ORDER BY doc_id
+              ) AS rn
+            FROM kept
+          ) WHERE rn = 1
+        ),
+        t AS (
+          SELECT doc_id, lang, doc_id // {SHARD_SIZE} AS shard,
+            CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+          FROM deduped
+        ),
+        c AS (
+          SELECT doc_id, lang, shard, n_tokens,
+            CAST(COALESCE(SUM(n_tokens) OVER (
+              PARTITION BY lang, shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) AS BIGINT) AS tokens_before
+          FROM t
+        )
+        SELECT lang, shard, tokens_before // {SEQ_BUDGET} AS seq_id,
+          COUNT(*) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+          MIN(doc_id) AS first_doc_id
+        FROM c GROUP BY lang, shard, tokens_before // {SEQ_BUDGET}
+    """,
+}

@@ -44,6 +44,7 @@ def _load_optional() -> None:
         ("saurav_nayak_recipe_etl_project_spark.operators.packing", "PACKING_QUERIES", "PACKING_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.operators.vector_index", "VECTOR_INDEX_QUERIES", "VECTOR_INDEX_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.operators.graph", "GRAPH_QUERIES", "GRAPH_ORACLES"),
+        ("saurav_nayak_recipe_etl_project_spark.pipelines", "PIPELINE_QUERIES", "PIPELINE_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.plans.temporal", "TEMPORAL_QUERIES", "TEMPORAL_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.plans.profiling", "PROFILING_QUERIES", "PROFILING_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.plans.advanced", "ADVANCED_QUERIES", "ADVANCED_ORACLES"),
@@ -72,9 +73,9 @@ _load_optional()
 #       union) — until the window is full.
 # With ~110 entries and a 50-entry window, stalest-first guarantees
 # every entry is re-verified at least every 3 rounds even with ~10
-# changed entries front-loaded per round. Round-6 window: 4 new + 7
-# changed entries + all 27 last-verified-in-r1 entries + 12 of the 30
-# last-verified-in-r2 entries; the remaining 18 r2 entries + 3 r4
+# changed entries front-loaded per round. Round-6 window: 5 new + 7
+# changed entries + all 27 last-verified-in-r1 entries + 11 of the 30
+# last-verified-in-r2 entries; the remaining 19 r2 entries + 3 r4
 # entries lead round 7's fill.
 _DRIVER_PRIORITY = [
     # -- NEW in round 6: partitioned vector index (streamed-adds
@@ -84,6 +85,7 @@ _DRIVER_PRIORITY = [
     "ann_index_partitioned_search",
     "part_pagerank",
     "vocab_coverage",
+    "training_data_pipeline",
     # -- changed in round 6: new/changed oracles (minhash containment,
     #    portable simhash, stream replay-equality, per-query ANN
     #    bounds, embedding-dedup bounds) and the retuned recall
@@ -123,8 +125,8 @@ _DRIVER_PRIORITY = [
     "validate_orders",
     "validate_part",
     "validate_supplier",
-    # -- next-stalest: last verified in round 2 (12 of 30; the other
-    #    18 lead round 7's fill) --
+    # -- next-stalest: last verified in round 2 (11 of 30; the other
+    #    19 lead round 7's fill) --
     "asof_latest_order",
     "customer_part_baskets",
     "docs_by_source",
@@ -136,7 +138,6 @@ _DRIVER_PRIORITY = [
     "multimodal_frames",
     "multimodal_meta",
     "part_degree_distribution",
-    "parts_bought_together",
 ]
 
 
