@@ -113,3 +113,54 @@ def test_quality_score_in_unit_interval(spark, sf_dir):
         assert 0.0 <= r["quality_score"] <= 1.0
         assert 0.0 <= r["punct_ratio"] <= 1.0
         assert 0.0 <= r["stopword_ratio"] <= 1.0
+
+
+def test_simhash_matches_reference_python(spark):
+    """The portable simhash must equal an independent pure-python
+    computation of the same spec (md5-derived 60-bit token hash,
+    frequency-weighted sign sum) — pinning the cross-engine contract
+    the SQL oracle relies on."""
+    import hashlib
+    from collections import Counter
+
+    docs = _random_docs(spark, n=40, seed=11)
+    got = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    for row in docs.collect():
+        toks = row["text"].strip().split() if row["text"].strip() else [""]
+        weights = Counter(toks)
+        bits = [0] * D.SIMHASH_BITS
+        for tok, w in weights.items():
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            for j in range(D.SIMHASH_BITS):
+                bits[j] += w if (h >> j) & 1 else -w
+        want = sum(1 << j for j in range(D.SIMHASH_BITS) if bits[j] > 0)
+        assert got[row["doc_id"]] == want, row["doc_id"]
+
+
+def test_morton_code_is_bijective_on_grid(spark):
+    from pyspark.sql import functions as F
+
+    from saurav_nayak_recipe_etl_project_spark.operators import layout as L
+
+    grid = spark.createDataFrame(
+        [(a, b) for a in range(32) for b in range(32)], "a int, b int"
+    ).select(L.morton_code(F.col("a"), F.col("b")).alias("z"))
+    zs = [r["z"] for r in grid.collect()]
+    assert len(set(zs)) == 32 * 32          # injective on the grid
+    assert min(zs) == 0 and max(zs) == 1023  # onto [0, 2^10)
+
+
+def test_pagerank_mass_never_exceeds_scale(spark):
+    import random as _r
+
+    from saurav_nayak_recipe_etl_project_spark.operators import graph as G
+
+    rng = _r.Random(3)
+    edges = list({(rng.randrange(50), rng.randrange(50)) for _ in range(300)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    pr = G.pagerank_fixed_point(df).collect()
+    total = sum(r["pr_micro"] for r in pr)
+    # floor divisions only ever LEAK mass — never create it
+    assert total <= G.PR_SCALE
+    assert all(r["pr_micro"] >= 0 for r in pr)
