@@ -86,10 +86,82 @@ def skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Count-min sketch shape: d independent hash rows × w buckets. The
+# sketch table is d*w rows — tiny, broadcastable — while the stream of
+# updates is one groupBy, which is the whole point at 100 TB: frequency
+# queries over unbounded keys in O(d*w) memory. Determinism: xxhash64
+# row seeds. The ONE-SIDED guarantee (est >= true, always — collisions
+# only ADD) is asserted exactly; the upper band is measured-based (the
+# recall-floor pattern): observed max row-minimum overestimate across
+# sf0.001/0.01/0.1, over ALL users (not just the top-N), is
+# 1.52 * N/w; the gate uses 8 * N/w — a 5x margin that still catches
+# a broken hash (which collapses buckets and blows the estimate by
+# orders of magnitude).
+CMS_D = 4
+CMS_W = 1024
+CMS_SLACK_FACTOR = 8
+CMS_TOP_N = 20
+
+
+def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch event-count estimates for the top-N busiest
+    users, gated: emits (user_id, exact n_events value-verified by the
+    oracle, cms_lower_ok = est >= exact — the deterministic CMS
+    guarantee, cms_upper_ok = est <= exact + slack). Sketch build is
+    one explode + one (d, bucket) groupBy; the query side joins the
+    broadcast d*w sketch to the N user rows."""
+    ev = load_table(spark, "events", sf_dir)
+    rows = F.array(*[
+        F.struct(
+            F.lit(d).alias("d"),
+            F.pmod(F.xxhash64(F.col("user_id"), F.lit(d)), F.lit(CMS_W))
+            .cast("int").alias("bucket"),
+        )
+        for d in range(CMS_D)
+    ])
+    sketch = (
+        ev.select(F.explode(rows).alias("r"))
+        .groupBy(F.col("r.d").alias("d"), F.col("r.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    totals = ev.agg(F.count("*").alias("n_total"))
+    top = (
+        ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(CMS_TOP_N)
+    )
+    probes = top.select(
+        "user_id", "n_events",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(F.xxhash64(F.col("user_id"), F.lit(d)), F.lit(CMS_W))
+                .cast("int").alias("bucket"),
+            )
+            for d in range(CMS_D)
+        ])).alias("r"),
+    ).select("user_id", "n_events", F.col("r.d").alias("d"),
+             F.col("r.bucket").alias("bucket"))
+    est = (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("user_id", "n_events")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return est.crossJoin(totals).select(
+        "user_id",
+        "n_events",
+        (F.col("est") >= F.col("n_events")).alias("cms_lower_ok"),
+        (F.col("est") <= F.col("n_events")
+         + F.lit(CMS_SLACK_FACTOR) * F.col("n_total") / F.lit(CMS_W))
+        .alias("cms_upper_ok"),
+    )
+
+
 PROFILING_QUERIES = {
     "stratified_sample": stratified_sample,
     "approx_distinct_bounds": approx_distinct_bounds,
     "skew_diagnostics": skew_diagnostics,
+    "cms_user_counts": cms_user_counts,
 }
 
 PROFILING_ORACLES = {
@@ -107,6 +179,14 @@ PROFILING_ORACLES = {
     # value outside the band fails the hash match.
     "approx_distinct_bounds": """
         SELECT DISTINCT event_type, TRUE AS distinct_ok FROM events
+    """,
+    # exact top-N counts value-verified; CMS bound booleans pinned TRUE
+    "cms_user_counts": f"""
+        SELECT user_id, n_events, TRUE AS cms_lower_ok, TRUE AS cms_upper_ok
+        FROM (
+          SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+          ORDER BY n_events DESC, user_id LIMIT {CMS_TOP_N}
+        )
     """,
     "skew_diagnostics": """
         WITH per_key AS (

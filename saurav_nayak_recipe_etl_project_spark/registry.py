@@ -86,6 +86,7 @@ _DRIVER_PRIORITY = [
     "part_pagerank",
     "vocab_coverage",
     "training_data_pipeline",
+    "cms_user_counts",
     # -- changed in round 6: new/changed oracles (minhash containment,
     #    portable simhash, stream replay-equality, per-query ANN
     #    bounds, embedding-dedup bounds) and the retuned recall
@@ -125,8 +126,8 @@ _DRIVER_PRIORITY = [
     "validate_orders",
     "validate_part",
     "validate_supplier",
-    # -- next-stalest: last verified in round 2 (11 of 30; the other
-    #    19 lead round 7's fill) --
+    # -- next-stalest: last verified in round 2 (10 of 30; the other
+    #    20 lead round 7's fill) --
     "asof_latest_order",
     "customer_part_baskets",
     "docs_by_source",
@@ -137,7 +138,6 @@ _DRIVER_PRIORITY = [
     "multimodal_byte_histogram",
     "multimodal_frames",
     "multimodal_meta",
-    "part_degree_distribution",
 ]
 
 

@@ -120,3 +120,55 @@ def test_bucketed_interval_join_no_duplicate_pairs(spark):
     intervals = spark.createDataFrame([(1, 0, 30)], "iid long, lo long, hi long")
     rows = bucketed_interval_join(points, intervals, "p", "lo", "hi", 10).collect()
     assert len(rows) == 1
+
+
+def test_cms_overestimates_never_underestimate(spark):
+    """CMS structural guarantee on a synthetic skewed stream: the
+    row-minimum estimate can never be below the true count (collisions
+    only add), and a heavy key's estimate stays near truth."""
+    from pyspark.sql import functions as F
+
+    from saurav_nayak_recipe_etl_project_spark.plans import profiling as P
+
+    rows = [(i % 7,) for i in range(700)] + [(999,)] * 300
+    ev = spark.createDataFrame(rows, "user_id long")
+    sk = F.array(*[
+        F.struct(
+            F.lit(d).alias("d"),
+            F.pmod(F.xxhash64(F.col("user_id"), F.lit(d)), F.lit(P.CMS_W))
+            .cast("int").alias("bucket"),
+        )
+        for d in range(P.CMS_D)
+    ])
+    sketch = (
+        ev.select(F.explode(sk).alias("r"))
+        .groupBy(F.col("r.d").alias("d"), F.col("r.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("ne"))
+    probes = exact.select("user_id", "ne", F.explode(sk).alias("r")).select(
+        "user_id", "ne", F.col("r.d").alias("d"), F.col("r.bucket").alias("bucket")
+    )
+    est = (
+        probes.join(sketch, ["d", "bucket"])
+        .groupBy("user_id", "ne").agg(F.min("cnt").alias("est"))
+    )
+    got = {r["user_id"]: (r["ne"], r["est"]) for r in est.collect()}
+    assert all(e >= ne for ne, e in got.values())
+    ne, e = got[999]
+    assert ne == 300 and e - ne <= P.CMS_SLACK_FACTOR * 1000 / P.CMS_W
+
+
+def test_cms_registry_gate(spark, sf_dir):
+    from tests.oracle import assert_matches_oracle
+
+    from saurav_nayak_recipe_etl_project_spark.plans.profiling import (
+        PROFILING_ORACLES,
+        PROFILING_QUERIES,
+    )
+
+    assert_matches_oracle(
+        PROFILING_QUERIES["cms_user_counts"](spark, sf_dir),
+        PROFILING_ORACLES["cms_user_counts"],
+        sf_dir,
+    )
