@@ -1,0 +1,353 @@
+"""Corpus-statistics scoring operators: BM25 retrieval and a
+char-trigram language-model likelihood score.
+
+Training-data pipelines need both directions of lexical scoring:
+retrieval (find the documents matching a query — dataset curation,
+targeted decontamination, eval-set mining) and likelihood (score every
+document under a corpus-fitted LM — the classic KenLM-style quality
+filter from CCNet/RedPajama-style pipelines). Both are pure DataFrame
+algebra over one token/trigram explode — the inverted-index and count
+-model shapes — with no Python in the row path.
+
+Float portability (the ln() problem): Java's Math.log and other
+engines' libm disagree in the last ulp on ~7% of inputs (measured:
+4574/60000 idf-domain values differ between Spark and DuckDB), so raw
+log scores cannot hash-verify. The established fixed-point pattern
+(SURVEY E51 PageRank) applies: every log term is rounded ONCE to
+integer micro-nats (round(ln(x)*1e6) — a 1-ulp input difference flips
+the rounded value only with probability ~1e-9), and all downstream
+sums are integer sums — associative, shuffle-order-free, engine-exact.
+All other arithmetic (+,-,*,/) is IEEE exact-rounded and written with
+identical association on both sides, so it is bit-portable as doubles.
+
+Reference scope: the reference's query surface is exact-match SQL
+filters (README.md §6); ranked retrieval and LM scoring are part of
+the mandated training-data-pipeline extension, not a port.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from saurav_nayak_recipe_etl_project_spark.functions.text_fn import tokens
+from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+
+# BM25 constants (Robertson/Lucene defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+# Query derivation: vocabulary ranks [RANK_LO, RANK_LO + 2*N_QUERIES)
+# feed N_QUERIES two-term queries — rank r maps to query (r - RANK_LO)
+# mod N_QUERIES, so each query pairs a more-frequent with a
+# less-frequent term. Skipping the top-10 ranks avoids stopword-like
+# terms that match every document.
+BM25_RANK_LO = 10
+N_BM25_QUERIES = 4
+BM25_TOP_K = 10
+
+MICRO = 1000000.0  # fixed-point scale for log terms (micro-nats)
+
+
+def _query_terms(words: DataFrame) -> DataFrame:
+    """(query_id, w) from the ranked vocabulary — deterministic
+    (count desc, word asc) ranking, 2 terms per query."""
+    w_rank = Window.orderBy(F.desc("n"), F.asc("w"))
+    return (
+        words.withColumn("rank", F.row_number().over(w_rank))
+        .filter(
+            (F.col("rank") >= BM25_RANK_LO)
+            & (F.col("rank") < BM25_RANK_LO + 2 * N_BM25_QUERIES)
+        )
+        .select(
+            ((F.col("rank") - BM25_RANK_LO) % N_BM25_QUERIES)
+            .cast("long").alias("query_id"),
+            "w",
+        )
+    )
+
+
+def bm25_topk(docs: DataFrame, k: int = BM25_TOP_K,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BM25 ranked retrieval, inverted-index shape.
+
+    The corpus is exploded ONCE into token occurrences; joining the
+    (broadcast, 2·N_QUERIES-row) query-term table immediately after the
+    explode is the posting-list intersection — only occurrences of
+    query terms survive the join, so everything downstream (tf, df,
+    scoring, ranking) runs on posting-list-sized data, never
+    corpus-sized. df/doclen/avgdl are one map-side-combined aggregation
+    each. Per-term BM25 contributions are rounded to integer
+    micro-units and integer-summed per (query, doc) — the portable
+    fixed-point form (module docstring); ranking orders by the integer
+    score with doc-id tie-break, so ranks are engine-exact too.
+
+    At 100 TB: the token explode is the standard inverted-index build
+    (shuffle keyed by term = posting lists); query terms are a tiny
+    broadcast; the rank window partitions by query_id (Q partitions,
+    each posting-union-sized). No driver-side state beyond Q×k rows.
+    """
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       tokens(F.col(text_col)).alias("toks"))
+    doclen = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    occ = toks.select("doc_id", F.explode("toks").alias("w"))
+    words = occ.groupBy("w").agg(F.count("*").alias("n"))
+    qterms = _query_terms(words)
+
+    stats = doclen.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+    ).withColumn("avgdl", F.col("total_dl") / F.col("n_docs"))
+
+    hits = occ.join(F.broadcast(qterms), "w")
+    tf = hits.groupBy("query_id", "w", "doc_id").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    # df: documents containing the term (term-level, not per-query).
+    df_tbl = (
+        hits.select("w", "doc_id").distinct()
+        .groupBy("w").agg(F.count("*").cast("long").alias("df"))
+    )
+
+    scored = (
+        tf.join(F.broadcast(df_tbl), "w")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    # Association mirrored EXACTLY in the SQL oracle (left-to-right):
+    # idf = ln(1 + (N - df + 0.5) / (df + 0.5))
+    # c   = idf * ((tf * (k1+1)) / (tf + k1 * ((1-b) + b * (dl/avgdl))))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    c = idf * (
+        (F.col("tf") * F.lit(BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (F.col("dl") / F.col("avgdl")))
+        )
+    )
+    contrib = scored.select(
+        "query_id", "doc_id",
+        F.round(c * F.lit(MICRO)).cast("long").alias("c_micro"),
+    )
+    per_doc = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c_micro").alias("score_micro"),
+        F.count("*").cast("long").alias("n_terms_hit"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    qlabels = qterms.groupBy("query_id").agg(
+        F.array_join(F.array_sort(F.collect_list("w")), " ").alias("terms")
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= k)
+        .join(F.broadcast(qlabels), "query_id")
+        .select(
+            "query_id", "terms", "doc_id", "n_terms_hit", "score_micro",
+            (F.col("score_micro") / F.lit(MICRO)).alias("score"), "rank",
+        )
+    )
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered BM25 retrieval: top-10 documents for each of the
+    self-derived two-term queries over `documents`."""
+    return bm25_topk(load_table(spark, "documents", sf_dir))
+
+
+def lm_score(docs: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Char-trigram LM likelihood score (corpus-fitted, add-one
+    smoothed): avg negative log-likelihood per trigram, in nats.
+
+    P(c3 | c1c2) = (count(c1c2c3) + 1) / (count(c1c2·) + V), with V the
+    corpus third-character alphabet size and count(c1c2·) the trigram
+    occurrences sharing the context. The per-trigram log term is
+    rounded once to micro-nats IN THE MODEL TABLE (trigram-vocab-sized,
+    so the ulp-straddle surface is the vocabulary, not the corpus) and
+    per-doc totals are integer sums. Low avg_nll = well-modeled,
+    natural text; high = gibberish/noise — the quality-filter signal
+    (perplexity = exp(avg_nll); the exp is left to callers because it
+    is not bit-portable and adds no ranking information).
+
+    Scale: one trigram explode; model counts are two map-side-combined
+    aggregations that shrink the corpus to its trigram vocabulary
+    (bounded by charset³); scoring is one vocab-keyed shuffle join.
+    Docs shorter than 3 chars have no trigrams and are excluded (same
+    filter in the oracle)."""
+    from saurav_nayak_recipe_etl_project_spark.operators.text import _char_trigrams
+
+    occ = _char_trigrams(docs.select(F.col(id_col).alias("doc_id"),
+                                     F.col(text_col).alias("text")), "doc_id")
+    c3 = occ.groupBy("tg").agg(F.count("*").alias("c3"))
+    c2 = (
+        occ.select(F.col("tg").substr(1, 2).alias("ctx"))
+        .groupBy("ctx").agg(F.count("*").alias("c2"))
+    )
+    vsize = occ.select(F.col("tg").substr(3, 1).alias("last")).agg(
+        F.count_distinct("last").cast("long").alias("v")
+    )
+    # lp_micro computed once per DISTINCT trigram: ln((c3+1)/(c2+V)).
+    model = (
+        c3.withColumn("ctx", F.col("tg").substr(1, 2))
+        .join(c2, "ctx")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "tg",
+            F.round(
+                F.log((F.col("c3") + F.lit(1.0)) / (F.col("c2") + F.col("v")))
+                * F.lit(MICRO)
+            ).cast("long").alias("lp_micro"),
+        )
+    )
+    return (
+        occ.join(model, "tg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_trigrams"),
+            F.sum("lp_micro").alias("sum_lp_micro"),
+        )
+        .select(
+            "doc_id", "n_trigrams", "sum_lp_micro",
+            F.round(
+                (-F.col("sum_lp_micro")).cast("double")
+                / F.col("n_trigrams") / F.lit(MICRO), 6
+            ).alias("avg_nll"),
+        )
+    )
+
+
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered LM quality score over `documents`."""
+    return lm_score(load_table(spark, "documents", sf_dir))
+
+
+RETRIEVAL_QUERIES = {
+    "bm25_search": bm25_search,
+    "text_lm_score": text_lm_score,
+}
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+RETRIEVAL_ORACLES = {
+    # Identical arithmetic association as the Spark expressions; the
+    # only transcendental (ln) is immediately micro-rounded on both
+    # sides (module docstring).
+    "bm25_search": f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents
+        ),
+        doclen AS (
+          SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks
+        ),
+        occ AS (
+          SELECT doc_id, unnest(toks) AS w FROM toks
+        ),
+        words AS (
+          SELECT w, COUNT(*) AS n FROM occ GROUP BY w
+        ),
+        qterms AS (
+          SELECT CAST((rank - {BM25_RANK_LO}) % {N_BM25_QUERIES} AS BIGINT)
+                   AS query_id, w
+          FROM (
+            SELECT w, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rank
+            FROM words
+          )
+          WHERE rank >= {BM25_RANK_LO}
+            AND rank < {BM25_RANK_LO + 2 * N_BM25_QUERIES}
+        ),
+        stats AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS total_dl,
+                 CAST(SUM(dl) AS BIGINT) * 1.0 / CAST(COUNT(*) AS BIGINT)
+                   AS avgdl
+          FROM doclen
+        ),
+        hits AS (
+          SELECT query_id, occ.w AS w, doc_id
+          FROM occ JOIN qterms ON occ.w = qterms.w
+        ),
+        tf AS (
+          SELECT query_id, w, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM hits GROUP BY query_id, w, doc_id
+        ),
+        df_tbl AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS df
+          FROM (SELECT DISTINCT w, doc_id FROM hits) GROUP BY w
+        ),
+        contrib AS (
+          SELECT query_id, doc_id,
+            CAST(ROUND(
+              ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+              * ((tf * {BM25_K1 + 1.0}) /
+                 (tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * (dl / avgdl))))
+              * {MICRO}
+            ) AS BIGINT) AS c_micro
+          FROM tf
+          JOIN df_tbl USING (w)
+          JOIN doclen USING (doc_id)
+          CROSS JOIN stats
+        ),
+        per_doc AS (
+          SELECT query_id, doc_id,
+                 CAST(SUM(c_micro) AS BIGINT) AS score_micro,
+                 CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+          FROM contrib GROUP BY query_id, doc_id
+        ),
+        qlabels AS (
+          SELECT query_id, string_agg(w, ' ' ORDER BY w) AS terms
+          FROM qterms GROUP BY query_id
+        )
+        SELECT query_id, terms, doc_id, n_terms_hit, score_micro,
+               score_micro / {MICRO} AS score,
+               CAST(rank AS BIGINT) AS rank
+        FROM (
+          SELECT query_id, doc_id, score_micro, n_terms_hit,
+            ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY score_micro DESC, doc_id
+            ) AS rank
+          FROM per_doc
+        )
+        JOIN qlabels USING (query_id)
+        WHERE rank <= {BM25_TOP_K}
+    """,
+    "text_lm_score": f"""
+        WITH occ AS (
+          SELECT doc_id,
+            unnest(list_transform(generate_series(1, length(text) - 2),
+                                  i -> substr(text, CAST(i AS INT), 3)))
+              AS tg
+          FROM documents WHERE length(text) >= 3
+        ),
+        c3 AS (SELECT tg, COUNT(*) AS c3 FROM occ GROUP BY tg),
+        c2 AS (
+          SELECT substr(tg, 1, 2) AS ctx, COUNT(*) AS c2
+          FROM occ GROUP BY substr(tg, 1, 2)
+        ),
+        vsize AS (
+          SELECT CAST(COUNT(DISTINCT substr(tg, 3, 1)) AS BIGINT) AS v
+          FROM occ
+        ),
+        model AS (
+          SELECT tg,
+            CAST(ROUND(ln((c3 + 1.0) / (c2 + v)) * {MICRO}) AS BIGINT)
+              AS lp_micro
+          FROM c3
+          JOIN c2 ON substr(c3.tg, 1, 2) = c2.ctx
+          CROSS JOIN vsize
+        )
+        SELECT doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+          CAST(SUM(lp_micro) AS BIGINT) AS sum_lp_micro,
+          ROUND(CAST(-SUM(lp_micro) AS DOUBLE) / COUNT(*) / {MICRO}, 6)
+            AS avg_nll
+        FROM occ JOIN model USING (tg)
+        GROUP BY doc_id
+    """,
+}

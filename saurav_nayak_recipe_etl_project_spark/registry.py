@@ -42,6 +42,7 @@ def _load_optional() -> None:
         ("saurav_nayak_recipe_etl_project_spark.operators.rangejoin", "RANGEJOIN_QUERIES", "RANGEJOIN_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.operators.topk", "TOPK_QUERIES", "TOPK_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.operators.packing", "PACKING_QUERIES", "PACKING_ORACLES"),
+        ("saurav_nayak_recipe_etl_project_spark.operators.retrieval", "RETRIEVAL_QUERIES", "RETRIEVAL_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.operators.vector_index", "VECTOR_INDEX_QUERIES", "VECTOR_INDEX_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.operators.graph", "GRAPH_QUERIES", "GRAPH_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.pipelines", "PIPELINE_QUERIES", "PIPELINE_ORACLES"),
@@ -78,9 +79,12 @@ _load_optional()
 # last-verified-in-r2 entries; the remaining 19 r2 entries + 3 r4
 # entries lead round 7's fill.
 _DRIVER_PRIORITY = [
-    # -- NEW in round 6: partitioned vector index (streamed-adds
-    #    replay equality + pruned-search recall gate), fixed-point
-    #    PageRank, vocabulary coverage --
+    # -- NEW in round 6: BM25 retrieval + LM likelihood score
+    #    (fixed-point log portability), partitioned vector index
+    #    (streamed-adds replay equality + pruned-search recall gate),
+    #    fixed-point PageRank, vocabulary coverage --
+    "bm25_search",
+    "text_lm_score",
     "ann_index_stream_batch",
     "ann_index_partitioned_search",
     "part_pagerank",
