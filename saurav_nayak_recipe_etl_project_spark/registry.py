@@ -54,6 +54,7 @@ def _load_optional() -> None:
         ("saurav_nayak_recipe_etl_project_spark.streaming.sessions", "STREAMING_SESSION_QUERIES", "STREAMING_SESSION_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.streaming.joins", "STREAM_JOIN_QUERIES", "STREAM_JOIN_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.streaming.doc_dedup", "STREAM_DOC_DEDUP_QUERIES", "STREAM_DOC_DEDUP_ORACLES"),
+        ("saurav_nayak_recipe_etl_project_spark.streaming.mv", "STREAM_MV_QUERIES", "STREAM_MV_ORACLES"),
     ]:
         try:
             m = importlib.import_module(mod)
@@ -87,6 +88,7 @@ _DRIVER_PRIORITY = [
     "bm25_search",
     "text_lm_score",
     "dedup_semantic",
+    "stream_mv_user_stats",
     "ann_index_stream_batch",
     "ann_index_partitioned_search",
     "part_pagerank",
