@@ -1,0 +1,268 @@
+"""Relational surface extensions: CUBE, set operations, exact
+median/mode, and UNPIVOT (wide->long melt).
+
+Derived from the reference's aggregation-report surface
+(analysis_queries.py's GROUP BY reports): these are the remaining ANSI
+relational shapes a user of that surface reaches for next. All
+declarative single-plan DataFrame algebra; every query carries a
+DuckDB oracle.
+
+Portability notes (hard-won, see NOTES.md):
+- money sums use the integer-cents idiom (order-independent);
+- the exact median is emitted as `median_x2_cents` (sum of the two
+  middle cents values, or twice the middle one) plus a raw double
+  division — integer-exact in both engines, no ROUND-at-boundary
+  hazard;
+- mode tie-break is deterministic (max count, then lexicographic min).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+
+def _cents():
+    # Column construction needs an active session -> build lazily.
+    return F.round(F.col("o_totalprice") * 100).cast("long")
+
+
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status): all four grouping sets in ONE
+    shuffle (the Expand is map-side, same physical shape as rollup /
+    grouping sets — 4x the map rows, not 4 scans). GROUPING() flags
+    disambiguate subtotal rows from real NULL keys."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(_cents()) / F.lit(100.0), 2).alias("revenue"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        )
+    )
+
+
+def nation_account_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT membership report: nations whose AVERAGE
+    customer balance clears a bar vs nations whose average supplier
+    balance does, classified as both / customers_only / suppliers_only.
+
+    Set semantics (distinct) on purpose — Spark's intersect/subtract
+    are the ANSI operators (planned as left-semi / left-anti over
+    distinct aggregates). Both inputs shrink to <=25 nation keys before
+    the set ops, so each set op is a broadcast-sized join; the heavy
+    lifting is two map-side-combined aggregations. The avg threshold is
+    the pure-integer form sum(cents) > bar*count (no double compare at
+    the cut — engine-exact)."""
+    nation = load_table(spark, "nation", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+
+    def _avg_over(df, bal_col, key_col):
+        cents = F.round(F.col(bal_col) * 100).cast("long")
+        return (
+            df.join(F.broadcast(nation), F.col(key_col) == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.sum(cents).alias("sc"), F.count("*").alias("c"))
+            .where(F.col("sc") > F.lit(450000) * F.col("c"))
+            .select("n_name")
+        )
+
+    cust_n = _avg_over(customer, "c_acctbal", "c_nationkey")
+    supp_n = _avg_over(supplier, "s_acctbal", "s_nationkey")
+    both = cust_n.intersect(supp_n).select("n_name", F.lit("both").alias("membership"))
+    c_only = cust_n.subtract(supp_n).select(
+        "n_name", F.lit("customers_only").alias("membership")
+    )
+    s_only = supp_n.subtract(cust_n).select(
+        "n_name", F.lit("suppliers_only").alias("membership")
+    )
+    return both.unionByName(c_only).unionByName(s_only)
+
+
+def order_value_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median and mode — the two aggregates the
+    approx-sketch path (price_quantiles_approx) trades away.
+
+    Median: one shuffle on the group key, one window sort; the two
+    middle ranks are summed as INTEGER cents (`median_x2_cents`) so the
+    oracle compare is engine-exact; the display double is a raw
+    division of that integer. Mode: per-(group, value) counts, then a
+    deterministic rank (max count, lexicographic min value).
+    At 100 TB the median path is the one to watch: a full per-group
+    sort. For wide keys switch to price_quantiles_approx (GK sketch);
+    this operator is the exact form for report-sized group counts."""
+    orders = load_table(spark, "orders", sf_dir)
+    d = orders.select("o_orderpriority", "o_orderstatus", _cents().alias("cents"))
+    w_rank = Window.partitionBy("o_orderpriority").orderBy("cents")
+    w_grp = Window.partitionBy("o_orderpriority")
+    med = (
+        d.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n", F.count("*").over(w_grp))
+        .where(
+            (F.col("rn") == F.expr("(n + 1) DIV 2"))
+            | (F.col("rn") == F.expr("(n + 2) DIV 2"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("n").alias("n_orders"),
+            # odd n selects ONE row -> double it; even n selects two
+            F.when(F.count("*") == 1, F.sum("cents") * 2)
+            .otherwise(F.sum("cents"))
+            .cast("long")
+            .alias("median_x2_cents"),
+        )
+        .withColumn("median_value", F.col("median_x2_cents") / F.lit(200.0))
+    )
+    cnt = d.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("status_n")
+    )
+    w_mode = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("status_n"), F.asc("o_orderstatus")
+    )
+    mode = (
+        cnt.withColumn("rk", F.row_number().over(w_mode))
+        .where(F.col("rk") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("mode_status"),
+            F.col("status_n").alias("mode_count"),
+        )
+    )
+    return med.join(F.broadcast(mode), "o_orderpriority")
+
+
+def lineitem_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide->long melt): aggregate first, melt after. The
+    four measure sums collapse to |flags| rows BEFORE the melt, so the
+    unpivot is over a report-sized frame — never melt the fact table
+    itself (4x the scan rows for no information). Sums use integer
+    cents / integer hundredths so the melted doubles are engine-exact."""
+    li = load_table(spark, "lineitem", sf_dir)
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("q"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("p"),
+        F.sum(F.round(F.col("l_discount") * 100).cast("long")).alias("d"),
+        F.sum(F.round(F.col("l_tax") * 100).cast("long")).alias("t"),
+    )
+    wide = agg.select(
+        "l_returnflag",
+        (F.col("q") / F.lit(100.0)).alias("sum_qty"),
+        (F.col("p") / F.lit(100.0)).alias("sum_base_price"),
+        (F.col("d") / F.lit(100.0)).alias("sum_discount"),
+        (F.col("t") / F.lit(100.0)).alias("sum_tax"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_base_price", "sum_discount", "sum_tax"],
+        "metric",
+        "value",
+    )
+
+
+RELATIONAL_EXT_QUERIES = {
+    "orders_cube": orders_cube,
+    "nation_account_setops": nation_account_setops,
+    "order_value_median_mode": order_value_median_mode,
+    "lineitem_metrics_unpivot": lineitem_metrics_unpivot,
+}
+
+RELATIONAL_EXT_ORACLES = {
+    "orders_cube": """
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+          ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+            AS revenue,
+          CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+          CAST(GROUPING(o_orderstatus) AS INT) AS g_status
+        FROM orders
+        GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    "nation_account_setops": """
+        WITH cust_n AS (
+          SELECT n_name FROM customer
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name
+          HAVING SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                 > 450000 * COUNT(*)
+        ),
+        supp_n AS (
+          SELECT n_name FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          GROUP BY n_name
+          HAVING SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT))
+                 > 450000 * COUNT(*)
+        )
+        SELECT n_name, 'both' AS membership
+          FROM (SELECT n_name FROM cust_n INTERSECT SELECT n_name FROM supp_n)
+        UNION ALL
+        SELECT n_name, 'customers_only' AS membership
+          FROM (SELECT n_name FROM cust_n EXCEPT SELECT n_name FROM supp_n)
+        UNION ALL
+        SELECT n_name, 'suppliers_only' AS membership
+          FROM (SELECT n_name FROM supp_n EXCEPT SELECT n_name FROM cust_n)
+    """,
+    "order_value_median_mode": """
+        WITH d AS (
+          SELECT o_orderpriority, o_orderstatus,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+        ),
+        ranked AS (
+          SELECT o_orderpriority, cents,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY cents) AS rn,
+                 COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+          FROM d
+        ),
+        med AS (
+          SELECT o_orderpriority, MAX(n) AS n_orders,
+                 CAST(CASE WHEN COUNT(*) = 1 THEN SUM(cents) * 2
+                      ELSE SUM(cents) END AS BIGINT) AS median_x2_cents
+          FROM ranked
+          WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+          GROUP BY o_orderpriority
+        ),
+        cnt AS (
+          SELECT o_orderpriority, o_orderstatus, COUNT(*) AS status_n
+          FROM d GROUP BY o_orderpriority, o_orderstatus
+        ),
+        mode AS (
+          SELECT o_orderpriority, o_orderstatus AS mode_status,
+                 status_n AS mode_count
+          FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                     PARTITION BY o_orderpriority
+                     ORDER BY status_n DESC, o_orderstatus ASC) AS rk
+            FROM cnt
+          ) WHERE rk = 1
+        )
+        SELECT med.o_orderpriority, n_orders, median_x2_cents,
+               median_x2_cents / 200.0 AS median_value,
+               mode_status, mode_count
+        FROM med JOIN mode ON med.o_orderpriority = mode.o_orderpriority
+    """,
+    "lineitem_metrics_unpivot": """
+        WITH agg AS (
+          SELECT l_returnflag,
+            SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0
+              AS sum_qty,
+            SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0
+              AS sum_base_price,
+            SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) / 100.0
+              AS sum_discount,
+            SUM(CAST(ROUND(l_tax * 100) AS BIGINT)) / 100.0 AS sum_tax
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM agg
+        UNION ALL
+        SELECT l_returnflag, 'sum_base_price', sum_base_price FROM agg
+        UNION ALL
+        SELECT l_returnflag, 'sum_discount', sum_discount FROM agg
+        UNION ALL
+        SELECT l_returnflag, 'sum_tax', sum_tax FROM agg
+    """,
+}

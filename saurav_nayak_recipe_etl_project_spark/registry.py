@@ -50,6 +50,7 @@ def _load_optional() -> None:
         ("saurav_nayak_recipe_etl_project_spark.plans.temporal", "TEMPORAL_QUERIES", "TEMPORAL_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.plans.profiling", "PROFILING_QUERIES", "PROFILING_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.plans.advanced", "ADVANCED_QUERIES", "ADVANCED_ORACLES"),
+        ("saurav_nayak_recipe_etl_project_spark.plans.relational_ext", "RELATIONAL_EXT_QUERIES", "RELATIONAL_EXT_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.streaming.events", "STREAMING_QUERIES", "STREAMING_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.streaming.sessions", "STREAMING_SESSION_QUERIES", "STREAMING_SESSION_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.streaming.joins", "STREAM_JOIN_QUERIES", "STREAM_JOIN_ORACLES"),
@@ -81,6 +82,14 @@ _load_optional()
 # last-verified-in-r2 entries; the remaining 19 r2 entries + 3 r4
 # entries lead round 7's fill.
 _DRIVER_PRIORITY = [
+    # -- NEW in round 6 (late batch): relational surface extensions +
+    #    irregular-series analytics --
+    "orders_cube",
+    "nation_account_setops",
+    "order_value_median_mode",
+    "lineitem_metrics_unpivot",
+    "event_time_weighted_avg",
+    "events_ohlc",
     # -- NEW in round 6: BM25 retrieval + LM likelihood score
     #    (fixed-point log portability), partitioned vector index
     #    (streamed-adds replay equality + pruned-search recall gate),
