@@ -126,14 +126,143 @@ def weekly_active_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of the event value per user — the
+    irregular-series aggregate a plain AVG gets wrong (a value held for
+    an hour must weigh 3600x one held for a second).
+
+    Each event's value is held until the user's NEXT event (lead
+    window); the last event has no holding interval and drops out.
+    All arithmetic stays integer until the final division: weights are
+    microsecond gaps (timestampdiff), values are cents, and the
+    weighted sum is a bigint — so Spark and the oracle divide the SAME
+    two integers and the double quotient is bit-identical.
+    One shuffle (user_id window); the groupBy rides the same
+    partitioning. Degenerate all-same-timestamp users (zero total
+    span) are excluded rather than emitting NaN."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "user_id", "ts", "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .withColumn("next_ts", F.lead("ts").over(w))
+        .where(F.col("next_ts").isNotNull())
+        .withColumn(
+            "dur_us", F.expr("timestampdiff(MICROSECOND, ts, next_ts)")
+        )
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum("dur_us").alias("span_us"),
+            F.sum(F.col("cents") * F.col("dur_us")).alias("wsum"),
+        )
+        .where(F.col("span_us") > 0)
+        .select(
+            "user_id",
+            "n_intervals",
+            "span_us",
+            (
+                F.col("wsum").cast("double")
+                / F.col("span_us").cast("double")
+                / F.lit(100.0)
+            ).alias("twa_value"),
+        )
+    )
+
+
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars per event type — the resampling shape every
+    time-series store exposes (open/high/low/close + count + volume).
+
+    Open/close are picked by deterministic ROW_NUMBER windows ordered
+    on (ts, event_id) — not first()/last(), whose result depends on
+    partition order. Both window directions share one hash exchange on
+    (event_type, day); the groupBy rides it too. Money stays integer
+    cents until the final raw division."""
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w_asc = Window.partitionBy("event_type", "day").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    w_desc = Window.partitionBy("event_type", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        base.withColumn("rn_a", F.row_number().over(w_asc))
+        .withColumn("rn_d", F.row_number().over(w_desc))
+        .groupBy("event_type", "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max(F.when(F.col("rn_a") == 1, F.col("cents"))) / F.lit(100.0))
+            .alias("open"),
+            (F.max("cents") / F.lit(100.0)).alias("high"),
+            (F.min("cents") / F.lit(100.0)).alias("low"),
+            (F.max(F.when(F.col("rn_d") == 1, F.col("cents"))) / F.lit(100.0))
+            .alias("close"),
+            (F.sum("cents") / F.lit(100.0)).alias("volume"),
+        )
+    )
+
+
 TEMPORAL_QUERIES = {
     "cohort_retention": cohort_retention,
     "weekly_active_breakdown": weekly_active_breakdown,
     "event_transitions": event_transitions,
     "gapfill_daily_revenue": gapfill_daily_revenue,
+    "event_time_weighted_avg": event_time_weighted_avg,
+    "events_ohlc": events_ohlc,
 }
 
 TEMPORAL_ORACLES = {
+    "event_time_weighted_avg": """
+        WITH gaps AS (
+          SELECT user_id,
+            CAST(ROUND(value * 100) AS BIGINT) AS cents,
+            date_diff('microsecond', ts,
+              LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+              AS dur_us
+          FROM events
+        )
+        SELECT user_id,
+          COUNT(*) AS n_intervals,
+          CAST(SUM(dur_us) AS BIGINT) AS span_us,
+          CAST(SUM(cents * dur_us) AS DOUBLE)
+            / CAST(SUM(dur_us) AS DOUBLE) / 100.0 AS twa_value
+        FROM gaps
+        WHERE dur_us IS NOT NULL
+        GROUP BY user_id
+        HAVING SUM(dur_us) > 0
+    """,
+    "events_ohlc": """
+        WITH base AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+            CAST(ROUND(value * 100) AS BIGINT) AS cents,
+            ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                               ORDER BY ts ASC, event_id ASC) AS rn_a,
+            ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                               ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM events
+        )
+        SELECT event_type, day,
+          COUNT(*) AS n_events,
+          MAX(CASE WHEN rn_a = 1 THEN cents END) / 100.0 AS open,
+          MAX(cents) / 100.0 AS high,
+          MIN(cents) / 100.0 AS low,
+          MAX(CASE WHEN rn_d = 1 THEN cents END) / 100.0 AS close,
+          SUM(cents) / 100.0 AS volume
+        FROM base
+        GROUP BY event_type, day
+    """,
     "weekly_active_breakdown": """
         WITH weeks AS (
           SELECT DISTINCT user_id,
