@@ -1,0 +1,214 @@
+"""Sub-document dedup + benchmark decontamination.
+
+Two training-corpus hygiene operators the document-level dedup family
+(operators/dedup.py) does not cover:
+
+- segment-level exact dedup (the CCNet/RefinedWeb "line dedup" shape):
+  boilerplate repeats ACROSS documents that are not duplicates of each
+  other; dedup at segment granularity and reassemble the survivors.
+- n-gram decontamination (the GPT-3 appendix-C shape): flag training
+  documents that share any word n-gram with a held-out benchmark
+  corpus, with per-doc overlap statistics.
+
+Reference parity: the reference pipeline dedups nothing (Firestore
+doc-ids are unique by construction; see src/etl_pipeline.py); these
+extend its corpus hygiene the way a training-data pipeline needs.
+
+Scale notes:
+- Segment grouping is (doc_id, seg_idx) — co-partitioned with the
+  token explode, bounded groups (seg_words tokens). The global
+  keep-first decision is ONE shuffle on the segment text (in
+  production: on xxhash64(segment) — string keys kept here only for
+  oracle portability). Reassembly rides the doc_id partitioning.
+- Decontamination joins distinct (doc, gram) rows on the gram key:
+  an inverted-index equi-join, never a doc x doc cross product. The
+  benchmark side is the small one; at 100 TB hash the gram to a long
+  and let AQE pick broadcast when the benchmark fits.
+- Everything is whole-stage-codegen Column algebra: the per-segment
+  token pivot is |seg_words| conditional MAXes + concat_ws (no
+  interpreted HOF in the hot path); only report-sized reassembly uses
+  an array HOF over per-doc segment lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from saurav_nayak_recipe_etl_project_spark.functions.text_fn import tokens
+from saurav_nayak_recipe_etl_project_spark.operators.dedup import shingle_rows
+from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+
+SEG_WORDS = 10
+DECON_N = 5
+
+
+def segment_rows(docs: DataFrame, seg_words: int = SEG_WORDS,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, seg_idx, segment): consecutive seg_words-token chunks.
+
+    The within-segment token order is rebuilt with seg_words
+    conditional MAX picks + concat_ws (concat_ws skips the NULLs of a
+    short tail segment) — all codegen, no collect_list/HOF."""
+    toks = tokens(F.col(text_col))
+    t = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.posexplode(toks).alias("pos", "tok"))
+        .withColumn("seg_idx", F.expr(f"pos DIV {seg_words}"))
+    )
+    picks = [
+        F.max(F.when(F.col("pos") % seg_words == k, F.col("tok")))
+        for k in range(seg_words)
+    ]
+    return t.groupBy("doc_id", "seg_idx").agg(
+        F.concat_ws(" ", *picks).alias("segment")
+    )
+
+
+def segment_dedup(docs: DataFrame, seg_words: int = SEG_WORDS,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Segment-level exact dedup with first-occurrence keepers.
+
+    A segment survives only in the (doc_id, seg_idx)-earliest document
+    that contains it; every doc is returned (n_kept = 0 and empty
+    kept_text when everything it had was boilerplate)."""
+    seg = segment_rows(docs, seg_words, text_col, id_col)
+    w = Window.partitionBy("segment").orderBy("doc_id", "seg_idx")
+    kept = seg.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    totals = seg.groupBy("doc_id").agg(F.count("*").alias("n_segments"))
+    re = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(seg_idx, "
+            "segment))), s -> s.segment), ' ')"
+        ).alias("kept_text"),
+    )
+    return (
+        totals.join(re, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segments",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+        )
+    )
+
+
+def ngram_decontaminate(train: DataFrame, benchmark: DataFrame,
+                        n: int = DECON_N, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Per-train-doc benchmark overlap: distinct word n-grams shared
+    with ANY benchmark document. Returns only contaminated docs —
+    anti-join the result against the corpus to get the clean set."""
+    tr = shingle_rows(train, n, text_col, id_col)
+    be = (
+        shingle_rows(benchmark, n, text_col, id_col)
+        .select("shingle")
+        .distinct()
+    )
+    sizes = tr.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = (
+        tr.join(be, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "n_shared",
+        F.round(F.col("n_shared") / F.col("n_grams"), 6).alias("share"),
+    )
+
+
+def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: 10-word segment dedup over the documents table."""
+    return segment_dedup(load_table(spark, "documents", sf_dir))
+
+
+def decontaminate_5gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: treat source 'src0' as the held-out benchmark
+    corpus and flag 5-gram overlap in the other sources' documents."""
+    docs = load_table(spark, "documents", sf_dir)
+    return ngram_decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=DECON_N,
+    )
+
+
+# 5-gram analog of dedup.py's _SHINGLES oracle macro.
+_GRAMS5 = """
+    CASE WHEN len(toks) >= 5 THEN list_distinct(
+      list_transform(generate_series(1, len(toks) - 4),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             || ' ' || toks[i+3] || ' ' || toks[i+4]))
+    ELSE [] END
+"""
+
+LINEDUP_QUERIES = {
+    "dedup_segments": dedup_segments,
+    "decontaminate_5gram": decontaminate_5gram,
+}
+
+LINEDUP_ORACLES = {
+    "dedup_segments": """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok,
+                 generate_subscripts(
+                   regexp_split_to_array(trim(text), '\\s+'), 1) - 1 AS pos
+          FROM documents
+        ),
+        seg AS (
+          SELECT doc_id, pos // 10 AS seg_idx,
+                 string_agg(tok, ' ' ORDER BY pos) AS segment
+          FROM toks GROUP BY doc_id, pos // 10
+        ),
+        kept AS (
+          SELECT doc_id, seg_idx, segment,
+                 ROW_NUMBER() OVER (PARTITION BY segment
+                                    ORDER BY doc_id, seg_idx) AS rn
+          FROM seg
+        ),
+        totals AS (
+          SELECT doc_id, COUNT(*) AS n_segments FROM seg GROUP BY doc_id
+        ),
+        re AS (
+          SELECT doc_id, COUNT(*) AS n_kept,
+                 string_agg(segment, ' ' ORDER BY seg_idx) AS kept_text
+          FROM kept WHERE rn = 1 GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.n_segments,
+               COALESCE(re.n_kept, 0) AS n_kept,
+               COALESCE(re.kept_text, '') AS kept_text
+        FROM totals t LEFT JOIN re ON t.doc_id = re.doc_id
+    """,
+    "decontaminate_5gram": f"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, source, unnest({_GRAMS5}) AS shingle FROM t
+        ),
+        bench AS (
+          SELECT DISTINCT shingle FROM grams WHERE source = 'src0'
+        ),
+        train AS (
+          SELECT doc_id, shingle FROM grams WHERE source <> 'src0'
+        ),
+        sizes AS (
+          SELECT doc_id, COUNT(*) AS n_grams FROM train GROUP BY doc_id
+        ),
+        hits AS (
+          SELECT doc_id, COUNT(*) AS n_shared
+          FROM train JOIN bench USING (shingle)
+          GROUP BY doc_id
+        )
+        SELECT h.doc_id, s.n_grams, h.n_shared,
+               ROUND(h.n_shared * 1.0 / s.n_grams, 6) AS share
+        FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+    """,
+}

@@ -34,6 +34,7 @@ def _load_optional() -> None:
         ("saurav_nayak_recipe_etl_project_spark.operators.normalize", "NORMALIZE_QUERIES", "NORMALIZE_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.operators.validation", "VALIDATION_QUERIES", "VALIDATION_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.operators.dedup", "DEDUP_QUERIES", "DEDUP_ORACLES"),
+        ("saurav_nayak_recipe_etl_project_spark.operators.linedup", "LINEDUP_QUERIES", "LINEDUP_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.operators.similarity", "SIMILARITY_QUERIES", "SIMILARITY_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.operators.text", "TEXT_QUERIES", "TEXT_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.operators.multimodal", "MULTIMODAL_QUERIES", "MULTIMODAL_ORACLES"),
@@ -90,6 +91,8 @@ _DRIVER_PRIORITY = [
     "lineitem_metrics_unpivot",
     "event_time_weighted_avg",
     "events_ohlc",
+    "dedup_segments",
+    "decontaminate_5gram",
     # -- NEW in round 6: BM25 retrieval + LM likelihood score
     #    (fixed-point log portability), partitioned vector index
     #    (streamed-adds replay equality + pruned-search recall gate),
