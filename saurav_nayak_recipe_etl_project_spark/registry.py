@@ -93,6 +93,7 @@ _DRIVER_PRIORITY = [
     "events_ohlc",
     "dedup_segments",
     "decontaminate_5gram",
+    "copurchase_triangles",
     # -- NEW in round 6: BM25 retrieval + LM likelihood score
     #    (fixed-point log portability), partitioned vector index
     #    (streamed-adds replay equality + pruned-search recall gate),

@@ -87,3 +87,28 @@ def test_pagerank_plan_shape(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_triangle_stats_on_known_graph(spark):
+    """K4 minus one edge: nodes {1,2,3,4}, edges 12,13,14,23,24 ->
+    exactly 2 triangles (123, 124), 8 wedges, transitivity 0.75."""
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], "pa long, pb long"
+    )
+    row = G.triangle_stats(edges).collect()[0]
+    assert row["n_nodes"] == 4 and row["n_edges"] == 5
+    assert row["n_triangles"] == 2
+    # degrees: 1->3, 2->3, 3->2, 4->2 -> wedges 3+3+1+1 = 8
+    assert row["n_wedges"] == 8
+    assert abs(row["transitivity"] - 0.75) < 1e-12
+
+
+def test_support_edges_prune_below_threshold(spark):
+    """Parts co-occurring in one order only are not edges at support 2."""
+    li = spark.createDataFrame(
+        # orders 1,2 both hold parts (10, 11); order 3 holds (10, 12)
+        [(1, 10), (1, 11), (2, 10), (2, 11), (3, 10), (3, 12)],
+        "l_orderkey long, l_partkey long",
+    )
+    got = {(r["pa"], r["pb"]) for r in G.support_edges(li).collect()}
+    assert got == {(10, 11)}
