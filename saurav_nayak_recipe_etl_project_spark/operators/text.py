@@ -308,8 +308,50 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: each document is kept
+    with probability proportional to an integer quality weight — the
+    soft version of quality_filter_pipeline's hard cut (DoReMi/DCLM-
+    style data curation keeps SOME low-quality mass on purpose).
+
+    Every quantity is ppm-scaled INTEGER arithmetic (floor divisions,
+    capped components, 5/3/2 blend matching text_quality's weights) and
+    the coin is the content hash — so the keep decision is bit-portable
+    across engines, stable under repartitioning, and duplicate texts
+    always make the same decision (no dedup-order coupling). One scan,
+    no shuffle, no RNG state to coordinate across 1000 executors."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens(F.col("text"))
+    pre = docs.select(
+        "doc_id", "lang", "source", "text",
+        F.greatest(F.length("text"), F.lit(1)).alias("n_chars"),
+        F.greatest(F.size(toks), F.lit(1)).alias("n_tokens"),
+        F.length(F.regexp_replace("text", "[A-Za-z0-9\\s]", ""))
+        .alias("punct_chars"),
+        _hits(toks, QUALITY_STOPWORDS).alias("stop_hits"),
+    )
+    scored = pre.select(
+        "doc_id", "lang", "source",
+        F.expr("least(n_tokens * 20000, 1000000)").alias("len_ppm"),
+        F.expr("punct_chars * 1000000 DIV n_chars").alias("punct_ppm"),
+        F.expr("least(stop_hits * 5000000 DIV n_tokens, 1000000)")
+        .alias("stop_ppm"),
+        F.expr(
+            "cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint)"
+            " % 1000000"
+        ).alias("u_ppm"),
+    ).select(
+        "doc_id", "lang", "source", "u_ppm",
+        F.expr(
+            "(len_ppm * 5 + (1000000 - punct_ppm) * 3 + stop_ppm * 2) DIV 10"
+        ).alias("w_ppm"),
+    )
+    return scored.where(F.col("u_ppm") < F.col("w_ppm"))
+
+
 TEXT_QUERIES = {
     "vocab_coverage": vocab_coverage,
+    "quality_weighted_sample": quality_weighted_sample,
     "quality_filter_pipeline": quality_filter_pipeline,
     "text_repetition": text_repetition,
     "text_token_count": text_token_count,
@@ -501,6 +543,29 @@ TEXT_ORACLES = {
                      COALESCE(h_zh, 0)) AS best
           FROM documents d LEFT JOIN hits USING (doc_id)
         )
+    """,
+    "quality_weighted_sample": f"""
+        WITH pre AS (
+          SELECT doc_id, lang, source, text,
+            GREATEST(length(text), 1) AS n_chars,
+            GREATEST(len({_TOKS}), 1) AS n_tokens,
+            length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+              AS punct_chars,
+            len(list_filter({_TOKS}, t -> t IN {_STOP_SQL['en']}))
+              AS stop_hits
+          FROM documents
+        ),
+        scored AS (
+          SELECT doc_id, lang, source,
+            ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000000 AS u_ppm,
+            (LEAST(n_tokens * 20000, 1000000) * 5
+             + (1000000 - punct_chars * 1000000 // n_chars) * 3
+             + LEAST(stop_hits * 5000000 // n_tokens, 1000000) * 2) // 10
+              AS w_ppm
+          FROM pre
+        )
+        SELECT doc_id, lang, source, u_ppm, w_ppm
+        FROM scored WHERE u_ppm < w_ppm
     """,
     "text_fingerprint": f"""
         SELECT doc_id,

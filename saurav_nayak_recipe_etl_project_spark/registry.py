@@ -94,6 +94,7 @@ _DRIVER_PRIORITY = [
     "dedup_segments",
     "decontaminate_5gram",
     "copurchase_triangles",
+    "quality_weighted_sample",
     # -- NEW in round 6: BM25 retrieval + LM likelihood score
     #    (fixed-point log portability), partitioned vector index
     #    (streamed-adds replay equality + pruned-search recall gate),
