@@ -95,6 +95,7 @@ _DRIVER_PRIORITY = [
     "decontaminate_5gram",
     "copurchase_triangles",
     "quality_weighted_sample",
+    "ann_hnsw_topk",
     # -- NEW in round 6: BM25 retrieval + LM likelihood score
     #    (fixed-point log portability), partitioned vector index
     #    (streamed-adds replay equality + pruned-search recall gate),

@@ -82,7 +82,7 @@ def test_recall_at_k_values_and_determinism(spark, sf_dir):
           for r in S.recall_at_k(emb).collect()}
     r2 = {r["method"]: r["recall_at_k"]
           for r in S.recall_at_k(emb).collect()}
-    assert set(r1) == {"lsh_bucketed", "ivf", "pq", "ivfpq"}
+    assert set(r1) == {"lsh_bucketed", "ivf", "pq", "ivfpq", "hnsw"}
     assert r1 == r2
     for v in r1.values():
         assert 0.0 <= v <= 1.0
@@ -93,3 +93,59 @@ def test_recall_at_k_values_and_determinism(spark, sf_dir):
     # sf0.1 measures 0.70; a hard-coded 0.8 would fail on tuning noise)
     for method, floor in S.RECALL_FLOORS.items():
         assert r1[method] >= floor, (method, r1[method], floor)
+
+
+def test_nsw_graph_is_connected_and_bounded_degree(spark):
+    """The routing graph must be searchable: connected from the entry
+    node and with the pruned degree bound respected."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((200, 16))
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    adj = S._build_nsw(X, m_edges=6)
+    assert all(len(a) <= 12 for a in adj)
+    seen = {0}
+    stack = [0]
+    while stack:
+        u = stack.pop()
+        for v in adj[u]:
+            if v not in seen:
+                seen.add(int(v))
+                stack.append(int(v))
+    assert len(seen) == 200
+
+
+def test_nsw_beam_search_finds_near_exact_nodes(spark):
+    """Beam search over the graph must recover most of the true top-10
+    sample nodes without scanning all of them."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    X = rng.standard_normal((300, 16))
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    adj = S._build_nsw(X, m_edges=8)
+    q = X[123] + 0.05 * rng.standard_normal(16)
+    q = q / np.linalg.norm(q)
+    routed = S._beam_search(adj, X, q, ef=64)
+    exact10 = set(np.argsort(-(X @ q))[:10].tolist())
+    assert len(exact10 & set(routed[:32])) >= 7
+
+
+def test_hnsw_topk_is_ranked_subset_of_corpus(spark, sf_dir):
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    rows = S.hnsw_topk(emb).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        sims = [r["cos_sim"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+        # soft assignment must not leak duplicate neighbors
+        ids = [r["neighbor_id"] for r in rs]
+        assert len(ids) == len(set(ids))
+        assert q not in ids
