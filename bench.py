@@ -90,6 +90,12 @@ _10X_EXCLUDED = {
         "containment harness embedding the same un-pruned exact pair "
         "join; production banding path measured via "
         "dedup_lsh_verified / dedup_stream_lsh_batch",
+    "decontaminate_5gram":
+        "the key-offset 10x corpus repeats every TEXT 10x verbatim, so "
+        "cross-corpus gram matches scale ~100x by construction — an "
+        "artifact of the duplication harness, not the operator (real "
+        "corpora do not replicate the benchmark set); the same "
+        "inverted-index join shape is measured via dedup_lsh_verified",
 }
 
 
@@ -206,6 +212,19 @@ HEADLINE = [
     "part_pagerank",
     "vocab_coverage",
     "ann_index_partitioned_search",
+    # late-round-6 additions: relational surface (CUBE), sub-document
+    # dedup + decontamination (the two heaviest new text shapes), the
+    # oriented triangle join, irregular-series resampling, and the
+    # NSW-routed ANN (in ann_recall_at_k too; benched alone because it
+    # is now the best path).
+    "orders_cube",
+    "dedup_segments",
+    "decontaminate_5gram",
+    "copurchase_triangles",
+    "events_ohlc",
+    "event_time_weighted_avg",
+    "quality_weighted_sample",
+    "ann_hnsw_topk",
 ]
 
 

@@ -130,12 +130,81 @@ def rebalance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rebalance_sources_df(load_table(spark, "documents", sf_dir))
 
 
+LENGTH_BUCKETS = [16, 32, 64, 128, 256, 512, 1024]
+
+
+def length_bucketing_df(docs: DataFrame) -> DataFrame:
+    """Padding-waste report for batched inference: documents grouped
+    into power-of-two token-length buckets (the dynamic-batching shape
+    every serving stack uses — uniform bucket length, pad-to-bucket),
+    with the padding overhead each (lang, bucket) batch pays.
+
+    The bucket edge is a fixed CASE chain over integers — NOT
+    pow(2, ceil(log2(n))): the float log at an exact power of two is
+    engine-dependent in its last bit and flips the bucket. waste_ppm
+    is all-integer (floor division); docs beyond the top bucket are
+    capped there, so a NEGATIVE waste_ppm on the top bucket reads as
+    "these docs need truncation", deliberately visible in the report."""
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    bucket = F.lit(LENGTH_BUCKETS[-1])
+    for b in reversed(LENGTH_BUCKETS):
+        bucket = F.when(n_tok <= b, F.lit(b)).otherwise(bucket)
+    return (
+        docs.select("doc_id", "lang", n_tok.alias("n_tokens"),
+                    bucket.cast("long").alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .select(
+            "lang",
+            "bucket",
+            "n_docs",
+            "sum_tokens",
+            (F.col("n_docs") * F.col("bucket")).alias("padded_tokens"),
+            F.expr(
+                "(n_docs * bucket - sum_tokens) * 1000000"
+                " DIV (n_docs * bucket)"
+            ).alias("waste_ppm"),
+        )
+    )
+
+
+def length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F35 — power-of-two length bucketing + padding-waste report."""
+    return length_bucketing_df(load_table(spark, "documents", sf_dir))
+
+
 PACKING_QUERIES = {
     "pack_sequences": pack_sequences,
     "rebalance_sources": rebalance_sources,
+    "length_bucketing": length_bucketing,
 }
 
+_BUCKET_CASE = "CASE " + " ".join(
+    f"WHEN n_tokens <= {b} THEN {b}" for b in LENGTH_BUCKETS
+) + f" ELSE {LENGTH_BUCKETS[-1]} END"
+
 PACKING_ORACLES = {
+    "length_bucketing": f"""
+        WITH t AS (
+          SELECT lang,
+            CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+              AS n_tokens
+          FROM documents
+        ),
+        b AS (
+          SELECT lang, CAST({_BUCKET_CASE} AS BIGINT) AS bucket, n_tokens
+          FROM t
+        )
+        SELECT lang, bucket, COUNT(*) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+          COUNT(*) * bucket AS padded_tokens,
+          CAST((COUNT(*) * bucket - SUM(n_tokens)) * 1000000
+            // (COUNT(*) * bucket) AS BIGINT) AS waste_ppm
+        FROM b GROUP BY lang, bucket
+    """,
     "pack_sequences": f"""
         WITH t AS (
           SELECT doc_id, lang, doc_id // {SHARD_SIZE} AS shard,

@@ -96,6 +96,7 @@ _DRIVER_PRIORITY = [
     "copurchase_triangles",
     "quality_weighted_sample",
     "ann_hnsw_topk",
+    "length_bucketing",
     # -- NEW in round 6: BM25 retrieval + LM likelihood score
     #    (fixed-point log portability), partitioned vector index
     #    (streamed-adds replay equality + pruned-search recall gate),

@@ -212,3 +212,23 @@ def test_new_ops_handle_empty_corpus(spark, tmp_path):
     empty.write.parquet(str(tmp_path / "documents.parquet"))
     assert P.pack_sequences(spark, str(tmp_path)).count() == 0
     assert P.rebalance_sources(spark, str(tmp_path)).count() == 0
+
+
+def test_length_bucketing_edges_and_waste(spark):
+    from saurav_nayak_recipe_etl_project_spark.operators.packing import (
+        length_bucketing_df,
+    )
+
+    rows = [
+        (1, " ".join(["w"] * 16), "en"),   # exactly 16 -> bucket 16, 0 waste
+        (2, " ".join(["w"] * 17), "en"),   # 17 -> bucket 32
+        (3, " ".join(["w"] * 2000), "en"), # beyond top bucket -> capped 1024
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["bucket"]: r for r in length_bucketing_df(df).collect()}
+    assert set(out) == {16, 32, 1024}
+    assert out[16]["waste_ppm"] == 0
+    assert out[32]["waste_ppm"] == (32 - 17) * 1_000_000 // 32
+    # overlong doc: padded_tokens floor at the cap, waste 0 (truncation
+    # accounting is the packer's job, not the bucketer's)
+    assert out[1024]["sum_tokens"] == 2000
