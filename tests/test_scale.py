@@ -45,3 +45,53 @@ def test_salted_count_equals_direct(spark, sf_dir):
         for r in salted_count(lineitem, "l_returnflag").collect()
     }
     assert salted == direct
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir, tmp_path):
+    """Runtime semi-join reduction: with a selective dimension filter,
+    Catalyst must inject a bloom filter from the build side into the
+    fact scan (the shuffle-volume killer for selective joins at 100 TB
+    — probe rows failing the filter never enter the exchange). The
+    thresholds are lowered because the local fixture is tiny; on a
+    real cluster the defaults (10MB build / 10GB probe) gate it."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    # bloom injection only applies to scans with row-group stats on the
+    # probe side; write both through plain parquet to a scratch dir
+    li_path, o_path = str(tmp_path / "li"), str(tmp_path / "o")
+    li.write.mode("overwrite").parquet(li_path)
+    orders.write.mode("overwrite").parquet(o_path)
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li2 = spark.read.parquet(li_path)
+        o2 = spark.read.parquet(o_path).filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li2.join(o2, li2.l_orderkey == o2.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = _plan(joined)
+        assert "bloom" in plan.lower() or "might_contain" in plan.lower(), plan
+        # and the filtered plan still computes the right answer
+        got = {r["o_orderpriority"]: r["count"] for r in joined.collect()}
+        expect = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .count()
+        )
+        assert got == {"1-URGENT": expect}
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
