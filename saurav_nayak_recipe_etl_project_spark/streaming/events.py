@@ -160,6 +160,49 @@ def run_topk_stream(spark: SparkSession, source_dir: str,
     )
 
 
+def run_ohlc_stream(spark: SparkSession, source_dir: str,
+                    checkpoint_dir: str, query_name: str) -> None:
+    """Incrementally-maintained daily OHLC bars per event type (the
+    plans/temporal.events_ohlc batch query as a live view).
+
+    The batch form picks open/close with ROW_NUMBER windows — window
+    functions don't exist in streaming aggregations, so the stream
+    uses the ALGEBRAIC form: min_by/max_by over the (ts, event_id)
+    struct. These are self-mergeable (min_by of min_bys is min_by), so
+    micro-batch order cannot change the result — the stream equals the
+    batch twin after ANY file arrival order (pinned in
+    tests/test_streaming.py with a 2-batch split feed). State: one row
+    per (event_type, day) — bounded by the calendar, not the stream.
+    Complete-mode memory sink here; production would use append +
+    watermark like run_windowed_stream_append once bars finalize."""
+    ev = read_event_stream(spark, source_dir, max_files_per_trigger=1)
+    cents = F.round(F.col("value") * 100).cast("long")
+    pick = F.struct("ts", "event_id")
+    agg = (
+        ev.select(
+            "event_type", F.col("ts").cast("date").alias("day"),
+            "ts", "event_id", cents.alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.min_by("cents", pick) / F.lit(100.0)).alias("open"),
+            (F.max("cents") / F.lit(100.0)).alias("high"),
+            (F.min("cents") / F.lit(100.0)).alias("low"),
+            (F.max_by("cents", pick) / F.lit(100.0)).alias("close"),
+            (F.sum("cents") / F.lit(100.0)).alias("volume"),
+        )
+    )
+    await_or_raise(
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_dedup_stream(spark: SparkSession, source_dir: str,
                      checkpoint_dir: str, query_name: str) -> None:
     """Streaming dedup: at-least-once upstream delivery → exactly-once

@@ -68,3 +68,43 @@ def test_multimodal_plumbing(spark, sf_dir):
     docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
     with pytest.raises(NotImplementedError):
         M.decode_image_real(M.attach_blobs(docs))
+
+
+def test_stream_ohlc_matches_batch_across_micro_batches(spark, sf_dir, tmp_path):
+    """The algebraic (min_by/max_by) streaming OHLC must equal the
+    window-function batch form even when events arrive in TWO
+    micro-batches split by event parity — merge order cannot move
+    open/close."""
+    from saurav_nayak_recipe_etl_project_spark.plans.temporal import events_ohlc
+
+    ev = E.load_table(spark, "events", sf_dir)
+    src = tmp_path / "drops"
+    src.mkdir()
+    # two drops: even event_ids land first, odds later (a shuffle of
+    # time order across batches); flatten Spark's directory output to
+    # single files so the stream's footer probe sees real parquet files
+    import glob
+
+    for tag, parity in (("a", 0), ("b", 1)):
+        staged = tmp_path / f"stage_{tag}"
+        (ev.filter(ev.event_id % 2 == parity)
+         .coalesce(1).write.mode("overwrite").parquet(str(staged)))
+        part = glob.glob(str(staged / "part-*.parquet"))[0]
+        shutil.copy(part, src / f"{tag}.parquet")
+
+    E.run_ohlc_stream(spark, str(src), str(tmp_path / "cko"), "ohlc_test")
+    got = {
+        (r["event_type"], str(r["day"])): (
+            r["n_events"], r["open"], r["high"], r["low"], r["close"],
+            r["volume"],
+        )
+        for r in spark.sql("SELECT * FROM ohlc_test").collect()
+    }
+    want = {
+        (r["event_type"], str(r["day"])): (
+            r["n_events"], r["open"], r["high"], r["low"], r["close"],
+            r["volume"],
+        )
+        for r in events_ohlc(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
