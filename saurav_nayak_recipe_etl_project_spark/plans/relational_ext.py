@@ -164,14 +164,122 @@ def lineitem_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def part_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / cumulative-contribution analysis: the smallest set of
+    parts covering the first 25% of total revenue, with each part's
+    running share. The inclusion cut is the PURE-INTEGER predicate
+    (cum - own) * 4 < total — no double compare at the boundary, so
+    the emitted row set is engine-exact; only the display share is a
+    raw double division. One aggregation shuffle + one ordered window
+    over the part-level rollup (bounded by |parts|, not |lineitem|)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("long")
+        ).alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("l_partkey"))
+    total = rev.agg(F.sum("cents").alias("total_cents"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum_cents",
+            F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .crossJoin(F.broadcast(total))
+        .where((F.col("cum_cents") - F.col("cents")) * 4 < F.col("total_cents"))
+        .select(
+            "l_partkey",
+            "rank",
+            (F.col("cents") / F.lit(100.0)).alias("revenue"),
+            (F.col("cum_cents") / F.lit(100.0)).alias("cum_revenue"),
+            (F.col("cum_cents").cast("double") / F.col("total_cents"))
+            .alias("cum_share"),
+        )
+    )
+
+
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency / frequency / monetary
+    quintiles (ntile(5)), the classic CRM scoring shape. Each ntile
+    ordering carries the custkey tie-break, so bucket edges are
+    deterministic and engine-identical; monetary is integer cents.
+    One shuffle to the per-customer rollup; the three ntile windows
+    share one global sort partition each over |customers| rows — at
+    100 TB swap ntile for the percentile-bound join (ntile needs a
+    single ordered partition; the rollup side is what keeps it small)."""
+    orders = load_table(spark, "orders", sf_dir)
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+    )
+    w_r = Window.orderBy(F.desc("last_day"), F.asc("o_custkey"))
+    w_f = Window.orderBy(F.desc("n_orders"), F.asc("o_custkey"))
+    w_m = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
+    return per_cust.select(
+        "o_custkey",
+        "last_day",
+        "n_orders",
+        (F.col("cents") / F.lit(100.0)).alias("monetary"),
+        F.ntile(5).over(w_r).cast("long").alias("r_score"),
+        F.ntile(5).over(w_f).cast("long").alias("f_score"),
+        F.ntile(5).over(w_m).cast("long").alias("m_score"),
+    )
+
+
 RELATIONAL_EXT_QUERIES = {
     "orders_cube": orders_cube,
     "nation_account_setops": nation_account_setops,
     "order_value_median_mode": order_value_median_mode,
     "lineitem_metrics_unpivot": lineitem_metrics_unpivot,
+    "part_revenue_pareto": part_revenue_pareto,
+    "customer_rfm": customer_rfm,
 }
 
 RELATIONAL_EXT_ORACLES = {
+    "part_revenue_pareto": """
+        WITH rev AS (
+          SELECT l_partkey,
+            SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS cents
+          FROM lineitem GROUP BY l_partkey
+        ),
+        ranked AS (
+          SELECT l_partkey, cents,
+            ROW_NUMBER() OVER (ORDER BY cents DESC, l_partkey) AS rank,
+            SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents,
+            (SELECT SUM(cents) FROM rev) AS total_cents
+          FROM rev
+        )
+        SELECT l_partkey, CAST(rank AS BIGINT) AS rank,
+          cents / 100.0 AS revenue,
+          cum_cents / 100.0 AS cum_revenue,
+          CAST(cum_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+            AS cum_share
+        FROM ranked
+        WHERE (cum_cents - cents) * 4 < total_cents
+    """,
+    "customer_rfm": """
+        WITH per_cust AS (
+          SELECT o_custkey,
+            MAX(CAST(o_orderdate AS DATE)) AS last_day,
+            COUNT(*) AS n_orders,
+            SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT o_custkey, last_day, n_orders,
+          cents / 100.0 AS monetary,
+          CAST(NTILE(5) OVER (ORDER BY last_day DESC, o_custkey) AS BIGINT)
+            AS r_score,
+          CAST(NTILE(5) OVER (ORDER BY n_orders DESC, o_custkey) AS BIGINT)
+            AS f_score,
+          CAST(NTILE(5) OVER (ORDER BY cents DESC, o_custkey) AS BIGINT)
+            AS m_score
+        FROM per_cust
+    """,
     "orders_cube": """
         SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
           ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2)

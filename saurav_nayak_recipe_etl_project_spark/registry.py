@@ -97,6 +97,8 @@ _DRIVER_PRIORITY = [
     "quality_weighted_sample",
     "ann_hnsw_topk",
     "length_bucketing",
+    "part_revenue_pareto",
+    "customer_rfm",
     # -- NEW in round 6: BM25 retrieval + LM likelihood score
     #    (fixed-point log portability), partitioned vector index
     #    (streamed-adds replay equality + pruned-search recall gate),

@@ -137,3 +137,45 @@ def test_unpivot_covers_every_flag_metric_pair(spark):
         .alias("s")).collect()[0]["s"]
     melted = sum(r["value"] for r in rows if r["metric"] == "sum_qty")
     assert abs(direct - melted) < 1e-6
+
+
+def test_pareto_prefix_is_minimal_cover(spark):
+    from saurav_nayak_recipe_etl_project_spark.plans.relational_ext import (
+        part_revenue_pareto,
+    )
+
+    rows = part_revenue_pareto(spark, SF).collect()
+    assert rows, "pareto frontier must be non-empty"
+    ranks = sorted(r["rank"] for r in rows)
+    # the emitted set is a rank prefix (no holes)
+    assert ranks == list(range(1, len(ranks) + 1))
+    last = max(rows, key=lambda r: r["rank"])
+    first_rows = [r for r in rows if r["rank"] < last["rank"]]
+    # every strict prefix covers < 25%; the cut happens at the crossing
+    if first_rows:
+        assert max(r["cum_share"] for r in first_rows) < 0.25
+    assert last["cum_share"] >= 0.25 or len(rows) == 1
+    # cum_share is nondecreasing with rank
+    shares = [r["cum_share"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert shares == sorted(shares)
+
+
+def test_rfm_scores_are_quintiles(spark):
+    from saurav_nayak_recipe_etl_project_spark.plans.relational_ext import (
+        customer_rfm,
+    )
+
+    rows = customer_rfm(spark, SF).collect()
+    n = len(rows)
+    for col in ("r_score", "f_score", "m_score"):
+        counts = {}
+        for r in rows:
+            assert 1 <= r[col] <= 5
+            counts[r[col]] = counts.get(r[col], 0) + 1
+        # ntile balance: bucket sizes differ by at most 1
+        assert max(counts.values()) - min(counts.values()) <= 1
+        assert sum(counts.values()) == n
+    # monetary quintile 1 must dominate quintile 5 in value
+    m1 = min(r["monetary"] for r in rows if r["m_score"] == 1)
+    m5 = max(r["monetary"] for r in rows if r["m_score"] == 5)
+    assert m1 >= m5
