@@ -214,7 +214,62 @@ def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 session opening paths: the first three event types of
+    every 30-min-gap session, '>'-joined (the product-analytics "what
+    do users do first" report, and the same composition the sessionize
+    operator feeds at 100 TB).
+
+    Session ids come from the lag+cumsum idiom (one user_id window);
+    the first-3 pick is the codegen conditional-MAX pivot on the
+    in-session row number (no collect_list ordering hazard); the final
+    top-10 is a count rollup over a path space bounded by
+    |event_type|^3. Ties rank deterministically (count desc, path)."""
+    ev = load_table(spark, "events", sf_dir)
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_sess = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_ts", F.lag("ts").over(w_u))
+        .withColumn(
+            "new_s",
+            # microsecond-exact gap (a SECOND diff truncates: a
+            # 1800.5s gap would merge here but split in the oracle)
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+                   > 1800 * 1_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_s").over(
+            w_u.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    w_s = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    first3 = (
+        with_sess.withColumn("rn", F.row_number().over(w_s))
+        .where(F.col("rn") <= 3)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                *[
+                    F.max(F.when(F.col("rn") == i, F.col("event_type")))
+                    for i in (1, 2, 3)
+                ],
+            ).alias("path")
+        )
+    )
+    w_rank = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (
+        first3.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .where(F.col("rank") <= 10)
+    )
+
+
 TEMPORAL_QUERIES = {
+    "session_top_paths": session_top_paths,
     "cohort_retention": cohort_retention,
     "weekly_active_breakdown": weekly_active_breakdown,
     "event_transitions": event_transitions,
@@ -224,6 +279,43 @@ TEMPORAL_QUERIES = {
 }
 
 TEMPORAL_ORACLES = {
+    "session_top_paths": """
+        WITH g AS (
+          SELECT user_id, ts, event_id, event_type,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                 THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+          SELECT user_id, ts, event_id, event_type,
+            SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM g
+        ),
+        r AS (
+          SELECT user_id, session_id, event_type,
+            ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                               ORDER BY ts, event_id) AS rn
+          FROM s
+        ),
+        p AS (
+          SELECT user_id, session_id,
+            concat_ws('>',
+              MAX(CASE WHEN rn = 1 THEN event_type END),
+              MAX(CASE WHEN rn = 2 THEN event_type END),
+              MAX(CASE WHEN rn = 3 THEN event_type END)) AS path
+          FROM r WHERE rn <= 3 GROUP BY user_id, session_id
+        ),
+        c AS (SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path)
+        SELECT path, n_sessions, rank FROM (
+          SELECT path, n_sessions,
+            CAST(ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path)
+                 AS BIGINT) AS rank
+          FROM c
+        ) WHERE rank <= 10
+    """,
     "event_time_weighted_avg": """
         WITH gaps AS (
           SELECT user_id,

@@ -96,3 +96,33 @@ def test_ohlc_tie_breaks_on_event_id(spark, tmp_path):
     out = events_ohlc(spark, _write(spark, tmp_path, rows)).collect()
     assert len(out) == 1
     assert out[0]["open"] == 1.0 and out[0]["close"] == 2.0
+
+
+def test_session_top_paths_orders_within_session(spark, tmp_path):
+    from saurav_nayak_recipe_etl_project_spark.plans.temporal import (
+        session_top_paths,
+    )
+
+    base = _ts("2024-01-01T00:00:00")
+    rows = [
+        # user 1 session: view > click > purchase (+ a 4th event that
+        # must NOT appear in the path)
+        (1, base, 1, "view", 1.0, "{}"),
+        (2, base + dt.timedelta(seconds=10), 1, "click", 1.0, "{}"),
+        (3, base + dt.timedelta(seconds=20), 1, "purchase", 1.0, "{}"),
+        (4, base + dt.timedelta(seconds=30), 1, "error", 1.0, "{}"),
+        # >30min later: a NEW session for the same user, single event
+        (5, base + dt.timedelta(seconds=2000), 1, "signup", 1.0, "{}"),
+        # user 2: same 3-step path again
+        (6, base, 2, "view", 1.0, "{}"),
+        (7, base + dt.timedelta(seconds=5), 2, "click", 1.0, "{}"),
+        (8, base + dt.timedelta(seconds=9), 2, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet"))
+    out = {r["path"]: r for r in
+           session_top_paths(spark, str(tmp_path)).collect()}
+    assert out["view>click>purchase"]["n_sessions"] == 2
+    assert out["view>click>purchase"]["rank"] == 1
+    assert out["signup"]["n_sessions"] == 1
