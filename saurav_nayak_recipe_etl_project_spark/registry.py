@@ -76,12 +76,13 @@ _load_optional()
 #   (2) the STALEST entries first — ordered by the round each was last
 #       externally verified in (computed from the CORRECTNESS_r*.json
 #       union) — until the window is full.
-# With ~110 entries and a 50-entry window, stalest-first guarantees
-# every entry is re-verified at least every 3 rounds even with ~10
-# changed entries front-loaded per round. Round-6 window: 5 new + 7
-# changed entries + all 27 last-verified-in-r1 entries + 11 of the 30
-# last-verified-in-r2 entries; the remaining 19 r2 entries + 3 r4
-# entries lead round 7's fill.
+# With ~135 entries and a 50-entry window, stalest-first re-verifies
+# every entry within ~4 rounds even with ~15 changed entries
+# front-loaded per round. Round-6 window after the late batch: 15 new
+# late-round entries + 10 earlier-round-6 entries + 7 changed-oracle
+# entries + the first 18 of the 27 last-verified-in-r1 entries; the
+# remaining r1 tail, all 30 r2 entries, and the r4 trio lead round
+# 7's fill (they are ordered next in this list).
 _DRIVER_PRIORITY = [
     # -- NEW in round 6 (late batch): relational surface extensions +
     #    irregular-series analytics --
