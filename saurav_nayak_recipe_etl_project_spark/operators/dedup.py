@@ -570,6 +570,98 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(load_table(spark, "documents", sf_dir))
 
 
+def dup_clusters_star(docs: DataFrame, tau: float = 0.5, n: int = 3,
+                      max_rounds: int = 20, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., 'Connected Components in MapReduce and Beyond',
+    SoCC'14) — the second, scale-preferred CC algorithm beside
+    dup_clusters' min-label propagation.
+
+    Why a second algorithm: min-label converges in O(component
+    DIAMETER) rounds — fine for shallow near-dup clusters, quadratic
+    pain on a long chain. Star contraction converges in O(log^2 n)
+    rounds regardless of diameter, at the same two-shuffles-per-round
+    cost, which is the algorithm you want when components can be deep
+    (link graphs, long dup chains across crawls). Both run here and
+    MUST agree (same registry oracle; cross-checked in
+    tests/test_clusters.py).
+
+    large-star: every neighbor v > u relinks to m = min(N(u) ∪ {u});
+    small-star: every neighbor v <= u (and u itself) relinks to m,
+    self-loops dropped. At fixpoint the edge set is a star forest
+    (child -> component-min root); labels read straight off it.
+    Fixpoint detection is an exact set compare (two anti-joins), and
+    `max_rounds` is a safety cap that RAISES instead of returning
+    partial components."""
+    pairs = (
+        lsh_verified_pairs(docs, tau=tau, n=n, text_col=text_col,
+                           id_col=id_col)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    )
+    e = pairs.filter(F.col("a") != F.col("b")).distinct().localCheckpoint()
+    converged = False
+    for _ in range(max_rounds):
+        new_e = e
+        for phase in ("large", "small"):
+            sym = new_e.select("a", "b").unionByName(
+                new_e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            m = sym.groupBy("a").agg(F.min("b").alias("minb")).select(
+                "a", F.least("minb", "a").alias("m")
+            )
+            if phase == "large":
+                out = (
+                    sym.join(m, "a")
+                    .where(F.col("b") > F.col("a"))
+                    .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                )
+            else:
+                cand = sym.where(F.col("b") <= F.col("a")).unionByName(
+                    sym.select("a", F.col("a").alias("b")).distinct()
+                )
+                out = (
+                    cand.join(m, "a")
+                    .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                )
+            new_e = (
+                out.where(F.col("a") != F.col("b"))
+                .distinct()
+                .localCheckpoint()
+            )
+        delta = (
+            new_e.exceptAll(e).limit(1).count()
+            + e.exceptAll(new_e).limit(1).count()
+        )
+        e = new_e
+        if delta == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters_star: star contraction did not reach a "
+            f"fixpoint within {max_rounds} rounds"
+        )
+    child = e.groupBy("a").agg(F.min("b").alias("parent"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(child.withColumnRenamed("a", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("parent", F.col("doc_id")).cast("long")
+            .alias("cluster_id"),
+        )
+    )
+
+
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry twin of dedup_clusters running the O(log^2 n)-round
+    star-contraction algorithm — SAME oracle (components are
+    algorithm-independent), so the driver hash-verifies that both
+    algorithms produce identical clusters."""
+    return dup_clusters_star(load_table(spark, "documents", sf_dir))
+
+
 # --- F-extension: train/test contamination ----------------------------------
 
 def cross_corpus_overlap(docs_a: DataFrame, docs_b: DataFrame,
@@ -735,6 +827,7 @@ DEDUP_QUERIES = {
     "dedup_embedding": dedup_embedding,
     "dedup_embedding_exact": dedup_embedding_exact,
     "dedup_clusters": dedup_clusters,
+    "dedup_clusters_star": dedup_clusters_star,
     "dedup_lsh_verified": dedup_lsh_verified,
     "dedup_contamination": dedup_contamination,
     "documents_deduped": documents_deduped,
@@ -970,3 +1063,8 @@ DEDUP_ORACLES = {
               >= 0.3
     """,
 }
+
+# Components are algorithm-independent: the star-contraction twin must
+# reproduce EXACTLY the clusters the recursive-CTE closure (and the
+# min-label path) produce.
+DEDUP_ORACLES["dedup_clusters_star"] = DEDUP_ORACLES["dedup_clusters"]

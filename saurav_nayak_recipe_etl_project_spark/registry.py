@@ -101,6 +101,7 @@ _DRIVER_PRIORITY = [
     "part_revenue_pareto",
     "customer_rfm",
     "session_top_paths",
+    "dedup_clusters_star",
     # -- NEW in round 6: BM25 retrieval + LM likelihood score
     #    (fixed-point log portability), partitioned vector index
     #    (streamed-adds replay equality + pruned-search recall gate),
