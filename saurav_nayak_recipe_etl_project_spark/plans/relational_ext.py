@@ -229,6 +229,78 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_value_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean per priority — the robust-mean report that
+    drops each tail before averaging (outlier-resistant KPI). The trim
+    cut is rank-based and integer-exact: keep rows with
+    trim < rn <= n - trim where trim = n DIV 20; the mean is the raw
+    double division of an integer cents sum by an integer count."""
+    orders = load_table(spark, "orders", sf_dir)
+    d = orders.select("o_orderpriority", _cents().alias("cents"))
+    w_rank = Window.partitionBy("o_orderpriority").orderBy("cents")
+    w_grp = Window.partitionBy("o_orderpriority")
+    return (
+        d.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n", F.count("*").over(w_grp))
+        .withColumn("trim", F.expr("n DIV 20"))
+        .where((F.col("rn") > F.col("trim"))
+               & (F.col("rn") <= F.col("n") - F.col("trim")))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("n").alias("n_orders"),
+            F.count("*").alias("n_kept"),
+            F.sum("cents").alias("kept_cents"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "n_kept",
+            (F.col("kept_cents").cast("double")
+             / F.col("n_kept").cast("double") / F.lit(100.0))
+            .alias("trimmed_mean"),
+        )
+    )
+
+
+def priority_status_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence crosstab between order priority and
+    status — the categorical-association data-quality check.
+
+    Per-cell statistic in FIXED-POINT integer arithmetic (the
+    retrieval.py log trick): term_ppm = (o*N - rt*ct)^2 * 1e6 DIV
+    (rt*ct*N) — one floor division per cell, integer sums, so the
+    statistic is bit-portable; a float (o-e)^2/e accumulates
+    engine-ordered rounding. The intermediate (o*N - rt*ct)^2 grows as
+    N^4, so it runs in DECIMAL(38,0) (HUGEINT on the oracle side) —
+    plain BIGINT overflows right at sf0.1. One count shuffle; the
+    margins are a 15-row broadcast."""
+    orders = load_table(spark, "orders", sf_dir)
+    cell = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("o")
+    )
+    rt = cell.groupBy("o_orderpriority").agg(F.sum("o").alias("rt"))
+    ct = cell.groupBy("o_orderstatus").agg(F.sum("o").alias("ct"))
+    n = cell.agg(F.sum("o").alias("n"))
+    big = "CAST({} AS DECIMAL(38,0))"
+    d = (f"({big.format('o')} * n - {big.format('rt')} * ct)")
+    return (
+        cell.join(F.broadcast(rt), "o_orderpriority")
+        .join(F.broadcast(ct), "o_orderstatus")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            "o",
+            F.expr(f"CAST({big.format('rt')} * ct DIV n AS BIGINT)")
+            .alias("expected_floor"),
+            F.expr(
+                f"CAST({d} * {d} * 1000000"
+                f" DIV ({big.format('rt')} * ct * n) AS BIGINT)"
+            ).alias("term_ppm"),
+        )
+    )
+
+
 RELATIONAL_EXT_QUERIES = {
     "orders_cube": orders_cube,
     "nation_account_setops": nation_account_setops,
@@ -236,9 +308,57 @@ RELATIONAL_EXT_QUERIES = {
     "lineitem_metrics_unpivot": lineitem_metrics_unpivot,
     "part_revenue_pareto": part_revenue_pareto,
     "customer_rfm": customer_rfm,
+    "order_value_trimmed_mean": order_value_trimmed_mean,
+    "priority_status_chi2": priority_status_chi2,
 }
 
 RELATIONAL_EXT_ORACLES = {
+    "order_value_trimmed_mean": """
+        WITH d AS (
+          SELECT o_orderpriority,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+        ),
+        ranked AS (
+          SELECT o_orderpriority, cents,
+            ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                               ORDER BY cents) AS rn,
+            COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+          FROM d
+        )
+        SELECT o_orderpriority, MAX(n) AS n_orders,
+          COUNT(*) AS n_kept,
+          CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0
+            AS trimmed_mean
+        FROM ranked
+        WHERE rn > n // 20 AND rn <= n - n // 20
+        GROUP BY o_orderpriority
+    """,
+    "priority_status_chi2": """
+        WITH cell AS (
+          SELECT o_orderpriority, o_orderstatus, COUNT(*) AS o
+          FROM orders GROUP BY o_orderpriority, o_orderstatus
+        ),
+        rt AS (
+          SELECT o_orderpriority, SUM(o) AS rt FROM cell
+          GROUP BY o_orderpriority
+        ),
+        ct AS (
+          SELECT o_orderstatus, SUM(o) AS ct FROM cell
+          GROUP BY o_orderstatus
+        ),
+        n AS (SELECT SUM(o) AS n FROM cell)
+        SELECT o_orderpriority, o_orderstatus, o,
+          CAST(CAST(rt AS HUGEINT) * ct // n AS BIGINT) AS expected_floor,
+          CAST((CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct)
+               * (CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct)
+               * 1000000 // (CAST(rt AS HUGEINT) * ct * n) AS BIGINT)
+            AS term_ppm
+        FROM cell
+        JOIN rt USING (o_orderpriority)
+        JOIN ct USING (o_orderstatus)
+        CROSS JOIN n
+    """,
     "part_revenue_pareto": """
         WITH rev AS (
           SELECT l_partkey,

@@ -102,6 +102,8 @@ _DRIVER_PRIORITY = [
     "customer_rfm",
     "session_top_paths",
     "dedup_clusters_star",
+    "order_value_trimmed_mean",
+    "priority_status_chi2",
     # -- NEW in round 6: BM25 retrieval + LM likelihood score
     #    (fixed-point log portability), partitioned vector index
     #    (streamed-adds replay equality + pruned-search recall gate),

@@ -179,3 +179,40 @@ def test_rfm_scores_are_quintiles(spark):
     m1 = min(r["monetary"] for r in rows if r["m_score"] == 1)
     m5 = max(r["monetary"] for r in rows if r["m_score"] == 5)
     assert m1 >= m5
+
+
+def test_trimmed_mean_drops_exact_tail_counts(spark):
+    from saurav_nayak_recipe_etl_project_spark.plans.relational_ext import (
+        order_value_trimmed_mean,
+    )
+
+    rows = order_value_trimmed_mean(spark, SF).collect()
+    for r in rows:
+        trim = r["n_orders"] // 20
+        assert r["n_kept"] == r["n_orders"] - 2 * trim
+        assert r["trimmed_mean"] > 0
+
+
+def test_chi2_terms_zero_under_perfect_independence(spark):
+    """A synthetic perfectly-independent crosstab must yield term_ppm 0
+    in every cell (o*N == rt*ct exactly)."""
+    from saurav_nayak_recipe_etl_project_spark.plans import relational_ext as R
+
+    # 2x2 with counts 10,20 / 10,20: margins rt=30,30; ct=20,40; N=60
+    # o*N = 10*60 = 600 = rt*ct/… -> 30*20=600: independent
+    rows = (
+        [("A", "X", 1.0)] * 10 + [("A", "Y", 1.0)] * 20
+        + [("B", "X", 1.0)] * 10 + [("B", "Y", 1.0)] * 20
+    )
+    df = spark.createDataFrame(
+        [(p, s, v) for p, s, v in rows],
+        "o_orderpriority string, o_orderstatus string, o_totalprice double",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/orders.parquet")
+        out = R.priority_status_chi2(spark, td).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["term_ppm"] == 0, r
