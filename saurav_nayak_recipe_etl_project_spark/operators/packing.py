@@ -176,10 +176,47 @@ def length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_bucketing_df(load_table(spark, "documents", sf_dir))
 
 
+SHUFFLE_SEED = "epoch1"
+SHUFFLE_SHARD_DOCS = 100
+
+
+def corpus_shuffle_df(docs: DataFrame, seed: str = SHUFFLE_SEED,
+                      shard_docs: int = SHUFFLE_SHARD_DOCS) -> DataFrame:
+    """Deterministic global training-order shuffle: every doc gets a
+    reproducible position and output shard for epoch `seed`.
+
+    The order key is md5(seed | doc_id) — changing the seed re-deals
+    the whole ordering (per-epoch reshuffle), same seed always deals
+    identically (resumable training, bit-equal across clusters). The
+    ROW_NUMBER here is a single ordered window over (key, doc_id) —
+    fine for a registry demo and for manifest-sized inputs; at 100 TB
+    you range-partition on the key and turn per-partition row counts
+    into offsets (two passes, no global sort window), same output."""
+    key = F.md5(F.concat(F.lit(seed + "|"), F.col("doc_id").cast("string")))
+    w = Window.orderBy("shuffle_key", "doc_id")
+    return (
+        docs.select("doc_id", key.alias("shuffle_key"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            "doc_id",
+            "shuffle_key",
+            "rank",
+            F.expr(f"(rank - 1) DIV {shard_docs}").alias("shard"),
+            F.expr(f"(rank - 1) % {shard_docs}").alias("pos_in_shard"),
+        )
+    )
+
+
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F36 — seeded deterministic epoch shuffle of the corpus."""
+    return corpus_shuffle_df(load_table(spark, "documents", sf_dir))
+
+
 PACKING_QUERIES = {
     "pack_sequences": pack_sequences,
     "rebalance_sources": rebalance_sources,
     "length_bucketing": length_bucketing,
+    "corpus_shuffle": corpus_shuffle,
 }
 
 _BUCKET_CASE = "CASE " + " ".join(
@@ -187,6 +224,24 @@ _BUCKET_CASE = "CASE " + " ".join(
 ) + f" ELSE {LENGTH_BUCKETS[-1]} END"
 
 PACKING_ORACLES = {
+    "corpus_shuffle": f"""
+        WITH keyed AS (
+          SELECT doc_id,
+            md5('{SHUFFLE_SEED}' || '|' || CAST(doc_id AS VARCHAR))
+              AS shuffle_key
+          FROM documents
+        ),
+        ranked AS (
+          SELECT doc_id, shuffle_key,
+            CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id)
+                 AS BIGINT) AS rank
+          FROM keyed
+        )
+        SELECT doc_id, shuffle_key, rank,
+          (rank - 1) // {SHUFFLE_SHARD_DOCS} AS shard,
+          (rank - 1) % {SHUFFLE_SHARD_DOCS} AS pos_in_shard
+        FROM ranked
+    """,
     "length_bucketing": f"""
         WITH t AS (
           SELECT lang,

@@ -104,6 +104,7 @@ _DRIVER_PRIORITY = [
     "dedup_clusters_star",
     "order_value_trimmed_mean",
     "priority_status_chi2",
+    "corpus_shuffle",
     # -- NEW in round 6: BM25 retrieval + LM likelihood score
     #    (fixed-point log portability), partitioned vector index
     #    (streamed-adds replay equality + pruned-search recall gate),

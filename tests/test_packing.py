@@ -232,3 +232,28 @@ def test_length_bucketing_edges_and_waste(spark):
     # overlong doc: padded_tokens floor at the cap, waste 0 (truncation
     # accounting is the packer's job, not the bucketer's)
     assert out[1024]["sum_tokens"] == 2000
+
+
+def test_corpus_shuffle_is_seeded_permutation(spark, sf_dir):
+    from saurav_nayak_recipe_etl_project_spark.operators.packing import (
+        corpus_shuffle_df,
+    )
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    n = docs.count()
+    a = {r["doc_id"]: (r["rank"], r["shard"], r["pos_in_shard"])
+         for r in corpus_shuffle_df(docs, seed="s1").collect()}
+    # a permutation: ranks are exactly 1..n
+    assert sorted(r for r, _, _ in a.values()) == list(range(1, n + 1))
+    # shard/pos decompose the rank
+    for rank, shard, pos in a.values():
+        assert shard * 100 + pos == rank - 1
+    # same seed deals identically; different seed re-deals nearly all
+    a2 = {r["doc_id"]: (r["rank"], r["shard"], r["pos_in_shard"])
+          for r in corpus_shuffle_df(docs, seed="s1").collect()}
+    assert a == a2
+    b = {r["doc_id"]: r["rank"]
+         for r in corpus_shuffle_df(docs, seed="s2").collect()}
+    moved = sum(1 for k in a if a[k][0] != b[k])
+    assert moved > 0.9 * n
