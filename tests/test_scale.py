@@ -95,3 +95,29 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_schema_evolution_merge_read(spark, sf_dir, tmp_path):
+    """Schema evolution across parquet drops: an old writer (no
+    discount column) and a new writer (extra column) must read back as
+    ONE table under mergeSchema, old rows null-filled — the lakehouse
+    behavior the reference gets from BigQuery schema updates."""
+    orders = load_table(spark, "orders", sf_dir).limit(50)
+    v1 = orders.select("o_orderkey", "o_totalprice")
+    v2 = orders.select(
+        "o_orderkey", "o_totalprice",
+        F.lit("web").alias("o_channel"),   # column added later
+    )
+    path = str(tmp_path / "evolving")
+    v1.write.parquet(path + "/batch=1")
+    v2.write.parquet(path + "/batch=2")
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(back.columns) == {"o_orderkey", "o_totalprice", "o_channel",
+                                 "batch"}
+    got = back.groupBy("batch").agg(
+        F.count("*").alias("n"),
+        F.count("o_channel").alias("with_channel"),
+    ).collect()
+    by_b = {r["batch"]: r for r in got}
+    assert by_b[1]["n"] == 50 and by_b[1]["with_channel"] == 0
+    assert by_b[2]["n"] == 50 and by_b[2]["with_channel"] == 50
