@@ -164,3 +164,100 @@ def test_pagerank_mass_never_exceeds_scale(spark):
     # floor divisions only ever LEAK mass — never create it
     assert total <= G.PR_SCALE
     assert all(r["pr_micro"] >= 0 for r in pr)
+
+
+def test_segment_dedup_conservation_on_random_corpus(spark):
+    """Invariants on a seeded-random corpus: (1) total kept segments ==
+    number of DISTINCT segments in the corpus; (2) per-doc kept <=
+    total; (3) a doc's kept_text tokens are a sub-multiset appearing in
+    its original text in order."""
+    from saurav_nayak_recipe_etl_project_spark.operators.linedup import (
+        segment_dedup,
+    )
+
+    docs = _random_docs(spark, n=120, seed=13)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    segs_global = set()
+    for t in texts.values():
+        toks = t.split() if t.strip() else [""]
+        if not t.strip():
+            toks = [""]
+        for i in range(0, len(toks), 10):
+            segs_global.add(" ".join(toks[i:i + 10]))
+    out = segment_dedup(docs).collect()
+    assert sum(r["n_kept"] for r in out) == len(segs_global)
+    for r in out:
+        assert 0 <= r["n_kept"] <= r["n_segments"]
+        if r["kept_text"]:
+            # kept segments appear in original order
+            orig = texts[r["doc_id"]].split()
+            kept = r["kept_text"].split()
+            it = iter(orig)
+            assert all(tok in it for tok in kept), r["doc_id"]
+
+
+def test_twa_bounded_by_min_max_value(spark):
+    """TWA lies in [min, max] of the user's interval-weighted values."""
+    import datetime as dt
+    import random as _r
+
+    from saurav_nayak_recipe_etl_project_spark.plans.temporal import (
+        event_time_weighted_avg,
+    )
+
+    rng = _r.Random(3)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for uid in range(20):
+        t = base
+        for _ in range(rng.randint(2, 15)):
+            t += dt.timedelta(seconds=rng.randint(1, 5000))
+            rows.append((eid, t, uid, "view", round(rng.uniform(0, 50), 2), "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{td}/events.parquet")
+        out = event_time_weighted_avg(spark, td).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r[2], []).append(r[4])
+    for r in out:
+        vals = by_user[r["user_id"]][:-1]  # last event carries no weight
+        assert min(vals) - 1e-9 <= r["twa_value"] <= max(vals) + 1e-9
+
+
+def test_star_cc_labels_are_component_minima(spark):
+    """On a seeded random graph, every cluster label must equal the min
+    doc_id of its component (checked against a pure-python union-find)."""
+    import random as _r
+
+    from saurav_nayak_recipe_etl_project_spark.operators.dedup import (
+        dup_clusters_star, lsh_verified_pairs,
+    )
+
+    docs = _random_docs(spark, n=100, seed=23)
+    edges = [(r["doc_a"], r["doc_b"])
+             for r in lsh_verified_pairs(docs, tau=0.5).collect()]
+    parent = list(range(100))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(100)}
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dup_clusters_star(docs, tau=0.5).collect()}
+    assert got == want
