@@ -225,6 +225,12 @@ HEADLINE = [
     "event_time_weighted_avg",
     "quality_weighted_sample",
     "ann_hnsw_topk",
+    # latest additions: the O(log^2 n) CC twin (vs dedup chains), the
+    # sessionize+pivot composition, RFM windows, and the epoch shuffle
+    "dedup_clusters_star",
+    "session_top_paths",
+    "customer_rfm",
+    "corpus_shuffle",
 ]
 
 
