@@ -121,6 +121,50 @@ def ngram_decontaminate(train: DataFrame, benchmark: DataFrame,
     )
 
 
+def containment_pairs(docs: DataFrame, tau: float = 0.8, n: int = 3,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """ASYMMETRIC near-dup: containment(A in B) = |grams(A) ∩ grams(B)|
+    / |grams(A)|. Jaccard misses a short document quoted inside a long
+    one (the union term swamps it); containment is the standard fix
+    (Broder's resemblance vs containment distinction). Same
+    inverted-index gram join as the Jaccard path — pairs only form on
+    shared grams, never doc x doc — then BOTH directions are evaluated
+    and rows emitted as (contained_id, container_id). Equal-size
+    mutual containment emits both directions by design (the caller's
+    keeper policy picks)."""
+    sh = shingle_rows(docs, n, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    a = sh.withColumnRenamed("doc_id", "a_id")
+    b = sh.withColumnRenamed("doc_id", "b_id")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a_id") != F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed(
+        "n_grams", "n_a")
+    cont = F.col("inter") / F.col("n_a")
+    # pure-integer threshold (tau as a rational) — no double compare at
+    # the inclusion boundary
+    tau_num = int(round(tau * 10))
+    return (
+        inter.join(na, "a_id")
+        .where(F.col("inter") * 10 >= F.lit(tau_num) * F.col("n_a"))
+        .select(
+            F.col("a_id").alias("contained_id"),
+            F.col("b_id").alias("container_id"),
+            F.round(cont, 6).alias("containment"),
+        )
+    )
+
+
+def dedup_subset_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: containment >= 0.8 pairs over documents."""
+    return containment_pairs(load_table(spark, "documents", sf_dir))
+
+
 def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: 10-word segment dedup over the documents table."""
     return segment_dedup(load_table(spark, "documents", sf_dir))
@@ -149,9 +193,40 @@ _GRAMS5 = """
 LINEDUP_QUERIES = {
     "dedup_segments": dedup_segments,
     "decontaminate_5gram": decontaminate_5gram,
+    "dedup_subset_containment": dedup_subset_containment,
 }
 
+# 3-gram analog reused from dedup.py's oracle macro shape.
+_GRAMS3 = """
+    CASE WHEN len(toks) >= 3 THEN list_distinct(
+      list_transform(generate_series(1, len(toks) - 2),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+    ELSE [] END
+"""
+
 LINEDUP_ORACLES = {
+    "dedup_subset_containment": f"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id, unnest({_GRAMS3}) AS shingle FROM t
+        ),
+        sizes AS (
+          SELECT doc_id, COUNT(*) AS n_grams FROM sh GROUP BY doc_id
+        ),
+        inter AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT a_id AS contained_id, b_id AS container_id,
+          ROUND(inter * 1.0 / n_grams, 6) AS containment
+        FROM inter JOIN sizes ON inter.a_id = sizes.doc_id
+        WHERE inter * 10 >= 8 * n_grams
+    """,
     "dedup_segments": """
         WITH toks AS (
           SELECT doc_id,

@@ -268,8 +268,39 @@ def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (1-day window, 6-hour slide): every
+    event lands in 4 overlapping windows — the smoothing shape tumbling
+    windows can't express. Spark's window() emits the per-event window
+    list map-side (an Expand, like CUBE); the oracle reproduces it by
+    cross-joining each event with its 4 slide offsets. Money is
+    integer cents; window bounds are emitted as epoch seconds (integer,
+    TZ-free)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 day", "6 hours"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                / F.lit(100.0), 2
+            ).alias("sum_value"),
+        )
+        .select(
+            F.expr(
+                "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+                " window.start)"
+            ).cast("long").alias("window_start_s"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 TEMPORAL_QUERIES = {
     "session_top_paths": session_top_paths,
+    "events_sliding_window": events_sliding_window,
     "cohort_retention": cohort_retention,
     "weekly_active_breakdown": weekly_active_breakdown,
     "event_transitions": event_transitions,
@@ -279,6 +310,22 @@ TEMPORAL_QUERIES = {
 }
 
 TEMPORAL_ORACLES = {
+    "events_sliding_window": """
+        WITH e AS (
+          SELECT event_type,
+            CAST(ROUND(value * 100) AS BIGINT) AS cents,
+            CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
+          FROM events
+        ),
+        w AS (
+          SELECT event_type, cents,
+            (es // 21600) * 21600 - j * 21600 AS window_start_s
+          FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+        )
+        SELECT window_start_s, event_type, COUNT(*) AS n,
+          ROUND(SUM(cents) / 100.0, 2) AS sum_value
+        FROM w GROUP BY window_start_s, event_type
+    """,
     "session_top_paths": """
         WITH g AS (
           SELECT user_id, ts, event_id, event_type,

@@ -105,6 +105,8 @@ _DRIVER_PRIORITY = [
     "order_value_trimmed_mean",
     "priority_status_chi2",
     "corpus_shuffle",
+    "events_sliding_window",
+    "dedup_subset_containment",
     # -- NEW in round 6: BM25 retrieval + LM likelihood score
     #    (fixed-point log portability), partitioned vector index
     #    (streamed-adds replay equality + pruned-search recall gate),

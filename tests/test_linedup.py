@@ -89,3 +89,41 @@ def test_decontaminate_ignores_within_train_duplication(spark):
     dup = _words("d", 10)
     train = _mk(spark, [(1, dup), (2, dup)])
     assert ngram_decontaminate(train, bench).count() == 0
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    """A 12-word doc fully quoted inside a 120-word doc: containment
+    1.0 (flagged) while Jaccard ~0.09 (invisible at any sane tau)."""
+    from saurav_nayak_recipe_etl_project_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from saurav_nayak_recipe_etl_project_spark.operators.linedup import (
+        containment_pairs,
+    )
+
+    short = _words("q", 12)
+    long_doc = _words("pre", 60) + " " + short + " " + _words("post", 48)
+    docs = _mk(spark, [(1, short), (2, long_doc)])
+    cont = containment_pairs(docs, tau=0.8).collect()
+    got = {(r["contained_id"], r["container_id"]): r["containment"]
+           for r in cont}
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (2, 1) not in got  # the long doc is NOT contained in the short
+    jac = ngram_jaccard_pairs(docs, tau=0.5).collect()
+    assert not jac, "jaccard must miss the quote at tau=0.5"
+
+
+def test_mutual_containment_emits_both_directions(spark):
+    t = _words("z", 20)
+    docs = _mk(spark, [(1, t), (2, t)])
+    got = {(r["contained_id"], r["container_id"])
+           for r in containment_pairs_import(spark, docs)}
+    assert got == {(1, 2), (2, 1)}
+
+
+def containment_pairs_import(spark, docs):
+    from saurav_nayak_recipe_etl_project_spark.operators.linedup import (
+        containment_pairs,
+    )
+
+    return containment_pairs(docs, tau=0.8).collect()
