@@ -76,11 +76,11 @@ _load_optional()
 #   (2) the STALEST entries first — ordered by the round each was last
 #       externally verified in (computed from the CORRECTNESS_r*.json
 #       union) — until the window is full.
-# With ~135 entries and a 50-entry window, stalest-first re-verifies
-# every entry within ~4 rounds even with ~15 changed entries
-# front-loaded per round. Round-6 window after the late batch: 15 new
+# With ~141 entries and a 50-entry window, stalest-first re-verifies
+# every entry within ~4 rounds even with ~20 changed entries
+# front-loaded per round. Round-6 window after the late batch: 21 new
 # late-round entries + 10 earlier-round-6 entries + 7 changed-oracle
-# entries + the first 18 of the 27 last-verified-in-r1 entries; the
+# entries + the first ~12 of the 27 last-verified-in-r1 entries; the
 # remaining r1 tail, all 30 r2 entries, and the r4 trio lead round
 # 7's fill (they are ordered next in this list).
 _DRIVER_PRIORITY = [
