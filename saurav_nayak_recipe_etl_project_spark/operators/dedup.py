@@ -601,34 +601,39 @@ def dup_clusters_star(docs: DataFrame, tau: float = 0.5, n: int = 3,
     )
     e = pairs.filter(F.col("a") != F.col("b")).distinct().localCheckpoint()
     converged = False
-    for _ in range(max_rounds):
-        new_e = e
-        for phase in ("large", "small"):
-            sym = new_e.select("a", "b").unionByName(
-                new_e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+
+    def _star(edges_df, phase):
+        # duplicates in the input cannot change any MIN, so only the
+        # per-round output is distinct'd — the large-star intermediate
+        # stays lazy (one materialization + at most one convergence
+        # probe per round, which is what keeps the job count — the
+        # local-mode latency driver — at ~2/round instead of ~5)
+        sym = edges_df.select("a", "b").unionByName(
+            edges_df.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        m = sym.groupBy("a").agg(F.min("b").alias("minb")).select(
+            "a", F.least("minb", "a").alias("m")
+        )
+        if phase == "large":
+            out = (
+                sym.join(m, "a")
+                .where(F.col("b") > F.col("a"))
+                .select(F.col("b").alias("a"), F.col("m").alias("b"))
             )
-            m = sym.groupBy("a").agg(F.min("b").alias("minb")).select(
-                "a", F.least("minb", "a").alias("m")
+        else:
+            cand = sym.where(F.col("b") <= F.col("a")).unionByName(
+                sym.select("a", F.col("a").alias("b"))
             )
-            if phase == "large":
-                out = (
-                    sym.join(m, "a")
-                    .where(F.col("b") > F.col("a"))
-                    .select(F.col("b").alias("a"), F.col("m").alias("b"))
-                )
-            else:
-                cand = sym.where(F.col("b") <= F.col("a")).unionByName(
-                    sym.select("a", F.col("a").alias("b")).distinct()
-                )
-                out = (
-                    cand.join(m, "a")
-                    .select(F.col("b").alias("a"), F.col("m").alias("b"))
-                )
-            new_e = (
-                out.where(F.col("a") != F.col("b"))
-                .distinct()
-                .localCheckpoint()
+            out = (
+                cand.join(m, "a")
+                .select(F.col("b").alias("a"), F.col("m").alias("b"))
             )
+        return out.where(F.col("a") != F.col("b"))
+
+    for rnd in range(max_rounds):
+        new_e = (
+            _star(_star(e, "large"), "small").distinct().localCheckpoint()
+        )
         delta = (
             new_e.exceptAll(e).limit(1).count()
             + e.exceptAll(new_e).limit(1).count()
