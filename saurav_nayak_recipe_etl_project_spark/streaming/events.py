@@ -160,6 +160,39 @@ def run_topk_stream(spark: SparkSession, source_dir: str,
     )
 
 
+def run_enriched_stream(spark: SparkSession, source_dir: str, user_dim,
+                        checkpoint_dir: str, query_name: str) -> None:
+    """Stream-static enrichment: the event stream joined per
+    micro-batch to a STATIC dimension (here a user dim DataFrame) —
+    the lookup-join shape every event pipeline needs, distinct from
+    the watermarked stream-stream join (joins.py). The static side is
+    re-resolved each micro-batch (so a dim refresh between triggers is
+    picked up) and broadcast — no state store involved, unlike
+    stream-stream joins. Aggregates per (segment, event_type) so the
+    output is dimension-bounded."""
+    ev = read_event_stream(spark, source_dir)
+    enriched = ev.join(F.broadcast(user_dim), "user_id", "left")
+    agg = (
+        enriched.groupBy(
+            F.coalesce("segment", F.lit("unknown")).alias("segment"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.round(F.col("value") * 100).cast("long"))
+                    / F.lit(100.0), 2).alias("sum_value"),
+        )
+    )
+    await_or_raise(
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_ohlc_stream(spark: SparkSession, source_dir: str,
                     checkpoint_dir: str, query_name: str) -> None:
     """Incrementally-maintained daily OHLC bars per event type (the

@@ -108,3 +108,53 @@ def test_stream_ohlc_matches_batch_across_micro_batches(spark, sf_dir, tmp_path)
         for r in events_ohlc(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static broadcast join: the streamed per-segment rollup
+    must equal the same join done in batch; users missing from the dim
+    land in 'unknown' instead of being dropped."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
+
+    ev = E.load_table(spark, "events", sf_dir)
+    # static dim covering only half the users -> exercises the
+    # left-join 'unknown' path
+    user_dim = (
+        ev.select("user_id").distinct()
+        .where(F.col("user_id") % 2 == 0)
+        .withColumn(
+            "segment",
+            F.when(F.col("user_id") % 4 == 0, "gold").otherwise("silver"),
+        )
+    )
+    E.run_enriched_stream(
+        spark, str(src), user_dim, str(tmp_path / "cke"), "enrich_test"
+    )
+    got = {
+        (r["segment"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM enrich_test").collect()
+    }
+    want = {
+        (r["segment"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in (
+            ev.join(F.broadcast(user_dim), "user_id", "left")
+            .groupBy(
+                F.coalesce("segment", F.lit("unknown")).alias("segment"),
+                "event_type",
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.round(
+                    F.sum(F.round(F.col("value") * 100).cast("long"))
+                    / F.lit(100.0), 2
+                ).alias("sum_value"),
+            )
+            .collect()
+        )
+    }
+    assert got == want and len(got) > 0
+    assert any(seg == "unknown" for seg, _ in got)
