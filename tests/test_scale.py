@@ -151,3 +151,34 @@ def test_orc_and_zstd_parquet_roundtrip(spark, sf_dir, tmp_path):
     with contextlib.redirect_stdout(buf):
         back_z.filter(F.col("o_orderkey") == want[0]).explain("formatted")
     assert "PushedFilters" in buf.getvalue()
+
+
+def test_analyze_statistics_drive_broadcast_choice(spark, sf_dir, tmp_path):
+    """Cost-based optimization: after ANALYZE TABLE, the optimizer
+    knows the dim's size and picks a broadcast join WITHOUT an explicit
+    F.broadcast hint — the statistics workflow a warehouse relies on.
+    (File-scan estimates also work for raw parquet; this pins the
+    catalog-statistics path specifically.)"""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS statdb LOCATION '{tmp_path}/wh'")
+    try:
+        nation = load_table(spark, "nation", sf_dir)
+        orders = load_table(spark, "orders", sf_dir)
+        customer = load_table(spark, "customer", sf_dir)
+        nation.write.saveAsTable("statdb.nation_t")
+        spark.sql("ANALYZE TABLE statdb.nation_t COMPUTE STATISTICS")
+        desc = spark.sql(
+            "DESCRIBE EXTENDED statdb.nation_t"
+        ).collect()
+        stats_rows = [r for r in desc if r["col_name"] == "Statistics"]
+        assert stats_rows and "bytes" in stats_rows[0]["data_type"]
+
+        joined = (
+            orders.join(customer, orders.o_custkey == customer.c_custkey)
+            .join(spark.table("statdb.nation_t"),
+                  customer.c_nationkey == F.col("n_nationkey"))
+            .groupBy("n_name").count()
+        )
+        plan = _plan(joined)
+        assert "BroadcastHashJoin" in plan
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS statdb CASCADE")
