@@ -157,7 +157,58 @@ def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMV_K = 128
+KMV_SPACE = 1 << 60  # md5-15-hex hash space
+
+
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch per event type — the MERGEABLE
+    distinct counter whose SKETCH CONTENT is portable, unlike HLL
+    (approx_count_distinct's registers are engine-private, hence
+    approx_distinct_bounds' weaker bounds oracle; KMV's k smallest
+    md5-derived hashes are identical in any engine, so this one
+    hash-verifies EXACTLY — estimate included).
+
+    Estimator: (K-1) * SPACE / kth_min (the classic KMV/bottom-k
+    estimate, integer floor form). Sketches merge by union+re-trim —
+    the union/intersect algebra HLL lacks (theta-sketch use cases);
+    union-merge associativity is pinned in tests. One shuffle on
+    (event_type); the per-type rank window trims to K=128 rows each."""
+    ev = load_table(spark, "events", sf_dir)
+    h = F.expr(
+        "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10)"
+        " as bigint)"
+    )
+    hashes = ev.select("event_type", h.alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    kmv = (
+        hashes.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= KMV_K)
+    )
+    return (
+        kmv.groupBy("event_type")
+        .agg(
+            F.count("*").alias("k_used"),
+            F.max("h").alias("kth_min_hash"),
+        )
+        .select(
+            "event_type",
+            "k_used",
+            "kth_min_hash",
+            # small groups (< K distinct) are exact: k_used itself
+            F.when(F.col("k_used") < KMV_K, F.col("k_used"))
+            .otherwise(
+                F.expr(f"({KMV_K} - 1) * cast({KMV_SPACE} as decimal(38,0))"
+                       " DIV kth_min_hash")
+            )
+            .cast("long")
+            .alias("est_distinct"),
+        )
+    )
+
+
 PROFILING_QUERIES = {
+    "kmv_distinct_users": kmv_distinct_users,
     "stratified_sample": stratified_sample,
     "approx_distinct_bounds": approx_distinct_bounds,
     "skew_diagnostics": skew_diagnostics,
@@ -165,6 +216,28 @@ PROFILING_QUERIES = {
 }
 
 PROFILING_ORACLES = {
+    "kmv_distinct_users": f"""
+        WITH hashes AS (
+          SELECT DISTINCT event_type,
+            ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+              AS h
+          FROM events
+        ),
+        kmv AS (
+          SELECT event_type, h,
+            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+          FROM hashes
+        ),
+        agg AS (
+          SELECT event_type, COUNT(*) AS k_used, MAX(h) AS kth_min_hash
+          FROM kmv WHERE rk <= {KMV_K} GROUP BY event_type
+        )
+        SELECT event_type, k_used, kth_min_hash,
+          CAST(CASE WHEN k_used < {KMV_K} THEN k_used
+               ELSE ({KMV_K} - 1) * CAST({KMV_SPACE} AS HUGEINT)
+                    // kth_min_hash END AS BIGINT) AS est_distinct
+        FROM agg
+    """,
     "stratified_sample": f"""
         SELECT doc_id, lang, rn FROM (
           SELECT doc_id, lang,

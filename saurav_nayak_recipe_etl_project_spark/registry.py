@@ -107,6 +107,7 @@ _DRIVER_PRIORITY = [
     "corpus_shuffle",
     "events_sliding_window",
     "dedup_subset_containment",
+    "kmv_distinct_users",
     # -- NEW in round 6: BM25 retrieval + LM likelihood score
     #    (fixed-point log portability), partitioned vector index
     #    (streamed-adds replay equality + pruned-search recall gate),

@@ -172,3 +172,46 @@ def test_cms_registry_gate(spark, sf_dir):
         PROFILING_ORACLES["cms_user_counts"],
         sf_dir,
     )
+
+
+def test_kmv_estimate_within_band_and_exact_below_k(spark, sf_dir):
+    """KMV estimate within 3/sqrt(K-1) of exact for big groups; groups
+    with < K distinct users are EXACT (the sketch holds them all)."""
+    from saurav_nayak_recipe_etl_project_spark.plans.profiling import (
+        KMV_K, kmv_distinct_users,
+    )
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, "events", sf_dir)
+    exact = {r["event_type"]: r["d"] for r in
+             ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("d")).collect()}
+    out = {r["event_type"]: r for r in
+           kmv_distinct_users(spark, sf_dir).collect()}
+    band = 3.0 / (KMV_K - 1) ** 0.5
+    for t, d in exact.items():
+        r = out[t]
+        if d < KMV_K:
+            assert r["est_distinct"] == d, (t, r)
+        else:
+            assert abs(r["est_distinct"] - d) / d <= band, (t, r, d)
+
+
+def test_kmv_merge_is_union_retrim(spark):
+    """Sketch algebra: merging two KMV sketches (union of hash sets,
+    re-trim to K smallest) must equal the sketch built directly on the
+    concatenated data — the mergeability HLL registers can't offer
+    portably."""
+    import hashlib
+
+    def sketch(users, k=8):
+        hs = sorted(int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+                    for u in set(users))
+        return hs[:k]
+
+    a_users = list(range(0, 400))
+    b_users = list(range(300, 700))     # overlapping sets
+    merged = sorted(set(sketch(a_users, 8)) | set(sketch(b_users, 8)))[:8]
+    direct = sketch(a_users + b_users, 8)
+    assert merged == direct
