@@ -301,7 +301,61 @@ def priority_status_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (MAD) anomaly detection — the median-based twin of the
+    z-score monitor (plans/advanced.event_anomalies). Mean/stddev are
+    themselves dragged by the outliers they hunt; median absolute
+    deviation is not (50% breakdown point, the robust-statistics
+    standard).
+
+    Everything stays integer: medians use the x2-cents idiom
+    (dev_x2 = |2*cents - med_x2| half-cent units, mad_x4 = doubled
+    median of dev_x2), and the 3 * 1.4826 * MAD cut is the cross-
+    multiplied integer predicate dev_x2 * 20000 > 22239 * mad_x4 — no
+    float at the flag boundary, engine-exact row set. Two per-type
+    rank windows (same shuffle key), stats join back broadcast."""
+    ev = load_table(spark, "events", sf_dir)
+    d = ev.select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("cents")
+    w_grp = Window.partitionBy("event_type")
+    med = (
+        d.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n", F.count("*").over(w_grp))
+        .where((F.col("rn") == F.expr("(n + 1) DIV 2"))
+               | (F.col("rn") == F.expr("(n + 2) DIV 2")))
+        .groupBy("event_type")
+        .agg(F.when(F.count("*") == 1, F.sum("cents") * 2)
+             .otherwise(F.sum("cents")).cast("long").alias("med_x2"))
+    )
+    dev = d.join(F.broadcast(med), "event_type").withColumn(
+        "dev_x2", F.abs(F.col("cents") * 2 - F.col("med_x2"))
+    )
+    w_rank2 = Window.partitionBy("event_type").orderBy("dev_x2")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(w_rank2))
+        .withColumn("n", F.count("*").over(w_grp))
+        .where((F.col("rn") == F.expr("(n + 1) DIV 2"))
+               | (F.col("rn") == F.expr("(n + 2) DIV 2")))
+        .groupBy("event_type")
+        .agg(F.when(F.count("*") == 1, F.sum("dev_x2") * 2)
+             .otherwise(F.sum("dev_x2")).cast("long").alias("mad_x4"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.col("dev_x2") * 20000 > F.lit(22239) * F.col("mad_x4"))
+        .select(
+            "event_id", "event_type",
+            (F.col("cents") / F.lit(100.0)).alias("value"),
+            "dev_x2", "mad_x4",
+        )
+    )
+
+
 RELATIONAL_EXT_QUERIES = {
+    "event_anomalies_mad": event_anomalies_mad,
     "orders_cube": orders_cube,
     "nation_account_setops": nation_account_setops,
     "order_value_median_mode": order_value_median_mode,
@@ -313,6 +367,49 @@ RELATIONAL_EXT_QUERIES = {
 }
 
 RELATIONAL_EXT_ORACLES = {
+    "event_anomalies_mad": """
+        WITH d AS (
+          SELECT event_id, event_type,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        r1 AS (
+          SELECT event_type, cents,
+            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM d
+        ),
+        med AS (
+          SELECT event_type,
+            CAST(CASE WHEN COUNT(*) = 1 THEN SUM(cents) * 2
+                 ELSE SUM(cents) END AS BIGINT) AS med_x2
+          FROM r1 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+          GROUP BY event_type
+        ),
+        dev AS (
+          SELECT d.event_id, d.event_type, d.cents,
+                 ABS(d.cents * 2 - med.med_x2) AS dev_x2
+          FROM d JOIN med ON d.event_type = med.event_type
+        ),
+        r2 AS (
+          SELECT event_type, dev_x2,
+            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev_x2) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM dev
+        ),
+        mad AS (
+          SELECT event_type,
+            CAST(CASE WHEN COUNT(*) = 1 THEN SUM(dev_x2) * 2
+                 ELSE SUM(dev_x2) END AS BIGINT) AS mad_x4
+          FROM r2 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+          GROUP BY event_type
+        )
+        SELECT dev.event_id, dev.event_type,
+               dev.cents / 100.0 AS value,
+               dev.dev_x2, mad.mad_x4
+        FROM dev JOIN mad ON dev.event_type = mad.event_type
+        WHERE dev.dev_x2 * 20000 > 22239 * mad.mad_x4
+    """,
     "order_value_trimmed_mean": """
         WITH d AS (
           SELECT o_orderpriority,

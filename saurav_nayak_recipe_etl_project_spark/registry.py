@@ -108,6 +108,7 @@ _DRIVER_PRIORITY = [
     "events_sliding_window",
     "dedup_subset_containment",
     "kmv_distinct_users",
+    "event_anomalies_mad",
     # -- NEW in round 6: BM25 retrieval + LM likelihood score
     #    (fixed-point log portability), partitioned vector index
     #    (streamed-adds replay equality + pruned-search recall gate),

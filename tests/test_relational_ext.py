@@ -216,3 +216,31 @@ def test_chi2_terms_zero_under_perfect_independence(spark):
     assert len(out) == 4
     for r in out:
         assert r["term_ppm"] == 0, r
+
+
+def test_mad_anomalies_robust_to_planted_outlier(spark, tmp_path):
+    """A single enormous outlier must be flagged by MAD; the bulk of a
+    tight cluster must not — and unlike the z-score the outlier cannot
+    drag the scale estimate enough to hide itself."""
+    import datetime as dt
+
+    from saurav_nayak_recipe_etl_project_spark.plans.relational_ext import (
+        event_anomalies_mad,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base, 1, "view", 10.0 + (i % 7) * 0.01, "{}")
+            for i in range(40)]
+    rows.append((99, base, 1, "view", 10000.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet"))
+    out = event_anomalies_mad(spark, str(tmp_path)).collect()
+    flagged = {r["event_id"] for r in out}
+    assert 99 in flagged
+    # the tight cluster stays unflagged
+    assert all(e == 99 for e in flagged)
