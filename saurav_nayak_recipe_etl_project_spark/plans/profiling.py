@@ -207,8 +207,55 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST2D_QTY_BIN = 10        # l_quantity in [1,50] -> 5-6 bins
+HIST2D_PRICE_BIN = 500000  # extendedprice cents bins of $5000
+
+
+def lineitem_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram (quantity x price heatmap): the joint-distribution
+    profile a 1-D histogram can't show (price scales with quantity —
+    marginals look smooth while the joint is a ridge). Integer floor
+    bins on integer cents, one map-side-combined groupBy; bin count is
+    bounded by the value ranges, not the row count."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.select(
+            F.expr(f"cast(l_quantity as bigint) DIV {HIST2D_QTY_BIN}")
+            .alias("qty_bin"),
+            F.expr(
+                "cast(round(l_extendedprice * 100) as bigint)"
+                f" DIV {HIST2D_PRICE_BIN}"
+            ).alias("price_bin"),
+        )
+        .groupBy("qty_bin", "price_bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the lineitem measures,
+    long form (var_a < var_b) — the numeric-profile step before any
+    modeling. One scan, all pairs in a single aggregate (six corr
+    accumulators); rounded at the output boundary like lineitem_stats."""
+    li = load_table(spark, "lineitem", sf_dir)
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    wide = li.agg(*[
+        F.round(F.corr(a, b), 4).alias(f"c{i}")
+        for i, (a, b) in enumerate(pairs)
+    ])
+    stack_args = ", ".join(
+        f"'{a}', '{b}', c{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (var_a, var_b, corr)"
+    )
+
+
 PROFILING_QUERIES = {
     "kmv_distinct_users": kmv_distinct_users,
+    "lineitem_hist2d": lineitem_hist2d,
+    "lineitem_corr_matrix": lineitem_corr_matrix,
     "stratified_sample": stratified_sample,
     "approx_distinct_bounds": approx_distinct_bounds,
     "skew_diagnostics": skew_diagnostics,
@@ -216,6 +263,33 @@ PROFILING_QUERIES = {
 }
 
 PROFILING_ORACLES = {
+    "lineitem_hist2d": f"""
+        SELECT CAST(l_quantity AS BIGINT) // {HIST2D_QTY_BIN} AS qty_bin,
+          CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+            // {HIST2D_PRICE_BIN} AS price_bin,
+          COUNT(*) AS n
+        FROM lineitem GROUP BY qty_bin, price_bin
+    """,
+    "lineitem_corr_matrix": """
+        SELECT 'l_quantity' AS var_a, 'l_extendedprice' AS var_b,
+               ROUND(corr(l_quantity, l_extendedprice), 4) AS corr
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity', 'l_discount',
+               ROUND(corr(l_quantity, l_discount), 4) FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity', 'l_tax',
+               ROUND(corr(l_quantity, l_tax), 4) FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', 'l_discount',
+               ROUND(corr(l_extendedprice, l_discount), 4) FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', 'l_tax',
+               ROUND(corr(l_extendedprice, l_tax), 4) FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', 'l_tax',
+               ROUND(corr(l_discount, l_tax), 4) FROM lineitem
+    """,
     "kmv_distinct_users": f"""
         WITH hashes AS (
           SELECT DISTINCT event_type,

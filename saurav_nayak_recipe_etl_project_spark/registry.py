@@ -109,6 +109,8 @@ _DRIVER_PRIORITY = [
     "dedup_subset_containment",
     "kmv_distinct_users",
     "event_anomalies_mad",
+    "lineitem_hist2d",
+    "lineitem_corr_matrix",
     # -- NEW in round 6: BM25 retrieval + LM likelihood score
     #    (fixed-point log portability), partitioned vector index
     #    (streamed-adds replay equality + pruned-search recall gate),
