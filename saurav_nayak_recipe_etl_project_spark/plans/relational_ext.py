@@ -354,7 +354,127 @@ def event_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AB_WINDOW_MIN = 120
+
+
+def ab_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users hash-split into two arms,
+    conversion = purchase within AB_WINDOW_MIN minutes of the user's
+    FIRST view (the windowed funnel definition — 'ever purchased'
+    saturates at 100% on any long-lived user base and measures
+    nothing), and the two-proportion z-SQUARED statistic
+    (z^2 > 3.8415 <=> p < 0.05 two-sided).
+
+    Why z^2: the z statistic needs a square root, which is not
+    bit-portable across engines; z^2 is a RATIONAL function of the
+    four counts, so it computes exactly in DECIMAL(38,0)/HUGEINT
+    micro-units and the whole report (significance verdict included)
+    hash-verifies. Assignment is md5-based (stable, cross-run,
+    repartition-proof). Two user_id-co-partitioned aggregates;
+    everything after is arithmetic on a 2-row frame."""
+    ev = load_table(spark, "events", sf_dir)
+    arm = (
+        F.expr("cast(conv(substring(md5(cast(user_id as string)), 1, 6),"
+               " 16, 10) as bigint) % 2")
+    )
+    first_view = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ft"))
+    )
+    per_user = (
+        ev.join(first_view, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("ft"))
+                    & (F.expr("timestampdiff(MICROSECOND, ft, ts)")
+                       <= AB_WINDOW_MIN * 60 * 1_000_000),
+                    1,
+                ).otherwise(0)
+            ).alias("purchased"),
+        )
+        .select(arm.alias("arm"), "purchased")
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").alias("n_users"),
+        F.sum("purchased").alias("n_converted"),
+    )
+    # literal arm spine: an arm with zero assigned users still reports
+    # (n=0, c=0) instead of making the whole readout vanish
+    spine = spark.createDataFrame([(0,), (1,)], "arm long")
+    arms = (
+        spine.join(arms, "arm", "left")
+        .select(
+            "arm",
+            F.coalesce("n_users", F.lit(0)).alias("n_users"),
+            F.coalesce("n_converted", F.lit(0)).alias("n_converted"),
+        )
+    )
+    a = arms.where(F.col("arm") == 0).select(
+        F.col("n_users").alias("n0"), F.col("n_converted").alias("c0"))
+    b = arms.where(F.col("arm") == 1).select(
+        F.col("n_users").alias("n1"), F.col("n_converted").alias("c1"))
+    # z^2 = (p0-p1)^2 / (p(1-p)(1/n0+1/n1)), all over common
+    # denominators: with N=n0+n1, C=c0+c1,
+    # z^2 = (c0*n1 - c1*n0)^2 * N / (n0*n1*C*(N-C))
+    big = "CAST({} AS DECIMAL(38,0))"
+    # degenerate pooled variance (all or none converted) -> zero
+    # evidence of a difference by definition, not a crash
+    z2_micro = (
+        f"CASE WHEN n0 = 0 OR n1 = 0 OR c0 + c1 = 0"
+        f" OR n0 + n1 - c0 - c1 = 0"
+        f" THEN CAST(0 AS BIGINT) ELSE "
+        f"CAST(({big.format('c0')} * n1 - {big.format('c1')} * n0)"
+        f" * ({big.format('c0')} * n1 - {big.format('c1')} * n0)"
+        f" * (n0 + n1) * 1000000"
+        f" DIV ({big.format('n0')} * n1 * (c0 + c1)"
+        f" * (n0 + n1 - c0 - c1)) AS BIGINT) END"
+    )
+    return (
+        a.crossJoin(b)
+        .select(
+            "n0", "c0", "n1", "c1",
+            F.expr(
+                f"CASE WHEN n0 = 0 THEN CAST(0 AS BIGINT) ELSE"
+                f" CAST({big.format('c0')} * 1000000 DIV n0 AS BIGINT) END"
+            ).alias("conv0_ppm"),
+            F.expr(
+                f"CASE WHEN n1 = 0 THEN CAST(0 AS BIGINT) ELSE"
+                f" CAST({big.format('c1')} * 1000000 DIV n1 AS BIGINT) END"
+            ).alias("conv1_ppm"),
+            F.expr(z2_micro).alias("z2_micro"),
+            (F.expr(z2_micro) > 3841459).alias("significant_05"),
+        )
+    )
+
+
+FOLDS = 5
+
+
+def kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-keyed k-fold split (k=5) with per-(lang, fold) balance
+    counts — cross-validation assignment that is stable under
+    repartitioning and puts exact duplicates in the SAME fold (no
+    leakage through dup copies), the k-fold generalization of
+    split_assignment."""
+    docs = load_table(spark, "documents", sf_dir)
+    fold = F.expr(
+        "cast(conv(substring(md5(text), 1, 6), 16, 10) as bigint)"
+        f" % {FOLDS}"
+    )
+    return (
+        docs.select("lang", fold.alias("fold"))
+        .groupBy("lang", "fold")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 RELATIONAL_EXT_QUERIES = {
+    "ab_experiment_report": ab_experiment_report,
+    "kfold_assignment": kfold_assignment,
     "event_anomalies_mad": event_anomalies_mad,
     "orders_cube": orders_cube,
     "nation_account_setops": nation_account_setops,
@@ -367,6 +487,66 @@ RELATIONAL_EXT_QUERIES = {
 }
 
 RELATIONAL_EXT_ORACLES = {
+    "ab_experiment_report": """
+        WITH fv AS (
+          SELECT user_id, MIN(ts) AS ft FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        per_user AS (
+          SELECT
+            ('0x' || substr(md5(CAST(e.user_id AS VARCHAR)), 1, 6))::BIGINT
+              % 2 AS arm,
+            MAX(CASE WHEN e.event_type = 'purchase' AND e.ts >= fv.ft
+                      AND date_diff('microsecond', fv.ft, e.ts)
+                          <= CAST(7200 AS BIGINT) * 1000000
+                     THEN 1 ELSE 0 END) AS purchased
+          FROM events e JOIN fv ON e.user_id = fv.user_id
+          GROUP BY e.user_id
+        ),
+        arms AS (
+          SELECT arm, COUNT(*) AS n, CAST(SUM(purchased) AS BIGINT) AS c
+          FROM per_user GROUP BY arm
+        ),
+        w AS (
+          SELECT
+            COALESCE((SELECT n FROM arms WHERE arm = 0), 0) AS n0,
+            COALESCE((SELECT c FROM arms WHERE arm = 0), 0) AS c0,
+            COALESCE((SELECT n FROM arms WHERE arm = 1), 0) AS n1,
+            COALESCE((SELECT c FROM arms WHERE arm = 1), 0) AS c1
+        )
+        SELECT n0, c0, n1, c1,
+          CASE WHEN n0 = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(CAST(c0 AS HUGEINT) * 1000000 // n0 AS BIGINT)
+          END AS conv0_ppm,
+          CASE WHEN n1 = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(CAST(c1 AS HUGEINT) * 1000000 // n1 AS BIGINT)
+          END AS conv1_ppm,
+          CASE WHEN n0 = 0 OR n1 = 0 OR c0 + c1 = 0
+               OR n0 + n1 - c0 - c1 = 0
+               THEN CAST(0 AS BIGINT)
+               ELSE CAST((CAST(c0 AS HUGEINT) * n1 - CAST(c1 AS HUGEINT) * n0)
+               * (CAST(c0 AS HUGEINT) * n1 - CAST(c1 AS HUGEINT) * n0)
+               * (n0 + n1) * 1000000
+               // (CAST(n0 AS HUGEINT) * n1 * (c0 + c1)
+                   * (n0 + n1 - c0 - c1)) AS BIGINT) END AS z2_micro,
+          CASE WHEN n0 = 0 OR n1 = 0 OR c0 + c1 = 0
+               OR n0 + n1 - c0 - c1 = 0
+               THEN CAST(0 AS BIGINT)
+               ELSE CAST((CAST(c0 AS HUGEINT) * n1 - CAST(c1 AS HUGEINT) * n0)
+               * (CAST(c0 AS HUGEINT) * n1 - CAST(c1 AS HUGEINT) * n0)
+               * (n0 + n1) * 1000000
+               // (CAST(n0 AS HUGEINT) * n1 * (c0 + c1)
+                   * (n0 + n1 - c0 - c1)) AS BIGINT) END > 3841459
+            AS significant_05
+        FROM w
+    """,
+    "kfold_assignment": """
+        SELECT lang,
+          ('0x' || substr(md5(text), 1, 6))::BIGINT % 5 AS fold,
+          COUNT(*) AS n_docs
+        FROM documents
+        GROUP BY lang, fold
+    """,
     "event_anomalies_mad": """
         WITH d AS (
           SELECT event_id, event_type,

@@ -111,6 +111,8 @@ _DRIVER_PRIORITY = [
     "event_anomalies_mad",
     "lineitem_hist2d",
     "lineitem_corr_matrix",
+    "ab_experiment_report",
+    "kfold_assignment",
     # -- NEW in round 6: BM25 retrieval + LM likelihood score
     #    (fixed-point log portability), partitioned vector index
     #    (streamed-adds replay equality + pruned-search recall gate),

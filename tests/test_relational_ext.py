@@ -244,3 +244,82 @@ def test_mad_anomalies_robust_to_planted_outlier(spark, tmp_path):
     assert 99 in flagged
     # the tight cluster stays unflagged
     assert all(e == 99 for e in flagged)
+
+
+def test_ab_z2_flags_planted_conversion_gap(spark, tmp_path):
+    """Plant a strong arm effect (conversion only for one arm's users)
+    and the z^2 gate must fire; balanced identical arms must not."""
+    import datetime as dt
+    import hashlib
+
+    from saurav_nayak_recipe_etl_project_spark.plans.relational_ext import (
+        ab_experiment_report,
+    )
+
+    def arm_of(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:6], 16) % 2
+
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for uid in range(120):
+        rows.append((eid, base, uid, "view", 1.0, "{}")); eid += 1
+        # arm-1 users convert 10 minutes after first view; arm-0 never
+        if arm_of(uid) == 1:
+            rows.append((eid, base + dt.timedelta(minutes=10), uid,
+                         "purchase", 1.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet"))
+    r = ab_experiment_report(spark, str(tmp_path)).collect()[0]
+    assert r["conv0_ppm"] == 0 and r["conv1_ppm"] == 1_000_000
+    assert r["significant_05"] is True
+
+
+def test_ab_purchase_before_view_does_not_convert(spark, tmp_path):
+    """The window is FORWARD from first view: an earlier purchase (or
+    one past the window) must not count."""
+    import datetime as dt
+
+    from saurav_nayak_recipe_etl_project_spark.plans.relational_ext import (
+        ab_experiment_report,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12)
+    rows = [
+        # user 1: purchase BEFORE the first view
+        (1, base - dt.timedelta(hours=1), 1, "purchase", 1.0, "{}"),
+        (2, base, 1, "view", 1.0, "{}"),
+        # user 2: purchase 3h after view (outside the 2h window)
+        (3, base, 2, "view", 1.0, "{}"),
+        (4, base + dt.timedelta(hours=3), 2, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet"))
+    r = ab_experiment_report(spark, str(tmp_path)).collect()[0]
+    assert r["c0"] == 0 and r["c1"] == 0
+
+
+def test_kfold_covers_all_docs_balanced(spark):
+    from saurav_nayak_recipe_etl_project_spark.plans.relational_ext import (
+        FOLDS, kfold_assignment,
+    )
+
+    rows = kfold_assignment(spark, SF).collect()
+    total = sum(r["n_docs"] for r in rows)
+    n_all = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert total == n_all
+    folds = {}
+    for r in rows:
+        folds[r["fold"]] = folds.get(r["fold"], 0) + r["n_docs"]
+    assert set(folds) == set(range(FOLDS))
+    # md5 split is near-uniform: no fold holds > 2x its fair share
+    assert max(folds.values()) < 2 * n_all / FOLDS
