@@ -298,8 +298,108 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KM_HORIZON_S = 7 * 24 * 3600  # right-censor at 7 days
+
+
+def km_risk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier risk table for time-to-purchase after first view:
+    per distinct event time (relative seconds, floored), the number at
+    risk, converting, and censored — the survival-analysis primitive.
+
+    Deliberately INTEGER-ONLY: the K-M survival curve is a running
+    PRODUCT of rationals, and neither a float product nor exp(sum(ln))
+    is bit-portable; the risk table carries the full information (any
+    client can fold the product locally) and hash-verifies exactly.
+    Users with no purchase inside the horizon are right-censored AT
+    the horizon. Two user_id-co-partitioned aggs + one time rollup."""
+    ev = load_table(spark, "events", sf_dir)
+    first_view = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ft"))
+    )
+    to_purchase = (
+        ev.join(first_view, "user_id")
+        .where(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("ft"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min(F.expr("timestampdiff(MICROSECOND, ft, ts) DIV 1000000"))
+            .alias("t_conv")
+        )
+    )
+    per_user = first_view.join(to_purchase, "user_id", "left").select(
+        F.when(
+            F.col("t_conv").isNotNull() & (F.col("t_conv") <= KM_HORIZON_S),
+            F.col("t_conv"),
+        ).otherwise(F.lit(KM_HORIZON_S)).alias("t"),
+        F.when(
+            F.col("t_conv").isNotNull() & (F.col("t_conv") <= KM_HORIZON_S),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("converted"),
+    )
+    events_t = per_user.groupBy("t").agg(
+        F.sum("converted").alias("d"),
+        F.sum(F.expr("1 - converted")).alias("c"),
+    )
+    w = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events_t.select(
+        F.col("t").cast("long").alias("t_seconds"),
+        (F.sum(F.col("d") + F.col("c")).over(w)).cast("long")
+        .alias("n_at_risk"),
+        F.col("d").cast("long").alias("n_converted"),
+        F.col("c").cast("long").alias("n_censored"),
+    )
+
+
+def revenue_growth_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: each month's revenue delta split into a
+    VOLUME effect (order-count change at the previous month's average
+    ticket) and a VALUE effect (everything else) — the BI decomposition
+    behind every 'why did revenue move' review.
+
+    Exact integer accounting identity: volume_cents = delta_n *
+    (prev_cents DIV prev_n) and value_cents = delta_cents -
+    volume_cents, so the two effects sum to the delta TO THE CENT in
+    every row (no leakage term; pinned in tests). One month rollup +
+    one lag window over the month-sized frame."""
+    orders = load_table(spark, "orders", sf_dir)
+    monthly = orders.groupBy(
+        F.date_format(F.col("o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+    )
+    w = Window.orderBy("month")
+    d = (
+        monthly.withColumn("prev_n", F.lag("n_orders").over(w))
+        .withColumn("prev_cents", F.lag("cents").over(w))
+        .where(F.col("prev_n").isNotNull())
+        .withColumn("delta_cents", F.col("cents") - F.col("prev_cents"))
+        .withColumn(
+            "volume_cents",
+            (F.col("n_orders") - F.col("prev_n"))
+            * F.expr("prev_cents DIV prev_n"),
+        )
+    )
+    return d.select(
+        "month",
+        "n_orders",
+        (F.col("cents") / F.lit(100.0)).alias("revenue"),
+        (F.col("delta_cents") / F.lit(100.0)).alias("delta_revenue"),
+        (F.col("volume_cents") / F.lit(100.0)).alias("volume_effect"),
+        ((F.col("delta_cents") - F.col("volume_cents")) / F.lit(100.0))
+        .alias("value_effect"),
+    )
+
+
 TEMPORAL_QUERIES = {
     "session_top_paths": session_top_paths,
+    "km_risk_table": km_risk_table,
+    "revenue_growth_decomposition": revenue_growth_decomposition,
     "events_sliding_window": events_sliding_window,
     "cohort_retention": cohort_retention,
     "weekly_active_breakdown": weekly_active_breakdown,
@@ -310,6 +410,63 @@ TEMPORAL_QUERIES = {
 }
 
 TEMPORAL_ORACLES = {
+    "revenue_growth_decomposition": """
+        WITH monthly AS (
+          SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+            COUNT(*) AS n_orders,
+            SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+          FROM orders GROUP BY month
+        ),
+        d AS (
+          SELECT month, n_orders, cents,
+            LAG(n_orders) OVER (ORDER BY month) AS prev_n,
+            LAG(cents) OVER (ORDER BY month) AS prev_cents
+          FROM monthly
+        )
+        SELECT month, n_orders,
+          cents / 100.0 AS revenue,
+          (cents - prev_cents) / 100.0 AS delta_revenue,
+          ((n_orders - prev_n) * (prev_cents // prev_n)) / 100.0
+            AS volume_effect,
+          ((cents - prev_cents)
+           - (n_orders - prev_n) * (prev_cents // prev_n)) / 100.0
+            AS value_effect
+        FROM d WHERE prev_n IS NOT NULL
+    """,
+    "km_risk_table": f"""
+        WITH fv AS (
+          SELECT user_id, MIN(ts) AS ft FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        tp AS (
+          SELECT e.user_id,
+            MIN(date_diff('microsecond', fv.ft, e.ts) // 1000000) AS t_conv
+          FROM events e JOIN fv ON e.user_id = fv.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= fv.ft
+          GROUP BY e.user_id
+        ),
+        per_user AS (
+          SELECT
+            CASE WHEN tp.t_conv IS NOT NULL
+                  AND tp.t_conv <= {KM_HORIZON_S}
+                 THEN tp.t_conv ELSE {KM_HORIZON_S} END AS t,
+            CASE WHEN tp.t_conv IS NOT NULL
+                  AND tp.t_conv <= {KM_HORIZON_S}
+                 THEN 1 ELSE 0 END AS converted
+          FROM fv LEFT JOIN tp ON fv.user_id = tp.user_id
+        ),
+        et AS (
+          SELECT t, SUM(converted) AS d, SUM(1 - converted) AS c
+          FROM per_user GROUP BY t
+        )
+        SELECT CAST(t AS BIGINT) AS t_seconds,
+          CAST(SUM(d + c) OVER (ORDER BY t DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS n_at_risk,
+          CAST(d AS BIGINT) AS n_converted,
+          CAST(c AS BIGINT) AS n_censored
+        FROM et
+    """,
     "events_sliding_window": """
         WITH e AS (
           SELECT event_type,

@@ -113,6 +113,8 @@ _DRIVER_PRIORITY = [
     "lineitem_corr_matrix",
     "ab_experiment_report",
     "kfold_assignment",
+    "km_risk_table",
+    "revenue_growth_decomposition",
     # -- NEW in round 6: BM25 retrieval + LM likelihood score
     #    (fixed-point log portability), partitioned vector index
     #    (streamed-adds replay equality + pruned-search recall gate),

@@ -126,3 +126,44 @@ def test_session_top_paths_orders_within_session(spark, tmp_path):
     assert out["view>click>purchase"]["n_sessions"] == 2
     assert out["view>click>purchase"]["rank"] == 1
     assert out["signup"]["n_sessions"] == 1
+
+
+def test_km_risk_table_monotone_and_conserving(spark, tmp_path):
+    """n_at_risk decreases as t advances, starts at the full cohort,
+    and total converted+censored equals the cohort size."""
+    from saurav_nayak_recipe_etl_project_spark.plans.temporal import (
+        KM_HORIZON_S, km_risk_table,
+    )
+
+    base = _ts("2024-01-01T00:00:00")
+    rows, eid = [], 0
+    for uid in range(12):
+        rows.append((eid, base, uid, "view", 1.0, "{}")); eid += 1
+        if uid < 5:  # converters at distinct times
+            rows.append((eid, base + dt.timedelta(seconds=100 + uid), uid,
+                         "purchase", 1.0, "{}")); eid += 1
+    df = spark.createDataFrame(rows, SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet"))
+    out = sorted(km_risk_table(spark, str(tmp_path)).collect(),
+                 key=lambda r: r["t_seconds"])
+    assert out[0]["n_at_risk"] == 12
+    risks = [r["n_at_risk"] for r in out]
+    assert risks == sorted(risks, reverse=True)
+    assert sum(r["n_converted"] + r["n_censored"] for r in out) == 12
+    # the 7 non-converters are censored at the horizon row
+    horizon = [r for r in out if r["t_seconds"] == KM_HORIZON_S]
+    assert horizon and horizon[0]["n_censored"] == 7
+
+
+def test_growth_decomposition_identity_in_cents(spark):
+    from saurav_nayak_recipe_etl_project_spark.plans.temporal import (
+        revenue_growth_decomposition,
+    )
+
+    rows = revenue_growth_decomposition(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert round(r["delta_revenue"] * 100) == (
+            round(r["volume_effect"] * 100) + round(r["value_effect"] * 100)
+        )
