@@ -234,7 +234,39 @@ def validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table FINANCIAL reconciliation: does o_totalprice equal
+    the sum of its lineitems' extendedprice? The audit every finance
+    pipeline runs nightly — and on this synthetic corpus the verdict
+    is 'never' (header totals are generated independently of lines),
+    which is precisely the finding the report must surface rather than
+    hide. One lineitem rollup co-partitioned with the orders join;
+    one-row integer summary (reconciled = |diff| <= 1 cent)."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    li_sum = li.groupBy("l_orderkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .alias("li_cents")
+    )
+    j = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("o_cents"),
+    ).join(li_sum, orders.o_orderkey == li_sum.l_orderkey, "left")
+    diff = F.abs(F.col("o_cents") - F.col("li_cents"))
+    return j.agg(
+        F.count("*").alias("n_orders"),
+        F.count("li_cents").alias("n_with_items"),
+        F.sum(F.when(F.col("li_cents").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_orphan_headers"),
+        F.sum(F.when(diff <= 1, 1).otherwise(0)).cast("long")
+        .alias("n_reconciled"),
+        F.max(diff).alias("max_diff_cents"),
+        F.sum(diff).alias("total_abs_diff_cents"),
+    )
+
+
 VALIDATION_QUERIES = {
+    "order_reconciliation": order_reconciliation,
     "validate_orders": validate_orders,
     "validate_lineitem": validate_lineitem,
     "validate_events": validate_events,
@@ -354,6 +386,28 @@ _CUSTOMER_SQL = """
 """
 
 VALIDATION_ORACLES = {
+    "order_reconciliation": """
+        WITH li AS (
+          SELECT l_orderkey,
+            SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS li_cents
+          FROM lineitem GROUP BY l_orderkey
+        ),
+        j AS (
+          SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS o_cents,
+                 li.li_cents
+          FROM orders LEFT JOIN li ON o_orderkey = li.l_orderkey
+        )
+        SELECT COUNT(*) AS n_orders,
+          COUNT(li_cents) AS n_with_items,
+          CAST(SUM(CASE WHEN li_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_orphan_headers,
+          CAST(SUM(CASE WHEN ABS(o_cents - li_cents) <= 1
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_reconciled,
+          CAST(MAX(ABS(o_cents - li_cents)) AS BIGINT) AS max_diff_cents,
+          CAST(SUM(ABS(o_cents - li_cents)) AS BIGINT)
+            AS total_abs_diff_cents
+        FROM j
+    """,
     "validate_orders": _ORDERS_SQL,
     "validate_lineitem": _LINEITEM_SQL,
     "validate_events": _EVENTS_SQL,

@@ -115,6 +115,7 @@ _DRIVER_PRIORITY = [
     "kfold_assignment",
     "km_risk_table",
     "revenue_growth_decomposition",
+    "order_reconciliation",
     # -- NEW in round 6: BM25 retrieval + LM likelihood score
     #    (fixed-point log portability), partitioned vector index
     #    (streamed-adds replay equality + pruned-search recall gate),
