@@ -472,7 +472,90 @@ def kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTITY-weighted median unit price per return flag: the
+    median of the plain row stream answers 'the middle line item';
+    the weighted form answers 'the price at which half the UNITS
+    moved' — the inventory-valuation quantile.
+
+    Integer-exact cut: rows sorted by price cents, cumulative quantity
+    (integer) compared to total via cross-multiplication (2*cum >=
+    total picks the lower weighted median; ROW_NUMBER on the predicate
+    takes the first qualifying row). One shuffle + one ordered window
+    per flag."""
+    li = load_table(spark, "lineitem", sf_dir)
+    d = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    w_ord = Window.partitionBy("l_returnflag").orderBy("cents")
+    w_grp = Window.partitionBy("l_returnflag")
+    ranked = (
+        d.withColumn(
+            "cum_qty",
+            F.sum("qty").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("total_qty", F.sum("qty").over(w_grp))
+        .where(F.col("cum_qty") * 2 >= F.col("total_qty"))
+    )
+    w_pick = Window.partitionBy("l_returnflag").orderBy("cents", "cum_qty")
+    return (
+        ranked.withColumn("rk", F.row_number().over(w_pick))
+        .where(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            "total_qty",
+            (F.col("cents") / F.lit(100.0)).alias("weighted_median_price"),
+        )
+    )
+
+
+def revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point curve over daily revenue: the classic drift
+    detector, in EXACT integers. CUSUM_t = sum_{i<=t}(x_i - mean)
+    multiplied through by n_days to clear the rational mean:
+    scaled_cusum = n * prefix_t - t * total (cents·days). The curve's
+    |max| day is the best single change-point estimate (flagged).
+    Day rollup first, so the ordered window runs over the calendar-
+    bounded frame."""
+    orders = load_table(spark, "orders", sf_dir)
+    daily = orders.groupBy(
+        F.expr("datediff(cast(o_orderdate as date), date '1970-01-01')")
+        .alias("epoch_day")
+    ).agg(F.sum(_cents()).alias("day_cents"))
+    w = Window.orderBy("epoch_day")
+    d = (
+        daily.withColumn(
+            "t", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "prefix",
+            F.sum("day_cents").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("n_days", F.count("*").over(
+            Window.partitionBy(F.lit(1))))
+        .withColumn("total", F.sum("day_cents").over(
+            Window.partitionBy(F.lit(1))))
+        .withColumn(
+            "scaled_cusum",
+            F.col("n_days") * F.col("prefix") - F.col("t") * F.col("total"),
+        )
+    )
+    w_abs = Window.orderBy(F.desc(F.abs(F.col("scaled_cusum"))), F.asc("epoch_day"))
+    return (
+        d.withColumn("drift_rank", F.row_number().over(w_abs).cast("long"))
+        .select(
+            F.col("epoch_day").cast("long").alias("epoch_day"),
+            (F.col("day_cents") / F.lit(100.0)).alias("day_revenue"),
+            "scaled_cusum",
+            (F.col("drift_rank") == 1).alias("is_changepoint"),
+        )
+    )
+
+
 RELATIONAL_EXT_QUERIES = {
+    "weighted_median_price": weighted_median_price,
+    "revenue_cusum": revenue_cusum,
     "ab_experiment_report": ab_experiment_report,
     "kfold_assignment": kfold_assignment,
     "event_anomalies_mad": event_anomalies_mad,
@@ -487,6 +570,61 @@ RELATIONAL_EXT_QUERIES = {
 }
 
 RELATIONAL_EXT_ORACLES = {
+    "weighted_median_price": """
+        WITH d AS (
+          SELECT l_returnflag,
+            CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+            CAST(l_quantity AS BIGINT) AS qty
+          FROM lineitem
+        ),
+        ranked AS (
+          SELECT l_returnflag, cents,
+            SUM(qty) OVER (PARTITION BY l_returnflag ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_qty,
+            SUM(qty) OVER (PARTITION BY l_returnflag) AS total_qty
+          FROM d
+        ),
+        q AS (
+          SELECT l_returnflag, cents, cum_qty,
+                 CAST(total_qty AS BIGINT) AS total_qty
+          FROM ranked WHERE cum_qty * 2 >= total_qty
+        )
+        SELECT l_returnflag, total_qty,
+               cents / 100.0 AS weighted_median_price
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                       ORDER BY cents, cum_qty) AS rk
+          FROM q
+        ) WHERE rk = 1
+    """,
+    "revenue_cusum": """
+        WITH daily AS (
+          SELECT date_diff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS epoch_day,
+            SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS day_cents
+          FROM orders GROUP BY epoch_day
+        ),
+        d AS (
+          SELECT epoch_day, day_cents,
+            ROW_NUMBER() OVER (ORDER BY epoch_day) AS t,
+            SUM(day_cents) OVER (ORDER BY epoch_day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+            COUNT(*) OVER () AS n_days,
+            SUM(day_cents) OVER () AS total
+          FROM daily
+        ),
+        c AS (
+          SELECT epoch_day, day_cents,
+            CAST(n_days * prefix - t * total AS BIGINT) AS scaled_cusum
+          FROM d
+        )
+        SELECT CAST(epoch_day AS BIGINT) AS epoch_day,
+          day_cents / 100.0 AS day_revenue,
+          scaled_cusum,
+          ROW_NUMBER() OVER (ORDER BY ABS(scaled_cusum) DESC, epoch_day)
+            = 1 AS is_changepoint
+        FROM c
+    """,
     "ab_experiment_report": """
         WITH fv AS (
           SELECT user_id, MIN(ts) AS ft FROM events

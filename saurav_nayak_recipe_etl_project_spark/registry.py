@@ -116,6 +116,8 @@ _DRIVER_PRIORITY = [
     "km_risk_table",
     "revenue_growth_decomposition",
     "order_reconciliation",
+    "weighted_median_price",
+    "revenue_cusum",
     # -- NEW in round 6: BM25 retrieval + LM likelihood score
     #    (fixed-point log portability), partitioned vector index
     #    (streamed-adds replay equality + pruned-search recall gate),

@@ -323,3 +323,59 @@ def test_kfold_covers_all_docs_balanced(spark):
     assert set(folds) == set(range(FOLDS))
     # md5 split is near-uniform: no fold holds > 2x its fair share
     assert max(folds.values()) < 2 * n_all / FOLDS
+
+
+def test_weighted_median_half_units_law(spark, tmp_path):
+    """The weighted median is the smallest price where cumulative
+    quantity reaches half the total units — verified on a fixture
+    where the row median and the unit-weighted median DIFFER."""
+    import tempfile
+
+    from saurav_nayak_recipe_etl_project_spark.plans.relational_ext import (
+        weighted_median_price,
+    )
+
+    # 3 rows: price 1.00 x 98 units, 2.00 x 1, 3.00 x 1.
+    # row median = 2.00; unit-weighted median = 1.00.
+    df = spark.createDataFrame(
+        [("A", 1.00, 98.0), ("A", 2.00, 1.0), ("A", 3.00, 1.0)],
+        "l_returnflag string, l_extendedprice double, l_quantity double",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/lineitem.parquet")
+        out = weighted_median_price(spark, td).collect()
+    assert len(out) == 1
+    assert out[0]["weighted_median_price"] == 1.00
+    assert out[0]["total_qty"] == 100
+
+
+def test_cusum_flags_planted_level_shift(spark, tmp_path):
+    """A clean level shift mid-series: the max-|CUSUM| day must land
+    exactly at the shift boundary."""
+    import datetime as dt
+    import tempfile
+
+    from saurav_nayak_recipe_etl_project_spark.plans.relational_ext import (
+        revenue_cusum,
+    )
+
+    rows = []
+    base = dt.date(2024, 1, 1)
+    for i in range(60):
+        price = 100.0 if i < 30 else 300.0  # shift at day 30
+        rows.append((i, 1, "O", price, "1-URGENT",
+                     dt.datetime.combine(base + dt.timedelta(days=i),
+                                         dt.time())))
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderpriority string, o_orderdate timestamp_ntz",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/orders.parquet")
+        out = revenue_cusum(spark, td).collect()
+    cp = [r for r in out if r["is_changepoint"]]
+    assert len(cp) == 1
+    # |CUSUM| peaks on the LAST day of the old regime (day index 29)
+    base_day = (base - dt.date(1970, 1, 1)).days
+    assert cp[0]["epoch_day"] == base_day + 29
