@@ -95,8 +95,29 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6b — TYPED JSON parsing (from_json with an explicit schema, vs
+    events_json_extract's per-path string access): the whole props
+    object lands as a struct in one parse, wrong-type/corrupt payloads
+    become NULL (counted), and the struct fields feed a normal rollup.
+    One scan; the parse is codegen'd Jackson, not a Python UDF."""
+    events = load_table(spark, "events", sf_dir)
+    parsed = events.select(
+        "event_type",
+        F.from_json("props", "k INT").alias("p"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count("p.k").alias("n_parsed"),
+        F.min("p.k").cast("long").alias("min_k"),
+        F.max("p.k").cast("long").alias("max_k"),
+        F.sum("p.k").cast("long").alias("sum_k"),
+    )
+
+
 NORMALIZE_QUERIES = {
     "schema_map_orders": schema_map_orders,
+    "events_json_typed": events_json_typed,
     "normalize_explode_structs": normalize_explode_structs,
     "normalize_posexplode": normalize_posexplode,
     "nest_unnest_roundtrip": nest_unnest_roundtrip,
@@ -104,6 +125,14 @@ NORMALIZE_QUERIES = {
 }
 
 NORMALIZE_ORACLES = {
+    "events_json_typed": """
+        SELECT event_type, COUNT(*) AS n,
+          COUNT(CAST(props->>'$.k' AS INT)) AS n_parsed,
+          CAST(MIN(CAST(props->>'$.k' AS INT)) AS BIGINT) AS min_k,
+          CAST(MAX(CAST(props->>'$.k' AS INT)) AS BIGINT) AS max_k,
+          CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k
+        FROM events GROUP BY event_type
+    """,
     "schema_map_orders": """
         SELECT o_orderkey AS order_id, o_custkey AS user_id,
                strftime(o_orderdate, '%Y-%m-%d') AS order_date_iso,

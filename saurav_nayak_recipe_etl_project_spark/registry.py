@@ -118,6 +118,7 @@ _DRIVER_PRIORITY = [
     "order_reconciliation",
     "weighted_median_price",
     "revenue_cusum",
+    "events_json_typed",
     # -- NEW in round 6: BM25 retrieval + LM likelihood score
     #    (fixed-point log portability), partitioned vector index
     #    (streamed-adds replay equality + pruned-search recall gate),
