@@ -434,7 +434,7 @@ def ab_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" * (n0 + n1 - c0 - c1)) AS BIGINT) END"
     )
     return (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))  # 1x1 scalar combine, broadcast form
         .select(
             "n0", "c0", "n1", "c1",
             F.expr(
