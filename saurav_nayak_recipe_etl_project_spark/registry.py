@@ -76,13 +76,13 @@ _load_optional()
 #   (2) the STALEST entries first — ordered by the round each was last
 #       externally verified in (computed from the CORRECTNESS_r*.json
 #       union) — until the window is full.
-# With ~149 entries and a 50-entry window, stalest-first re-verifies
-# every entry within ~5 rounds even with ~30 changed entries
-# front-loaded per round. Round-6 window after the late batches: 30
-# new late-round entries + 10 earlier-round-6 entries + 7
-# changed-oracle entries + the first ~3 of the last-verified-in-r1
-# entries; the r1 tail, all 30 r2 entries, and the r4 trio lead round
-# 7's fill (they are ordered next in this list).
+# With 153 entries and a 50-entry window, stalest-first re-verifies
+# every entry within ~5 rounds even in a round as additive as this
+# one. Round-6 window after the late batches: exactly the 50 entries
+# that are new or oracle-changed this round (33 late-batch + 10
+# earlier-round-6 + 7 changed-oracle; ann_recall_at_k is position
+# 50). ALL stale entries — the 27 r1 stalest, the 30 r2 entries, the
+# r4 trio — lead round 7's fill in that order below.
 _DRIVER_PRIORITY = [
     # -- NEW in round 6 (late batch): relational surface extensions +
     #    irregular-series analytics --
