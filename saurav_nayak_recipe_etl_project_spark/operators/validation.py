@@ -265,7 +265,51 @@ def order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# Benford first-digit expectation, ppm (log10(1+1/d) — fixed literals,
+# no cross-engine log at query time).
+BENFORD_PPM = [301030, 176091, 124939, 96910, 79181, 66947, 57992,
+               51153, 45757]
+
+
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-numbers detector. Emits per digit: observed count,
+    observed share (ppm, integer floor), and the Benford expectation
+    as FIXED ppm literals (so no engine computes a log). The deviation
+    verdict is left to the reader/report: for naturally-ranged
+    invoice data a chi-square against these ppm is the follow-up
+    (priority_status_chi2 shows the fixed-point recipe). One scan,
+    9-row output."""
+    orders = load_table(spark, "orders", sf_dir)
+    digit = F.expr("cast(substring(cast(cast(round(o_totalprice * 100)"
+                   " as bigint) as string), 1, 1) as int)")
+    counts = (
+        orders.select(digit.alias("digit"))
+        .where(F.col("digit") >= 1)
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    bz = spark.createDataFrame(
+        [(d + 1, ppm) for d, ppm in enumerate(BENFORD_PPM)],
+        "digit int, benford_ppm long",
+    )
+    return (
+        bz.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.expr("cast(coalesce(n, 0) * 1000000 DIV total as bigint)")
+            .alias("share_ppm"),
+            "benford_ppm",
+        )
+    )
+
 VALIDATION_QUERIES = {
+    "benford_digit_audit": benford_digit_audit,
     "order_reconciliation": order_reconciliation,
     "validate_orders": validate_orders,
     "validate_lineitem": validate_lineitem,
@@ -386,6 +430,27 @@ _CUSTOMER_SQL = """
 """
 
 VALIDATION_ORACLES = {
+    "benford_digit_audit": """
+        WITH counts AS (
+          SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                     AS VARCHAR), 1, 1) AS INT) AS digit,
+                 COUNT(*) AS n
+          FROM orders
+          GROUP BY digit HAVING digit >= 1
+        ),
+        t AS (SELECT SUM(n) AS total FROM counts),
+        bz AS (
+          SELECT unnest(generate_series(1, 9)) AS digit,
+                 unnest([301030, 176091, 124939, 96910, 79181, 66947,
+                         57992, 51153, 45757]) AS benford_ppm
+        )
+        SELECT bz.digit, COALESCE(counts.n, 0) AS n,
+          CAST(CAST(COALESCE(counts.n, 0) AS HUGEINT) * 1000000 // total
+               AS BIGINT) AS share_ppm,
+          CAST(benford_ppm AS BIGINT) AS benford_ppm
+        FROM bz LEFT JOIN counts ON bz.digit = counts.digit
+        CROSS JOIN t
+    """,
     "order_reconciliation": """
         WITH li AS (
           SELECT l_orderkey,
