@@ -98,6 +98,14 @@ _10X_EXCLUDED = {
         "inverted-index join shape is measured via dedup_lsh_verified",
 }
 
+# NOT excluded but expected >=4x on the 10x corpus (flagged with this
+# rationale): dedup_lsh_verified (~5x) and dedup_clusters_star (~5.4x)
+# are OUTPUT-proportional, not scan-superlinear — the key-offset 10x
+# corpus makes exact-duplicate groups of 10, so the verified pair set
+# grows ~45x per group; the operators are doing their job on a corpus
+# whose duplicate structure is the artifact. NOTES.md 10x section has
+# the measurements.
+
 
 def prepare_10x(spark, sf_dir: str, n_copies: int = 10) -> str:
     """Key-offset duplication of the corpus (the NOTES.md 10x harness,
