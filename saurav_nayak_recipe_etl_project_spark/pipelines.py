@@ -53,7 +53,54 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 
-PIPELINE_QUERIES = {"training_data_pipeline": training_data_pipeline}
+
+
+def analytics_mart_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 — end-to-end analytics mart build in ONE declarative plan:
+    validated facts (the C-suite rules inline as a scan filter) ->
+    conformed customer/nation dims (broadcast) -> per-(nation, month)
+    mart rollup (orders, integer-cents revenue, distinct customers).
+    The relational counterpart of training_data_pipeline: the composed
+    oracle replays all three stages in one SQL, so a semantics drift
+    in ANY stage (a validation rule, the dim join, the rollup) goes
+    RED as a unit. Catalyst fuses the whole thing into one scan +
+    two broadcast joins + one aggregation — the point of declaring
+    the pipeline instead of materializing stage boundaries."""
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    valid = orders.where(
+        F.col("o_orderkey").isNotNull()
+        & (F.col("o_totalprice") > 0)
+        & F.col("o_orderstatus").isin("O", "F", "P")
+    )
+    conformed = valid.join(
+        F.broadcast(customer.select("c_custkey", "c_nationkey")),
+        valid.o_custkey == F.col("c_custkey"),
+    ).join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        conformed.groupBy(
+            "n_name",
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / F.lit(100.0), 2
+            ).alias("revenue"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+PIPELINE_QUERIES = {
+    "training_data_pipeline": training_data_pipeline,
+    "analytics_mart_pipeline": analytics_mart_pipeline,
+}
 
 # One composed oracle for the full chain. The rule constants are
 # intentionally repeated from the per-stage oracles: if any stage's
@@ -111,3 +158,23 @@ PIPELINE_ORACLES = {
         FROM c GROUP BY lang, shard, tokens_before // {SEQ_BUDGET}
     """,
 }
+
+PIPELINE_ORACLES["analytics_mart_pipeline"] = """
+    WITH valid AS (
+      SELECT * FROM orders
+      WHERE o_orderkey IS NOT NULL AND o_totalprice > 0
+        AND o_orderstatus IN ('O', 'F', 'P')
+    ),
+    conformed AS (
+      SELECT v.*, n.n_name
+      FROM valid v
+      JOIN customer c ON v.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT n_name, strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+      COUNT(*) AS n_orders,
+      ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+        AS revenue,
+      CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM conformed GROUP BY n_name, month
+"""

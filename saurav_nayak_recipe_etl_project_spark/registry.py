@@ -151,6 +151,7 @@ _DRIVER_PRIORITY = [
     #    digit count that is triple-SF + NY-TZ verified locally).
     #    It tops round 7's fill. --
     "benford_digit_audit",
+    "analytics_mart_pipeline",
     # -- stalest: last externally verified in round 1 (all 27) --
     "avg_lineitems_per_order",
     "avg_order_value",
