@@ -144,13 +144,13 @@ _DRIVER_PRIORITY = [
     "ann_ivf_topk",
     "dedup_embedding",
     "ann_recall_at_k",
-    # -- position 51: benford_digit_audit is the ONE new entry
-    #    deliberately deferred past the 50-entry window (the window is
-    #    exactly full of new/changed entries; keeping the CHANGED
-    #    ann_recall_at_k harness externally verified outranks a 9-row
-    #    digit count that is triple-SF + NY-TZ verified locally).
-    #    It tops round 7's fill. --
+    # -- positions 51-52: the TWO new entries deliberately deferred
+    #    past the exactly-full 50-entry window (keeping the CHANGED
+    #    ann_recall_at_k harness externally verified outranks them;
+    #    both are triple-SF + NY-TZ verified locally). They top round
+    #    7's fill. --
     "benford_digit_audit",
+    "analytics_mart_pipeline",
     "analytics_mart_pipeline",
     # -- stalest: last externally verified in round 1 (all 27) --
     "avg_lineitems_per_order",
