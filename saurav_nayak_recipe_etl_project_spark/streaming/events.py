@@ -236,6 +236,39 @@ def run_ohlc_stream(spark: SparkSession, source_dir: str,
     )
 
 
+def run_sliding_stream(spark: SparkSession, source_dir: str,
+                       checkpoint_dir: str, query_name: str) -> None:
+    """Streaming twin of plans/temporal.events_sliding_window: 1-day
+    windows sliding every 6 hours — each event updates FOUR overlapping
+    window states (the Expand runs map-side per micro-batch, state is
+    per (window, event_type)). Complete-mode memory sink; equality with
+    the batch form under a 2-batch split feed is pinned in
+    tests/test_streaming.py — overlapping-window state must merge
+    across micro-batches exactly like tumbling state does."""
+    ev = read_event_stream(spark, source_dir, max_files_per_trigger=1)
+    agg = (
+        ev.groupBy(F.window("ts", "1 day", "6 hours"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.round(F.col("value") * 100).cast("long"))
+                    / F.lit(100.0), 2).alias("sum_value"),
+        )
+        .select(
+            F.expr("timestampdiff(SECOND, TIMESTAMP '1970-01-01 00:00:00',"
+                   " window.start)").cast("long").alias("window_start_s"),
+            "event_type", "n", "sum_value",
+        )
+    )
+    await_or_raise(
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_dedup_stream(spark: SparkSession, source_dir: str,
                      checkpoint_dir: str, query_name: str) -> None:
     """Streaming dedup: at-least-once upstream delivery → exactly-once

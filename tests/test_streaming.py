@@ -158,3 +158,31 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == want and len(got) > 0
     assert any(seg == "unknown" for seg, _ in got)
+
+
+
+def test_stream_sliding_window_matches_batch(spark, sf_dir, tmp_path):
+    """Overlapping-window streaming state must merge across
+    micro-batches to exactly the batch sliding-window result."""
+    import glob
+
+    from saurav_nayak_recipe_etl_project_spark.plans.temporal import (
+        events_sliding_window,
+    )
+
+    ev = E.load_table(spark, "events", sf_dir)
+    src = tmp_path / "drops"
+    src.mkdir()
+    for tag, parity in (("a", 0), ("b", 1)):
+        staged = tmp_path / f"stg_{tag}"
+        (ev.filter(ev.event_id % 2 == parity)
+         .coalesce(1).write.mode("overwrite").parquet(str(staged)))
+        part = glob.glob(str(staged / "part-*.parquet"))[0]
+        shutil.copy(part, src / f"{tag}.parquet")
+
+    E.run_sliding_stream(spark, str(src), str(tmp_path / "cks"), "slide_test")
+    got = {(r["window_start_s"], r["event_type"]): (r["n"], r["sum_value"])
+           for r in spark.sql("SELECT * FROM slide_test").collect()}
+    want = {(r["window_start_s"], r["event_type"]): (r["n"], r["sum_value"])
+            for r in events_sliding_window(spark, sf_dir).collect()}
+    assert got == want and len(got) > 0
