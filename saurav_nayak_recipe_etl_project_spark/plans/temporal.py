@@ -396,10 +396,55 @@ def revenue_growth_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency distribution: seconds from a user's FIRST view
+    to their FIRST subsequent purchase, summarized as discrete
+    percentiles (percentile_disc form: the value AT rank
+    ceil(q * n) — an integer pick, no interpolation, so the report is
+    engine-exact; the interpolated twin is price_quantiles).
+    Completes the funnel suite: view_purchase_funnel counts WHO
+    converts, km_risk_table shows the hazard curve, this reports HOW
+    FAST. All µs-floored integer seconds; one user_id-co-partitioned
+    rollup, percentile picks over the converter-sized frame."""
+    ev = load_table(spark, "events", sf_dir)
+    first_view = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ft"))
+    )
+    conv = (
+        ev.join(first_view, "user_id")
+        .where(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("ft"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min(F.expr("timestampdiff(MICROSECOND, ft, ts) DIV 1000000"))
+            .alias("t_s")
+        )
+    )
+    w = Window.orderBy("t_s", "user_id")
+    ranked = (
+        conv.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy(F.lit(1))))
+    )
+    pick = lambda q: F.max(
+        F.when(F.col("rn") == F.expr(f"cast(ceil(n * {q}) as bigint)"),
+               F.col("t_s"))
+    )
+    return ranked.agg(
+        F.max("n").alias("n_converters"),
+        pick(0.5).alias("p50_seconds"),
+        pick(0.9).alias("p90_seconds"),
+        F.max("t_s").alias("max_seconds"),
+    )
+
+
 TEMPORAL_QUERIES = {
     "session_top_paths": session_top_paths,
     "km_risk_table": km_risk_table,
     "revenue_growth_decomposition": revenue_growth_decomposition,
+    "funnel_time_to_convert": funnel_time_to_convert,
     "events_sliding_window": events_sliding_window,
     "cohort_retention": cohort_retention,
     "weekly_active_breakdown": weekly_active_breakdown,
@@ -410,6 +455,32 @@ TEMPORAL_QUERIES = {
 }
 
 TEMPORAL_ORACLES = {
+    "funnel_time_to_convert": """
+        WITH fv AS (
+          SELECT user_id, MIN(ts) AS ft FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        conv AS (
+          SELECT e.user_id,
+            MIN(date_diff('microsecond', fv.ft, e.ts) // 1000000) AS t_s
+          FROM events e JOIN fv ON e.user_id = fv.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= fv.ft
+          GROUP BY e.user_id
+        ),
+        ranked AS (
+          SELECT t_s,
+            ROW_NUMBER() OVER (ORDER BY t_s, user_id) AS rn,
+            COUNT(*) OVER () AS n
+          FROM conv
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_converters,
+          CAST(MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT)
+               THEN t_s END) AS BIGINT) AS p50_seconds,
+          CAST(MAX(CASE WHEN rn = CAST(CEIL(n * 0.9) AS BIGINT)
+               THEN t_s END) AS BIGINT) AS p90_seconds,
+          CAST(MAX(t_s) AS BIGINT) AS max_seconds
+        FROM ranked
+    """,
     "revenue_growth_decomposition": """
         WITH monthly AS (
           SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,

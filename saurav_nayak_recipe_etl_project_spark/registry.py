@@ -151,7 +151,9 @@ _DRIVER_PRIORITY = [
     #    7's fill. --
     "benford_digit_audit",
     "analytics_mart_pipeline",
+    "funnel_time_to_convert",
     "analytics_mart_pipeline",
+    "funnel_time_to_convert",
     # -- stalest: last externally verified in round 1 (all 27) --
     "avg_lineitems_per_order",
     "avg_order_value",
