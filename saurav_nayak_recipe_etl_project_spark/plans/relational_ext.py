@@ -553,8 +553,52 @@ def revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification — the operational follow-on to the
+    Pareto frontier: EVERY part classed A (first 50% of revenue),
+    B (next 30%), C (tail), reported as per-class part counts and
+    revenue. Class cuts are the same pure-integer predicates as the
+    frontier ((cum-own)*2 < total for A, *10 < 8*total for B), so the
+    class assignment is engine-exact; the summary is class-bounded
+    (3 rows)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("long")
+        ).alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("l_partkey"))
+    total = rev.agg(F.sum("cents").alias("total_cents"))
+    classed = (
+        rev.withColumn(
+            "cum_cents",
+            F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "abc_class",
+            F.when(
+                (F.col("cum_cents") - F.col("cents")) * 2
+                < F.col("total_cents"), "A")
+            .when(
+                (F.col("cum_cents") - F.col("cents")) * 10
+                < F.col("total_cents") * 8, "B")
+            .otherwise("C"),
+        )
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            (F.sum("cents") / F.lit(100.0)).alias("revenue"),
+        )
+    )
+
+
 RELATIONAL_EXT_QUERIES = {
     "weighted_median_price": weighted_median_price,
+    "part_abc_classification": part_abc_classification,
     "revenue_cusum": revenue_cusum,
     "ab_experiment_report": ab_experiment_report,
     "kfold_assignment": kfold_assignment,
@@ -570,6 +614,31 @@ RELATIONAL_EXT_QUERIES = {
 }
 
 RELATIONAL_EXT_ORACLES = {
+    "part_abc_classification": """
+        WITH rev AS (
+          SELECT l_partkey,
+            SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS cents
+          FROM lineitem GROUP BY l_partkey
+        ),
+        c AS (
+          SELECT cents,
+            SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents,
+            (SELECT SUM(cents) FROM rev) AS total_cents
+          FROM rev
+        ),
+        k AS (
+          SELECT cents,
+            CASE WHEN (cum_cents - cents) * 2 < total_cents THEN 'A'
+                 WHEN (cum_cents - cents) * 10 < total_cents * 8 THEN 'B'
+                 ELSE 'C' END AS abc_class
+          FROM c
+        )
+        SELECT abc_class, COUNT(*) AS n_parts,
+          SUM(cents) / 100.0 AS revenue
+        FROM k GROUP BY abc_class
+    """,
     "weighted_median_price": """
         WITH d AS (
           SELECT l_returnflag,

@@ -144,16 +144,18 @@ _DRIVER_PRIORITY = [
     "ann_ivf_topk",
     "dedup_embedding",
     "ann_recall_at_k",
-    # -- positions 51-52: the TWO new entries deliberately deferred
-    #    past the exactly-full 50-entry window (keeping the CHANGED
+    # -- positions 51+: new entries deliberately deferred past the
+    #    exactly-full 50-entry window (keeping the CHANGED
     #    ann_recall_at_k harness externally verified outranks them;
-    #    both are triple-SF + NY-TZ verified locally). They top round
+    #    all are triple-SF + NY-TZ verified locally). They top round
     #    7's fill. --
     "benford_digit_audit",
     "analytics_mart_pipeline",
     "funnel_time_to_convert",
+    "part_abc_classification",
     "analytics_mart_pipeline",
     "funnel_time_to_convert",
+    "part_abc_classification",
     # -- stalest: last externally verified in round 1 (all 27) --
     "avg_lineitems_per_order",
     "avg_order_value",
