@@ -440,11 +440,55 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: cumulative spend per cohort MEMBER
+    by week offset — the revenue companion to cohort_retention
+    (activity says who came back; LTV says what they were worth).
+    Spend is integer cents; the cumulative window runs over the
+    bounded (cohort_week x offset) frame; per-member LTV is one raw
+    double division of two integers (cum_cents / cohort_size / 100)."""
+    ev = load_table(spark, "events", sf_dir)
+    weeks = ev.select(
+        "user_id",
+        F.expr(_EPOCH_WEEK).alias("week"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cohort = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size"))
+    spend = (
+        weeks.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.sum("cents").alias("week_cents"))
+    )
+    w = Window.partitionBy("cohort_week").orderBy("week_offset").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        spend.withColumn("cum_cents", F.sum("week_cents").over(w))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.col("cohort_week").cast("long").alias("cohort_week"),
+            F.col("week_offset").cast("long").alias("week_offset"),
+            "cohort_size",
+            (F.col("week_cents") / F.lit(100.0)).alias("week_revenue"),
+            (
+                F.col("cum_cents").cast("double")
+                / F.col("cohort_size").cast("double") / F.lit(100.0)
+            ).alias("ltv_per_member"),
+        )
+    )
+
+
 TEMPORAL_QUERIES = {
     "session_top_paths": session_top_paths,
     "km_risk_table": km_risk_table,
     "revenue_growth_decomposition": revenue_growth_decomposition,
     "funnel_time_to_convert": funnel_time_to_convert,
+    "cohort_ltv": cohort_ltv,
     "events_sliding_window": events_sliding_window,
     "cohort_retention": cohort_retention,
     "weekly_active_breakdown": weekly_active_breakdown,
@@ -455,6 +499,43 @@ TEMPORAL_QUERIES = {
 }
 
 TEMPORAL_ORACLES = {
+    "cohort_ltv": """
+        WITH weeks AS (
+          SELECT user_id,
+            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+              AS week,
+            CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        cohort AS (
+          SELECT user_id, MIN(week) AS cohort_week FROM weeks
+          GROUP BY user_id
+        ),
+        sizes AS (
+          SELECT cohort_week, COUNT(*) AS cohort_size FROM cohort
+          GROUP BY cohort_week
+        ),
+        spend AS (
+          SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+            SUM(w.cents) AS week_cents
+          FROM weeks w JOIN cohort c ON w.user_id = c.user_id
+          GROUP BY c.cohort_week, week_offset
+        ),
+        cum AS (
+          SELECT cohort_week, week_offset, week_cents,
+            SUM(week_cents) OVER (PARTITION BY cohort_week
+              ORDER BY week_offset
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+          FROM spend
+        )
+        SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+          CAST(week_offset AS BIGINT) AS week_offset,
+          s.cohort_size,
+          week_cents / 100.0 AS week_revenue,
+          CAST(cum_cents AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) / 100.0
+            AS ltv_per_member
+        FROM cum c JOIN sizes s ON c.cohort_week = s.cohort_week
+    """,
     "funnel_time_to_convert": """
         WITH fv AS (
           SELECT user_id, MIN(ts) AS ft FROM events

@@ -153,9 +153,11 @@ _DRIVER_PRIORITY = [
     "analytics_mart_pipeline",
     "funnel_time_to_convert",
     "part_abc_classification",
+    "cohort_ltv",
     "analytics_mart_pipeline",
     "funnel_time_to_convert",
     "part_abc_classification",
+    "cohort_ltv",
     # -- stalest: last externally verified in round 1 (all 27) --
     "avg_lineitems_per_order",
     "avg_order_value",
