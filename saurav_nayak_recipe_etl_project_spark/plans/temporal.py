@@ -483,12 +483,55 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def monthly_new_vs_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue split into NEW customers (first-ever order that
+    month) vs REPEAT — the acquisition-vs-retention revenue mix every
+    growth review opens with. A customer's orders in their first month
+    all count as new (month granularity). Two shuffles: the
+    per-customer first-month min and the month rollup; integer cents
+    throughout; raw double division only at the display share."""
+    orders = load_table(spark, "orders", sf_dir)
+    om = orders.select(
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    first_month = om.groupBy("o_custkey").agg(
+        F.min("month").alias("first_month"))
+    tagged = om.join(first_month, "o_custkey").withColumn(
+        "is_new", (F.col("month") == F.col("first_month")).cast("int")
+    )
+    return (
+        tagged.groupBy("month")
+        .agg(
+            F.sum(F.when(F.col("is_new") == 1, F.col("cents"))
+                  .otherwise(0)).alias("new_cents"),
+            F.sum(F.when(F.col("is_new") == 0, F.col("cents"))
+                  .otherwise(0)).alias("repeat_cents"),
+            F.countDistinct(
+                F.when(F.col("is_new") == 1, F.col("o_custkey"))
+            ).alias("n_new_customers"),
+        )
+        .select(
+            "month",
+            (F.col("new_cents") / F.lit(100.0)).alias("new_revenue"),
+            (F.col("repeat_cents") / F.lit(100.0)).alias("repeat_revenue"),
+            "n_new_customers",
+            (
+                F.col("new_cents").cast("double")
+                / (F.col("new_cents") + F.col("repeat_cents")).cast("double")
+            ).alias("new_share"),
+        )
+    )
+
+
 TEMPORAL_QUERIES = {
     "session_top_paths": session_top_paths,
     "km_risk_table": km_risk_table,
     "revenue_growth_decomposition": revenue_growth_decomposition,
     "funnel_time_to_convert": funnel_time_to_convert,
     "cohort_ltv": cohort_ltv,
+    "monthly_new_vs_repeat": monthly_new_vs_repeat,
     "events_sliding_window": events_sliding_window,
     "cohort_retention": cohort_retention,
     "weekly_active_breakdown": weekly_active_breakdown,
@@ -499,6 +542,33 @@ TEMPORAL_QUERIES = {
 }
 
 TEMPORAL_ORACLES = {
+    "monthly_new_vs_repeat": """
+        WITH om AS (
+          SELECT o_custkey,
+            strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+            CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+        ),
+        fm AS (
+          SELECT o_custkey, MIN(month) AS first_month FROM om
+          GROUP BY o_custkey
+        ),
+        tagged AS (
+          SELECT om.month, om.cents, om.o_custkey,
+            CASE WHEN om.month = fm.first_month THEN 1 ELSE 0 END AS is_new
+          FROM om JOIN fm ON om.o_custkey = fm.o_custkey
+        )
+        SELECT month,
+          CAST(SUM(CASE WHEN is_new = 1 THEN cents ELSE 0 END) AS BIGINT)
+            / 100.0 AS new_revenue,
+          CAST(SUM(CASE WHEN is_new = 0 THEN cents ELSE 0 END) AS BIGINT)
+            / 100.0 AS repeat_revenue,
+          CAST(COUNT(DISTINCT CASE WHEN is_new = 1 THEN o_custkey END)
+            AS BIGINT) AS n_new_customers,
+          CAST(SUM(CASE WHEN is_new = 1 THEN cents ELSE 0 END) AS DOUBLE)
+            / CAST(SUM(cents) AS DOUBLE) AS new_share
+        FROM tagged GROUP BY month
+    """,
     "cohort_ltv": """
         WITH weeks AS (
           SELECT user_id,

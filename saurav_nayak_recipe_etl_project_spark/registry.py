@@ -154,10 +154,12 @@ _DRIVER_PRIORITY = [
     "funnel_time_to_convert",
     "part_abc_classification",
     "cohort_ltv",
+    "monthly_new_vs_repeat",
     "analytics_mart_pipeline",
     "funnel_time_to_convert",
     "part_abc_classification",
     "cohort_ltv",
+    "monthly_new_vs_repeat",
     # -- stalest: last externally verified in round 1 (all 27) --
     "avg_lineitems_per_order",
     "avg_order_value",
