@@ -596,9 +596,52 @@ def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier performance scorecard — the multi-metric mart row a
+    procurement review reads: volume, integer-cents revenue, breadth
+    (distinct parts), return share, and average ship lead time
+    (o_orderdate -> l_shipdate, integer days). One fact scan joined to
+    a broadcast order-date projection; ratios are raw integer-over-
+    integer doubles."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    j = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    return (
+        j.groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                        * 100).cast("long")
+            ).alias("rev_cents"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .alias("n_returned"),
+            F.sum(
+                F.expr("datediff(cast(l_shipdate as date),"
+                       " cast(o_orderdate as date))")
+            ).alias("lead_days_sum"),
+        )
+        .select(
+            "l_suppkey",
+            "n_items",
+            (F.col("rev_cents") / F.lit(100.0)).alias("revenue"),
+            "n_parts",
+            (F.col("n_returned").cast("double")
+             / F.col("n_items").cast("double")).alias("return_share"),
+            (F.col("lead_days_sum").cast("double")
+             / F.col("n_items").cast("double")).alias("avg_lead_days"),
+        )
+    )
+
+
 RELATIONAL_EXT_QUERIES = {
     "weighted_median_price": weighted_median_price,
     "part_abc_classification": part_abc_classification,
+    "supplier_scorecard": supplier_scorecard,
     "revenue_cusum": revenue_cusum,
     "ab_experiment_report": ab_experiment_report,
     "kfold_assignment": kfold_assignment,
@@ -614,6 +657,20 @@ RELATIONAL_EXT_QUERIES = {
 }
 
 RELATIONAL_EXT_ORACLES = {
+    "supplier_scorecard": """
+        SELECT l_suppkey,
+          COUNT(*) AS n_items,
+          SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+              AS BIGINT)) / 100.0 AS revenue,
+          CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+          CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS return_share,
+          CAST(SUM(date_diff('day', CAST(o_orderdate AS DATE),
+                             CAST(l_shipdate AS DATE))) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS avg_lead_days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_suppkey
+    """,
     "part_abc_classification": """
         WITH rev AS (
           SELECT l_partkey,
