@@ -525,6 +525,43 @@ def monthly_new_vs_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_interarrival_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival latency percentiles (global stream,
+    ordered by ts, event_id): p50/p90/max gap in µs-floored seconds,
+    percentile_disc rank picks — the feed-health monitor that tells a
+    pipeline how bursty each event class is. One type-partitioned lag
+    window + rank picks over the per-type frame; all integers."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.select("event_type", "ts", "event_id")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .where(F.col("prev_ts").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            F.expr("timestampdiff(MICROSECOND, prev_ts, ts) DIV 1000000")
+            .alias("gap_s"),
+        )
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("gap_s", "event_id")
+    w_grp = Window.partitionBy("event_type")
+    ranked = (
+        gaps.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n", F.count("*").over(w_grp))
+    )
+    pick = lambda q: F.max(
+        F.when(F.col("rn") == F.expr(f"cast(ceil(n * {q}) as bigint)"),
+               F.col("gap_s"))
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").alias("n_gaps"),
+        pick(0.5).alias("p50_gap_s"),
+        pick(0.9).alias("p90_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
+
+
 TEMPORAL_QUERIES = {
     "session_top_paths": session_top_paths,
     "km_risk_table": km_risk_table,
@@ -532,6 +569,7 @@ TEMPORAL_QUERIES = {
     "funnel_time_to_convert": funnel_time_to_convert,
     "cohort_ltv": cohort_ltv,
     "monthly_new_vs_repeat": monthly_new_vs_repeat,
+    "event_interarrival_disc": event_interarrival_disc,
     "events_sliding_window": events_sliding_window,
     "cohort_retention": cohort_retention,
     "weekly_active_breakdown": weekly_active_breakdown,
@@ -542,6 +580,31 @@ TEMPORAL_QUERIES = {
 }
 
 TEMPORAL_ORACLES = {
+    "event_interarrival_disc": """
+        WITH gaps AS (
+          SELECT event_type, event_id,
+            date_diff('microsecond',
+              LAG(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id),
+              ts) // 1000000 AS gap_s
+          FROM events
+        ),
+        g AS (SELECT * FROM gaps WHERE gap_s IS NOT NULL),
+        ranked AS (
+          SELECT event_type, gap_s,
+            ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY gap_s, event_id) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM g
+        )
+        SELECT event_type,
+          CAST(MAX(n) AS BIGINT) AS n_gaps,
+          CAST(MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT)
+               THEN gap_s END) AS BIGINT) AS p50_gap_s,
+          CAST(MAX(CASE WHEN rn = CAST(CEIL(n * 0.9) AS BIGINT)
+               THEN gap_s END) AS BIGINT) AS p90_gap_s,
+          CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+        FROM ranked GROUP BY event_type
+    """,
     "monthly_new_vs_repeat": """
         WITH om AS (
           SELECT o_custkey,

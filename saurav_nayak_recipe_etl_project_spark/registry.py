@@ -156,12 +156,14 @@ _DRIVER_PRIORITY = [
     "cohort_ltv",
     "monthly_new_vs_repeat",
     "supplier_scorecard",
+    "event_interarrival_disc",
     "analytics_mart_pipeline",
     "funnel_time_to_convert",
     "part_abc_classification",
     "cohort_ltv",
     "monthly_new_vs_repeat",
     "supplier_scorecard",
+    "event_interarrival_disc",
     # -- stalest: last externally verified in round 1 (all 27) --
     "avg_lineitems_per_order",
     "avg_order_value",
