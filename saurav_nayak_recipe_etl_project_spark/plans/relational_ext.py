@@ -638,10 +638,57 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation trade balance: demand (what the nation's customers
+    spend, via orders) vs supply (what its suppliers ship, via
+    lineitem revenue), and the integer-cents balance — a two-sided
+    mart joining both fact paths to the same conformed dimension.
+    Each side is one rollup to <=25 nation rows; the final join is
+    dimension-sized; FULL OUTER + coalesce keeps one-sided nations."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    demand = (
+        orders.join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+                    orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(nation),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+             .alias("demand_cents"))
+    )
+    supply = (
+        li.join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+                li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 100).cast("long")).alias("supply_cents"))
+    )
+    return (
+        demand.join(supply, "nation", "full_outer")
+        .select(
+            "nation",
+            (F.coalesce("demand_cents", F.lit(0)) / F.lit(100.0))
+            .alias("demand"),
+            (F.coalesce("supply_cents", F.lit(0)) / F.lit(100.0))
+            .alias("supply"),
+            ((F.coalesce("supply_cents", F.lit(0))
+              - F.coalesce("demand_cents", F.lit(0))) / F.lit(100.0))
+            .alias("balance"),
+        )
+    )
+
+
 RELATIONAL_EXT_QUERIES = {
     "weighted_median_price": weighted_median_price,
     "part_abc_classification": part_abc_classification,
     "supplier_scorecard": supplier_scorecard,
+    "nation_trade_balance": nation_trade_balance,
     "revenue_cusum": revenue_cusum,
     "ab_experiment_report": ab_experiment_report,
     "kfold_assignment": kfold_assignment,
@@ -657,6 +704,31 @@ RELATIONAL_EXT_QUERIES = {
 }
 
 RELATIONAL_EXT_ORACLES = {
+    "nation_trade_balance": """
+        WITH demand AS (
+          SELECT n_name AS nation,
+            SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS demand_cents
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name
+        ),
+        supply AS (
+          SELECT n_name AS nation,
+            SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS supply_cents
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          GROUP BY n_name
+        )
+        SELECT COALESCE(d.nation, s.nation) AS nation,
+          COALESCE(demand_cents, 0) / 100.0 AS demand,
+          COALESCE(supply_cents, 0) / 100.0 AS supply,
+          (COALESCE(supply_cents, 0) - COALESCE(demand_cents, 0)) / 100.0
+            AS balance
+        FROM demand d FULL OUTER JOIN supply s ON d.nation = s.nation
+    """,
     "supplier_scorecard": """
         SELECT l_suppkey,
           COUNT(*) AS n_items,

@@ -157,6 +157,7 @@ _DRIVER_PRIORITY = [
     "monthly_new_vs_repeat",
     "supplier_scorecard",
     "event_interarrival_disc",
+    "nation_trade_balance",
     "analytics_mart_pipeline",
     "funnel_time_to_convert",
     "part_abc_classification",
@@ -164,6 +165,7 @@ _DRIVER_PRIORITY = [
     "monthly_new_vs_repeat",
     "supplier_scorecard",
     "event_interarrival_disc",
+    "nation_trade_balance",
     # -- stalest: last externally verified in round 1 (all 27) --
     "avg_lineitems_per_order",
     "avg_order_value",
