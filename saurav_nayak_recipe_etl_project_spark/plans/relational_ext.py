@@ -684,11 +684,47 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def brand_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate league table per part brand: items, returned items
+    ('R' flag), return share, and returned revenue — the supplier-
+    quality slice of the returns story (q10 ranks customers, the
+    scorecard ranks suppliers; this ranks the CATALOG). One fact scan
+    joined to the broadcast part dim; shares are raw integer-over-
+    integer doubles."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .alias("n_returned"),
+            F.sum(
+                F.when(
+                    F.col("l_returnflag") == "R",
+                    F.round(F.col("l_extendedprice") * 100).cast("long"),
+                ).otherwise(0)
+            ).alias("ret_cents"),
+        )
+        .select(
+            "p_brand",
+            "n_items",
+            "n_returned",
+            (F.col("n_returned").cast("double")
+             / F.col("n_items").cast("double")).alias("return_share"),
+            (F.col("ret_cents") / F.lit(100.0)).alias("returned_revenue"),
+        )
+    )
+
+
 RELATIONAL_EXT_QUERIES = {
     "weighted_median_price": weighted_median_price,
     "part_abc_classification": part_abc_classification,
     "supplier_scorecard": supplier_scorecard,
     "nation_trade_balance": nation_trade_balance,
+    "brand_return_rates": brand_return_rates,
     "revenue_cusum": revenue_cusum,
     "ab_experiment_report": ab_experiment_report,
     "kfold_assignment": kfold_assignment,
@@ -704,6 +740,19 @@ RELATIONAL_EXT_QUERIES = {
 }
 
 RELATIONAL_EXT_ORACLES = {
+    "brand_return_rates": """
+        SELECT p_brand,
+          COUNT(*) AS n_items,
+          CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_returned,
+          CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS return_share,
+          CAST(SUM(CASE WHEN l_returnflag = 'R'
+               THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               ELSE 0 END) AS BIGINT) / 100.0 AS returned_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
     "nation_trade_balance": """
         WITH demand AS (
           SELECT n_name AS nation,

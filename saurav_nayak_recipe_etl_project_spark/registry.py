@@ -158,6 +158,7 @@ _DRIVER_PRIORITY = [
     "supplier_scorecard",
     "event_interarrival_disc",
     "nation_trade_balance",
+    "brand_return_rates",
     "analytics_mart_pipeline",
     "funnel_time_to_convert",
     "part_abc_classification",
@@ -166,6 +167,7 @@ _DRIVER_PRIORITY = [
     "supplier_scorecard",
     "event_interarrival_disc",
     "nation_trade_balance",
+    "brand_return_rates",
     # -- stalest: last externally verified in round 1 (all 27) --
     "avg_lineitems_per_order",
     "avg_order_value",
