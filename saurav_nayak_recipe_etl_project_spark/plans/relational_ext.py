@@ -719,12 +719,47 @@ def brand_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def discount_band_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-band effectiveness: volume, gross and net revenue, and
+    given-away margin per discount band (integer hundredths: bands
+    0, 1-2, 3-5, 6-8, 9-10 percent) — the pricing-team view q6 only
+    samples one slice of. Band edges are integer CASE cuts on the
+    integer discount hundredths (a float BETWEEN at band edges is the
+    q19-class portability trap); money stays integer cents."""
+    li = load_table(spark, "lineitem", sf_dir)
+    disc_h = F.round(F.col("l_discount") * 100).cast("long")
+    band = (
+        F.when(disc_h == 0, "0%")
+        .when(disc_h <= 2, "1-2%")
+        .when(disc_h <= 5, "3-5%")
+        .when(disc_h <= 8, "6-8%")
+        .otherwise("9-10%")
+    )
+    gross = F.round(F.col("l_extendedprice") * 100).cast("long")
+    net = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.select(band.alias("band"), gross.alias("g"), net.alias("n"),
+                  F.col("l_quantity").cast("long").alias("qty"))
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("qty").alias("units"),
+            (F.sum("g") / F.lit(100.0)).alias("gross_revenue"),
+            (F.sum("n") / F.lit(100.0)).alias("net_revenue"),
+            ((F.sum("g") - F.sum("n")) / F.lit(100.0)).alias("discount_given"),
+        )
+    )
+
+
 RELATIONAL_EXT_QUERIES = {
     "weighted_median_price": weighted_median_price,
     "part_abc_classification": part_abc_classification,
     "supplier_scorecard": supplier_scorecard,
     "nation_trade_balance": nation_trade_balance,
     "brand_return_rates": brand_return_rates,
+    "discount_band_effect": discount_band_effect,
     "revenue_cusum": revenue_cusum,
     "ab_experiment_report": ab_experiment_report,
     "kfold_assignment": kfold_assignment,
@@ -740,6 +775,27 @@ RELATIONAL_EXT_QUERIES = {
 }
 
 RELATIONAL_EXT_ORACLES = {
+    "discount_band_effect": """
+        WITH d AS (
+          SELECT
+            CASE WHEN CAST(ROUND(l_discount * 100) AS BIGINT) = 0 THEN '0%'
+                 WHEN CAST(ROUND(l_discount * 100) AS BIGINT) <= 2 THEN '1-2%'
+                 WHEN CAST(ROUND(l_discount * 100) AS BIGINT) <= 5 THEN '3-5%'
+                 WHEN CAST(ROUND(l_discount * 100) AS BIGINT) <= 8 THEN '6-8%'
+                 ELSE '9-10%' END AS band,
+            CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS g,
+            CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+              AS n,
+            CAST(l_quantity AS BIGINT) AS qty
+          FROM lineitem
+        )
+        SELECT band, COUNT(*) AS n_items,
+          CAST(SUM(qty) AS BIGINT) AS units,
+          CAST(SUM(g) AS BIGINT) / 100.0 AS gross_revenue,
+          CAST(SUM(n) AS BIGINT) / 100.0 AS net_revenue,
+          CAST(SUM(g) - SUM(n) AS BIGINT) / 100.0 AS discount_given
+        FROM d GROUP BY band
+    """,
     "brand_return_rates": """
         SELECT p_brand,
           COUNT(*) AS n_items,

@@ -159,6 +159,7 @@ _DRIVER_PRIORITY = [
     "event_interarrival_disc",
     "nation_trade_balance",
     "brand_return_rates",
+    "discount_band_effect",
     "analytics_mart_pipeline",
     "funnel_time_to_convert",
     "part_abc_classification",
@@ -168,6 +169,7 @@ _DRIVER_PRIORITY = [
     "event_interarrival_disc",
     "nation_trade_balance",
     "brand_return_rates",
+    "discount_band_effect",
     # -- stalest: last externally verified in round 1 (all 27) --
     "avg_lineitems_per_order",
     "avg_order_value",
