@@ -753,6 +753,49 @@ def discount_band_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def segment_order_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of order value per market segment — the
+    inequality statistic behind 'how head-heavy is this segment'.
+    Exact rational form on ranked integer cents:
+      G = 2*sum(rank*x) / (n*sum(x)) - (n+1)/n,
+    emitted as integer ppm with each division a floor over exact
+    integers (HUGEINT/DECIMAL(38) intermediates — rank*cents sums
+    reach ~1e16 at sf0.1 and grow quadratically) — bit-portable, no
+    float subtraction at the boundary. One shuffle + one ordered rank
+    window per segment."""
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    d = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .select("c_mktsegment", _cents().alias("cents"), "o_orderkey")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("cents", "o_orderkey")
+    ranked = d.withColumn("rn", F.row_number().over(w).cast("long"))
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+            F.sum(F.expr("cast(rn as decimal(38,0)) * cents"))
+            .alias("rank_weighted"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_orders",
+            (F.col("sum_cents") / F.lit(100.0)).alias("revenue"),
+            F.expr(
+                "cast(2 * rank_weighted * 1000000"
+                " DIV (cast(n_orders as decimal(38,0)) * sum_cents)"
+                " - (cast(n_orders as decimal(38,0)) + 1) * 1000000"
+                " DIV n_orders as bigint)"
+            ).alias("gini_ppm"),
+        )
+    )
+
+
 RELATIONAL_EXT_QUERIES = {
     "weighted_median_price": weighted_median_price,
     "part_abc_classification": part_abc_classification,
@@ -760,6 +803,7 @@ RELATIONAL_EXT_QUERIES = {
     "nation_trade_balance": nation_trade_balance,
     "brand_return_rates": brand_return_rates,
     "discount_band_effect": discount_band_effect,
+    "segment_order_gini": segment_order_gini,
     "revenue_cusum": revenue_cusum,
     "ab_experiment_report": ab_experiment_report,
     "kfold_assignment": kfold_assignment,
@@ -775,6 +819,33 @@ RELATIONAL_EXT_QUERIES = {
 }
 
 RELATIONAL_EXT_ORACLES = {
+    "segment_order_gini": """
+        WITH d AS (
+          SELECT c_mktsegment,
+            CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+            o_orderkey
+          FROM orders JOIN customer ON o_custkey = c_custkey
+        ),
+        ranked AS (
+          SELECT c_mktsegment, cents,
+            ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                               ORDER BY cents, o_orderkey) AS rn
+          FROM d
+        ),
+        agg AS (
+          SELECT c_mktsegment, COUNT(*) AS n_orders,
+            CAST(SUM(cents) AS HUGEINT) AS sum_cents,
+            SUM(CAST(rn AS HUGEINT) * cents) AS rank_weighted
+          FROM ranked GROUP BY c_mktsegment
+        )
+        SELECT c_mktsegment, n_orders,
+          CAST(sum_cents AS BIGINT) / 100.0 AS revenue,
+          CAST(2 * rank_weighted * 1000000
+               // (CAST(n_orders AS HUGEINT) * sum_cents)
+               - (CAST(n_orders AS HUGEINT) + 1) * 1000000 // n_orders
+               AS BIGINT) AS gini_ppm
+        FROM agg
+    """,
     "discount_band_effect": """
         WITH d AS (
           SELECT

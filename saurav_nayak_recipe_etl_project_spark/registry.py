@@ -160,6 +160,7 @@ _DRIVER_PRIORITY = [
     "nation_trade_balance",
     "brand_return_rates",
     "discount_band_effect",
+    "segment_order_gini",
     "analytics_mart_pipeline",
     "funnel_time_to_convert",
     "part_abc_classification",
@@ -170,6 +171,7 @@ _DRIVER_PRIORITY = [
     "nation_trade_balance",
     "brand_return_rates",
     "discount_band_effect",
+    "segment_order_gini",
     # -- stalest: last externally verified in round 1 (all 27) --
     "avg_lineitems_per_order",
     "avg_order_value",
