@@ -796,6 +796,49 @@ def segment_order_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def segment_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supplier-concentration index per market
+    segment: HHI = Σ share_i² over each supplier's revenue share of
+    the segment — the antitrust-style concentration measure
+    (Gini asks how unequal ORDERS are; HHI asks how captured the
+    SUPPLY side is; >2500 ppm-of-10000 reads as concentrated).
+    Exact rational: hhi_ppm = Σ(cents_i²)·1e6 DIV (Σcents)² in
+    HUGEINT/DECIMAL(38) (squares pass BIGINT at sf0.1). Two rollups
+    (supplier-in-segment, then segment), both map-side combined."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    per_supp = (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "l_suppkey")
+        .agg(F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 100).cast("long")).alias("cents"))
+    )
+    return (
+        per_supp.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum("cents").alias("sum_cents"),
+            F.sum(F.expr("cast(cents as decimal(38,0)) * cents"))
+            .alias("sq_sum"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_suppliers",
+            (F.col("sum_cents") / F.lit(100.0)).alias("revenue"),
+            F.expr(
+                "cast(sq_sum * 1000000"
+                " DIV (cast(sum_cents as decimal(38,0)) * sum_cents)"
+                " as bigint)"
+            ).alias("hhi_ppm"),
+        )
+    )
+
+
 RELATIONAL_EXT_QUERIES = {
     "weighted_median_price": weighted_median_price,
     "part_abc_classification": part_abc_classification,
@@ -804,6 +847,7 @@ RELATIONAL_EXT_QUERIES = {
     "brand_return_rates": brand_return_rates,
     "discount_band_effect": discount_band_effect,
     "segment_order_gini": segment_order_gini,
+    "segment_supplier_hhi": segment_supplier_hhi,
     "revenue_cusum": revenue_cusum,
     "ab_experiment_report": ab_experiment_report,
     "kfold_assignment": kfold_assignment,
@@ -819,6 +863,24 @@ RELATIONAL_EXT_QUERIES = {
 }
 
 RELATIONAL_EXT_ORACLES = {
+    "segment_supplier_hhi": """
+        WITH per_supp AS (
+          SELECT c_mktsegment, l_suppkey,
+            SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS cents
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment, l_suppkey
+        )
+        SELECT c_mktsegment,
+          COUNT(*) AS n_suppliers,
+          CAST(SUM(cents) AS BIGINT) / 100.0 AS revenue,
+          CAST(SUM(CAST(cents AS HUGEINT) * cents) * 1000000
+               // (CAST(SUM(cents) AS HUGEINT) * SUM(cents))
+               AS BIGINT) AS hhi_ppm
+        FROM per_supp GROUP BY c_mktsegment
+    """,
     "segment_order_gini": """
         WITH d AS (
           SELECT c_mktsegment,

@@ -161,6 +161,7 @@ _DRIVER_PRIORITY = [
     "brand_return_rates",
     "discount_band_effect",
     "segment_order_gini",
+    "segment_supplier_hhi",
     "analytics_mart_pipeline",
     "funnel_time_to_convert",
     "part_abc_classification",
@@ -172,6 +173,7 @@ _DRIVER_PRIORITY = [
     "brand_return_rates",
     "discount_band_effect",
     "segment_order_gini",
+    "segment_supplier_hhi",
     # -- stalest: last externally verified in round 1 (all 27) --
     "avg_lineitems_per_order",
     "avg_order_value",
