@@ -839,6 +839,47 @@ def segment_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket LIFT for the top co-purchased part pairs:
+    lift = P(a,b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b) — the
+    normalization that separates 'popular with everything' from
+    genuinely associated (parts_bought_together ranks raw counts;
+    lift > 1e6 ppm reads as positive association). Exact rational in
+    HUGEINT ppm; support floor n_ab >= 3 bounds the pair set; top 20
+    by (lift, pair) deterministic."""
+    li = load_table(spark, "lineitem", sf_dir)
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n_orders = items.select("o").distinct().count()
+    per_part = items.groupBy("p").agg(F.count("*").alias("n_p"))
+    b = items.select(F.col("o"), F.col("p").alias("q"))
+    pairs = (
+        items.join(b, "o")
+        .where(F.col("p") < F.col("q"))
+        .groupBy("p", "q")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= 3)
+    )
+    na = per_part.withColumnRenamed("p", "pa").withColumnRenamed("n_p", "n_a")
+    nb = per_part.withColumnRenamed("p", "pb").withColumnRenamed("n_p", "n_b")
+    return (
+        pairs.join(F.broadcast(na), pairs.p == na.pa)
+        .join(F.broadcast(nb), pairs.q == nb.pb)
+        .select(
+            F.col("p").alias("part_a"),
+            F.col("q").alias("part_b"),
+            "n_ab",
+            F.expr(
+                f"cast(cast(n_ab as decimal(38,0)) * {n_orders} * 1000000"
+                " DIV (cast(n_a as decimal(38,0)) * n_b) as bigint)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
+
+
 RELATIONAL_EXT_QUERIES = {
     "weighted_median_price": weighted_median_price,
     "part_abc_classification": part_abc_classification,
@@ -848,6 +889,7 @@ RELATIONAL_EXT_QUERIES = {
     "discount_band_effect": discount_band_effect,
     "segment_order_gini": segment_order_gini,
     "segment_supplier_hhi": segment_supplier_hhi,
+    "part_pair_lift": part_pair_lift,
     "revenue_cusum": revenue_cusum,
     "ab_experiment_report": ab_experiment_report,
     "kfold_assignment": kfold_assignment,
@@ -863,6 +905,27 @@ RELATIONAL_EXT_QUERIES = {
 }
 
 RELATIONAL_EXT_ORACLES = {
+    "part_pair_lift": """
+        WITH items AS (
+          SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ),
+        n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM items),
+        per_part AS (SELECT p, COUNT(*) AS n_p FROM items GROUP BY p),
+        pairs AS (
+          SELECT a.p, b.p AS q, COUNT(*) AS n_ab
+          FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+          GROUP BY a.p, b.p HAVING COUNT(*) >= 3
+        )
+        SELECT pairs.p AS part_a, pairs.q AS part_b, n_ab,
+          CAST(CAST(n_ab AS HUGEINT) * n_orders * 1000000
+               // (CAST(na.n_p AS HUGEINT) * nb.n_p) AS BIGINT) AS lift_ppm
+        FROM pairs
+        JOIN per_part na ON pairs.p = na.p
+        JOIN per_part nb ON pairs.q = nb.p
+        CROSS JOIN n
+        ORDER BY lift_ppm DESC, part_a, part_b
+        LIMIT 20
+    """,
     "segment_supplier_hhi": """
         WITH per_supp AS (
           SELECT c_mktsegment, l_suppkey,

@@ -162,6 +162,7 @@ _DRIVER_PRIORITY = [
     "discount_band_effect",
     "segment_order_gini",
     "segment_supplier_hhi",
+    "part_pair_lift",
     "analytics_mart_pipeline",
     "funnel_time_to_convert",
     "part_abc_classification",
@@ -174,6 +175,7 @@ _DRIVER_PRIORITY = [
     "discount_band_effect",
     "segment_order_gini",
     "segment_supplier_hhi",
+    "part_pair_lift",
     # -- stalest: last externally verified in round 1 (all 27) --
     "avg_lineitems_per_order",
     "avg_order_value",
