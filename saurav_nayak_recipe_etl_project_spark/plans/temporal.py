@@ -562,6 +562,30 @@ def event_interarrival_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day activity heatmap — the seasonality
+    profile behind batch scheduling and anomaly baselines. DOW and
+    hour come from pure epoch-second integer arithmetic
+    ((epoch_day + 4) % 7: 1970-01-01 was a Thursday, 0 = Sunday) —
+    NOT dayofweek()/hour(), whose numbering and TZ behavior differ
+    across engines. One map-side-combined rollup, 7x24-bounded."""
+    ev = load_table(spark, "events", sf_dir)
+    es = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    return (
+        ev.select(
+            ((es / 86400).cast("long") + 4).alias("ed"),
+            ((es % 86400) / 3600).cast("long").alias("hour"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .select((F.col("ed") % 7).alias("dow"), "hour", "cents")
+        .groupBy("dow", "hour")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("cents") / F.lit(100.0), 2).alias("sum_value"),
+        )
+    )
+
+
 TEMPORAL_QUERIES = {
     "session_top_paths": session_top_paths,
     "km_risk_table": km_risk_table,
@@ -570,6 +594,7 @@ TEMPORAL_QUERIES = {
     "cohort_ltv": cohort_ltv,
     "monthly_new_vs_repeat": monthly_new_vs_repeat,
     "event_interarrival_disc": event_interarrival_disc,
+    "event_dow_hour_heatmap": event_dow_hour_heatmap,
     "events_sliding_window": events_sliding_window,
     "cohort_retention": cohort_retention,
     "weekly_active_breakdown": weekly_active_breakdown,
@@ -580,6 +605,18 @@ TEMPORAL_QUERIES = {
 }
 
 TEMPORAL_ORACLES = {
+    "event_dow_hour_heatmap": """
+        WITH e AS (
+          SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
+            CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events
+        )
+        SELECT (es // 86400 + 4) % 7 AS dow,
+          (es % 86400) // 3600 AS hour,
+          COUNT(*) AS n,
+          ROUND(SUM(cents) / 100.0, 2) AS sum_value
+        FROM e GROUP BY dow, hour
+    """,
     "event_interarrival_disc": """
         WITH gaps AS (
           SELECT event_type, event_id,

@@ -163,6 +163,7 @@ _DRIVER_PRIORITY = [
     "segment_order_gini",
     "segment_supplier_hhi",
     "part_pair_lift",
+    "event_dow_hour_heatmap",
     "analytics_mart_pipeline",
     "funnel_time_to_convert",
     "part_abc_classification",
@@ -176,6 +177,7 @@ _DRIVER_PRIORITY = [
     "segment_order_gini",
     "segment_supplier_hhi",
     "part_pair_lift",
+    "event_dow_hour_heatmap",
     # -- stalest: last externally verified in round 1 (all 27) --
     "avg_lineitems_per_order",
     "avg_order_value",
