@@ -171,25 +171,45 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     """Global triangle census: edges, wedges (open 2-paths), triangles,
     and the transitivity ratio 3*triangles/wedges.
 
-    Triangle enumeration is the canonical oriented two-join (pa<pb<pc
-    once each): edge(a,b) x edge(b,c) builds the wedge, a third join
-    checks the closing (a,c) edge. Join keys are node ids — with the
-    support-pruned edge set this is broadcast-sized; at larger edge
-    sets it degree-orients first (still no cross product). The wedge
-    count comes from the degree table alone (sum deg*(deg-1)/2 — no
-    join at all). All counts integer, the ratio is one raw double
-    division: engine-exact."""
-    e1 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
-    e2 = edges.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
-    e3 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"]).agg(
-        F.count("*").alias("n_triangles")
-    )
+    Triangle enumeration is DEGREE-ORIENTED (the standard
+    triangle-counting trick): each undirected edge points from its
+    lower-(degree, id) endpoint to the higher, wedges are enumerated
+    only from a node's OUT-edges, and the closing edge is checked
+    against the canonical (min,max) edge set. Under this orientation
+    every node's out-degree is bounded by the graph's arboricity
+    (≈ sqrt(|E|)), so a hub with degree d contributes O(arboricity²)
+    wedges instead of O(d²) — the skewed-co-purchase blowup the
+    un-oriented two-join pays. Each triangle has exactly one vertex
+    with both out-edges inside it, so the count is exact and
+    identical. The wedge count comes from the degree table alone
+    (sum deg*(deg-1)/2 — no join at all). All counts integer, the
+    ratio is one raw double division: engine-exact."""
     deg = (
         edges.select(F.col("pa").alias("node"))
         .unionAll(edges.select(F.col("pb").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("pa"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("node").alias("pb"), F.col("deg").alias("_db"))
+    a_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("pa") < F.col("pb"))
+    )
+    oriented = (
+        edges.join(da, "pa")
+        .join(db, "pb")
+        .select(
+            F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+            F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+        )
+    )
+    w2 = oriented.select(F.col("src"), F.col("dst").alias("dst2"))
+    tri = (
+        oriented.join(w2, "src")
+        .where(F.col("dst") < F.col("dst2"))
+        .select(F.col("dst").alias("pa"), F.col("dst2").alias("pb"))
+        .join(edges, ["pa", "pb"])
+        .agg(F.count("*").alias("n_triangles"))
     )
     wedges = deg.agg(
         F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("n_wedges"),

@@ -31,6 +31,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from saurav_nayak_recipe_etl_project_spark.functions.ranking import (
+    with_global_rank,
+)
 from saurav_nayak_recipe_etl_project_spark.functions.text_fn import tokens
 from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
 
@@ -187,16 +190,23 @@ def corpus_shuffle_df(docs: DataFrame, seed: str = SHUFFLE_SEED,
 
     The order key is md5(seed | doc_id) — changing the seed re-deals
     the whole ordering (per-epoch reshuffle), same seed always deals
-    identically (resumable training, bit-equal across clusters). The
-    ROW_NUMBER here is a single ordered window over (key, doc_id) —
-    fine for a registry demo and for manifest-sized inputs; at 100 TB
-    you range-partition on the key and turn per-partition row counts
-    into offsets (two passes, no global sort window), same output."""
+    identically (resumable training, bit-equal across clusters).
+
+    Ranking is the two-pass distributed form (functions/ranking.py):
+    the md5 hex key is uniform, so its first two hex chars are 256
+    order-preserving, deterministically balanced buckets — per-bucket
+    parallel row_number + broadcast bucket offsets replaces the old
+    single ordered window over (key, doc_id), with bit-identical
+    rank/shard/pos output. No single-partition stage at any corpus
+    size."""
     key = F.md5(F.concat(F.lit(seed + "|"), F.col("doc_id").cast("string")))
-    w = Window.orderBy("shuffle_key", "doc_id")
+    keyed = docs.select("doc_id", key.alias("shuffle_key"))
     return (
-        docs.select("doc_id", key.alias("shuffle_key"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
+        with_global_rank(
+            keyed,
+            ["shuffle_key", "doc_id"],
+            bucket=F.substring("shuffle_key", 1, 2),
+        )
         .select(
             "doc_id",
             "shuffle_key",

@@ -22,6 +22,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from saurav_nayak_recipe_etl_project_spark.functions.ranking import (
+    ntile_from_rank,
+    with_global_rank,
+)
 from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
 
 def _cents():
@@ -202,30 +206,58 @@ def part_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-customer recency / frequency / monetary
-    quintiles (ntile(5)), the classic CRM scoring shape. Each ntile
-    ordering carries the custkey tie-break, so bucket edges are
+    quintiles (NTILE(5) semantics), the classic CRM scoring shape.
+    Each ordering carries the custkey tie-break, so bucket edges are
     deterministic and engine-identical; monetary is integer cents.
-    One shuffle to the per-customer rollup; the three ntile windows
-    share one global sort partition each over |customers| rows — at
-    100 TB swap ntile for the percentile-bound join (ntile needs a
-    single ordered partition; the rollup side is what keeps it small)."""
+
+    No global ntile window: each score is the two-pass distributed
+    rank (functions/ranking.py) over an ascending (negated-metric,
+    custkey) key — per-bucket parallel row_number + broadcast offsets
+    — then the SQL-standard NTILE bucket recomputed arithmetically
+    from (rank, n). Buckets are deterministic value-derived splits
+    (64-day recency epochs, the raw order count, $100k monetary
+    bands); skew is bounded by the metric's tie runs, never |rows|.
+    Output is bit-identical to ntile(5) OVER (ORDER BY metric DESC,
+    custkey) in both Spark and DuckDB."""
     orders = load_table(spark, "orders", sf_dir)
     per_cust = orders.groupBy("o_custkey").agg(
         F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
         F.count("*").alias("n_orders"),
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
     )
-    w_r = Window.orderBy(F.desc("last_day"), F.asc("o_custkey"))
-    w_f = Window.orderBy(F.desc("n_orders"), F.asc("o_custkey"))
-    w_m = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
-    return per_cust.select(
+    n = per_cust.agg(F.count("*").alias("_n"))
+    metrics = {
+        # score col -> (ascending negated sort key, bucket expr)
+        "r_score": (
+            F.datediff(F.lit("1970-01-01").cast("date"), F.col("last_day")),
+            64,
+        ),
+        "f_score": (-F.col("n_orders"), 1),
+        "m_score": (-F.col("cents"), 10_000_000),
+    }
+    out = per_cust
+    for score_col, (neg, width) in metrics.items():
+        keyed = per_cust.select(
+            "o_custkey", neg.cast("long").alias("_neg")
+        )
+        ranked = with_global_rank(
+            keyed,
+            ["_neg", "o_custkey"],
+            bucket=F.floor(F.col("_neg") / F.lit(width)),
+        ).crossJoin(F.broadcast(n))
+        scored = ranked.select(
+            "o_custkey",
+            ntile_from_rank(F.col("rank"), F.col("_n"), 5).alias(score_col),
+        )
+        out = out.join(scored, "o_custkey")
+    return out.select(
         "o_custkey",
         "last_day",
         "n_orders",
         (F.col("cents") / F.lit(100.0)).alias("monetary"),
-        F.ntile(5).over(w_r).cast("long").alias("r_score"),
-        F.ntile(5).over(w_f).cast("long").alias("f_score"),
-        F.ntile(5).over(w_m).cast("long").alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     )
 
 
@@ -846,12 +878,14 @@ def part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuinely associated (parts_bought_together ranks raw counts;
     lift > 1e6 ppm reads as positive association). Exact rational in
     HUGEINT ppm; support floor n_ab >= 3 bounds the pair set; top 20
-    by (lift, pair) deterministic."""
+    by (lift, pair) deterministic. The order count N is a 1-row agg
+    frame combined via broadcast crossJoin (the house scalar-combine
+    shape) — never an eager .count() at plan-build time."""
     li = load_table(spark, "lineitem", sf_dir)
     items = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
-    n_orders = items.select("o").distinct().count()
+    n = items.agg(F.countDistinct("o").alias("n_orders"))
     per_part = items.groupBy("p").agg(F.count("*").alias("n_p"))
     b = items.select(F.col("o"), F.col("p").alias("q"))
     pairs = (
@@ -866,12 +900,13 @@ def part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(na), pairs.p == na.pa)
         .join(F.broadcast(nb), pairs.q == nb.pb)
+        .crossJoin(F.broadcast(n))
         .select(
             F.col("p").alias("part_a"),
             F.col("q").alias("part_b"),
             "n_ab",
             F.expr(
-                f"cast(cast(n_ab as decimal(38,0)) * {n_orders} * 1000000"
+                "cast(cast(n_ab as decimal(38,0)) * n_orders * 1000000"
                 " DIV (cast(n_a as decimal(38,0)) * n_b) as bigint)"
             ).alias("lift_ppm"),
         )

@@ -25,6 +25,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from saurav_nayak_recipe_etl_project_spark.functions.ranking import (
+    with_global_rank,
+)
 from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
 
 _EPOCH_WEEK = "datediff(cast(ts as date), date '1970-01-01') div 7"
@@ -405,7 +408,12 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     Completes the funnel suite: view_purchase_funnel counts WHO
     converts, km_risk_table shows the hazard curve, this reports HOW
     FAST. All µs-floored integer seconds; one user_id-co-partitioned
-    rollup, percentile picks over the converter-sized frame."""
+    rollup. Ranking is the two-pass distributed form
+    (functions/ranking.py) bucketed by latency hour — per-bucket
+    parallel row_number + broadcast offsets, no single-partition
+    window; the rank picked at ceil(q*n) yields the same t_s value
+    regardless of tie order inside equal t_s, so output is identical
+    to the global-window form."""
     ev = load_table(spark, "events", sf_dir)
     first_view = (
         ev.where(F.col("event_type") == "view")
@@ -423,17 +431,19 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("t_s")
         )
     )
-    w = Window.orderBy("t_s", "user_id")
-    ranked = (
-        conv.withColumn("rn", F.row_number().over(w))
-        .withColumn("n", F.count("*").over(Window.partitionBy(F.lit(1))))
-    )
+    n = conv.agg(F.count("*").alias("_n"))
+    ranked = with_global_rank(
+        conv,
+        ["t_s", "user_id"],
+        bucket=F.floor(F.col("t_s") / F.lit(3600)),
+        rank_col="rn",
+    ).crossJoin(F.broadcast(n))
     pick = lambda q: F.max(
-        F.when(F.col("rn") == F.expr(f"cast(ceil(n * {q}) as bigint)"),
+        F.when(F.col("rn") == F.expr(f"cast(ceil(_n * {q}) as bigint)"),
                F.col("t_s"))
     )
     return ranked.agg(
-        F.max("n").alias("n_converters"),
+        F.max("_n").alias("n_converters"),
         pick(0.5).alias("p50_seconds"),
         pick(0.9).alias("p90_seconds"),
         F.max("t_s").alias("max_seconds"),

@@ -54,6 +54,60 @@ def test_headline_join_plans(spark, sf_dir, name):
         assert "SortMergeJoin" not in p
 
 
+def _window_arg_groups(plan: str) -> list:
+    """Top-level bracket groups of every Window node's Arguments line.
+
+    In explain("formatted"), a Window node's details read
+    `Arguments: [funcs], [partitionSpec], [orderSpec]` — three groups
+    when partitioned, two when the window is global (the
+    single-partition shape these pins forbid)."""
+    groups_per_window = []
+    for line in plan.splitlines():
+        line = line.strip()
+        if not (line.startswith("Arguments:")
+                and "windowspecdefinition" in line):
+            continue
+        depth, groups = 0, 0
+        for ch in line:
+            if ch == "[":
+                if depth == 0:
+                    groups += 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+        groups_per_window.append(groups)
+    return groups_per_window
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["customer_rfm", "corpus_shuffle", "funnel_time_to_convert"],
+)
+def test_no_single_partition_windows(spark, sf_dir, name):
+    """The round-6 'weak' trio must keep their distributed two-pass
+    rank shape: every Window in the plan carries a partition spec
+    (the bucket column), never a global ORDER BY that would funnel
+    all rows through one task."""
+    p = _plan(QUERIES[name](spark, sf_dir))
+    groups = _window_arg_groups(p)
+    assert groups, f"expected at least one Window node in {name}"
+    assert all(g == 3 for g in groups), (
+        f"{name} has a global (unpartitioned) window: {groups}"
+    )
+
+
+def test_window_arg_parser_detects_global_window(spark, sf_dir):
+    """Guard the parser itself: a deliberate global-ORDER-BY window
+    must be seen as a 2-group Arguments line."""
+    from pyspark.sql import Window, functions as F
+
+    df = spark.range(10).withColumn(
+        "rn", F.row_number().over(Window.orderBy("id"))
+    )
+    groups = _window_arg_groups(_plan(df))
+    assert groups and any(g == 2 for g in groups), groups
+
+
 def test_q6_full_pushdown(spark, sf_dir):
     """Q6's predicates must reach the parquet scan, and the plan is a
     scan + partial/final agg — no join, no window, ONE exchange pair."""
