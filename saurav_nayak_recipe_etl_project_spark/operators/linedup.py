@@ -146,12 +146,14 @@ def containment_pairs(docs: DataFrame, tau: float = 0.8, n: int = 3,
     na = sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed(
         "n_grams", "n_a")
     cont = F.col("inter") / F.col("n_a")
-    # pure-integer threshold (tau as a rational) — no double compare at
-    # the inclusion boundary
-    tau_num = int(round(tau * 10))
+    # pure-integer threshold (tau as a per-mille rational) — no double
+    # compare at the inclusion boundary, and 0.001 granularity so a
+    # caller-supplied tau like 0.85 is honored exactly (a coarser
+    # 0.1-scale quantization silently loosened it to 0.8)
+    tau_num = int(round(tau * 1000))
     return (
         inter.join(na, "a_id")
-        .where(F.col("inter") * 10 >= F.lit(tau_num) * F.col("n_a"))
+        .where(F.col("inter") * 1000 >= F.lit(tau_num) * F.col("n_a"))
         .select(
             F.col("a_id").alias("contained_id"),
             F.col("b_id").alias("container_id"),
@@ -225,7 +227,7 @@ LINEDUP_ORACLES = {
         SELECT a_id AS contained_id, b_id AS container_id,
           ROUND(inter * 1.0 / n_grams, 6) AS containment
         FROM inter JOIN sizes ON inter.a_id = sizes.doc_id
-        WHERE inter * 10 >= 8 * n_grams
+        WHERE inter * 1000 >= 800 * n_grams
     """,
     "dedup_segments": """
         WITH toks AS (

@@ -126,12 +126,26 @@ NORMALIZE_QUERIES = {
 
 NORMALIZE_ORACLES = {
     "events_json_typed": """
+        -- json_valid + TRY_CAST mirror from_json's PERMISSIVE NULLs:
+        -- malformed JSON or a non-numeric k must yield NULL, not fail
+        -- the whole oracle query (a plain CAST errors on bad rows).
+        -- Residual asymmetry (documented): a JSON STRING number like
+        -- {"k":"5"} is NULL for Spark's k INT schema but 5 through
+        -- TRY_CAST; the generated props never encode numbers as
+        -- strings, and a future generator change would surface as a
+        -- hash mismatch, not a silent pass.
+        WITH typed AS (
+          SELECT event_type,
+            CASE WHEN json_valid(props)
+                 THEN TRY_CAST(props->>'$.k' AS INT) END AS k
+          FROM events
+        )
         SELECT event_type, COUNT(*) AS n,
-          COUNT(CAST(props->>'$.k' AS INT)) AS n_parsed,
-          CAST(MIN(CAST(props->>'$.k' AS INT)) AS BIGINT) AS min_k,
-          CAST(MAX(CAST(props->>'$.k' AS INT)) AS BIGINT) AS max_k,
-          CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k
-        FROM events GROUP BY event_type
+          COUNT(k) AS n_parsed,
+          CAST(MIN(k) AS BIGINT) AS min_k,
+          CAST(MAX(k) AS BIGINT) AS max_k,
+          CAST(SUM(k) AS BIGINT) AS sum_k
+        FROM typed GROUP BY event_type
     """,
     "schema_map_orders": """
         SELECT o_orderkey AS order_id, o_custkey AS user_id,

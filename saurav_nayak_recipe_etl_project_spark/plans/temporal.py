@@ -138,8 +138,11 @@ def event_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     window); the last event has no holding interval and drops out.
     All arithmetic stays integer until the final division: weights are
     microsecond gaps (timestampdiff), values are cents, and the
-    weighted sum is a bigint — so Spark and the oracle divide the SAME
-    two integers and the double quotient is bit-identical.
+    weighted sum accumulates in DECIMAL(38,0) — matching the oracle's
+    HUGEINT, because cents x year-scale-microsecond products exceed
+    int64 after a few dozen intervals and a BIGINT sum would silently
+    wrap where the oracle doesn't. Spark and the oracle divide the
+    SAME two integers and the double quotient is bit-identical.
     One shuffle (user_id window); the groupBy rides the same
     partitioning. Degenerate all-same-timestamp users (zero total
     span) are excluded rather than emitting NaN."""
@@ -161,7 +164,8 @@ def event_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_intervals"),
             F.sum("dur_us").alias("span_us"),
-            F.sum(F.col("cents") * F.col("dur_us")).alias("wsum"),
+            F.sum(F.col("cents").cast("decimal(38,0)")
+                  * F.col("dur_us")).alias("wsum"),
         )
         .where(F.col("span_us") > 0)
         .select(

@@ -76,79 +76,19 @@ _load_optional()
 #   (2) the STALEST entries first — ordered by the round each was last
 #       externally verified in (computed from the CORRECTNESS_r*.json
 #       union) — until the window is full.
-# With 153 entries and a 50-entry window, stalest-first re-verifies
-# every entry within ~5 rounds even in a round as additive as this
-# one. Round-6 window after the late batches: exactly the 50 entries
-# that are new or oracle-changed this round (33 late-batch + 10
-# earlier-round-6 + 7 changed-oracle; ann_recall_at_k is position
-# 50). ALL stale entries — the 27 r1 stalest, the 30 r2 entries, the
-# r4 trio — lead round 7's fill in that order below.
+# With 168 entries and a 50-entry window, stalest-first re-verifies
+# every entry within ~5 rounds even in an additive round. Round-7
+# window composition, per the round-6 rotation plan:
+#   (1) the 15 round-6 deferrals — never yet in a driver window
+#       (judge-verified green at sf0.01 in VERDICT r6; a driver row is
+#       still the bar) — includes funnel_time_to_convert and
+#       part_pair_lift, both ALSO reworked this round;
+#   (2) entries whose implementation or oracle changed in round 7
+#       (de-weaked plan shapes + ADVICE fixes);
+#   (3) new round-7 entries;
+#   (4) stalest-first fill: the 27 r1 entries, then the r2 tail.
 _DRIVER_PRIORITY = [
-    # -- NEW in round 6 (late batch): relational surface extensions +
-    #    irregular-series analytics --
-    "orders_cube",
-    "nation_account_setops",
-    "order_value_median_mode",
-    "lineitem_metrics_unpivot",
-    "event_time_weighted_avg",
-    "events_ohlc",
-    "dedup_segments",
-    "decontaminate_5gram",
-    "copurchase_triangles",
-    "quality_weighted_sample",
-    "ann_hnsw_topk",
-    "length_bucketing",
-    "part_revenue_pareto",
-    "customer_rfm",
-    "session_top_paths",
-    "dedup_clusters_star",
-    "order_value_trimmed_mean",
-    "priority_status_chi2",
-    "corpus_shuffle",
-    "events_sliding_window",
-    "dedup_subset_containment",
-    "kmv_distinct_users",
-    "event_anomalies_mad",
-    "lineitem_hist2d",
-    "lineitem_corr_matrix",
-    "ab_experiment_report",
-    "kfold_assignment",
-    "km_risk_table",
-    "revenue_growth_decomposition",
-    "order_reconciliation",
-    "weighted_median_price",
-    "revenue_cusum",
-    "events_json_typed",
-    # -- NEW in round 6: BM25 retrieval + LM likelihood score
-    #    (fixed-point log portability), partitioned vector index
-    #    (streamed-adds replay equality + pruned-search recall gate),
-    #    fixed-point PageRank, vocabulary coverage --
-    "bm25_search",
-    "text_lm_score",
-    "dedup_semantic",
-    "stream_mv_user_stats",
-    "ann_index_stream_batch",
-    "ann_index_partitioned_search",
-    "part_pagerank",
-    "vocab_coverage",
-    "training_data_pipeline",
-    "cms_user_counts",
-    # -- changed in round 6: new/changed oracles (minhash containment,
-    #    portable simhash, stream replay-equality, per-query ANN
-    #    bounds, embedding-dedup bounds) and the retuned recall
-    #    harness (trained IVF, OPQ, raised floors) --
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_stream_lsh_batch",
-    "ann_lsh_bucketed",
-    "ann_ivf_topk",
-    "dedup_embedding",
-    "ann_recall_at_k",
-    # -- positions 51+: new entries deliberately deferred past the
-    #    exactly-full 50-entry window (keeping the CHANGED
-    #    ann_recall_at_k harness externally verified outranks them;
-    #    all are triple-SF + NY-TZ verified locally). They top round
-    #    7's fill. --
+    # -- (1) round-6 deferrals, first driver window --
     "benford_digit_audit",
     "analytics_mart_pipeline",
     "funnel_time_to_convert",
@@ -164,21 +104,18 @@ _DRIVER_PRIORITY = [
     "segment_supplier_hhi",
     "part_pair_lift",
     "event_dow_hour_heatmap",
-    "analytics_mart_pipeline",
-    "funnel_time_to_convert",
-    "part_abc_classification",
-    "cohort_ltv",
-    "monthly_new_vs_repeat",
-    "supplier_scorecard",
-    "event_interarrival_disc",
-    "nation_trade_balance",
-    "brand_return_rates",
-    "discount_band_effect",
-    "segment_order_gini",
-    "segment_supplier_hhi",
-    "part_pair_lift",
-    "event_dow_hour_heatmap",
-    # -- stalest: last externally verified in round 1 (all 27) --
+    # -- (2) changed in round 7: distributed two-pass ranks
+    #    (customer_rfm, corpus_shuffle), degree-oriented triangles,
+    #    per-mille containment threshold (code+oracle), json_valid +
+    #    TRY_CAST oracle, DECIMAL(38,0) weighted-sum accumulation --
+    "customer_rfm",
+    "corpus_shuffle",
+    "copurchase_triangles",
+    "dedup_subset_containment",
+    "events_json_typed",
+    "event_time_weighted_avg",
+    # -- (3) new in round 7 (inserted as they land) --
+    # -- (4) stalest: last externally verified in round 1 (all 27) --
     "avg_lineitems_per_order",
     "avg_order_value",
     "customers_without_urgent_orders",
@@ -206,8 +143,8 @@ _DRIVER_PRIORITY = [
     "validate_orders",
     "validate_part",
     "validate_supplier",
-    # -- next-stalest: last verified in round 2 (10 of 30; the other
-    #    20 lead round 7's fill) --
+    # -- next-stalest: last verified in round 2 (the window cuts at
+    #    50; the rest of the r2 tail leads round 8's fill) --
     "asof_latest_order",
     "customer_part_baskets",
     "docs_by_source",
