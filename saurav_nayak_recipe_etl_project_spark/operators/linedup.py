@@ -183,6 +183,46 @@ def decontaminate_5gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ngram_novelty(docs: DataFrame, n: int = DECON_N,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document n-gram NOVELTY against everything that came before
+    it in doc_id order — the corpus-curation curve (RefinedWeb /
+    FineWeb ablations track it) that says how much genuinely new text
+    each marginal document contributes; a falling novelty share is the
+    signal to stop crawling a source.
+
+    first-owner(shingle) = MIN(doc_id) over the docs containing it —
+    one groupBy on the shingle key (inverted index, never doc x doc);
+    a doc's novelty is the share of its DISTINCT shingles it owns.
+    novelty_ppm is integer floor-division (engine-exact); docs shorter
+    than n tokens have no shingles and drop out (both engines).
+    Scale: two shuffles (shingle key, then doc_id rollup), both
+    map-side combined; at 100 TB hash the shingle to a long first."""
+    sh = shingle_rows(docs, n, text_col, id_col)
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.expr("n_novel * 1000000 DIV n_shingles").alias("novelty_ppm"),
+    )
+
+
+def doc_novelty_5gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: 5-gram novelty share per document."""
+    return ngram_novelty(load_table(spark, "documents", sf_dir))
+
+
 # 5-gram analog of dedup.py's _SHINGLES oracle macro.
 _GRAMS5 = """
     CASE WHEN len(toks) >= 5 THEN list_distinct(
@@ -196,6 +236,7 @@ LINEDUP_QUERIES = {
     "dedup_segments": dedup_segments,
     "decontaminate_5gram": decontaminate_5gram,
     "dedup_subset_containment": dedup_subset_containment,
+    "doc_novelty_5gram": doc_novelty_5gram,
 }
 
 # 3-gram analog reused from dedup.py's oracle macro shape.
@@ -260,6 +301,26 @@ LINEDUP_ORACLES = {
                COALESCE(re.n_kept, 0) AS n_kept,
                COALESCE(re.kept_text, '') AS kept_text
         FROM totals t LEFT JOIN re ON t.doc_id = re.doc_id
+    """,
+    "doc_novelty_5gram": f"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id, unnest({_GRAMS5}) AS shingle FROM t
+        ),
+        firsts AS (
+          SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+        )
+        SELECT sh.doc_id,
+          COUNT(*) AS n_shingles,
+          CAST(SUM(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_novel,
+          CAST(SUM(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END)
+               * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+        FROM sh JOIN firsts USING (shingle)
+        GROUP BY sh.doc_id
     """,
     "decontaminate_5gram": f"""
         WITH t AS (

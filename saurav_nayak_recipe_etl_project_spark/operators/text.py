@@ -308,6 +308,34 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_weights(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, source, text, w_ppm): the integer 5/3/2 ppm
+    quality blend (matching text_quality's weights) shared by the
+    with-replacement coin sampler and the A-ES without-replacement
+    sampler. All floor-division ppm arithmetic — engine-exact."""
+    toks = tokens(F.col("text"))
+    pre = docs.select(
+        "doc_id", "lang", "source", "text",
+        F.greatest(F.length("text"), F.lit(1)).alias("n_chars"),
+        F.greatest(F.size(toks), F.lit(1)).alias("n_tokens"),
+        F.length(F.regexp_replace("text", "[A-Za-z0-9\\s]", ""))
+        .alias("punct_chars"),
+        _hits(toks, QUALITY_STOPWORDS).alias("stop_hits"),
+    )
+    return pre.select(
+        "doc_id", "lang", "source", "text",
+        F.expr("least(n_tokens * 20000, 1000000)").alias("len_ppm"),
+        F.expr("punct_chars * 1000000 DIV n_chars").alias("punct_ppm"),
+        F.expr("least(stop_hits * 5000000 DIV n_tokens, 1000000)")
+        .alias("stop_ppm"),
+    ).select(
+        "doc_id", "lang", "source", "text",
+        F.expr(
+            "(len_ppm * 5 + (1000000 - punct_ppm) * 3 + stop_ppm * 2) DIV 10"
+        ).alias("w_ppm"),
+    )
+
+
 def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted deterministic sampling: each document is kept
     with probability proportional to an integer quality weight — the
@@ -321,37 +349,101 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     always make the same decision (no dedup-order coupling). One scan,
     no shuffle, no RNG state to coordinate across 1000 executors."""
     docs = load_table(spark, "documents", sf_dir)
-    toks = tokens(F.col("text"))
-    pre = docs.select(
-        "doc_id", "lang", "source", "text",
-        F.greatest(F.length("text"), F.lit(1)).alias("n_chars"),
-        F.greatest(F.size(toks), F.lit(1)).alias("n_tokens"),
-        F.length(F.regexp_replace("text", "[A-Za-z0-9\\s]", ""))
-        .alias("punct_chars"),
-        _hits(toks, QUALITY_STOPWORDS).alias("stop_hits"),
-    )
-    scored = pre.select(
+    scored = _quality_weights(docs).select(
         "doc_id", "lang", "source",
-        F.expr("least(n_tokens * 20000, 1000000)").alias("len_ppm"),
-        F.expr("punct_chars * 1000000 DIV n_chars").alias("punct_ppm"),
-        F.expr("least(stop_hits * 5000000 DIV n_tokens, 1000000)")
-        .alias("stop_ppm"),
         F.expr(
             "cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint)"
             " % 1000000"
         ).alias("u_ppm"),
-    ).select(
-        "doc_id", "lang", "source", "u_ppm",
-        F.expr(
-            "(len_ppm * 5 + (1000000 - punct_ppm) * 3 + stop_ppm * 2) DIV 10"
-        ).alias("w_ppm"),
+        "w_ppm",
     )
     return scored.where(F.col("u_ppm") < F.col("w_ppm"))
+
+
+AES_SEED = "aes1"
+AES_K = 100
+# 16^13 = 2^52: thirteen md5 hex chars read as a uniform fixed-point
+# fraction; the divisor is a power of two so u is EXACTLY representable
+# as a double on every engine.
+AES_DENOM = "4503599627370496.0"
+
+
+def weighted_sample_norep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (A-ES, Efraimidis &
+    Spirakis 2006): the top-K documents by key u^(1/w) are exactly a
+    w-weighted simple random sample without replacement — the form a
+    curation pipeline needs when it must take a FIXED budget of docs
+    biased toward quality (the coin sampler's output size is random).
+
+    Portability: u comes from 13 md5 hex chars over a 2^52 divisor
+    (exact double), and the only transcendental, ln(u), is rounded
+    ONCE to integer micro-nats (the established E51/BM25 fixed-point
+    pattern — a 1-ulp libm disagreement flips the rounded value with
+    probability ~1e-9). Maximizing u^(1/w) == maximizing ln(u)/w, so
+    the sort key is the raw double quotient of two INTEGERS
+    (micro-nats / w_ppm) — bit-identical across engines, doc_id
+    tiebreak. Top-K is TakeOrderedAndProject: per-partition heaps, no
+    global sort materialization, O(K) driver memory at any corpus
+    size."""
+    docs = load_table(spark, "documents", sf_dir)
+    scored = _quality_weights(docs)
+    keyed = scored.select(
+        "doc_id", "source", "w_ppm",
+        F.expr(
+            f"cast(round(ln(greatest(cast(conv(substring("
+            f"md5(concat('{AES_SEED}|', cast(doc_id as string))), 1, 13),"
+            f" 16, 10) as bigint), 1) / {AES_DENOM}) * 1000000)"
+            " as bigint)"
+        ).alias("lnu_micro"),
+    )
+    return (
+        keyed.select(
+            "doc_id", "source", "w_ppm", "lnu_micro",
+            (
+                F.col("lnu_micro").cast("double")
+                / F.col("w_ppm").cast("double")
+            ).alias("priority"),
+        )
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(AES_K)
+    )
+
+
+def text_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical-diversity profile: token occurrences, distinct
+    word types, hapax legomena (types seen once), type-token ratio and
+    hapax share — the corpus-health companion to vocab_coverage (a
+    source whose TTR collapses is templated/boilerplate text; a hapax
+    share near 1 is OCR noise or ID soup). One token explode + one
+    (source, word) groupBy (map-side combined) shrinks the corpus to
+    vocabulary size; integer counts until the two final ratios."""
+    docs = load_table(spark, "documents", sf_dir)
+    wc = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        wc.groupBy("source")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.sum((F.col("n") == 1).cast("long")).alias("n_hapax"),
+        )
+        .select(
+            "source", "n_tokens", "n_types", "n_hapax",
+            F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
+            F.round(F.col("n_hapax") / F.col("n_types"), 6)
+            .alias("hapax_share"),
+        )
+    )
 
 
 TEXT_QUERIES = {
     "vocab_coverage": vocab_coverage,
     "quality_weighted_sample": quality_weighted_sample,
+    "weighted_sample_norep": weighted_sample_norep,
+    "text_type_token_ratio": text_type_token_ratio,
     "quality_filter_pipeline": quality_filter_pipeline,
     "text_repetition": text_repetition,
     "text_token_count": text_token_count,
@@ -566,6 +658,53 @@ TEXT_ORACLES = {
         )
         SELECT doc_id, lang, source, u_ppm, w_ppm
         FROM scored WHERE u_ppm < w_ppm
+    """,
+    "weighted_sample_norep": f"""
+        WITH pre AS (
+          SELECT doc_id, source,
+            GREATEST(length(text), 1) AS n_chars,
+            GREATEST(len({_TOKS}), 1) AS n_tokens,
+            length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+              AS punct_chars,
+            len(list_filter({_TOKS}, t -> t IN {_STOP_SQL['en']}))
+              AS stop_hits
+          FROM documents
+        ),
+        scored AS (
+          SELECT doc_id, source,
+            (LEAST(n_tokens * 20000, 1000000) * 5
+             + (1000000 - punct_chars * 1000000 // n_chars) * 3
+             + LEAST(stop_hits * 5000000 // n_tokens, 1000000) * 2) // 10
+              AS w_ppm,
+            CAST(round(ln(GREATEST(
+              ('0x' || substr(md5('aes1|' || CAST(doc_id AS VARCHAR)),
+                              1, 13))::BIGINT, 1)
+              / 4503599627370496.0) * 1000000) AS BIGINT) AS lnu_micro
+          FROM pre
+        )
+        SELECT doc_id, source, w_ppm, lnu_micro,
+          CAST(lnu_micro AS DOUBLE) / CAST(w_ppm AS DOUBLE) AS priority
+        FROM scored
+        ORDER BY priority DESC, doc_id
+        LIMIT 100
+    """,
+    "text_type_token_ratio": f"""
+        WITH toks AS (
+          SELECT source, unnest({_TOKS}) AS w FROM documents
+        ),
+        wc AS (
+          SELECT source, w, COUNT(*) AS n FROM toks GROUP BY source, w
+        )
+        SELECT source,
+          CAST(SUM(n) AS BIGINT) AS n_tokens,
+          COUNT(*) AS n_types,
+          CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_hapax,
+          ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
+            AS ttr,
+          ROUND(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_share
+        FROM wc GROUP BY source
     """,
     "text_fingerprint": f"""
         SELECT doc_id,

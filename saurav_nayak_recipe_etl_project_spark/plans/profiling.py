@@ -27,6 +27,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from saurav_nayak_recipe_etl_project_spark.functions.ranking import (
+    ntile_from_rank,
+    with_global_rank,
+)
 from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
 
 SAMPLE_PER_STRATUM = 20
@@ -252,7 +256,62 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def price_quantity_decile_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint DECILE heatmap of price vs quantity — the rank-space twin
+    of lineitem_hist2d: value-space bins show the raw ridge, decile
+    bins show dependence with the marginals flattened (each row/column
+    sums to ~n/10, so any off-uniform cell is pure association; this
+    is a discretized Spearman view).
+
+    Both decile assignments are the distributed two-pass rank
+    (functions/ranking.py) over the FACT table — no global ntile
+    window over |lineitem| anywhere: price ranks bucket by 2^22-cent
+    (~$42k) bands, quantity ranks bucket by its own 50-value domain;
+    NTILE(10) is reconstructed arithmetically from (rank, n) so the
+    cells are bit-identical to the window form.
+
+    Row identity: (l_orderkey, l_linenumber) is NOT unique in this
+    testdata, so an `occ` occurrence index (row_number inside the
+    duplicate group — arbitrary among bit-identical rows, hence
+    harmless) completes a TOTAL order; both rankings are chained onto
+    ONE frame, so the joint (price, qty) pairing never needs a
+    row-key join and is engine-deterministic even through ties that
+    straddle a decile edge."""
+    li = load_table(spark, "lineitem", sf_dir)
+    w_occ = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+        "p_cents", "qty"
+    )
+    base = li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p_cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    ).withColumn("occ", F.row_number().over(w_occ))
+    n = base.agg(F.count("*").alias("_n"))
+    ranked = with_global_rank(
+        with_global_rank(
+            base,
+            ["p_cents", "l_orderkey", "l_linenumber", "occ"],
+            bucket=F.floor(F.col("p_cents") / F.lit(1 << 22)),
+            rank_col="_rp",
+        ),
+        ["qty", "l_orderkey", "l_linenumber", "occ"],
+        bucket=F.col("qty"),
+        rank_col="_rq",
+    ).crossJoin(F.broadcast(n))
+    return (
+        ranked.select(
+            ntile_from_rank(F.col("_rp"), F.col("_n"), 10)
+            .alias("price_decile"),
+            ntile_from_rank(F.col("_rq"), F.col("_n"), 10)
+            .alias("qty_decile"),
+        )
+        .groupBy("price_decile", "qty_decile")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 PROFILING_QUERIES = {
+    "price_quantity_decile_heatmap": price_quantity_decile_heatmap,
     "kmv_distinct_users": kmv_distinct_users,
     "lineitem_hist2d": lineitem_hist2d,
     "lineitem_corr_matrix": lineitem_corr_matrix,
@@ -263,6 +322,28 @@ PROFILING_QUERIES = {
 }
 
 PROFILING_ORACLES = {
+    "price_quantity_decile_heatmap": """
+        WITH base AS (
+          SELECT l_orderkey, l_linenumber,
+            CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p_cents,
+            CAST(l_quantity AS BIGINT) AS qty,
+            ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_linenumber
+                               ORDER BY p_cents, qty) AS occ
+          FROM lineitem
+        ),
+        d AS (
+          SELECT
+            CAST(NTILE(10) OVER (
+              ORDER BY p_cents, l_orderkey, l_linenumber, occ) AS BIGINT)
+              AS price_decile,
+            CAST(NTILE(10) OVER (
+              ORDER BY qty, l_orderkey, l_linenumber, occ) AS BIGINT)
+              AS qty_decile
+          FROM base
+        )
+        SELECT price_decile, qty_decile, COUNT(*) AS n
+        FROM d GROUP BY price_decile, qty_decile
+    """,
     "lineitem_hist2d": f"""
         SELECT CAST(l_quantity AS BIGINT) // {HIST2D_QTY_BIN} AS qty_bin,
           CAST(ROUND(l_extendedprice * 100) AS BIGINT)

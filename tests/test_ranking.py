@@ -1,0 +1,73 @@
+"""functions/ranking.py: the distributed two-pass global rank and the
+arithmetic NTILE reconstruction that replaced the round-6 weak
+single-partition windows. Properties pinned:
+
+- with_global_rank == row_number() over a global ordered window, for
+  skewed bucket layouts, negative keys, and a bucket that is constant
+  (everything in one bucket — degenerates gracefully).
+- ntile_from_rank == SQL-standard NTILE(k) for every (n, k) shape:
+  n % k == 0, n % k != 0, n < k.
+- determinism: two runs produce identical assignments.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from saurav_nayak_recipe_etl_project_spark.functions.ranking import (
+    ntile_from_rank,
+    with_global_rank,
+)
+
+
+def _ranked_vs_window(spark, rows, bucket):
+    df = spark.createDataFrame(rows, "v long, id long")
+    got = with_global_rank(df, ["v", "id"], bucket=bucket)
+    want = df.withColumn(
+        "want", F.row_number().over(Window.orderBy("v", "id")).cast("long")
+    )
+    j = got.join(want, ["v", "id"])
+    assert j.where(F.col("rank") != F.col("want")).count() == 0
+    assert j.count() == len(rows)
+
+
+def test_global_rank_matches_window_skewed_buckets(spark):
+    # heavy skew: 90% of rows share bucket 0
+    rows = [(i % 10 if i % 10 else 0, i) for i in range(200)]
+    _ranked_vs_window(spark, rows, bucket=F.floor(F.col("v") / F.lit(5)))
+
+
+def test_global_rank_negative_keys_and_trunc_div_bucket(spark):
+    # negative keys with a floor-div bucket (the customer_rfm shape)
+    rows = [(-v, v) for v in range(97)]
+    _ranked_vs_window(spark, rows, bucket=F.floor(F.col("v") / F.lit(8)))
+
+
+def test_global_rank_single_bucket_degenerates(spark):
+    rows = [(v * 3 % 17, v) for v in range(50)]
+    _ranked_vs_window(spark, rows, bucket=F.lit(0))
+
+
+def test_global_rank_deterministic(spark):
+    rows = [(v * 7 % 23, v) for v in range(300)]
+    df = spark.createDataFrame(rows, "v long, id long")
+    b = F.col("v") % 5
+    a = sorted(with_global_rank(df, ["v", "id"], bucket=b).collect())
+    c = sorted(with_global_rank(df, ["v", "id"], bucket=b).collect())
+    assert a == c
+
+
+@pytest.mark.parametrize("n,k", [(100, 5), (6005, 10), (7, 5), (3, 5),
+                                 (11, 5), (50, 7)])
+def test_ntile_from_rank_matches_ntile(spark, n, k):
+    df = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    w = Window.orderBy("id")
+    both = df.select(
+        F.ntile(k).over(w).cast("long").alias("ref"),
+        ntile_from_rank(
+            F.row_number().over(w).cast("long"), F.lit(n).cast("long"), k
+        ).alias("mine"),
+    )
+    assert both.where(F.col("ref") != F.col("mine")).count() == 0
