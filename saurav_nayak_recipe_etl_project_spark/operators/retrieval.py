@@ -31,6 +31,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from saurav_nayak_recipe_etl_project_spark.functions.ranking import (
+    ntile_from_rank,
+    with_global_rank,
+)
 from saurav_nayak_recipe_etl_project_spark.functions.text_fn import tokens
 from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
 
@@ -228,9 +232,75 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(load_table(spark, "documents", sf_dir))
 
 
+PPL_BUCKETS = 3  # CCNet convention: head / middle / tail
+
+
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: every document ranked by its
+    LM score (avg negative log-likelihood, best first) and split into
+    corpus-wide head/middle/tail TERCILES — the curation step that
+    keeps head+middle and drops (or downweights) tail, reported here
+    as per-(lang, bucket) mass so the filter's language skew is
+    visible before anyone pulls the trigger.
+
+    The tercile assignment is the distributed two-pass rank
+    (functions/ranking.py) over the per-doc score frame — quarter-nat
+    value buckets, no global ntile window. The sort key is the raw
+    double quotient of two per-doc INTEGERS (micro-nat sum /
+    trigram count, both < 2^53 so the doubles are exact), doc_id
+    tie-break — engine-identical ordering. Per-bucket nll re-derives
+    from DECIMAL(38,0)/HUGEINT integer sums, not averaged averages."""
+    docs = load_table(spark, "documents", sf_dir)
+    per_doc = lm_score(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    keyed = per_doc.select(
+        "doc_id", "lang", "n_trigrams", "sum_lp_micro",
+        (
+            (-F.col("sum_lp_micro")).cast("double")
+            / F.col("n_trigrams").cast("double")
+        ).alias("_nll"),
+    )
+    n = keyed.agg(F.count("*").alias("_n"))
+    ranked = with_global_rank(
+        keyed,
+        ["_nll", "doc_id"],
+        bucket=F.floor(F.col("_nll") / F.lit(MICRO) * 4),
+        rank_col="_r",
+    ).crossJoin(F.broadcast(n))
+    bucketed = ranked.select(
+        "lang", "n_trigrams", "sum_lp_micro",
+        ntile_from_rank(F.col("_r"), F.col("_n"), PPL_BUCKETS)
+        .alias("bucket"),
+    )
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_trigrams").alias("n_trigrams_total"),
+            F.sum(F.col("sum_lp_micro").cast("decimal(38,0)"))
+            .alias("_sum_lp"),
+        )
+        .select(
+            "lang",
+            "bucket",
+            F.when(F.col("bucket") == 1, "head")
+            .when(F.col("bucket") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket_label"),
+            "n_docs",
+            "n_trigrams_total",
+            F.round(
+                (-F.col("_sum_lp")).cast("double")
+                / F.col("n_trigrams_total").cast("double") / F.lit(MICRO),
+                6,
+            ).alias("avg_nll"),
+        )
+    )
+
+
 RETRIEVAL_QUERIES = {
     "bm25_search": bm25_search,
     "text_lm_score": text_lm_score,
+    "perplexity_buckets": perplexity_buckets,
 }
 
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -318,7 +388,47 @@ RETRIEVAL_ORACLES = {
         WHERE rank <= {BM25_TOP_K}
     """,
     "text_lm_score": f"""
-        WITH occ AS (
+        WITH {{lm_ctes}}
+        SELECT doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+          CAST(SUM(lp_micro) AS BIGINT) AS sum_lp_micro,
+          ROUND(CAST(-SUM(lp_micro) AS DOUBLE) / COUNT(*) / {MICRO}, 6)
+            AS avg_nll
+        FROM occ JOIN model USING (tg)
+        GROUP BY doc_id
+    """,
+    "perplexity_buckets": f"""
+        WITH {{lm_ctes}},
+        per_doc AS (
+          SELECT doc_id,
+            CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+            CAST(SUM(lp_micro) AS BIGINT) AS sum_lp
+          FROM occ JOIN model USING (tg)
+          GROUP BY doc_id
+        ),
+        ranked AS (
+          SELECT d.doc_id, docs.lang, d.n_trigrams, d.sum_lp,
+            CAST(NTILE({PPL_BUCKETS}) OVER (
+              ORDER BY CAST(-d.sum_lp AS DOUBLE)
+                       / CAST(d.n_trigrams AS DOUBLE),
+                       d.doc_id) AS BIGINT) AS bucket
+          FROM per_doc d JOIN documents docs USING (doc_id)
+        )
+        SELECT lang, bucket,
+          CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+               ELSE 'tail' END AS bucket_label,
+          COUNT(*) AS n_docs,
+          CAST(SUM(n_trigrams) AS BIGINT) AS n_trigrams_total,
+          ROUND(CAST(-SUM(CAST(sum_lp AS HUGEINT)) AS DOUBLE)
+                / CAST(SUM(n_trigrams) AS DOUBLE) / {MICRO}, 6)
+            AS avg_nll
+        FROM ranked GROUP BY lang, bucket
+    """,
+}
+
+# The trigram-LM model CTEs are shared by text_lm_score and
+# perplexity_buckets — one definition, spliced into both oracles.
+_LM_CTES = f"""occ AS (
           SELECT doc_id,
             unnest(list_transform(generate_series(1, length(text) - 2),
                                   i -> substr(text, CAST(i AS INT), 3)))
@@ -341,13 +451,9 @@ RETRIEVAL_ORACLES = {
           FROM c3
           JOIN c2 ON substr(c3.tg, 1, 2) = c2.ctx
           CROSS JOIN vsize
-        )
-        SELECT doc_id,
-          CAST(COUNT(*) AS BIGINT) AS n_trigrams,
-          CAST(SUM(lp_micro) AS BIGINT) AS sum_lp_micro,
-          ROUND(CAST(-SUM(lp_micro) AS DOUBLE) / COUNT(*) / {MICRO}, 6)
-            AS avg_nll
-        FROM occ JOIN model USING (tg)
-        GROUP BY doc_id
-    """,
-}
+        )"""
+
+for _name in ("text_lm_score", "perplexity_buckets"):
+    RETRIEVAL_ORACLES[_name] = RETRIEVAL_ORACLES[_name].format(
+        lm_ctes=_LM_CTES
+    )

@@ -26,6 +26,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from saurav_nayak_recipe_etl_project_spark.functions.ranking import (
+    with_global_rank,
+)
+from saurav_nayak_recipe_etl_project_spark.functions.text_fn import tokens
 from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
 
 _EPOCH_MONTH = (
@@ -94,11 +98,167 @@ def segment_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def monthly_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month seasonality index: each calendar month's average
+    monthly revenue relative to the all-months average, as an exact
+    rational in ppm — the multiplicative seasonal profile that
+    deseasonalizes the E90 trend (classical decomposition, index
+    form). index_ppm = (cents_m · n_months_total · 10⁶) DIV
+    (n_months_m · total_cents): one integer floor division of exact
+    DECIMAL(38)/HUGEINT products, no float until the derived ratio.
+    Plan: one groupBy to (calendar-month, epoch-month) cells, a
+    12-row rollup, and a broadcast 1-row total."""
+    orders = load_table(spark, "orders", sf_dir)
+    monthly = orders.groupBy(
+        F.expr("month(cast(o_orderdate as date))").alias("cal_month"),
+        F.expr(_EPOCH_MONTH).alias("m"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .alias("cents")
+    )
+    per_cal = monthly.groupBy("cal_month").agg(
+        F.count("*").alias("n_months"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("cents"),
+    )
+    total = per_cal.agg(
+        F.sum("n_months").alias("n_total"),
+        F.sum("cents").alias("total_cents"),
+    )
+    return (
+        per_cal.crossJoin(F.broadcast(total))
+        .select(
+            F.col("cal_month").cast("long").alias("cal_month"),
+            "n_months",
+            (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+            F.expr(
+                "cast(cents * n_total * 1000000"
+                " DIV (n_months * total_cents) as bigint)"
+            ).alias("index_ppm"),
+        )
+    )
+
+
+ZIPF_MIN_COUNT = 1
+
+
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    ln(frequency) against ln(rank) — natural text sits near −1;
+    templated/ID-soup corpora flatten or steepen it, so the single
+    number is a cheap corpus-health gate next to text_type_token_ratio.
+
+    Rank is the distributed two-pass rank (functions/ranking.py) over
+    (count DESC, word) — bucketed by the negated count, so the hapax
+    tie-run is the worst bucket and no global window exists. Both log
+    terms are micro-rounded ONCE to integers (the E51/BM25 fixed-point
+    pattern), the five OLS sums run in DECIMAL(38,0)/HUGEINT, and the
+    reported slope is an integer micro-unit floor division —
+    engine-exact end to end."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= ZIPF_MIN_COUNT)
+    )
+    ranked = with_global_rank(
+        words.select("w", "n", (-F.col("n")).alias("_neg")),
+        ["_neg", "w"],
+        bucket=F.col("_neg"),
+    )
+    pts = ranked.select(
+        F.expr("cast(round(ln(cast(rank as double)) * 1000000) as bigint)")
+        .alias("x"),
+        F.expr("cast(round(ln(cast(n as double)) * 1000000) as bigint)")
+        .alias("y"),
+    )
+    stats = pts.agg(
+        F.count("*").alias("n_types"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+    )
+    return stats.select(
+        "n_types",
+        F.expr(
+            "cast((n_types * sxy - sx * sy) * 1000000"
+            " DIV (n_types * sxx - sx * sx) as bigint)"
+        ).alias("slope_micro"),
+    ).select(
+        "n_types",
+        "slope_micro",
+        (F.col("slope_micro").cast("double") / F.lit(1e6))
+        .alias("zipf_slope"),
+    )
+
+
 REGRESSION_QUERIES = {
     "segment_revenue_trend": segment_revenue_trend,
+    "monthly_seasonality_index": monthly_seasonality_index,
+    "zipf_slope": zipf_slope,
 }
 
 REGRESSION_ORACLES = {
+    "monthly_seasonality_index": """
+        WITH monthly AS (
+          SELECT month(o_orderdate) AS cal_month,
+            (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1 AS m,
+            SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+          FROM orders
+          GROUP BY month(o_orderdate),
+            (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1
+        ),
+        per_cal AS (
+          SELECT cal_month, COUNT(*) AS n_months,
+            SUM(CAST(cents AS HUGEINT)) AS cents
+          FROM monthly GROUP BY cal_month
+        ),
+        total AS (
+          SELECT CAST(SUM(n_months) AS BIGINT) AS n_total,
+            SUM(cents) AS total_cents
+          FROM per_cal
+        )
+        SELECT CAST(cal_month AS BIGINT) AS cal_month, n_months,
+          CAST(cents AS DOUBLE) / 100.0 AS revenue,
+          CAST(cents * n_total * 1000000
+               // (n_months * total_cents) AS BIGINT) AS index_ppm
+        FROM per_cal CROSS JOIN total
+    """,
+    "zipf_slope": """
+        WITH words AS (
+          SELECT w, COUNT(*) AS n FROM (
+            SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+            FROM documents
+          ) GROUP BY w
+        ),
+        ranked AS (
+          SELECT n,
+            ROW_NUMBER() OVER (ORDER BY -n, w) AS rank
+          FROM words
+        ),
+        pts AS (
+          SELECT
+            CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+            CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS y
+          FROM ranked
+        ),
+        stats AS (
+          SELECT COUNT(*) AS n_types,
+            SUM(CAST(x AS HUGEINT)) AS sx,
+            SUM(CAST(y AS HUGEINT)) AS sy,
+            SUM(CAST(x AS HUGEINT) * x) AS sxx,
+            SUM(CAST(x AS HUGEINT) * y) AS sxy
+          FROM pts
+        )
+        SELECT n_types,
+          CAST((n_types * sxy - sx * sy) * 1000000
+               // (n_types * sxx - sx * sx) AS BIGINT) AS slope_micro,
+          CAST(CAST((n_types * sxy - sx * sy) * 1000000
+               // (n_types * sxx - sx * sx) AS BIGINT) AS DOUBLE) / 1e6
+            AS zipf_slope
+        FROM stats
+    """,
     "segment_revenue_trend": """
         WITH monthly AS (
           SELECT c_mktsegment,

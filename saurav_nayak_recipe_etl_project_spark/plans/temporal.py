@@ -129,6 +129,49 @@ def weekly_active_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rolling_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-7-day distinct active users per day (rolling
+    WAU), plus same-day DAU and the DAU/WAU stickiness ratio — the
+    product-health headline a RANGE window cannot produce (windowed
+    COUNT(DISTINCT) isn't supported, and approximate sketches change
+    the number).
+
+    The scale-safe exact form: distinct (user, day) rows FAN OUT to
+    the <=7 window-end days each supports (a bounded explode — 7x the
+    per-day-distinct frame, NOT 7x the event count), then one
+    countDistinct groupBy per window-end day. Window ends are clamped
+    to the observed [min_day, max_day] span via a broadcast 1-row
+    bounds frame. All integers until the final stickiness ratio."""
+    ev = load_table(spark, "events", sf_dir)
+    du = ev.select(
+        "user_id",
+        F.expr("datediff(cast(ts as date), date '1970-01-01')").alias("day"),
+    ).distinct()
+    bounds = du.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    fan = du.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("wday"),
+    )
+    wau = fan.groupBy("wday").agg(F.countDistinct("user_id").alias("wau"))
+    dau = du.groupBy(F.col("day").alias("wday")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    return (
+        wau.join(dau, "wday", "left")
+        .crossJoin(F.broadcast(bounds))
+        .where((F.col("wday") >= F.col("mn")) & (F.col("wday") <= F.col("mx")))
+        .select(
+            F.col("wday").cast("long").alias("epoch_day"),
+            "wau",
+            F.coalesce(F.col("dau"), F.lit(0)).alias("dau"),
+            F.round(
+                F.coalesce(F.col("dau"), F.lit(0)).cast("double")
+                / F.col("wau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+    )
+
+
 def event_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average of the event value per user — the
     irregular-series aggregate a plain AVG gets wrong (a value held for
@@ -611,6 +654,7 @@ TEMPORAL_QUERIES = {
     "event_dow_hour_heatmap": event_dow_hour_heatmap,
     "events_sliding_window": events_sliding_window,
     "cohort_retention": cohort_retention,
+    "rolling_weekly_active_users": rolling_weekly_active_users,
     "weekly_active_breakdown": weekly_active_breakdown,
     "event_transitions": event_transitions,
     "gapfill_daily_revenue": gapfill_daily_revenue,
@@ -619,6 +663,33 @@ TEMPORAL_QUERIES = {
 }
 
 TEMPORAL_ORACLES = {
+    "rolling_weekly_active_users": """
+        WITH du AS (
+          SELECT DISTINCT user_id,
+            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+          FROM events
+        ),
+        b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM du),
+        fan AS (
+          SELECT user_id, day + off AS wday
+          FROM du CROSS JOIN (
+            SELECT unnest(generate_series(0, 6)) AS off
+          ) offs
+        ),
+        wau AS (
+          SELECT wday, COUNT(DISTINCT user_id) AS wau FROM fan GROUP BY wday
+        ),
+        dau AS (
+          SELECT day AS wday, COUNT(DISTINCT user_id) AS dau
+          FROM du GROUP BY day
+        )
+        SELECT CAST(wau.wday AS BIGINT) AS epoch_day, wau,
+          COALESCE(dau, 0) AS dau,
+          ROUND(CAST(COALESCE(dau, 0) AS DOUBLE) / CAST(wau AS DOUBLE), 6)
+            AS stickiness
+        FROM wau LEFT JOIN dau USING (wday) CROSS JOIN b
+        WHERE wau.wday >= mn AND wau.wday <= mx
+    """,
     "event_dow_hour_heatmap": """
         WITH e AS (
           SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,

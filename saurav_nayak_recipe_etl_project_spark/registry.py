@@ -121,6 +121,10 @@ _DRIVER_PRIORITY = [
     "text_type_token_ratio",
     "segment_revenue_trend",
     "price_quantity_decile_heatmap",
+    "perplexity_buckets",
+    "rolling_weekly_active_users",
+    "monthly_seasonality_index",
+    "zipf_slope",
     # -- (4) stalest: last externally verified in round 1 (all 27) --
     "avg_lineitems_per_order",
     "avg_order_value",
