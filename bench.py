@@ -239,6 +239,19 @@ HEADLINE = [
     "session_top_paths",
     "customer_rfm",
     "corpus_shuffle",
+    # round-7 additions: the two remaining de-weaked rank shapes, the
+    # rank-space heatmap (two fact-table rank passes + join-free
+    # pairing), the trigram-LM tercile split (model + rank + rollup),
+    # the bounded 7-day distinct fan-out, and the inverted-index
+    # novelty join — the heaviest new shapes this round.
+    "funnel_time_to_convert",
+    "part_pair_lift",
+    "price_quantity_decile_heatmap",
+    "perplexity_buckets",
+    "rolling_weekly_active_users",
+    "doc_novelty_5gram",
+    "weighted_sample_norep",
+    "zipf_slope",
 ]
 
 
@@ -398,6 +411,13 @@ def main() -> None:
                    key=lambda kv: -kv[1])[:5]
         )
         compact["r10x_over_4x_truncated"] = True
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        # second stage: 2-decimal per-query timings (full precision
+        # stays in bench_detail.json) — worth ~1 char/query
+        compact["queries"] = {
+            k: round(v, 2) for k, v in compact["queries"].items()
+        }
         line = json.dumps(compact, separators=(",", ":"))
     assert len(line) <= 1900, f"bench stdout line {len(line)} chars"
     print(line)
