@@ -792,6 +792,98 @@ def _build_nsw(X, m_edges: int = 8):
     return adj
 
 
+def _node_levels(n: int, m_edges: int, l_max: int = 4):
+    """Deterministic HNSW level per sample node: the paper's
+    floor(-ln(u)·mL) with mL = 1/ln(M), but u drawn from a Knuth
+    multiplicative hash of the node index instead of an RNG — the
+    hash sample is content-ordered, so levels are reproducible across
+    runs, engines, and partitionings. Expected layer sizes follow the
+    geometric 1/M decay (n=1024, M=8: ~128 at level>=1, ~16 at >=2)."""
+    import math
+
+    import numpy as np
+
+    m_l = 1.0 / math.log(m_edges)
+    idx = np.arange(n, dtype=np.uint64)
+    h = (idx * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+    u = (h.astype(np.float64) + 0.5) / 2.0 ** 32
+    return np.minimum((-np.log(u) * m_l).astype(np.int64), l_max)
+
+
+def _build_nsw_over(X, nodes, m_edges: int = 8):
+    """The _build_nsw insertion (greedy link to m nearest predecessors,
+    prune to 2m best) restricted to a node SUBSET — one HNSW layer.
+    Returns {node_id: sorted np.array of neighbor ids}."""
+    import numpy as np
+
+    nbrs: dict[int, set] = {int(v): set() for v in nodes}
+    for pos in range(1, len(nodes)):
+        i = int(nodes[pos])
+        prev = nodes[:pos]
+        sims = X[prev] @ X[i]
+        cand = np.lexsort((prev, -sims))[:m_edges]
+        for j in prev[cand]:
+            nbrs[i].add(int(j))
+            nbrs[int(j)].add(i)
+    adj = {}
+    for i, s in nbrs.items():
+        u = np.array(sorted(s), dtype=np.int64)
+        if len(u) > 2 * m_edges:
+            sims = X[u] @ X[i]
+            keep = np.lexsort((u, -sims))[: 2 * m_edges]
+            u = np.sort(u[keep])
+        adj[i] = u
+    return adj
+
+
+def _build_hnsw(X, m_edges: int = 8):
+    """Multi-layer HNSW over the bounded sample (Malkov & Yashunin '16,
+    the full hierarchy this time): geometric deterministic levels
+    (_node_levels), one NSW layer per level over the nodes reaching
+    it, entry = the highest-level node (id tie-break). Level-0 is
+    returned as a dense list (every node lives there) so _beam_search
+    consumes it unchanged; upper layers are {id: neighbors} dicts.
+    Still O(Σ_l |layer_l|²) driver-side dot products over the SAMPLE
+    only — the hierarchy costs ~1/(M−1) extra build work and buys
+    O(log n) routing hops at large n_train, where the single-layer
+    greedy start degrades."""
+    import numpy as np
+
+    n = len(X)
+    levels = _node_levels(n, m_edges)
+    top = int(levels.max())
+    layers = []
+    for lv in range(top + 1):
+        nodes = np.where(levels >= lv)[0]
+        layers.append(_build_nsw_over(X, nodes, m_edges))
+    adj0 = [layers[0].get(i, np.empty(0, dtype=np.int64)) for i in range(n)]
+    top_nodes = np.where(levels == top)[0]
+    entry = int(top_nodes.min())
+    return adj0, layers[1:], entry
+
+
+def _hnsw_descend(upper_layers, X, q, entry: int) -> int:
+    """Greedy descent through the upper HNSW layers: at each level hop
+    to the best-improving neighbor ((sim desc, id asc) — deterministic)
+    until a local maximum, then drop a level. Returns the level-0
+    entry point for the beam search."""
+    import numpy as np
+
+    cur = entry
+    for adj in reversed(upper_layers):
+        while True:
+            nb = adj.get(cur)
+            if nb is None or not len(nb):
+                break
+            sims = X[nb] @ q
+            best = nb[np.lexsort((nb, -sims))[0]]
+            if X[best] @ q > X[cur] @ q:
+                cur = int(best)
+            else:
+                break
+    return cur
+
+
 def _beam_search(adj, X, q, ef: int = 64, entry: int = 0):
     """Greedy best-first NSW search: expand the closest unexpanded
     node until no frontier node can beat the current ef-th best.
@@ -828,12 +920,13 @@ def _beam_search(adj, X, q, ef: int = 64, entry: int = 0):
 def hnsw_topk(emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K,
               n_train: int = 1024, m_edges: int = 8, ef: int = 160,
               n_probe_cells: int = 128, n_assign: int = 3) -> DataFrame:
-    """Graph-routed ANN (the HNSW serving shape, two-level): an NSW
-    graph over the bounded hash sample routes each query to its
-    n_probe_cells nearest sample nodes WITHOUT scanning all n_train of
-    them; the corpus — partitioned into sample-node cells exactly like
-    IVF lists, just ~64x finer — is scanned only inside the routed
-    cells. Corpus vectors are SOFT-assigned to their n_assign nearest
+    """Graph-routed ANN (the HNSW serving shape): a MULTI-LAYER HNSW
+    over the bounded hash sample (geometric deterministic levels,
+    greedy descent through the upper layers to a level-0 entry, then
+    the ef beam) routes each query to its n_probe_cells nearest sample
+    nodes WITHOUT scanning all n_train of them; the corpus —
+    partitioned into sample-node cells exactly like IVF lists, just
+    ~64x finer — is scanned only inside the routed cells. Corpus vectors are SOFT-assigned to their n_assign nearest
     cells (the isotropic-embedding counterweight: a vector on a cell
     boundary is findable from either side — measured here it is what
     lifts sf0.1 recall 0.64 -> 0.96 at the same probe budget, cheaper
@@ -855,7 +948,7 @@ def hnsw_topk(emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K,
     e = emb.select("vec_id", _as_double("embedding").alias("v"))
 
     X = _hash_sample(e, n_train)
-    adj = _build_nsw(X, m_edges)
+    adj, upper, graph_entry = _build_hnsw(X, m_edges)
     bc_x = spark.sparkContext.broadcast(X)
 
     def assign(batches):
@@ -884,8 +977,9 @@ def hnsw_topk(emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K,
     q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
     probes = np.zeros((len(q_mat), len(X)), dtype=bool)
     for qi in range(len(q_mat)):
-        routed = _beam_search(adj, X, q_mat[qi], ef)[:n_probe_cells]
-        probes[qi, routed] = True
+        l0_entry = _hnsw_descend(upper, X, q_mat[qi], graph_entry)
+        routed = _beam_search(adj, X, q_mat[qi], ef, entry=l0_entry)
+        probes[qi, routed[:n_probe_cells]] = True
     bc_q = spark.sparkContext.broadcast(
         (queries["vec_id"].to_numpy(), q_mat, probes)
     )

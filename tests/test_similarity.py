@@ -149,3 +149,39 @@ def test_hnsw_topk_is_ranked_subset_of_corpus(spark, sf_dir):
         ids = [r["neighbor_id"] for r in rs]
         assert len(ids) == len(set(ids))
         assert q not in ids
+
+
+def test_hnsw_hierarchy_levels_and_descent(spark):
+    """Multi-layer HNSW invariants: deterministic geometric levels,
+    upper layers nested subsets of lower ones, entry at the top level,
+    and greedy descent + beam matching the brute-force top-1 over the
+    sample for most queries (routing quality, not an exactness
+    contract)."""
+    import numpy as np
+
+    lv1 = S._node_levels(1024, 8)
+    lv2 = S._node_levels(1024, 8)
+    assert (lv1 == lv2).all()
+    # geometric decay: each level keeps roughly 1/8 of the previous
+    n0, n1 = (lv1 >= 0).sum(), (lv1 >= 1).sum()
+    assert n0 == 1024 and 60 <= n1 <= 220
+
+    rng = np.random.default_rng(11)
+    X = rng.standard_normal((400, 16))
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    adj0, upper, entry = S._build_hnsw(X, m_edges=6)
+    levels = S._node_levels(len(X), 6)
+    assert levels[entry] == levels.max()
+    for li, layer in enumerate(upper, start=1):
+        assert set(layer) == set(np.where(levels >= li)[0].tolist())
+        for i, nb in layer.items():
+            assert all(levels[j] >= li for j in nb)
+
+    hits = 0
+    for qi in range(40):
+        q = X[qi]
+        e0 = S._hnsw_descend(upper, X, q, entry)
+        got = S._beam_search(adj0, X, q, ef=64, entry=e0)
+        true_best = int(np.lexsort((np.arange(len(X)), -(X @ q)))[0])
+        hits += true_best in got[:5]
+    assert hits >= 38
