@@ -297,10 +297,74 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_lm_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the two independent quality
+    signals — the heuristic 5/3/2 ppm blend (operators/text.py) and
+    the trigram-LM score — the calibration check a curation pipeline
+    runs before trusting either filter alone (agreeing signals can
+    gate aggressively; disagreement means the heuristic is measuring
+    something else).
+
+    Exact integer end to end: both rankings are distributed two-pass
+    ranks over 'better first' orderings with doc_id tie-breaks (a
+    PERMUTATION Spearman — ties broken identically on both sides, no
+    fractional average ranks, so every quantity stays integral), then
+    rho = 1 − 6·Σd²/(n³−n) as a single DECIMAL(38)/HUGEINT floor
+    division in micro-units. NULL on a degenerate <2-doc corpus
+    instead of a divide-by-zero."""
+    from saurav_nayak_recipe_etl_project_spark.operators.text import (
+        _quality_weights,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    q = _quality_weights(docs).select("doc_id", "w_ppm")
+    lm = lm_score(docs).select("doc_id", "n_trigrams", "sum_lp_micro")
+    j = q.join(lm, "doc_id")
+    rq = with_global_rank(
+        j.select("doc_id", (-F.col("w_ppm")).alias("_negw")),
+        ["_negw", "doc_id"],
+        bucket=F.floor(F.col("_negw") / F.lit(50_000)),
+        rank_col="rank_q",
+    ).select("doc_id", "rank_q")
+    rl = with_global_rank(
+        j.select(
+            "doc_id",
+            (
+                (-F.col("sum_lp_micro")).cast("double")
+                / F.col("n_trigrams").cast("double")
+            ).alias("_nll"),
+        ),
+        ["_nll", "doc_id"],
+        bucket=F.floor(F.col("_nll") / F.lit(MICRO) * 4),
+        rank_col="rank_lm",
+    ).select("doc_id", "rank_lm")
+    stats = (
+        rq.join(rl, "doc_id")
+        .select((F.col("rank_q") - F.col("rank_lm")).alias("d"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("d").cast("decimal(38,0)") * F.col("d"))
+            .alias("sd2"),
+        )
+    )
+    return stats.select(
+        F.col("n").alias("n_docs"),
+        F.expr(
+            "cast(1000000 - (6000000 * sd2) DIV nullif("
+            "cast(n as decimal(38,0)) * n * n - n, 0) as bigint)"
+        ).alias("rho_micro"),
+    ).select(
+        "n_docs",
+        "rho_micro",
+        (F.col("rho_micro").cast("double") / F.lit(1e6)).alias("rho"),
+    )
+
+
 RETRIEVAL_QUERIES = {
     "bm25_search": bm25_search,
     "text_lm_score": text_lm_score,
     "perplexity_buckets": perplexity_buckets,
+    "quality_lm_spearman": quality_lm_spearman,
 }
 
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -453,7 +517,71 @@ _LM_CTES = f"""occ AS (
           CROSS JOIN vsize
         )"""
 
+def _quality_w_ppm_sql() -> str:
+    """The heuristic quality-weight CTEs (pre/qw), shared with
+    operators/text.py's sampler oracles — built lazily to avoid a
+    module-level circular import."""
+    from saurav_nayak_recipe_etl_project_spark.operators.text import (
+        _STOP_SQL,
+        _TOKS,
+    )
+
+    return f"""pre AS (
+          SELECT doc_id,
+            GREATEST(length(text), 1) AS n_chars,
+            GREATEST(len({_TOKS}), 1) AS n_tokens,
+            length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+              AS punct_chars,
+            len(list_filter({_TOKS}, t -> t IN {_STOP_SQL['en']}))
+              AS stop_hits
+          FROM documents
+        ),
+        qw AS (
+          SELECT doc_id,
+            (LEAST(n_tokens * 20000, 1000000) * 5
+             + (1000000 - punct_chars * 1000000 // n_chars) * 3
+             + LEAST(stop_hits * 5000000 // n_tokens, 1000000) * 2) // 10
+              AS w_ppm
+          FROM pre
+        )"""
+
+
+RETRIEVAL_ORACLES["quality_lm_spearman"] = f"""
+        WITH {{lm_ctes}},
+        {{qw_ctes}},
+        per_doc AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+                 CAST(SUM(lp_micro) AS BIGINT) AS sum_lp
+          FROM occ JOIN model USING (tg) GROUP BY doc_id
+        ),
+        ranked AS (
+          SELECT q.doc_id,
+            ROW_NUMBER() OVER (ORDER BY -q.w_ppm, q.doc_id) AS rank_q,
+            ROW_NUMBER() OVER (
+              ORDER BY CAST(-p.sum_lp AS DOUBLE)
+                       / CAST(p.n_trigrams AS DOUBLE), p.doc_id) AS rank_lm
+          FROM qw q JOIN per_doc p USING (doc_id)
+        ),
+        stats AS (
+          SELECT COUNT(*) AS n,
+            SUM(CAST(rank_q - rank_lm AS HUGEINT) * (rank_q - rank_lm))
+              AS sd2
+          FROM ranked
+        )
+        SELECT CAST(n AS BIGINT) AS n_docs,
+          CAST(1000000 - (6000000 * sd2)
+               // NULLIF(CAST(n AS HUGEINT) * n * n - n, 0) AS BIGINT)
+            AS rho_micro,
+          CAST(CAST(1000000 - (6000000 * sd2)
+               // NULLIF(CAST(n AS HUGEINT) * n * n - n, 0) AS BIGINT)
+               AS DOUBLE) / 1e6 AS rho
+        FROM stats
+    """
+
 for _name in ("text_lm_score", "perplexity_buckets"):
     RETRIEVAL_ORACLES[_name] = RETRIEVAL_ORACLES[_name].format(
         lm_ctes=_LM_CTES
     )
+RETRIEVAL_ORACLES["quality_lm_spearman"] = RETRIEVAL_ORACLES[
+    "quality_lm_spearman"
+].format(lm_ctes=_LM_CTES, qw_ctes=_quality_w_ppm_sql())

