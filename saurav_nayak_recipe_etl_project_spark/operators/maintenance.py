@@ -91,3 +91,76 @@ def forget_subject(tables: dict[str, DataFrame], key_cols: dict[str, str],
         col = key_cols.get(name)
         out[name] = df.filter(F.col(col) != subject_id) if col else df
     return out
+
+
+class AuditFailure(Exception):
+    """A write-audit-publish audit rejected the staged snapshot."""
+
+
+def publish_with_audit(df: DataFrame, table_dir: str, audits,
+                       keep_versions: int = 2) -> str:
+    """Write-audit-publish (the Iceberg/Netflix WAP pattern on plain
+    parquet): readers NEVER see an unaudited or half-written snapshot.
+
+    1. WRITE the snapshot to a fresh `_v<N>` staging directory (never
+       in-place — an in-place overwrite is visible mid-write).
+    2. AUDIT the STAGED files (each audit is `fn(DataFrame) -> bool`
+       reading the staging dir, not the input plan — catching writer
+       bugs, not just logic bugs). Any failure leaves the live table
+       untouched and raises AuditFailure.
+    3. PUBLISH by atomically replacing the `CURRENT` pointer file
+       (os.replace — POSIX-atomic within a filesystem), then prune
+       versions beyond `keep_versions` (old readers may still hold
+       the previous snapshot open; keeping N>1 gives them a grace
+       window — the poor-man's snapshot isolation).
+
+    Readers resolve via `read_published(spark, table_dir)`. On object
+    stores the pointer file becomes the metadata-location swap every
+    table format performs; the staging/audit legs are identical.
+    Returns the published snapshot path."""
+    import os
+
+    spark = df.sparkSession
+    os.makedirs(table_dir, exist_ok=True)
+    cur_file = os.path.join(table_dir, "CURRENT")
+    existing = sorted(
+        int(d[2:]) for d in os.listdir(table_dir)
+        if d.startswith("_v") and d[2:].isdigit()
+    )
+    version = (existing[-1] + 1) if existing else 1
+    staged = os.path.join(table_dir, f"_v{version}")
+    df.write.mode("errorifexists").parquet(staged)
+
+    staged_df = spark.read.parquet(staged)
+    for audit in audits:
+        if not audit(staged_df):
+            import shutil
+
+            shutil.rmtree(staged)
+            raise AuditFailure(
+                f"audit {getattr(audit, '__name__', audit)!r} rejected "
+                f"staged snapshot v{version}; live table unchanged"
+            )
+
+    tmp_ptr = cur_file + ".tmp"
+    with open(tmp_ptr, "w") as fh:
+        fh.write(f"_v{version}\n")
+    os.replace(tmp_ptr, cur_file)
+
+    import shutil
+
+    for old in existing[: max(0, len(existing) - (keep_versions - 1))]:
+        shutil.rmtree(os.path.join(table_dir, f"_v{old}"),
+                      ignore_errors=True)
+    return staged
+
+
+def read_published(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Read the snapshot the CURRENT pointer names (see
+    publish_with_audit). Raises if nothing has been published."""
+    import os
+
+    cur_file = os.path.join(table_dir, "CURRENT")
+    with open(cur_file) as fh:
+        version = fh.read().strip()
+    return spark.read.parquet(os.path.join(table_dir, version))

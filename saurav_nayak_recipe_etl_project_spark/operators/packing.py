@@ -222,11 +222,63 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_shuffle_df(load_table(spark, "documents", sf_dir))
 
 
+TOPP_PPM = 900_000  # keep the smallest source set covering 90% of tokens
+
+
+def source_topp_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus-style (top-p) source selection per language: rank each
+    language's sources by token mass and keep the smallest prefix
+    covering TOPP_PPM of the language's tokens — the data-mixing twin
+    of top-p sampling (cut the long tail of micro-sources; keep
+    everything load-bearing). Emits EVERY source with its exact ppm
+    share, cumulative share, and the keep verdict, so the cut is
+    auditable.
+
+    Keep rule (integer-exact): a source is kept if the mass BEFORE it
+    (cum - own) has not yet reached TOPP_PPM of the total — i.e.
+    (cum_tokens - tokens) * 1e6 < TOPP_PPM * lang_tokens — the first
+    crossing source is included, everything after it is cut. Windows
+    partition by lang and hold sources-per-lang rows (bounded by the
+    source catalog, never by corpus size); token counting is one
+    explode-free size() scan + (lang, source) groupBy."""
+    docs = load_table(spark, "documents", sf_dir)
+    mass = (
+        docs.select(
+            "lang", "source",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+        )
+        .groupBy("lang", "source")
+        .agg(F.sum("n_tok").alias("tokens"))
+    )
+    w_rank = Window.partitionBy("lang").orderBy(
+        F.desc("tokens"), F.asc("source")
+    )
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    w_tot = Window.partitionBy("lang")
+    return mass.select(
+        "lang",
+        "source",
+        "tokens",
+        F.row_number().over(w_rank).cast("long").alias("rank"),
+        F.sum("tokens").over(w_cum).alias("cum_tokens"),
+        F.sum("tokens").over(w_tot).alias("lang_tokens"),
+    ).select(
+        "lang", "source", "tokens", "rank",
+        F.expr("tokens * 1000000 DIV lang_tokens").alias("share_ppm"),
+        F.expr("cum_tokens * 1000000 DIV lang_tokens").alias("cum_ppm"),
+        (
+            (F.col("cum_tokens") - F.col("tokens")) * 1_000_000
+            < F.lit(TOPP_PPM) * F.col("lang_tokens")
+        ).alias("kept"),
+    )
+
+
 PACKING_QUERIES = {
     "pack_sequences": pack_sequences,
     "rebalance_sources": rebalance_sources,
     "length_bucketing": length_bucketing,
     "corpus_shuffle": corpus_shuffle,
+    "source_topp_coverage": source_topp_coverage,
 }
 
 _BUCKET_CASE = "CASE " + " ".join(
@@ -234,6 +286,32 @@ _BUCKET_CASE = "CASE " + " ".join(
 ) + f" ELSE {LENGTH_BUCKETS[-1]} END"
 
 PACKING_ORACLES = {
+    "source_topp_coverage": f"""
+        WITH mass AS (
+          SELECT lang, source,
+            CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+                 AS BIGINT) AS tokens
+          FROM documents GROUP BY lang, source
+        ),
+        ranked AS (
+          SELECT lang, source, tokens,
+            CAST(ROW_NUMBER() OVER (
+              PARTITION BY lang ORDER BY tokens DESC, source) AS BIGINT)
+              AS rank,
+            CAST(SUM(tokens) OVER (
+              PARTITION BY lang ORDER BY tokens DESC, source
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+            CAST(SUM(tokens) OVER (PARTITION BY lang) AS BIGINT)
+              AS lang_tokens
+          FROM mass
+        )
+        SELECT lang, source, tokens, rank,
+          tokens * 1000000 // lang_tokens AS share_ppm,
+          cum_tokens * 1000000 // lang_tokens AS cum_ppm,
+          (cum_tokens - tokens) * 1000000 < {TOPP_PPM} * lang_tokens
+            AS kept
+        FROM ranked
+    """,
     "corpus_shuffle": f"""
         WITH keyed AS (
           SELECT doc_id,

@@ -126,6 +126,7 @@ _DRIVER_PRIORITY = [
     "monthly_seasonality_index",
     "zipf_slope",
     "quality_lm_spearman",
+    "source_topp_coverage",
     # -- (4) stalest: last externally verified in round 1 (all 27) --
     "avg_lineitems_per_order",
     "avg_order_value",

@@ -58,3 +58,52 @@ def test_forget_subject_is_complete(spark, sf_dir):
     for name, df in out.items():
         assert df.filter(F.col(keys[name]) == 7).count() == 0
     assert out["customer"].count() == tables["customer"].count() - 1
+
+
+def test_publish_with_audit_happy_path_and_versioning(spark, tmp_path):
+    """Two publishes: readers always resolve the latest audited
+    snapshot; version dirs beyond keep_versions are pruned."""
+    import os
+
+    from saurav_nayak_recipe_etl_project_spark.operators.maintenance import (
+        publish_with_audit,
+        read_published,
+    )
+
+    t = str(tmp_path / "tbl")
+    d1 = spark.range(5).withColumnRenamed("id", "k")
+    publish_with_audit(d1, t, audits=[lambda df: df.count() == 5])
+    assert read_published(spark, t).count() == 5
+
+    d2 = spark.range(9).withColumnRenamed("id", "k")
+    publish_with_audit(d2, t, audits=[lambda df: df.count() == 9],
+                       keep_versions=1)
+    assert read_published(spark, t).count() == 9
+    dirs = [d for d in os.listdir(t) if d.startswith("_v")]
+    assert dirs == ["_v2"]  # keep_versions=1 pruned _v1
+
+
+def test_publish_with_audit_failed_audit_leaves_table_untouched(spark, tmp_path):
+    import os
+
+    import pytest
+
+    from saurav_nayak_recipe_etl_project_spark.operators.maintenance import (
+        AuditFailure,
+        publish_with_audit,
+        read_published,
+    )
+
+    t = str(tmp_path / "tbl")
+    good = spark.range(5).withColumnRenamed("id", "k")
+    publish_with_audit(good, t, audits=[lambda df: True])
+
+    def no_empty(df):
+        return df.count() > 0
+
+    bad = good.filter("k < 0")  # empty snapshot must be rejected
+    with pytest.raises(AuditFailure, match="no_empty"):
+        publish_with_audit(bad, t, audits=[no_empty])
+    # live pointer still v1, staged dir cleaned up
+    assert read_published(spark, t).count() == 5
+    assert [d for d in os.listdir(t) if d.startswith("_v")] == ["_v1"]
