@@ -182,3 +182,71 @@ def test_analyze_statistics_drive_broadcast_choice(spark, sf_dir, tmp_path):
         assert "BroadcastHashJoin" in plan
     finally:
         spark.sql("DROP DATABASE IF EXISTS statdb CASCADE")
+
+
+def test_dynamic_partition_pruning_on_dim_filter(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: a fact table partitioned on the join
+    key must be pruned at RUNTIME by a selective dim-side filter — the
+    plan's fact scan carries a dynamicpruning subquery in its
+    PartitionFilters, so at 100 TB the join reads only the partitions
+    the filtered dim actually names (compile-time pruning can't do
+    this; the dim filter's key set is only known at run time)."""
+    orders = load_table(spark, "orders", sf_dir)
+    fact_dir = str(tmp_path / "orders_by_prio")
+    orders.write.partitionBy("o_orderpriority").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    # the filter is on a dim ATTRIBUTE (severity), written to parquet
+    # so no compile-time rule can fold the surviving key set into a
+    # static partition filter — the key set exists only at run time
+    dim_dir = str(tmp_path / "prio_dim")
+    spark.createDataFrame(
+        [("1-URGENT", "high"), ("2-HIGH", "high"), ("3-MEDIUM", "mid"),
+         ("4-NOT SPECIFIED", "low"), ("5-LOW", "low")],
+        "o_orderpriority string, severity string",
+    ).write.parquet(dim_dir)
+    dim = spark.read.parquet(dim_dir)
+    joined = (
+        fact.join(dim, "o_orderpriority")
+        .where(F.col("severity") == "high")
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    got = {r["o_orderpriority"]: r["count"] for r in joined.collect()}
+    want = {
+        r["o_orderpriority"]: r["count"]
+        for r in orders.where(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        ).groupBy("o_orderpriority").count().collect()
+    }
+    assert got == want
+
+
+def test_observe_metrics_single_pass_write(spark, sf_dir, tmp_path):
+    """write_with_metrics: one job writes the table AND returns exact
+    row/null/out-of-bounds counters — no second scan. Values must
+    match independently computed aggregates."""
+    from saurav_nayak_recipe_etl_project_spark.operators.observe import (
+        standard_quality_metrics,
+        write_with_metrics,
+    )
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    out = str(tmp_path / "orders_out")
+    metrics = write_with_metrics(
+        orders, out,
+        standard_quality_metrics(
+            orders, required=["o_orderkey", "o_custkey"],
+            bounded={"o_totalprice": (0.0, 1e9)},
+        ),
+    )
+    n = orders.count()
+    assert metrics["n_rows"] == n
+    assert metrics["null_o_orderkey"] == 0
+    assert metrics["oob_o_totalprice"] == orders.where(
+        ~F.col("o_totalprice").between(0.0, 1e9)
+    ).count()
+    assert spark.read.parquet(out).count() == n
