@@ -115,9 +115,36 @@ def events_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6c — the VARIANT semi-structured path (Spark 4): props parsed
+    once into the shredded binary VARIANT encoding (try_parse_json),
+    fields extracted by path with try_variant_get — the
+    schema-on-read story for payloads whose shape isn't known at
+    pipeline-build time (from_json needs the schema up front; VARIANT
+    defers it to the read expression and stays binary-columnar in
+    between). Malformed JSON and wrong-type fields become NULL, never
+    failures. Same rollup shape as events_json_typed so the two
+    parsing stories are directly comparable."""
+    events = load_table(spark, "events", sf_dir)
+    parsed = events.select(
+        "event_type",
+        F.try_variant_get(
+            F.try_parse_json("props"), "$.k", "int"
+        ).alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count("k").alias("n_parsed"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+    )
+
+
 NORMALIZE_QUERIES = {
     "schema_map_orders": schema_map_orders,
     "events_json_typed": events_json_typed,
+    "events_variant_stats": events_variant_stats,
     "normalize_explode_structs": normalize_explode_structs,
     "normalize_posexplode": normalize_posexplode,
     "nest_unnest_roundtrip": nest_unnest_roundtrip,
@@ -125,6 +152,24 @@ NORMALIZE_QUERIES = {
 }
 
 NORMALIZE_ORACLES = {
+    "events_variant_stats": """
+        -- the VARIANT path has the same NULL semantics as from_json
+        -- for this single-field extraction: invalid JSON or a
+        -- non-numeric k -> NULL (try_variant_get), mirrored by
+        -- json_valid + TRY_CAST.
+        WITH typed AS (
+          SELECT event_type,
+            CASE WHEN json_valid(props)
+                 THEN TRY_CAST(props->>'$.k' AS INT) END AS k
+          FROM events
+        )
+        SELECT event_type, COUNT(*) AS n,
+          COUNT(k) AS n_parsed,
+          CAST(MIN(k) AS BIGINT) AS min_k,
+          CAST(MAX(k) AS BIGINT) AS max_k,
+          CAST(SUM(k) AS BIGINT) AS sum_k
+        FROM typed GROUP BY event_type
+    """,
     "events_json_typed": """
         -- json_valid + TRY_CAST mirror from_json's PERMISSIVE NULLs:
         -- malformed JSON or a non-numeric k must yield NULL, not fail

@@ -130,6 +130,7 @@ _DRIVER_PRIORITY = [
     "source_topp_coverage",
     "customer_latest_order_lateral",
     "copurchase_reach3",
+    "events_variant_stats",
     # -- (4) stalest: last externally verified in round 1 (all 27) --
     "avg_lineitems_per_order",
     "avg_order_value",
