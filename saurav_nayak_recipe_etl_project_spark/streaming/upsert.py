@@ -59,3 +59,49 @@ def run_upsert_stream(spark: SparkSession, source_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_audited_publish_stream(spark: SparkSession, source_dir: str,
+                               checkpoint_dir: str, table_dir: str,
+                               audits) -> dict:
+    """Streaming write-audit-publish: each micro-batch's aggregate
+    snapshot is STAGED, audited against the staged files, and only
+    then atomically published (operators/maintenance.publish_with_audit
+    inside foreachBatch) — the streaming form of the WAP protocol, so
+    downstream readers of the live pointer can never observe a
+    micro-batch that failed its quality gate.
+
+    A failed audit is RECORDED (batch_id -> error) and the stream
+    continues — a poisoned batch must not wedge the pipeline; the
+    rejected snapshot never becomes visible, and the NEXT good batch's
+    snapshot (cumulative, rebuilt from state) supersedes it. Returns
+    {batch_id: 'published' | error message}."""
+    from saurav_nayak_recipe_etl_project_spark.operators.maintenance import (
+        AuditFailure,
+        publish_with_audit,
+    )
+    from saurav_nayak_recipe_etl_project_spark.streaming.events import (
+        read_event_stream,
+    )
+
+    events = read_event_stream(spark, source_dir)
+    outcomes: dict = {}
+
+    def stage_audit_publish(batch_df: DataFrame, batch_id: int) -> None:
+        snap = batch_df.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        try:
+            publish_with_audit(snap, table_dir, audits)
+            outcomes[batch_id] = "published"
+        except AuditFailure as e:
+            outcomes[batch_id] = str(e)
+
+    await_or_raise(
+        events.writeStream.foreachBatch(stage_audit_publish)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return outcomes

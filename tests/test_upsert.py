@@ -30,3 +30,39 @@ def test_upsert_converges_to_latest_per_user(spark, sf_dir, tmp_path):
     g = {r["user_id"]: r["event_id"] for r in got.collect()}
     w = {r["user_id"]: r["event_id"] for r in want.collect()}
     assert g == w
+
+
+def test_audited_publish_stream_gates_each_batch(spark, sf_dir, tmp_path):
+    """Streaming WAP: a passing audit publishes the batch snapshot; a
+    failing audit records the rejection, leaves the live pointer on
+    the last good snapshot, and does not wedge the stream."""
+    from saurav_nayak_recipe_etl_project_spark.operators.maintenance import (
+        read_published,
+    )
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    table = str(tmp_path / "published")
+
+    shutil.copy(f"{sf_dir}/events.parquet", src / "a.parquet")
+    ok = U.run_audited_publish_stream(
+        spark, str(src), str(tmp_path / "ck1"), table,
+        audits=[lambda df: df.count() > 0],
+    )
+    assert list(ok.values()) == ["published"]
+    first = read_published(spark, table)
+    n_types = first.count()
+    assert n_types > 0
+
+    def impossible(df):
+        return False
+
+    impossible.__name__ = "impossible"
+    shutil.copy(f"{sf_dir}/events.parquet", src / "b.parquet")
+    rejected = U.run_audited_publish_stream(
+        spark, str(src), str(tmp_path / "ck2"), table,
+        audits=[impossible],
+    )
+    assert any("impossible" in v for v in rejected.values())
+    # live table still the audited snapshot
+    assert read_published(spark, table).count() == n_types
