@@ -250,3 +250,30 @@ def test_observe_metrics_single_pass_write(spark, sf_dir, tmp_path):
         ~F.col("o_totalprice").between(0.0, 1e9)
     ).count()
     assert spark.read.parquet(out).count() == n
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """salted_join must be row-identical to the plain equi-join on a
+    skewed fact (lineitem x part), for inner and left, and must not
+    duplicate or drop rows at any salt count."""
+    from saurav_nayak_recipe_etl_project_spark.functions.skew import (
+        salted_join,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", F.col("l_partkey").alias("p_partkey"),
+        "l_quantity",
+    )
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    for how in ("inner", "left"):
+        plain = li.join(part, "p_partkey", how)
+        salted = salted_join(li, part, "p_partkey", n_salts=8, how=how)
+        assert salted.count() == plain.count()
+        a = sorted(map(tuple, salted.collect()))
+        b = sorted(map(tuple, plain.collect()))
+        assert a == b
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        salted_join(li, part, "p_partkey", how="full")
