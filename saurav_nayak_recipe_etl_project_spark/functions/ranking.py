@@ -41,6 +41,7 @@ def with_global_rank(
     sort_cols: list,
     bucket: Column,
     rank_col: str = "rank",
+    materialize: bool = False,
 ) -> DataFrame:
     """Add ``rank_col`` = exact 1-based global row_number of each row
     under ascending ``sort_cols``, computed with per-bucket parallel
@@ -51,8 +52,20 @@ def with_global_rank(
     broadcast triangle self-join over the count frame for offsets
     (O(B^2) rows driver-free), and a broadcast join back. Wall-clock
     is bounded by the largest bucket, not |df|.
+
+    ``materialize`` (default OFF) lazily localCheckpoints the bucketed
+    input so the counts branch and the rank branch share one
+    computation. Measured at sf0.1: OFF is faster for every current
+    caller (ReuseExchange already dedupes the shared upstream through
+    the bucket shuffle, and the checkpoint's extra materialization
+    pass costs more than it saves — perplexity_buckets 6.0s OFF vs
+    10.8s ON). Keep the knob for callers whose upstream is NOT
+    exchange-shaped (e.g. a mapInPandas source the optimizer can't
+    common out); profile before flipping it.
     """
     d = df.withColumn(_BUCKET, bucket)
+    if materialize:
+        d = d.localCheckpoint(eager=False)
     cnts = d.groupBy(_BUCKET).agg(F.count("*").alias("_rk_c"))
     lo = cnts.select(
         F.col(_BUCKET).alias("_rk_b_lo"), F.col("_rk_c").alias("_rk_c_lo")

@@ -211,7 +211,10 @@ def lm_score(docs: DataFrame, text_col: str = "text",
         )
     )
     return (
-        occ.join(model, "tg")
+        # the model is trigram-VOCAB-sized (bounded by charset^3) while
+        # occ is corpus-sized: broadcast the model so the scoring join
+        # never shuffles the corpus on the trigram key
+        occ.join(F.broadcast(model), "tg")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_trigrams"),
@@ -244,8 +247,9 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     visible before anyone pulls the trigger.
 
     The tercile assignment is the distributed two-pass rank
-    (functions/ranking.py) over the per-doc score frame — quarter-nat
-    value buckets, no global ntile window. The sort key is the raw
+    (functions/ranking.py) over the per-doc score frame — sixteenth-nat
+    value buckets (the corpus nll spread is ~2 nats — a coarser
+    bucket serializes the rank window), no global ntile window. The sort key is the raw
     double quotient of two per-doc INTEGERS (micro-nat sum /
     trigram count, both < 2^53 so the doubles are exact), doc_id
     tie-break — engine-identical ordering. Per-bucket nll re-derives
@@ -263,7 +267,7 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = with_global_rank(
         keyed,
         ["_nll", "doc_id"],
-        bucket=F.floor(F.col("_nll") / F.lit(MICRO) * 4),
+        bucket=F.floor(F.col("_nll") / F.lit(MICRO) * 16),
         rank_col="_r",
     ).crossJoin(F.broadcast(n))
     bucketed = ranked.select(
@@ -335,7 +339,7 @@ def quality_lm_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_nll"),
         ),
         ["_nll", "doc_id"],
-        bucket=F.floor(F.col("_nll") / F.lit(MICRO) * 4),
+        bucket=F.floor(F.col("_nll") / F.lit(MICRO) * 16),
         rank_col="rank_lm",
     ).select("doc_id", "rank_lm")
     stats = (

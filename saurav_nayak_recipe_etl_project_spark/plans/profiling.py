@@ -265,8 +265,9 @@ def price_quantity_decile_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Both decile assignments are the distributed two-pass rank
     (functions/ranking.py) over the FACT table — no global ntile
-    window over |lineitem| anywhere: price ranks bucket by 2^22-cent
-    (~$42k) bands, quantity ranks bucket by its own 50-value domain;
+    window over |lineitem| anywhere: price ranks bucket by 2^18-cent
+    (~$2.6k) bands (~40 buckets over this catalog's price range —
+    a 2^22 width collapsed to 3 buckets and serialized the window), quantity ranks bucket by its own 50-value domain;
     NTILE(10) is reconstructed arithmetically from (rank, n) so the
     cells are bit-identical to the window form.
 
@@ -291,7 +292,7 @@ def price_quantity_decile_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame
         with_global_rank(
             base,
             ["p_cents", "l_orderkey", "l_linenumber", "occ"],
-            bucket=F.floor(F.col("p_cents") / F.lit(1 << 22)),
+            bucket=F.floor(F.col("p_cents") / F.lit(1 << 18)),
             rank_col="_rp",
         ),
         ["qty", "l_orderkey", "l_linenumber", "occ"],

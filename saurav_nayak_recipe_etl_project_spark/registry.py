@@ -131,6 +131,7 @@ _DRIVER_PRIORITY = [
     "customer_latest_order_lateral",
     "copurchase_reach3",
     "events_variant_stats",
+    "events_session_window",
     # -- (4) stalest: last externally verified in round 1 (all 27) --
     "avg_lineitems_per_order",
     "avg_order_value",

@@ -197,9 +197,76 @@ def run_session_stream(spark: SparkSession, source_dir: str,
     )
 
 
-STREAMING_SESSION_QUERIES = {"sessionize_events": sessionize_events}
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native `F.session_window` batch aggregation — the JVM-side
+    session operator (SessionWindowing + MergingSessionsExec), a
+    THIRD sessionization surface next to the lag/cumsum batch twin
+    (sessionize_batch) and the applyInPandasWithState stream.
+
+    Boundary semantics differ from sessionize_batch by design and are
+    pinned by the oracle: session_window merges an event only if it
+    arrives STRICTLY before prev_ts + gap (overlapping half-open
+    [ts, ts+gap) windows), so a gap exactly equal to 30 min STARTS a
+    new session here, while sessionize_batch merges it. session_end
+    is last_ts + gap (the window end), not last_ts."""
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    sw = F.session_window(F.col("ts"), f"{GAP_MINUTES} minutes")
+    return (
+        ev.groupBy("user_id", sw.alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            (F.col("cents") / F.lit(100.0)).alias("session_value"),
+        )
+    )
+
+
+STREAMING_SESSION_QUERIES = {
+    "sessionize_events": sessionize_events,
+    "events_session_window": events_session_window,
+}
 
 STREAMING_SESSION_ORACLES = {
+    "events_session_window": """
+        -- session_window boundary semantics: STRICT merge
+        -- (ts < prev_ts + gap), so new_s fires at diff >= 1800s —
+        -- unlike sessionize_events' lag/cumsum twin which merges the
+        -- exact-1800s gap; session_end = last_ts + gap.
+        WITH e AS (
+          SELECT user_id, ts, CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        s AS (
+          SELECT user_id, ts, cents,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('microsecond', lag(ts) OVER w, ts)
+                      >= 1800000000
+                 THEN 1 ELSE 0 END AS new_s
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        g AS (
+          SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM s
+        )
+        SELECT user_id,
+          MIN(ts) AS session_start,
+          MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+          COUNT(*) AS n_events,
+          CAST(SUM(cents) AS BIGINT) / 100.0 AS session_value
+        FROM g GROUP BY user_id, sid
+    """,
     "sessionize_events": """
         WITH g AS (
           SELECT user_id, ts, event_id,
