@@ -132,6 +132,9 @@ _DRIVER_PRIORITY = [
     "copurchase_reach3",
     "events_variant_stats",
     "events_session_window",
+    # late-round internal change (broadcast LM model): fresh external
+    # row for the plan change even though the oracle is untouched
+    "text_lm_score",
     # -- (4) stalest: last externally verified in round 1 (all 27) --
     "avg_lineitems_per_order",
     "avg_order_value",
