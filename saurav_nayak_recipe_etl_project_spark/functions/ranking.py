@@ -63,7 +63,20 @@ def with_global_rank(
     exchange-shaped (e.g. a mapInPandas source the optimizer can't
     common out); profile before flipping it.
     """
-    d = df.withColumn(_BUCKET, bucket)
+    # NULL sort keys are unsupported (SQL windows order them
+    # first/last; a null BUCKET would silently vanish through the
+    # inner offset join below) — fail loudly instead of dropping rows.
+    d = df.withColumn(
+        _BUCKET,
+        F.when(
+            bucket.isNull(),
+            F.assert_true(
+                F.lit(False),
+                F.lit("with_global_rank: bucket expression yielded NULL "
+                      "(null sort keys unsupported)"),
+            ),
+        ).otherwise(bucket),
+    )
     if materialize:
         d = d.localCheckpoint(eager=False)
     cnts = d.groupBy(_BUCKET).agg(F.count("*").alias("_rk_c"))

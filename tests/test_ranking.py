@@ -71,3 +71,28 @@ def test_ntile_from_rank_matches_ntile(spark, n, k):
         ).alias("mine"),
     )
     assert both.where(F.col("ref") != F.col("mine")).count() == 0
+
+
+def test_global_rank_rejects_null_bucket(spark):
+    """A NULL bucket must raise, not silently drop rows through the
+    inner offset join."""
+    df = spark.createDataFrame([(1, 1), (None, 2)], "v long, id long")
+    with pytest.raises(Exception, match="bucket expression yielded NULL"):
+        with_global_rank(df, ["v", "id"], bucket=F.col("v")).collect()
+
+
+def test_global_rank_string_buckets_still_work(spark):
+    """The null guard must not break non-numeric (string) buckets —
+    the corpus_shuffle hex-prefix path."""
+    rows = [(f"{v:02x}suffix", v) for v in range(64)]
+    df = spark.createDataFrame(rows, "k string, id long")
+    got = with_global_rank(
+        df, ["k", "id"], bucket=F.substring("k", 1, 1)
+    )
+    import pyspark.sql.functions as SF
+    want = df.withColumn(
+        "want",
+        SF.row_number().over(Window.orderBy("k", "id")).cast("long"),
+    )
+    j = got.join(want, ["k", "id"])
+    assert j.where(SF.col("rank") != SF.col("want")).count() == 0
