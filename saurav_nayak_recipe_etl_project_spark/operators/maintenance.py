@@ -155,12 +155,35 @@ def publish_with_audit(df: DataFrame, table_dir: str, audits,
     return staged
 
 
-def read_published(spark: SparkSession, table_dir: str) -> DataFrame:
+def read_published(spark: SparkSession, table_dir: str,
+                   version: int | None = None) -> DataFrame:
     """Read the snapshot the CURRENT pointer names (see
-    publish_with_audit). Raises if nothing has been published."""
+    publish_with_audit), or — time travel — a specific retained
+    `version` number. Raises if nothing has been published or the
+    requested version was pruned past keep_versions."""
     import os
 
-    cur_file = os.path.join(table_dir, "CURRENT")
-    with open(cur_file) as fh:
-        version = fh.read().strip()
-    return spark.read.parquet(os.path.join(table_dir, version))
+    if version is None:
+        cur_file = os.path.join(table_dir, "CURRENT")
+        with open(cur_file) as fh:
+            vdir = fh.read().strip()
+    else:
+        vdir = f"_v{version}"
+        if not os.path.isdir(os.path.join(table_dir, vdir)):
+            raise FileNotFoundError(
+                f"snapshot {vdir} not retained in {table_dir} "
+                f"(pruned past keep_versions or never published)"
+            )
+    return spark.read.parquet(os.path.join(table_dir, vdir))
+
+
+def published_versions(table_dir: str) -> list[int]:
+    """Retained snapshot version numbers, ascending (the time-travel
+    catalog; the last entry is not necessarily CURRENT if a publish
+    raced — CURRENT is the only read authority)."""
+    import os
+
+    return sorted(
+        int(d[2:]) for d in os.listdir(table_dir)
+        if d.startswith("_v") and d[2:].isdigit()
+    )

@@ -107,3 +107,25 @@ def test_publish_with_audit_failed_audit_leaves_table_untouched(spark, tmp_path)
     # live pointer still v1, staged dir cleaned up
     assert read_published(spark, t).count() == 5
     assert [d for d in os.listdir(t) if d.startswith("_v")] == ["_v1"]
+
+
+def test_publish_time_travel_reads_retained_versions(spark, tmp_path):
+    """Version-pinned reads: with keep_versions=3, both snapshots stay
+    readable by number; a pruned or never-published version raises."""
+    import pytest
+
+    from saurav_nayak_recipe_etl_project_spark.operators.maintenance import (
+        publish_with_audit,
+        published_versions,
+        read_published,
+    )
+
+    t = str(tmp_path / "tbl")
+    for n in (4, 9):
+        df = spark.range(n).withColumnRenamed("id", "k")
+        publish_with_audit(df, t, audits=[lambda d: True], keep_versions=3)
+    assert published_versions(t) == [1, 2]
+    assert read_published(spark, t).count() == 9           # CURRENT
+    assert read_published(spark, t, version=1).count() == 4  # time travel
+    with pytest.raises(FileNotFoundError):
+        read_published(spark, t, version=7)

@@ -277,3 +277,51 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
 
     with pytest.raises(ValueError):
         salted_join(li, part, "p_partkey", how="full")
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark, tmp_path):
+    """AQE skew-join: a planted hot key must be SPLIT at runtime — the
+    executed plan's AQEShuffleRead reports skewed partitions. This is
+    the adaptive complement of the explicit salted_join; thresholds
+    are lowered because the local fixture is tiny."""
+    big = spark.range(200_000).selectExpr(
+        "CASE WHEN id % 10 = 0 THEN 0 ELSE id END AS k", "id AS payload"
+    )
+    small = spark.range(50_000).selectExpr("id AS k", "id * 2 AS attr")
+    bp, sp = str(tmp_path / "big"), str(tmp_path / "small")
+    big.write.parquet(bp)
+    small.write.parquet(sp)
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = (
+            spark.read.parquet(bp)
+            .join(spark.read.parquet(sp), "k")
+            .groupBy((F.col("k") % 100).alias("b"))
+            .count()
+        )
+        # collect() (not a re-planned count) so THIS DataFrame's
+        # queryExecution finalizes and explain shows the adaptive plan
+        rows = j.collect()
+        # non-multiples of 10 keep k=id, so buckets at multiples of 10
+        # exist only via the hot key 0: 100 - 10 + 1 groups
+        assert len(rows) == 91
+        final = _plan(j)
+        assert "isFinalPlan=true" in final, final[:500]
+        assert "skew" in final.lower(), final[:1500]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
