@@ -15,6 +15,10 @@ HEADLINE = [
     "q6_forecast_revenue",
     "top_parts",
     "q5_local_supplier_volume",
+    # the round-7 distributed two-pass rank shape: every Window node
+    # partitioned by the bucket column, broadcast offset join, no
+    # Exchange SinglePartition feeding a sort
+    "customer_rfm",
 ]
 
 
