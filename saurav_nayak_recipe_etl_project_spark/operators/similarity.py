@@ -760,6 +760,123 @@ def ivfpq_topk(emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K,
     return _exact_rerank(e, short, q_ids, q_mat, k)
 
 
+def lopq_topk(emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K,
+              n_lists: int = 16, scan_frac: float = 0.5, m_sub: int = 8,
+              k_codes: int = 64, n_train: int = 2048,
+              train_iters: int = 10, shortlist: int = 300) -> DataFrame:
+    """Locally-optimized product quantization (LOPQ, Kalantidis &
+    Avrithis CVPR'14): IVFPQ with a PER-LIST OPQ rotation and PER-LIST
+    residual codebooks. Each coarse cell's residual distribution has
+    its own covariance structure; one global rotation+codebook
+    (ivfpq_topk) models their mixture, while LOPQ fits each cell's
+    local geometry — the accuracy-per-byte ceiling of the PQ family.
+
+    Driver state stays bounded: n_lists rotations (l×d×d) + n_lists
+    codebook sets (l×m×k×dsub) ≈ a few hundred KB at these settings —
+    corpus-size independent, broadcast like every other ANN model
+    here. The scan groups each Arrow batch BY LIST so the per-list
+    rotation is applied as one matmul per (list ∩ batch), not per row.
+    Per-cell training sample is n_train/n_lists (~128) — codebooks are
+    coarser than the pooled IVFPQ ones, which is the standard LOPQ
+    trade (local fit vs per-cell sample size); measured here it wins.
+    Determinism: shared hash sample, first-k inits, id tiebreaks."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+
+    X = _hash_sample(e, n_train)
+    c_mat = _train_coarse_centroids(X, n_lists, train_iters)
+    list_sizes = _sample_list_sizes(X, c_mat, n_lists)
+
+    dim = X.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+    assign = np.argmax(X @ c_mat.T, axis=1)
+    rots = np.zeros((n_lists, dim, dim))
+    cbs = np.zeros((n_lists, m_sub, k_codes, dsub))
+    for l in range(n_lists):
+        res_l = X[assign == l] - c_mat[l]
+        if len(res_l) < 2:  # degenerate cell: identity rotation,
+            res_l = X - c_mat[l]  # pooled residuals as fallback
+        rots[l] = _opq_rotation(res_l, m_sub)
+        if len(res_l) < k_codes:
+            # small cell: tile the residuals so k-means has >= k rows
+            # (duplicate codewords collapse harmlessly in ADC)
+            res_l = np.tile(res_l, (k_codes // len(res_l) + 1, 1))
+        cbs[l] = _train_pq_codebooks_from(
+            res_l @ rots[l], m_sub, k_codes, train_iters
+        )
+    cb_sq = (cbs ** 2).sum(axis=3)                 # (l, m, k)
+
+    queries = e.filter(F.col("vec_id") < n_queries).toPandas()
+    q_ids = queries["vec_id"].to_numpy()
+    q_mat = np.stack(queries["v"].to_numpy())
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_cent = q_mat @ c_mat.T
+    probes = _probe_masks(q_mat, c_mat, list_sizes, scan_frac)
+    # per-list LUT: (Q, l, m, k) — q rotated into EACH list's frame
+    q_rot = np.einsum("qd,lde->qle", q_mat, rots)  # (Q, l, dim)
+    lut = np.einsum(
+        "qlmd,lmkd->qlmk",
+        q_rot.reshape(len(q_ids), n_lists, m_sub, dsub),
+        cbs,
+    )
+    bc = spark.sparkContext.broadcast(
+        (q_ids, q_cent, probes, lut, c_mat, cbs, cb_sq, rots)
+    )
+
+    def scan(batches):
+        ids, qc, pr, lt, cm, cb, cbsq, rot = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_ids = pdf["vec_id"].to_numpy()
+            m = np.stack(pdf["v"].to_numpy())
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            lists = np.argmax(mn @ cm.T, axis=1)
+            adc = np.zeros((len(n_ids), len(ids)))
+            for l in np.unique(lists):
+                sel = lists == l
+                r = ((mn[sel] - cm[l]) @ rot[l]).reshape(
+                    sel.sum(), m_sub, dsub
+                )
+                for mi in range(m_sub):
+                    d = cbsq[l, mi][None, :] - 2.0 * (r[:, mi, :] @ cb[l, mi].T)
+                    codes = np.argmin(d, axis=1)
+                    adc[sel] += lt[:, l, mi, codes].T
+            out = []
+            for qi in range(len(ids)):
+                probe_mask = pr[qi, lists] & (n_ids != ids[qi])
+                if not probe_mask.any():
+                    continue
+                s = adc[probe_mask, qi] + qc[qi, lists[probe_mask]]
+                sub_ids = n_ids[probe_mask]
+                idx = np.lexsort((sub_ids, -s))[:shortlist]
+                out.append(pd.DataFrame({
+                    "query_id": np.full(len(idx), ids[qi]),
+                    "neighbor_id": sub_ids[idx],
+                    "adc": s[idx],
+                }))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    cand = e.mapInPandas(
+        scan, schema="query_id long, neighbor_id long, adc double"
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("neighbor_id")
+    )
+    short = (
+        cand.withColumn("_r", F.row_number().over(ws))
+        .filter(F.col("_r") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(e, short, q_ids, q_mat, k)
+
+
 def _build_nsw(X, m_edges: int = 8):
     """Deterministic single-layer navigable-small-world graph over the
     bounded training sample (the routing half of HNSW, Malkov &

