@@ -203,15 +203,110 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+THUMB_IMG = 16   # fake-decoded image side (bytes tiled row-major)
+THUMB_GRID = 4   # thumbnail side; block = (IMG/GRID)^2 = 16 px — a
+                 # power of two, so block means are EXACT doubles
+
+
+def thumbnail_pool(blobs: DataFrame) -> DataFrame:
+    """Image RESIZE plumbing with a deterministic fake decode: each
+    payload 'decodes' to a 16x16 grayscale image (bytes tiled
+    row-major, modular — the documented stand-in while the container
+    has no codec; see decode_image_real), then block-mean pooling
+    (INTER_AREA, the real thumbnailing math) reduces it to 4x4. All
+    numpy reshape/sum over the Arrow batch — the exact batch shape a
+    PIL/av decoder slots into — and block sums divide by 16 (2^4), so
+    every mean is an exact double and the SQL oracle hash-matches."""
+    import numpy as np
+    import pandas as pd
+
+    img, grid = THUMB_IMG, THUMB_GRID
+
+    def gen(batches):
+        for pdf in batches:
+            blob_list = [b for b in pdf["blob"] if len(b) > 0]
+            doc_ids = np.array(
+                [d for d, b in zip(pdf["doc_id"], pdf["blob"]) if len(b) > 0],
+                dtype=np.int64,
+            )
+            if not blob_list:
+                yield pd.DataFrame(
+                    {"doc_id": np.array([], dtype=np.int64),
+                     "cy": np.array([], dtype=np.int32),
+                     "cx": np.array([], dtype=np.int32),
+                     "mean_px": np.array([], dtype=np.float64)}
+                )
+                continue
+            lens = np.array([len(b) for b in blob_list], dtype=np.int64)
+            base = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            big = np.frombuffer(b"".join(blob_list), dtype=np.uint8)
+            # (B, img*img) gather with modular tiling per doc
+            idx = base[:, None] + (np.arange(img * img)[None, :] % lens[:, None])
+            pix = big[idx].astype(np.int64)
+            b_side = img // grid
+            blocks = pix.reshape(len(lens), grid, b_side, grid, b_side)
+            means = blocks.sum(axis=(2, 4)) / float(b_side * b_side)
+            cy, cx = np.meshgrid(np.arange(grid), np.arange(grid),
+                                 indexing="ij")
+            n_cells = grid * grid
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(doc_ids, n_cells),
+                    "cy": np.tile(cy.ravel(), len(lens)).astype(np.int32),
+                    "cx": np.tile(cx.ravel(), len(lens)).astype(np.int32),
+                    "mean_px": means.reshape(len(lens), n_cells).ravel(),
+                }
+            )
+
+    return blobs.select("doc_id", "blob").mapInPandas(
+        gen, schema="doc_id long, cy int, cx int, mean_px double"
+    )
+
+
+def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11b — deterministic fake-decode + block-mean thumbnail resize
+    over the fabricated blob table."""
+    return thumbnail_pool(attach_blobs(load_table(spark, "documents", sf_dir)))
+
+
 MULTIMODAL_QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_frames": multimodal_frames,
     "multimodal_byte_histogram": multimodal_byte_histogram,
+    "multimodal_thumbnail": multimodal_thumbnail,
 }
 
 # The text is ASCII in the testdata, so utf-8 bytes == codepoints and
 # the byte-mean is reproducible in SQL exactly.
 MULTIMODAL_ORACLES = {
+    # pixel(p) = byte[(p mod n)] of the row-major 16x16 tiling; each
+    # 4x4 cell averages its 16 pixels — /16.0 is a power-of-two
+    # division, so the double is exact and hash-stable.
+    "multimodal_thumbnail": """
+        WITH d AS (
+          SELECT doc_id, text, strlen(text) AS n
+          FROM documents WHERE strlen(text) > 0
+        ),
+        cells AS (
+          SELECT doc_id, text, n,
+                 unnest(generate_series(0, 3)) AS cy
+          FROM d
+        ),
+        grid AS (
+          SELECT doc_id, text, n, cy,
+                 unnest(generate_series(0, 3)) AS cx
+          FROM cells
+        )
+        SELECT doc_id,
+          CAST(cy AS INT) AS cy,
+          CAST(cx AS INT) AS cx,
+          list_sum(list_transform(generate_series(0, 15), b ->
+            ascii(substr(text,
+              CAST((((cy * 4 + b // 4) * 16 + (cx * 4 + b % 4)) % n)
+                   AS INT) + 1, 1))
+          )) / 16.0 AS mean_px
+        FROM grid
+    """,
     # ASCII text → utf-8 bytes == codepoints, so the byte histogram is
     # reproducible in SQL: bin = codepoint >> 5 (i.e. // 32).
     "multimodal_byte_histogram": """

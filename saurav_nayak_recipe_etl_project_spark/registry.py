@@ -132,6 +132,7 @@ _DRIVER_PRIORITY = [
     "copurchase_reach3",
     "events_variant_stats",
     "events_session_window",
+    "multimodal_thumbnail",
     # late-round internal change (broadcast LM model): fresh external
     # row for the plan change even though the oracle is untouched
     "text_lm_score",
