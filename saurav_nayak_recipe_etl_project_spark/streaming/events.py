@@ -313,3 +313,48 @@ STREAMING_ORACLES = {
         GROUP BY 1, 2
     """,
 }
+
+
+def run_session_window_stream(spark: SparkSession, source_dir: str,
+                              checkpoint_dir: str,
+                              query_name: str) -> None:
+    """STREAMING native session_window: watermarked gap-based session
+    aggregation (MergingSessionsExec with state) — the streaming twin
+    of streaming/sessions.events_session_window. Sessions merge ACROSS
+    micro-batches: an event landing within 30 min of a session open in
+    a previous batch must extend that session's state, not start a new
+    row — pinned in tests by a 2-batch split feed equaling the batch
+    form. Watermark bounds session state; update mode emits sessions
+    as they close or grow."""
+    from pyspark.sql import functions as FN
+
+    ev = read_event_stream(spark, source_dir, max_files_per_trigger=1)
+    agg = (
+        ev.withWatermark("ts", "30 days")
+        .groupBy(
+            FN.session_window("ts", "30 minutes").alias("sw"),
+            "user_id",
+        )
+        .agg(
+            FN.count("*").alias("n_events"),
+            FN.sum(FN.round(FN.col("value") * 100).cast("long"))
+            .alias("cents"),
+        )
+        .select(
+            "user_id",
+            FN.expr("timestampdiff(SECOND, TIMESTAMP '1970-01-01 00:00:00',"
+                    " sw.start)").cast("long").alias("session_start_s"),
+            FN.expr("timestampdiff(SECOND, TIMESTAMP '1970-01-01 00:00:00',"
+                    " sw.end)").cast("long").alias("session_end_s"),
+            "n_events",
+            (FN.col("cents") / FN.lit(100.0)).alias("session_value"),
+        )
+    )
+    await_or_raise(
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

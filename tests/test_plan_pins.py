@@ -140,3 +140,27 @@ def test_no_python_udfs_anywhere_in_headline(spark, sf_dir):
         p = _plan(QUERIES[name](spark, sf_dir))
         assert "BatchEvalPython" not in p, name
         assert "CartesianProduct" not in p, name
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """Optimizer-control surface: per-join strategy hints must reach
+    the physical plan — broadcast, shuffle_hash, and merge each force
+    their operator on the same join (the manual override lane when
+    statistics mislead the planner at 100 TB)."""
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    cases = {
+        "broadcast": "BroadcastHashJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+        "merge": "SortMergeJoin",
+    }
+    for hint, op in cases.items():
+        j = li.join(part.hint(hint), li.l_partkey == part.p_partkey)
+        p = _plan(j)
+        assert op in p, (hint, p[:800])

@@ -186,3 +186,50 @@ def test_stream_sliding_window_matches_batch(spark, sf_dir, tmp_path):
     want = {(r["window_start_s"], r["event_type"]): (r["n"], r["sum_value"])
             for r in events_sliding_window(spark, sf_dir).collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_session_window_matches_batch_across_micro_batches(
+        spark, sf_dir, tmp_path):
+    """Streaming native session_window must equal the batch
+    session_window aggregation even when events arrive in TWO
+    micro-batches split by event parity — a session opened in batch 1
+    must EXTEND (not duplicate) when batch 2 lands inside its gap."""
+    from saurav_nayak_recipe_etl_project_spark.streaming.sessions import (
+        events_session_window,
+    )
+
+    ev = E.load_table(spark, "events", sf_dir)
+    src = tmp_path / "drops"
+    src.mkdir()
+    import glob
+
+    for tag, parity in (("a", 0), ("b", 1)):
+        staged = tmp_path / f"stage_{tag}"
+        (ev.filter(ev.event_id % 2 == parity)
+         .coalesce(1).write.mode("overwrite").parquet(str(staged)))
+        part = glob.glob(str(staged / "part-*.parquet"))[0]
+        shutil.copy(part, src / f"{tag}.parquet")
+
+    E.run_session_window_stream(
+        spark, str(src), str(tmp_path / "cksw"), "sess_win_test"
+    )
+    got = {
+        (r["user_id"], r["session_start_s"]): (
+            r["session_end_s"], r["n_events"], r["session_value"])
+        for r in spark.sql("SELECT * FROM sess_win_test").collect()
+    }
+    from pyspark.sql import functions as F
+
+    want = {
+        (r["user_id"], r["start_s"]): (r["end_s"], r["n_events"],
+                                       r["session_value"])
+        for r in events_session_window(spark, sf_dir).select(
+            "user_id",
+            F.expr("timestampdiff(SECOND, TIMESTAMP '1970-01-01 00:00:00',"
+                   " session_start)").cast("long").alias("start_s"),
+            F.expr("timestampdiff(SECOND, TIMESTAMP '1970-01-01 00:00:00',"
+                   " session_end)").cast("long").alias("end_s"),
+            "n_events", "session_value",
+        ).collect()
+    }
+    assert got == want and len(got) > 0
