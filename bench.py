@@ -398,8 +398,12 @@ def main() -> None:
         # compact line carries the scaling SIGNAL — the worst ratio and
         # every query at >= 4x wall on 10x rows (superlinear suspects)
         compact["r10x_max"] = [worst, ratios[worst]]
+        # [ratio, sf_base_seconds]: a 5x ratio on a 0.13s base is
+        # scheduling fixed cost, not a scan blowup — carry the base so
+        # the flag self-explains without opening the detail file
         compact["r10x_over_4x"] = {
-            k: r for k, r in sorted(ratios.items()) if r >= 4.0
+            k: [r, timings.get(k)]
+            for k, r in sorted(ratios.items()) if r >= 4.0
         }
         compact["detail"] = "bench_detail.json"
     line = json.dumps(compact, separators=(",", ":"))
@@ -408,7 +412,7 @@ def main() -> None:
         # 2000-char stdout window; the detail file keeps everything
         compact["r10x_over_4x"] = dict(
             sorted(compact["r10x_over_4x"].items(),
-                   key=lambda kv: -kv[1])[:5]
+                   key=lambda kv: -kv[1][0])[:5]
         )
         compact["r10x_over_4x_truncated"] = True
         line = json.dumps(compact, separators=(",", ":"))
