@@ -129,6 +129,44 @@ def weekly_active_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def monthly_order_value_percentiles(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Monthly p50/p90/max order value — the quantile TREND monitor
+    (a mean hides the tail; a global quantile hides the drift; the
+    dashboard wants the percentile PER month). Discrete rank picks
+    (percentile_disc form, the event_interarrival_disc idiom): integer
+    cents, the value AT rank ceil(q*n) with orderkey tie-break, so the
+    series is engine-exact. Windows partition by month — bounded by
+    the calendar, never by order count per se; at extreme per-month
+    volumes the two-pass rank (functions/ranking.py) slots in with a
+    (month, cents-band) bucket."""
+    orders = load_table(spark, "orders", sf_dir)
+    d = orders.select(
+        F.expr(
+            "(year(cast(o_orderdate as date)) - 1970) * 12"
+            " + month(cast(o_orderdate as date)) - 1"
+        ).cast("long").alias("month"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w_rank = Window.partitionBy("month").orderBy("cents", "o_orderkey")
+    w_grp = Window.partitionBy("month")
+    ranked = (
+        d.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n", F.count("*").over(w_grp))
+    )
+    pick = lambda q: F.max(
+        F.when(F.col("rn") == F.expr(f"cast(ceil(n * {q}) as bigint)"),
+               F.col("cents"))
+    )
+    return ranked.groupBy("month").agg(
+        F.max("n").alias("n_orders"),
+        (pick(0.5) / F.lit(100.0)).alias("p50_value"),
+        (pick(0.9) / F.lit(100.0)).alias("p90_value"),
+        (F.max("cents") / F.lit(100.0)).alias("max_value"),
+    )
+
+
 def rolling_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT trailing-7-day distinct active users per day (rolling
     WAU), plus same-day DAU and the DAU/WAU stickiness ratio — the
@@ -655,6 +693,7 @@ TEMPORAL_QUERIES = {
     "events_sliding_window": events_sliding_window,
     "cohort_retention": cohort_retention,
     "rolling_weekly_active_users": rolling_weekly_active_users,
+    "monthly_order_value_percentiles": monthly_order_value_percentiles,
     "weekly_active_breakdown": weekly_active_breakdown,
     "event_transitions": event_transitions,
     "gapfill_daily_revenue": gapfill_daily_revenue,
@@ -663,6 +702,30 @@ TEMPORAL_QUERIES = {
 }
 
 TEMPORAL_ORACLES = {
+    "monthly_order_value_percentiles": """
+        WITH d AS (
+          SELECT (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1
+                   AS month,
+                 o_orderkey,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+        ),
+        r AS (
+          SELECT month, cents,
+            ROW_NUMBER() OVER (PARTITION BY month
+                               ORDER BY cents, o_orderkey) AS rn,
+            COUNT(*) OVER (PARTITION BY month) AS n
+          FROM d
+        )
+        SELECT CAST(month AS BIGINT) AS month,
+          CAST(MAX(n) AS BIGINT) AS n_orders,
+          MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+              THEN cents END) / 100.0 AS p50_value,
+          MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT)
+              THEN cents END) / 100.0 AS p90_value,
+          MAX(cents) / 100.0 AS max_value
+        FROM r GROUP BY month
+    """,
     "rolling_weekly_active_users": """
         WITH du AS (
           SELECT DISTINCT user_id,

@@ -133,6 +133,7 @@ _DRIVER_PRIORITY = [
     "events_variant_stats",
     "events_session_window",
     "multimodal_thumbnail",
+    "monthly_order_value_percentiles",
     # late-round internal change (broadcast LM model): fresh external
     # row for the plan change even though the oracle is untouched
     "text_lm_score",
