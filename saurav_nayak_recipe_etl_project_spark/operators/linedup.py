@@ -223,6 +223,62 @@ def doc_novelty_5gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(load_table(spark, "documents", sf_dir))
 
 
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def overlapping_chunks(docs: DataFrame, chunk_tokens: int = CHUNK_TOKENS,
+                       stride: int = CHUNK_STRIDE, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Sliding-window document chunking — the RAG / pretraining prep
+    step (chunk_tokens-token windows every stride tokens, overlap =
+    chunk_tokens - stride so no boundary sentence is ever lost to a
+    hard cut). Chunk starts are 0, stride, 2·stride, ... while start <
+    n_tokens (so a short doc yields one chunk and a doc ending just
+    past a stride boundary yields a short tail chunk — both engines
+    agree by construction).
+
+    Pure column algebra: one sequence() of starts + transform/slice
+    over the token array — no explode-then-window, no UDF; the row
+    expansion is the final posexplode of per-doc chunk arrays. Scales
+    as a map-only operator (zero shuffles; output rows ~ n_tokens /
+    stride per doc)."""
+    toks = tokens(F.col(text_col))
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_toks"),
+        F.size(toks).alias("_n"),
+    ).where(F.col("_n") > 0)
+    starts = F.sequence(
+        F.lit(0),
+        F.col("_n") - 1,
+        F.lit(stride),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.concat_ws(
+            " ", F.slice(F.col("_toks"), s + 1, chunk_tokens)
+        ),
+    )
+    return (
+        t.select("doc_id", "_n", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("chunk_idx") * stride).cast("long").alias("start_tok"),
+            F.least(
+                F.lit(chunk_tokens), F.col("_n") - F.col("chunk_idx") * stride
+            ).cast("long").alias("n_tokens"),
+            "chunk",
+        )
+    )
+
+
+def doc_chunks_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: 64-token windows, stride 48, over documents."""
+    return overlapping_chunks(load_table(spark, "documents", sf_dir))
+
+
 # 5-gram analog of dedup.py's _SHINGLES oracle macro.
 _GRAMS5 = """
     CASE WHEN len(toks) >= 5 THEN list_distinct(
@@ -237,6 +293,7 @@ LINEDUP_QUERIES = {
     "decontaminate_5gram": decontaminate_5gram,
     "dedup_subset_containment": dedup_subset_containment,
     "doc_novelty_5gram": doc_novelty_5gram,
+    "doc_chunks_overlapping": doc_chunks_overlapping,
 }
 
 # 3-gram analog reused from dedup.py's oracle macro shape.
@@ -301,6 +358,28 @@ LINEDUP_ORACLES = {
                COALESCE(re.n_kept, 0) AS n_kept,
                COALESCE(re.kept_text, '') AS kept_text
         FROM totals t LEFT JOIN re ON t.doc_id = re.doc_id
+    """,
+    "doc_chunks_overlapping": f"""
+        WITH t AS (
+          SELECT doc_id,
+            regexp_split_to_array(trim(text), '\\s+') AS toks,
+            len(regexp_split_to_array(trim(text), '\\s+')) AS n
+          FROM documents
+        ),
+        starts AS (
+          SELECT doc_id, n, toks,
+            unnest(generate_series(0, CAST(n - 1 AS BIGINT),
+                                   {CHUNK_STRIDE})) AS s
+          FROM t WHERE n > 0
+        )
+        SELECT doc_id,
+          CAST(s // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+          CAST(s AS BIGINT) AS start_tok,
+          CAST(LEAST({CHUNK_TOKENS}, n - s) AS BIGINT) AS n_tokens,
+          array_to_string(
+            toks[CAST(s + 1 AS BIGINT):CAST(s + {CHUNK_TOKENS} AS BIGINT)],
+            ' ') AS chunk
+        FROM starts
     """,
     "doc_novelty_5gram": f"""
         WITH t AS (

@@ -134,6 +134,7 @@ _DRIVER_PRIORITY = [
     "events_session_window",
     "multimodal_thumbnail",
     "monthly_order_value_percentiles",
+    "doc_chunks_overlapping",
     # late-round internal change (broadcast LM model): fresh external
     # row for the plan change even though the oracle is untouched
     "text_lm_score",

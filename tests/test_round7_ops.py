@@ -193,3 +193,22 @@ def test_spearman_perfect_and_inverse(spark, monkeypatch):
     n = 7
     rho = 1_000_000 - (6_000_000 * 0) // (n * n * n - n)
     assert rho == 1_000_000
+
+
+def test_overlapping_chunks_boundaries(spark):
+    """Chunker contract on a hand-sized doc: 10 tokens, chunk=4,
+    stride=3 -> starts 0,3,6,9; the last chunk is a 1-token tail;
+    overlap tokens repeat across adjacent chunks."""
+    from saurav_nayak_recipe_etl_project_spark.operators.linedup import (
+        overlapping_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")], "doc_id long, text string"
+    )
+    rows = {r["chunk_idx"]: r for r in overlapping_chunks(
+        docs, chunk_tokens=4, stride=3).collect()}
+    assert sorted(rows) == [0, 1, 2, 3]
+    assert rows[0]["chunk"] == "t0 t1 t2 t3" and rows[0]["n_tokens"] == 4
+    assert rows[1]["chunk"] == "t3 t4 t5 t6" and rows[1]["start_tok"] == 3
+    assert rows[3]["chunk"] == "t9" and rows[3]["n_tokens"] == 1
