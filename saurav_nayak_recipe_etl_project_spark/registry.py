@@ -78,8 +78,8 @@ _load_optional()
 #   (2) the STALEST entries first — ordered by the round each was last
 #       externally verified in (computed from the CORRECTNESS_r*.json
 #       union) — until the window is full.
-# With 168 entries and a 50-entry window, stalest-first re-verifies
-# every entry within ~5 rounds even in an additive round. Round-7
+# With 186 entries and a 50-entry window, stalest-first re-verifies
+# every entry within ~6 rounds even in an additive round. Round-7
 # window composition, per the round-6 rotation plan:
 #   (1) the 15 round-6 deferrals — never yet in a driver window
 #       (judge-verified green at sf0.01 in VERDICT r6; a driver row is
