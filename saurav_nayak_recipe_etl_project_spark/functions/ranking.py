@@ -18,6 +18,11 @@ a value-derived bucket is pure, so both branches agree by
 construction. Bucket-size skew is the caller's trade-off and is
 documented per call site.
 
+Reference scope: the reference's rankings run inside BigQuery
+(README.md §6 queries use ORDER BY/LIMIT); this module exists so the
+re-hosted engine can rank at cluster scale without the single-task
+window BigQuery's engine hides from its users.
+
 Requirements on inputs:
 - ``sort_cols`` must be a STRICT total order (include a unique
   tie-break column) — ranks 1..n are then well-defined and
