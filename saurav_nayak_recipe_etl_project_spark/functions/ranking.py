@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 _BUCKET = "_rk_bucket"
 _OFFSET = "_rk_offset"
+_SUMOFF = "_rk_sumoff"
 
 
 def with_global_rank(
@@ -47,6 +48,8 @@ def with_global_rank(
     bucket: Column,
     rank_col: str = "rank",
     materialize: bool = False,
+    cumsum_of: str | None = None,
+    cumsum_col: str = "cum",
 ) -> DataFrame:
     """Add ``rank_col`` = exact 1-based global row_number of each row
     under ascending ``sort_cols``, computed with per-bucket parallel
@@ -67,6 +70,14 @@ def with_global_rank(
     10.8s ON). Keep the knob for callers whose upstream is NOT
     exchange-shaped (e.g. a mapInPandas source the optimizer can't
     common out); profile before flipping it.
+
+    ``cumsum_of`` (a column name in ``df``) additionally emits
+    ``cumsum_col`` = the exact running sum of that column over the
+    same global order — the Pareto / coverage-curve frame — via the
+    identical two-pass shape: per-bucket window running sum plus the
+    broadcast sum of all earlier buckets. No extra shuffle: the
+    per-bucket sums ride the same count aggregation and the same
+    offset join.
     """
     # NULL sort keys are unsupported (SQL windows order them
     # first/last; a null BUCKET would silently vanish through the
@@ -84,25 +95,89 @@ def with_global_rank(
     )
     if materialize:
         d = d.localCheckpoint(eager=False)
-    cnts = d.groupBy(_BUCKET).agg(F.count("*").alias("_rk_c"))
-    lo = cnts.select(
+    aggs = [F.count("*").alias("_rk_c")]
+    if cumsum_of is not None:
+        aggs.append(F.sum(cumsum_of).alias("_rk_s"))
+    cnts = d.groupBy(_BUCKET).agg(*aggs)
+    lo_cols = [
         F.col(_BUCKET).alias("_rk_b_lo"), F.col("_rk_c").alias("_rk_c_lo")
-    )
+    ]
+    if cumsum_of is not None:
+        lo_cols.append(F.col("_rk_s").alias("_rk_s_lo"))
+    lo = cnts.select(*lo_cols)
+    off_aggs = [F.coalesce(F.sum("_rk_c_lo"), F.lit(0)).alias(_OFFSET)]
+    if cumsum_of is not None:
+        off_aggs.append(
+            F.coalesce(F.sum("_rk_s_lo"), F.lit(0)).alias(_SUMOFF)
+        )
     offs = (
         cnts.join(
             F.broadcast(lo), F.col("_rk_b_lo") < F.col(_BUCKET), "left"
         )
         .groupBy(_BUCKET)
-        .agg(F.coalesce(F.sum("_rk_c_lo"), F.lit(0)).alias(_OFFSET))
+        .agg(*off_aggs)
     )
     w = Window.partitionBy(_BUCKET).orderBy(*sort_cols)
-    return (
+    out = (
         d.join(F.broadcast(offs), _BUCKET)
         .withColumn(
             rank_col,
             (F.row_number().over(w).cast("long") + F.col(_OFFSET)),
         )
-        .drop(_BUCKET, _OFFSET)
+    )
+    if cumsum_of is not None:
+        out = out.withColumn(
+            cumsum_col,
+            F.sum(cumsum_of).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            + F.col(_SUMOFF),
+        ).drop(_SUMOFF)
+    return out.drop(_BUCKET, _OFFSET)
+
+
+def derive_band_width(
+    df: DataFrame,
+    col: str,
+    target_buckets: int = 256,
+    q_lo: float = 0.005,
+    q_hi: float = 0.995,
+    relative_error: float = 0.001,
+) -> int:
+    """Derive a ``with_global_rank`` band width from the DATA instead
+    of a hand-tuned literal, so a 100x value-range drift can't
+    collapse the buckets to a handful of giant windows (the round-7
+    lesson: 2^22-cent bands over a [$900, $110k] catalog left 3
+    buckets and a 9x wall-clock at 10x data).
+
+    One approxQuantile pass (Greenwald-Khanna sketch — O(1) driver
+    result at any scale) samples the [q_lo, q_hi] value span; the
+    width is the power of two putting ~``target_buckets`` buckets
+    across that span. Outliers beyond the quantile clip simply land
+    in their own sparse buckets — floor(value/width) is total, so no
+    row is lost. The returned width is baked into the plan as a
+    literal, so the counts branch and the rank branch of
+    ``with_global_rank`` agree by construction.
+
+    Power-of-two snap keeps the bucket count within [target/2,
+    target*2] of the requested target across ANY value range
+    (property-tested in tests/test_ranking.py over 10^6x spans)."""
+    import math
+
+    qs = df.stat.approxQuantile(col, [q_lo, q_hi], relative_error)
+    if len(qs) < 2:  # empty frame: any width works, 1 is total
+        return 1
+    span = max(float(qs[1]) - float(qs[0]), 1.0)
+    return 2 ** max(0, round(math.log2(span / target_buckets)))
+
+
+def auto_band(df: DataFrame, col: str, target_buckets: int = 256) -> Column:
+    """``floor(col / derive_band_width(...))`` — the drop-in bucket
+    expression for ``with_global_rank`` when the sort key is a numeric
+    column of ``df`` (ascending). For negated/derived keys call
+    ``derive_band_width`` on a frame that carries the derived key."""
+    return F.floor(
+        F.col(col) / F.lit(derive_band_width(df, col, target_buckets))
     )
 
 

@@ -39,12 +39,18 @@ def salted_join(skewed: DataFrame, other: DataFrame, key: str,
     duplicate unmatched `other` rows across salts and are rejected.
     This is the explicit form of what AQE skew-join does adaptively;
     use it when the skew is known ahead of time (or AQE is off) and
-    for deterministic plan shape under test."""
+    for deterministic plan shape under test.
+
+    The salt carries a PER-ROW component (position within the scan,
+    as salted_count already does), never a content hash: a hot key's
+    rows are typically full duplicates, and a content-derived salt
+    would give them all the same value — re-concentrating exactly the
+    rows the salt exists to spread."""
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     s = skewed.withColumn(
         "_salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]),
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()),
                F.lit(n_salts)).cast("int"),
     )
     o = other.withColumn(

@@ -102,57 +102,70 @@ def publish_with_audit(df: DataFrame, table_dir: str, audits,
     """Write-audit-publish (the Iceberg/Netflix WAP pattern on plain
     parquet): readers NEVER see an unaudited or half-written snapshot.
 
-    1. WRITE the snapshot to a fresh `_v<N>` staging directory (never
-       in-place — an in-place overwrite is visible mid-write).
+    1. WRITE the snapshot under the `_staging/` namespace (never
+       in-place, and never at a reader-visible `_v<N>` path — a
+       mid-write or unaudited directory must be invisible to the
+       time-travel catalog, not just to the CURRENT pointer).
     2. AUDIT the STAGED files (each audit is `fn(DataFrame) -> bool`
        reading the staging dir, not the input plan — catching writer
        bugs, not just logic bugs). Any failure leaves the live table
        untouched and raises AuditFailure.
-    3. PUBLISH by atomically replacing the `CURRENT` pointer file
-       (os.replace — POSIX-atomic within a filesystem), then prune
-       versions beyond `keep_versions` (old readers may still hold
-       the previous snapshot open; keeping N>1 gives them a grace
-       window — the poor-man's snapshot isolation).
+    3. PUBLISH by atomically renaming `_staging/_v<N>` into place
+       (os.rename of a directory — POSIX-atomic within a filesystem),
+       then atomically replacing the `CURRENT` pointer file, then
+       prune versions beyond `keep_versions` (old readers may still
+       hold the previous snapshot open; keeping N>1 gives them a
+       grace window — the poor-man's snapshot isolation). A `_v<N>`
+       directory therefore exists IFF its snapshot passed audits —
+       `read_published(version=N)` and `published_versions()` can
+       never surface an unaudited or half-written snapshot.
 
     Readers resolve via `read_published(spark, table_dir)`. On object
     stores the pointer file becomes the metadata-location swap every
     table format performs; the staging/audit legs are identical.
     Returns the published snapshot path."""
     import os
+    import shutil
 
     spark = df.sparkSession
-    os.makedirs(table_dir, exist_ok=True)
+    staging_root = os.path.join(table_dir, "_staging")
+    os.makedirs(staging_root, exist_ok=True)
     cur_file = os.path.join(table_dir, "CURRENT")
     existing = sorted(
         int(d[2:]) for d in os.listdir(table_dir)
         if d.startswith("_v") and d[2:].isdigit()
     )
-    version = (existing[-1] + 1) if existing else 1
-    staged = os.path.join(table_dir, f"_v{version}")
+    # Version numbering must also skip stale staging leftovers (a
+    # crashed writer) so a new stage never collides with one.
+    staged_leftover = [
+        int(d[2:]) for d in os.listdir(staging_root)
+        if d.startswith("_v") and d[2:].isdigit()
+    ]
+    version = max(existing + staged_leftover, default=0) + 1
+    staged = os.path.join(staging_root, f"_v{version}")
     df.write.mode("errorifexists").parquet(staged)
 
     staged_df = spark.read.parquet(staged)
     for audit in audits:
         if not audit(staged_df):
-            import shutil
-
             shutil.rmtree(staged)
             raise AuditFailure(
                 f"audit {getattr(audit, '__name__', audit)!r} rejected "
                 f"staged snapshot v{version}; live table unchanged"
             )
 
+    published = os.path.join(table_dir, f"_v{version}")
+    os.rename(staged, published)
+
     tmp_ptr = cur_file + ".tmp"
     with open(tmp_ptr, "w") as fh:
         fh.write(f"_v{version}\n")
     os.replace(tmp_ptr, cur_file)
 
-    import shutil
-
     for old in existing[: max(0, len(existing) - (keep_versions - 1))]:
         shutil.rmtree(os.path.join(table_dir, f"_v{old}"),
                       ignore_errors=True)
-    return staged
+    return published
 
 
 def read_published(spark: SparkSession, table_dir: str,

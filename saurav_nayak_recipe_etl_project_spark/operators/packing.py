@@ -263,12 +263,22 @@ def source_topp_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tokens").over(w_cum).alias("cum_tokens"),
         F.sum("tokens").over(w_tot).alias("lang_tokens"),
     ).select(
+        # ppm products widen through DECIMAL(38,0) (HUGEINT in the
+        # oracle): past ~9.2e12 tokens per language BIGINT * 1e6
+        # silently wraps with ANSI off — the exact shape the sibling
+        # part_pair_lift / regression ops already widen for.
         "lang", "source", "tokens", "rank",
-        F.expr("tokens * 1000000 DIV lang_tokens").alias("share_ppm"),
-        F.expr("cum_tokens * 1000000 DIV lang_tokens").alias("cum_ppm"),
-        (
-            (F.col("cum_tokens") - F.col("tokens")) * 1_000_000
-            < F.lit(TOPP_PPM) * F.col("lang_tokens")
+        F.expr(
+            "cast(cast(tokens as decimal(38,0)) * 1000000"
+            " DIV lang_tokens as bigint)"
+        ).alias("share_ppm"),
+        F.expr(
+            "cast(cast(cum_tokens as decimal(38,0)) * 1000000"
+            " DIV lang_tokens as bigint)"
+        ).alias("cum_ppm"),
+        F.expr(
+            "cast(cum_tokens - tokens as decimal(38,0)) * 1000000"
+            f" < cast({TOPP_PPM} as decimal(38,0)) * lang_tokens"
         ).alias("kept"),
     )
 
@@ -306,10 +316,12 @@ PACKING_ORACLES = {
           FROM mass
         )
         SELECT lang, source, tokens, rank,
-          tokens * 1000000 // lang_tokens AS share_ppm,
-          cum_tokens * 1000000 // lang_tokens AS cum_ppm,
-          (cum_tokens - tokens) * 1000000 < {TOPP_PPM} * lang_tokens
-            AS kept
+          CAST(CAST(tokens AS HUGEINT) * 1000000 // lang_tokens
+               AS BIGINT) AS share_ppm,
+          CAST(CAST(cum_tokens AS HUGEINT) * 1000000 // lang_tokens
+               AS BIGINT) AS cum_ppm,
+          CAST(cum_tokens - tokens AS HUGEINT) * 1000000
+            < CAST({TOPP_PPM} AS HUGEINT) * lang_tokens AS kept
         FROM ranked
     """,
     "corpus_shuffle": f"""

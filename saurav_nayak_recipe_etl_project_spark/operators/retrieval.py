@@ -55,14 +55,29 @@ MICRO = 1000000.0  # fixed-point scale for log terms (micro-nats)
 
 def _query_terms(words: DataFrame) -> DataFrame:
     """(query_id, w) from the ranked vocabulary — deterministic
-    (count desc, word asc) ranking, 2 terms per query."""
-    w_rank = Window.orderBy(F.desc("n"), F.asc("w"))
+    (count desc, word asc) ranking, 2 terms per query.
+
+    r8 de-weak: the first cut ranked the ENTIRE vocabulary with a
+    global row_number window just to pick ranks [RANK_LO,
+    RANK_LO+2N). Now the top RANK_LO+2N-1 terms come from
+    ``orderBy().limit()`` — TakeOrderedAndProject, distributed
+    per-partition top-k, O(17) driver — and the rank within that
+    17-row frame is a broadcast triangle self-join (1 + count of
+    rows sorting strictly earlier), so the vocabulary is never
+    globally windowed and the plan has no window node here."""
+    top_n = BM25_RANK_LO + 2 * N_BM25_QUERIES - 1
+    top = words.orderBy(F.desc("n"), F.asc("w")).limit(top_n)
+    earlier = top.select(F.col("n").alias("_n2"), F.col("w").alias("_w2"))
     return (
-        words.withColumn("rank", F.row_number().over(w_rank))
-        .filter(
-            (F.col("rank") >= BM25_RANK_LO)
-            & (F.col("rank") < BM25_RANK_LO + 2 * N_BM25_QUERIES)
+        top.join(
+            F.broadcast(earlier),
+            (F.col("_n2") > F.col("n"))
+            | ((F.col("_n2") == F.col("n")) & (F.col("_w2") < F.col("w"))),
+            "left",
         )
+        .groupBy("w")
+        .agg((F.count("_w2") + 1).cast("int").alias("rank"))
+        .filter(F.col("rank") >= BM25_RANK_LO)
         .select(
             ((F.col("rank") - BM25_RANK_LO) % N_BM25_QUERIES)
             .cast("long").alias("query_id"),

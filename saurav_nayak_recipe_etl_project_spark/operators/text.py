@@ -258,53 +258,46 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     word tiebreak). This is the first number a BPE/word-piece
     training run needs — how big a vocab buys how much coverage.
 
-    Scale shape: one token explode + one word groupBy (map-side
-    combined) shrinks the corpus to its VOCABULARY, and everything
-    after (rank window + cumulative sum + K probes) runs on vocab-
-    sized data. Counts stay integer until the final ratio, so the
-    oracle agrees bit-for-bit."""
-    from pyspark.sql.window import Window
-
+    Scale shape (r8 de-weak): one token explode + one word groupBy
+    (map-side combined) shrinks the corpus to its VOCABULARY — but
+    the vocabulary itself grows with the corpus (Heaps' law), so the
+    global rank-window + running-sum the first cut used was a
+    single-task sort over billions of types at 100 TB. The curve only
+    probes |VOCAB_KS| fixed ranks, so no per-type rank is needed at
+    all: each K becomes one ``orderBy(...).limit(K)`` limb — Spark
+    plans TakeOrderedAndProject (distributed per-partition top-K,
+    O(K) merge) — summed and unioned. ReuseExchange shares the one
+    vocabulary aggregation across limbs; the plan has NO window node
+    (pinned in tests/test_plan_pins.py). Counts stay integer until
+    the final ratio, so the oracle agrees bit-for-bit."""
     docs = load_table(spark, "documents", sf_dir)
     words = (
         docs.select(F.explode(tokens(F.col("text"))).alias("w"))
         .groupBy("w").agg(F.count("*").alias("n"))
     )
-    w_rank = Window.orderBy(F.desc("n"), F.asc("w"))
-    ranked = words.select(
-        "n",
-        F.row_number().over(w_rank).cast("long").alias("rank"),
-    ).withColumn(
-        "cum", F.sum("n").over(
-            Window.orderBy("rank")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-    )
     totals = words.agg(
         F.sum("n").alias("total_tokens"),
         F.count("*").alias("vocab_size"),
     )
-    ks = spark.range(0).sparkSession.createDataFrame(
-        [(k,) for k in VOCAB_KS], "k long"
-    )
-    covered = (
-        ranked.crossJoin(F.broadcast(ks))  # vocab x 3 rows
-        .filter(F.col("rank") <= F.col("k"))
-        .groupBy("k").agg(F.max("cum").alias("covered_tokens"))
-    )
-    return (
-        ks.join(covered, "k", "left")
-        .crossJoin(totals)
-        .select(
-            "k",
-            "vocab_size",
-            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
-            "total_tokens",
-            F.round(
-                F.coalesce("covered_tokens", F.lit(0))
-                / F.col("total_tokens"), 6
-            ).alias("coverage"),
+    per_k = None
+    for k in VOCAB_KS:
+        limb = (
+            words.orderBy(F.desc("n"), F.asc("w")).limit(k)
+            .agg(
+                F.coalesce(F.sum("n"), F.lit(0)).cast("long")
+                .alias("covered_tokens")
+            )
+            .select(F.lit(k).cast("long").alias("k"), "covered_tokens")
         )
+        per_k = limb if per_k is None else per_k.unionByName(limb)
+    return per_k.crossJoin(totals).select(
+        "k",
+        "vocab_size",
+        "covered_tokens",
+        "total_tokens",
+        F.round(
+            F.col("covered_tokens") / F.col("total_tokens"), 6
+        ).alias("coverage"),
     )
 
 

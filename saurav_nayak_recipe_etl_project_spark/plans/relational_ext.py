@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from saurav_nayak_recipe_etl_project_spark.functions.ranking import (
+    derive_band_width,
     ntile_from_rank,
     with_global_rank,
 )
@@ -174,8 +175,16 @@ def part_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     running share. The inclusion cut is the PURE-INTEGER predicate
     (cum - own) * 4 < total — no double compare at the boundary, so
     the emitted row set is engine-exact; only the display share is a
-    raw double division. One aggregation shuffle + one ordered window
-    over the part-level rollup (bounded by |parts|, not |lineitem|)."""
+    raw double division.
+
+    Scale shape (r8): parts grow ~200k x SF, so the global ordered
+    window the first cut used is a single-task sort at 100 TB. The
+    rank AND the running revenue sum now come from the two-pass
+    distributed shape (functions/ranking.py with_global_rank +
+    cumsum_of) over revenue bands whose width is DERIVED from an
+    approxQuantile sample of the rollup (derive_band_width) — a
+    value-range drift can't collapse the bands into a handful of
+    giant windows."""
     li = load_table(spark, "lineitem", sf_dir)
     rev = li.groupBy("l_partkey").agg(
         F.sum(
@@ -183,14 +192,20 @@ def part_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
         ).alias("cents")
     )
-    w = Window.orderBy(F.desc("cents"), F.asc("l_partkey"))
+    keyed = rev.select(
+        "l_partkey", "cents", (-F.col("cents")).alias("_neg")
+    )
+    width = derive_band_width(keyed, "_neg")
+    ranked = with_global_rank(
+        keyed,
+        ["_neg", "l_partkey"],
+        bucket=F.floor(F.col("_neg") / F.lit(width)),
+        cumsum_of="cents",
+        cumsum_col="cum_cents",
+    )
     total = rev.agg(F.sum("cents").alias("total_cents"))
     return (
-        rev.withColumn("rank", F.row_number().over(w).cast("long"))
-        .withColumn(
-            "cum_cents",
-            F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-        )
+        ranked
         .crossJoin(F.broadcast(total))
         .where((F.col("cum_cents") - F.col("cents")) * 4 < F.col("total_cents"))
         .select(
@@ -592,7 +607,12 @@ def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue. Class cuts are the same pure-integer predicates as the
     frontier ((cum-own)*2 < total for A, *10 < 8*total for B), so the
     class assignment is engine-exact; the summary is class-bounded
-    (3 rows)."""
+    (3 rows).
+
+    Scale shape (r8): same de-weak as part_revenue_pareto — the
+    part-level frame grows with data, so the running sum comes from
+    the two-pass distributed rank (cumsum_of) over auto-derived
+    revenue bands, never a global single-task window."""
     li = load_table(spark, "lineitem", sf_dir)
     rev = li.groupBy("l_partkey").agg(
         F.sum(
@@ -600,12 +620,18 @@ def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
         ).alias("cents")
     )
-    w = Window.orderBy(F.desc("cents"), F.asc("l_partkey"))
+    keyed = rev.select(
+        "l_partkey", "cents", (-F.col("cents")).alias("_neg")
+    )
+    width = derive_band_width(keyed, "_neg")
     total = rev.agg(F.sum("cents").alias("total_cents"))
     classed = (
-        rev.withColumn(
-            "cum_cents",
-            F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        with_global_rank(
+            keyed,
+            ["_neg", "l_partkey"],
+            bucket=F.floor(F.col("_neg") / F.lit(width)),
+            cumsum_of="cents",
+            cumsum_col="cum_cents",
         )
         .crossJoin(F.broadcast(total))
         .withColumn(

@@ -324,8 +324,12 @@ def run_session_window_stream(spark: SparkSession, source_dir: str,
     micro-batches: an event landing within 30 min of a session open in
     a previous batch must extend that session's state, not start a new
     row — pinned in tests by a 2-batch split feed equaling the batch
-    form. Watermark bounds session state; update mode emits sessions
-    as they close or grow."""
+    form. Watermark bounds session state. Output runs in COMPLETE
+    mode (session_window aggregation does not support update mode in
+    Spark), which rebuilds the whole result each trigger — fine for
+    this memory-sink test scope; a production sink would use APPEND
+    mode with a tighter watermark so only watermark-closed sessions
+    emit, keeping per-trigger output incremental."""
     from pyspark.sql import functions as FN
 
     ev = read_event_stream(spark, source_dir, max_files_per_trigger=1)

@@ -63,19 +63,32 @@ def run_upsert_stream(spark: SparkSession, source_dir: str,
 
 def run_audited_publish_stream(spark: SparkSession, source_dir: str,
                                checkpoint_dir: str, table_dir: str,
-                               audits) -> dict:
-    """Streaming write-audit-publish: each micro-batch's aggregate
-    snapshot is STAGED, audited against the staged files, and only
-    then atomically published (operators/maintenance.publish_with_audit
-    inside foreachBatch) — the streaming form of the WAP protocol, so
-    downstream readers of the live pointer can never observe a
-    micro-batch that failed its quality gate.
+                               audits,
+                               max_files_per_trigger: int | None = None,
+                               ) -> dict:
+    """Streaming write-audit-publish: each trigger's CUMULATIVE
+    aggregate snapshot is STAGED, audited against the staged files,
+    and only then atomically published
+    (operators/maintenance.publish_with_audit inside foreachBatch) —
+    the streaming form of the WAP protocol, so downstream readers of
+    the live pointer can never observe data that failed its quality
+    gate.
+
+    Cumulative is load-bearing: the upstream is a STATEFUL streaming
+    aggregation keyed by (event_type, user_id) and foreachBatch runs
+    in COMPLETE output mode, so every trigger's batch_df is the full
+    state over ALL events seen so far — not the micro-batch alone. A
+    later micro-batch therefore never replaces earlier batches'
+    counts, and exact distinct-user counts fall out of the state key
+    (streaming aggregations forbid countDistinct; counting state rows
+    per type is the exact equivalent).
 
     A failed audit is RECORDED (batch_id -> error) and the stream
     continues — a poisoned batch must not wedge the pipeline; the
-    rejected snapshot never becomes visible, and the NEXT good batch's
-    snapshot (cumulative, rebuilt from state) supersedes it. Returns
-    {batch_id: 'published' | error message}."""
+    rejected snapshot never becomes visible, and the NEXT good
+    trigger's snapshot (cumulative, rebuilt from state) supersedes
+    it, so a rejected batch's events are deferred, never lost.
+    Returns {batch_id: 'published' | error message}."""
     from saurav_nayak_recipe_etl_project_spark.operators.maintenance import (
         AuditFailure,
         publish_with_audit,
@@ -84,13 +97,18 @@ def run_audited_publish_stream(spark: SparkSession, source_dir: str,
         read_event_stream,
     )
 
-    events = read_event_stream(spark, source_dir)
+    events = read_event_stream(
+        spark, source_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    per_user = events.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("n")
+    )
     outcomes: dict = {}
 
     def stage_audit_publish(batch_df: DataFrame, batch_id: int) -> None:
         snap = batch_df.groupBy("event_type").agg(
-            F.count("*").alias("n_events"),
-            F.countDistinct("user_id").alias("n_users"),
+            F.sum("n").cast("long").alias("n_events"),
+            F.count("user_id").alias("n_users"),
         )
         try:
             publish_with_audit(snap, table_dir, audits)
@@ -99,7 +117,8 @@ def run_audited_publish_stream(spark: SparkSession, source_dir: str,
             outcomes[batch_id] = str(e)
 
     await_or_raise(
-        events.writeStream.foreachBatch(stage_audit_publish)
+        per_user.writeStream.outputMode("complete")
+        .foreachBatch(stage_audit_publish)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -109,6 +109,44 @@ def test_publish_with_audit_failed_audit_leaves_table_untouched(spark, tmp_path)
     assert [d for d in os.listdir(t) if d.startswith("_v")] == ["_v1"]
 
 
+def test_staged_snapshot_invisible_until_audited(spark, tmp_path):
+    """A mid-write / unaudited snapshot lives under _staging and must
+    be invisible to BOTH read authorities — published_versions() and
+    read_published(version=N) — never just to the CURRENT pointer;
+    and a stale staging leftover must not collide with the next
+    publish's version number."""
+    import os
+
+    from saurav_nayak_recipe_etl_project_spark.operators.maintenance import (
+        publish_with_audit,
+        published_versions,
+        read_published,
+    )
+
+    t = str(tmp_path / "tbl")
+    d1 = spark.range(5)
+    publish_with_audit(d1, t, audits=[lambda df: True])
+    assert published_versions(t) == [1]
+
+    # simulate a crashed writer: a half-written staged v2
+    stale = os.path.join(t, "_staging", "_v2")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"not parquet")
+
+    assert published_versions(t) == [1]
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_published(spark, t, version=2)
+
+    # next publish must skip the stale staged number, not collide
+    publish_with_audit(spark.range(9), t, audits=[lambda df: True],
+                       keep_versions=3)
+    assert published_versions(t) == [1, 3]
+    assert read_published(spark, t).count() == 9
+
+
 def test_publish_time_travel_reads_retained_versions(spark, tmp_path):
     """Version-pinned reads: with keep_versions=3, both snapshots stay
     readable by number; a pruned or never-published version raises."""

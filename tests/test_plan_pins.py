@@ -81,19 +81,39 @@ def _window_arg_groups(plan: str) -> list:
 
 @pytest.mark.parametrize(
     "name",
-    ["customer_rfm", "corpus_shuffle", "funnel_time_to_convert"],
+    [
+        "customer_rfm",
+        "corpus_shuffle",
+        "funnel_time_to_convert",
+        # round-8 de-weaks: distributed rank+cumsum over derived
+        # revenue bands (pareto/abc); TakeOrderedAndProject +
+        # triangle-join rank for the bm25 query-term derivation
+        "part_revenue_pareto",
+        "part_abc_classification",
+        "bm25_search",
+    ],
 )
 def test_no_single_partition_windows(spark, sf_dir, name):
-    """The round-6 'weak' trio must keep their distributed two-pass
-    rank shape: every Window in the plan carries a partition spec
-    (the bucket column), never a global ORDER BY that would funnel
-    all rows through one task."""
+    """The round-6/round-8 'weak' cohort must keep their distributed
+    two-pass rank shape: every Window in the plan carries a partition
+    spec (the bucket column), never a global ORDER BY that would
+    funnel all rows through one task."""
     p = _plan(QUERIES[name](spark, sf_dir))
     groups = _window_arg_groups(p)
     assert groups, f"expected at least one Window node in {name}"
     assert all(g == 3 for g in groups), (
         f"{name} has a global (unpartitioned) window: {groups}"
     )
+
+
+def test_vocab_coverage_has_no_window(spark, sf_dir):
+    """vocab_coverage (r8 de-weak) must stay window-free: the curve
+    probes fixed ranks only, so every limb is a distributed
+    TakeOrderedAndProject over the vocabulary rollup — never a global
+    rank window over a frame that grows with the corpus."""
+    p = _plan(QUERIES["vocab_coverage"](spark, sf_dir))
+    assert not _window_arg_groups(p), "unexpected Window node"
+    assert "TakeOrderedAndProject" in p, p[:800]
 
 
 def test_window_arg_parser_detects_global_window(spark, sf_dir):

@@ -17,6 +17,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from saurav_nayak_recipe_etl_project_spark.functions.ranking import (
+    derive_band_width,
     ntile_from_rank,
     with_global_rank,
 )
@@ -79,6 +80,60 @@ def test_global_rank_rejects_null_bucket(spark):
     df = spark.createDataFrame([(1, 1), (None, 2)], "v long, id long")
     with pytest.raises(Exception, match="bucket expression yielded NULL"):
         with_global_rank(df, ["v", "id"], bucket=F.col("v")).collect()
+
+
+def test_global_rank_cumsum_matches_window(spark):
+    """cumsum_of must equal a running SUM over the same global order
+    — the Pareto/ABC frame — including across bucket boundaries and
+    under bucket skew."""
+    rows = [((v * 13) % 37, v) for v in range(250)]
+    df = spark.createDataFrame(rows, "v long, id long")
+    got = with_global_rank(
+        df, ["v", "id"], bucket=F.floor(F.col("v") / F.lit(6)),
+        cumsum_of="v", cumsum_col="cum",
+    )
+    w = Window.orderBy("v", "id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = df.withColumn("want_cum", F.sum("v").over(w))
+    j = got.join(want, ["v", "id"])
+    assert j.where(F.col("cum") != F.col("want_cum")).count() == 0
+    assert j.count() == len(rows)
+
+
+@pytest.mark.parametrize(
+    "lo,hi",
+    [
+        (0, 100),            # small span
+        (0, 10**6),          # 10^4x wider
+        (-(10**8), 10**8),   # 10^6x wider, negative half included
+        (5, 5),              # degenerate: zero span
+        (900_00, 110_000_00),  # the round-7 catalog-cents shape
+    ],
+)
+def test_derive_band_width_bucket_count_bounded(spark, lo, hi):
+    """The property the round-7 hand-tuned literals violated: across
+    10^6x value-range drift the derived width must keep the bucket
+    count of the OBSERVED span within [16, 4096] (or the span is
+    degenerate and one bucket is correct)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.randint(lo, hi),) for _ in range(2000)]
+    df = spark.createDataFrame(rows, "v long")
+    width = derive_band_width(df, "v")
+    assert width >= 1
+    span = max(r[0] for r in rows) - min(r[0] for r in rows)
+    n_buckets = span // width + 1
+    if span >= 16:
+        assert 16 <= n_buckets <= 4096, (width, span, n_buckets)
+    else:
+        assert n_buckets <= 4096
+
+
+def test_derive_band_width_empty_frame(spark):
+    df = spark.createDataFrame([], "v long")
+    assert derive_band_width(df, "v") == 1
 
 
 def test_global_rank_string_buckets_still_work(spark):
