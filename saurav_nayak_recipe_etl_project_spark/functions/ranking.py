@@ -143,7 +143,7 @@ def derive_band_width(
     q_lo: float = 0.005,
     q_hi: float = 0.995,
     relative_error: float = 0.001,
-) -> int:
+) -> float:
     """Derive a ``with_global_rank`` band width from the DATA instead
     of a hand-tuned literal, so a 100x value-range drift can't
     collapse the buckets to a handful of giant windows (the round-7
@@ -161,14 +161,41 @@ def derive_band_width(
 
     Power-of-two snap keeps the bucket count within [target/2,
     target*2] of the requested target across ANY value range
-    (property-tested in tests/test_ranking.py over 10^6x spans)."""
+    (property-tested in tests/test_ranking.py over 10^6x spans).
+    Widths may be FRACTIONAL (a double) — sub-unit spans (e.g. a
+    ~2-nat log-likelihood spread) need sub-unit bands, and
+    ``floor(value / width)`` stays monotone for any positive width."""
+    return derive_band_widths(
+        df, [col], target_buckets, q_lo, q_hi, relative_error
+    )[0]
+
+
+def derive_band_widths(
+    df: DataFrame,
+    cols: list,
+    target_buckets: int = 256,
+    q_lo: float = 0.005,
+    q_hi: float = 0.995,
+    relative_error: float = 0.001,
+) -> list:
+    """Multi-column ``derive_band_width``: ONE approxQuantile pass
+    over the frame covers every rank key a caller needs (the
+    customer_rfm shape: three metrics, one derivation scan)."""
     import math
 
-    qs = df.stat.approxQuantile(col, [q_lo, q_hi], relative_error)
-    if len(qs) < 2:  # empty frame: any width works, 1 is total
-        return 1
-    span = max(float(qs[1]) - float(qs[0]), 1.0)
-    return 2 ** max(0, round(math.log2(span / target_buckets)))
+    res = df.stat.approxQuantile(cols, [q_lo, q_hi], relative_error)
+    widths = []
+    for qs in res:
+        if len(qs) < 2:  # empty frame: any width works, 1 is total
+            widths.append(1.0)
+            continue
+        span = float(qs[1]) - float(qs[0])
+        # NaN/degenerate (constant within the clip): one bucket
+        if not span > 0:
+            widths.append(1.0)
+            continue
+        widths.append(2.0 ** round(math.log2(span / target_buckets)))
+    return widths
 
 
 def auto_band(df: DataFrame, col: str, target_buckets: int = 256) -> Column:

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from saurav_nayak_recipe_etl_project_spark.functions.ranking import (
+    derive_band_width,
     ntile_from_rank,
     with_global_rank,
 )
@@ -262,9 +263,11 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     visible before anyone pulls the trigger.
 
     The tercile assignment is the distributed two-pass rank
-    (functions/ranking.py) over the per-doc score frame — sixteenth-nat
-    value buckets (the corpus nll spread is ~2 nats — a coarser
-    bucket serializes the rank window), no global ntile window. The sort key is the raw
+    (functions/ranking.py) over the per-doc score frame — nll value
+    bands auto-derived from an approxQuantile sample of the observed
+    spread (derive_band_width; a hand-tuned nat fraction collapses or
+    over-splits when the LM or corpus changes), no global ntile
+    window. The sort key is the raw
     double quotient of two per-doc INTEGERS (micro-nat sum /
     trigram count, both < 2^53 so the doubles are exact), doc_id
     tie-break — engine-identical ordering. Per-bucket nll re-derives
@@ -278,11 +281,21 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_trigrams").cast("double")
         ).alias("_nll"),
     )
+    # nll band width derived from the observed spread (derive_band_
+    # width) — the round-7 hand-tuned sixteenth-nat literal assumed a
+    # ~2-nat spread and would collapse under a different LM/corpus.
+    # The quantile probe is an extra ACTION: checkpoint the per-doc
+    # frame (|docs| rows — tiny next to the trigram pipeline that
+    # builds it) so LM scoring runs once, not once per pass
+    # (measured: 15.3s -> ~5s at sf0.1 without the checkpoint/with
+    # the recompute).
+    keyed = keyed.localCheckpoint(eager=False)
     n = keyed.agg(F.count("*").alias("_n"))
+    width = derive_band_width(keyed, "_nll")
     ranked = with_global_rank(
         keyed,
         ["_nll", "doc_id"],
-        bucket=F.floor(F.col("_nll") / F.lit(MICRO) * 16),
+        bucket=F.floor(F.col("_nll") / F.lit(width)),
         rank_col="_r",
     ).crossJoin(F.broadcast(n))
     bucketed = ranked.select(
@@ -345,16 +358,20 @@ def quality_lm_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket=F.floor(F.col("_negw") / F.lit(50_000)),
         rank_col="rank_q",
     ).select("doc_id", "rank_q")
+    lm_keyed = j.select(
+        "doc_id",
+        (
+            (-F.col("sum_lp_micro")).cast("double")
+            / F.col("n_trigrams").cast("double")
+        ).alias("_nll"),
+    ).localCheckpoint(eager=False)  # LM pipeline runs once, not per pass
+    # nll band width derived from the observed spread, not a
+    # hand-tuned sixteenth-nat literal
+    nll_width = derive_band_width(lm_keyed, "_nll")
     rl = with_global_rank(
-        j.select(
-            "doc_id",
-            (
-                (-F.col("sum_lp_micro")).cast("double")
-                / F.col("n_trigrams").cast("double")
-            ).alias("_nll"),
-        ),
+        lm_keyed,
         ["_nll", "doc_id"],
-        bucket=F.floor(F.col("_nll") / F.lit(MICRO) * 16),
+        bucket=F.floor(F.col("_nll") / F.lit(nll_width)),
         rank_col="rank_lm",
     ).select("doc_id", "rank_lm")
     stats = (

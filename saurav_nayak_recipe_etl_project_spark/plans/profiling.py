@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from saurav_nayak_recipe_etl_project_spark.functions.ranking import (
+    derive_band_width,
     ntile_from_rank,
     with_global_rank,
 )
@@ -288,11 +289,24 @@ def price_quantity_decile_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("l_quantity").cast("long").alias("qty"),
     ).withColumn("occ", F.row_number().over(w_occ))
     n = base.agg(F.count("*").alias("_n"))
+    # price band width derived from the catalog's observed range —
+    # the round-7 lesson: a hand-tuned 2^22-cent literal collapsed to
+    # 3 buckets over this catalog and 9x'd the wall at 10x data. The
+    # quantile probe runs on a bare single-column projection (parquet
+    # prunes to l_extendedprice), NOT on `base`, whose occ window
+    # would be recomputed just to be thrown away.
+    p_width = derive_band_width(
+        li.select(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            .alias("p_cents")
+        ),
+        "p_cents",
+    )
     ranked = with_global_rank(
         with_global_rank(
             base,
             ["p_cents", "l_orderkey", "l_linenumber", "occ"],
-            bucket=F.floor(F.col("p_cents") / F.lit(1 << 18)),
+            bucket=F.floor(F.col("p_cents") / F.lit(p_width)),
             rank_col="_rp",
         ),
         ["qty", "l_orderkey", "l_linenumber", "occ"],

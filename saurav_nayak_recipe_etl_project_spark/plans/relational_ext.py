@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 
 from saurav_nayak_recipe_etl_project_spark.functions.ranking import (
     derive_band_width,
+    derive_band_widths,
     ntile_from_rank,
     with_global_rank,
 )
@@ -229,11 +230,13 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank (functions/ranking.py) over an ascending (negated-metric,
     custkey) key — per-bucket parallel row_number + broadcast offsets
     — then the SQL-standard NTILE bucket recomputed arithmetically
-    from (rank, n). Buckets are deterministic value-derived splits
-    (64-day recency epochs, the raw order count, $100k monetary
-    bands); skew is bounded by the metric's tie runs, never |rows|.
-    Output is bit-identical to ntile(5) OVER (ORDER BY metric DESC,
-    custkey) in both Spark and DuckDB."""
+    from (rank, n). Band widths are DERIVED from one shared
+    approxQuantile pass over the three metric keys
+    (derive_band_widths) rather than hand-tuned literals, so a value-
+    range drift (a catalog 100x pricier, a decade-longer history)
+    can't collapse the buckets; skew is bounded by the metric's tie
+    runs, never |rows|. Output is bit-identical to ntile(5) OVER
+    (ORDER BY metric DESC, custkey) in both Spark and DuckDB."""
     orders = load_table(spark, "orders", sf_dir)
     per_cust = orders.groupBy("o_custkey").agg(
         F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
@@ -241,24 +244,31 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
     )
     n = per_cust.agg(F.count("*").alias("_n"))
-    metrics = {
-        # score col -> (ascending negated sort key, bucket expr)
-        "r_score": (
-            F.datediff(F.lit("1970-01-01").cast("date"), F.col("last_day")),
-            64,
+    negs = {
+        # score col -> ascending negated sort key
+        "r_score": F.datediff(
+            F.lit("1970-01-01").cast("date"), F.col("last_day")
         ),
-        "f_score": (-F.col("n_orders"), 1),
-        "m_score": (-F.col("cents"), 10_000_000),
+        "f_score": -F.col("n_orders"),
+        "m_score": -F.col("cents"),
     }
+    keyed_all = per_cust.select(
+        "o_custkey",
+        *[neg.cast("long").alias(f"_neg_{s}") for s, neg in negs.items()],
+    )
+    widths = dict(zip(
+        negs,
+        derive_band_widths(keyed_all, [f"_neg_{s}" for s in negs]),
+    ))
     out = per_cust
-    for score_col, (neg, width) in metrics.items():
-        keyed = per_cust.select(
-            "o_custkey", neg.cast("long").alias("_neg")
+    for score_col in negs:
+        keyed = keyed_all.select(
+            "o_custkey", F.col(f"_neg_{score_col}").alias("_neg")
         )
         ranked = with_global_rank(
             keyed,
             ["_neg", "o_custkey"],
-            bucket=F.floor(F.col("_neg") / F.lit(width)),
+            bucket=F.floor(F.col("_neg") / F.lit(widths[score_col])),
         ).crossJoin(F.broadcast(n))
         scored = ranked.select(
             "o_custkey",

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from saurav_nayak_recipe_etl_project_spark.functions.ranking import (
+    derive_band_width,
     with_global_rank,
 )
 from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
@@ -517,10 +518,13 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n = conv.agg(F.count("*").alias("_n"))
+    # latency band width derived from the data (hour-bands collapse if
+    # conversions cluster in minutes, or explode over a years-long log)
+    width = derive_band_width(conv, "t_s")
     ranked = with_global_rank(
         conv,
         ["t_s", "user_id"],
-        bucket=F.floor(F.col("t_s") / F.lit(3600)),
+        bucket=F.floor(F.col("t_s") / F.lit(width)),
         rank_col="rn",
     ).crossJoin(F.broadcast(n))
     pick = lambda q: F.max(

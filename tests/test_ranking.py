@@ -122,13 +122,27 @@ def test_derive_band_width_bucket_count_bounded(spark, lo, hi):
     rows = [(rng.randint(lo, hi),) for _ in range(2000)]
     df = spark.createDataFrame(rows, "v long")
     width = derive_band_width(df, "v")
-    assert width >= 1
+    assert width > 0
     span = max(r[0] for r in rows) - min(r[0] for r in rows)
-    n_buckets = span // width + 1
+    n_buckets = int(span / width) + 1
     if span >= 16:
         assert 16 <= n_buckets <= 4096, (width, span, n_buckets)
     else:
         assert n_buckets <= 4096
+
+
+def test_derive_band_width_subunit_span(spark):
+    """A sub-unit span (the nll-in-nats shape) must yield a
+    FRACTIONAL width, not collapse to a handful of integer bands."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(rng.uniform(4.0, 6.0),) for _ in range(2000)]
+    df = spark.createDataFrame(rows, "v double")
+    width = derive_band_width(df, "v")
+    assert 0 < width < 1
+    n_buckets = int(2.0 / width) + 1
+    assert 16 <= n_buckets <= 4096, (width, n_buckets)
 
 
 def test_derive_band_width_empty_frame(spark):
