@@ -252,6 +252,23 @@ HEADLINE = [
     "doc_novelty_5gram",
     "weighted_sample_norep",
     "zipf_slope",
+    # round-8 additions. First, coverage for the r2-era surface the
+    # list never carried (a plan regression there was only catchable
+    # by plan pins, not by a timing): pivot, rollup subtotals, exact
+    # grouped quantiles, event funnel, as-of join, and the Arrow
+    # multimodal path.
+    "orders_status_pivot",
+    "revenue_rollup",
+    "price_quantiles",
+    "view_purchase_funnel",
+    "asof_latest_order",
+    "multimodal_byte_histogram",
+    # Second, the two shapes de-weaked this round (global window ->
+    # banded two-pass rank + cumsum; posting-list prune feeding a
+    # TakeOrdered query-term pick) so their new plans are measured,
+    # not just pinned.
+    "part_revenue_pareto",
+    "bm25_search",
 ]
 
 
@@ -422,6 +439,13 @@ def main() -> None:
         compact["queries"] = {
             k: round(v, 2) for k, v in compact["queries"].items()
         }
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900 and "r10x_over_4x" in compact:
+        # third stage: the flagged-ratio map moves wholly to the
+        # detail file; stdout keeps the single worst ratio (r10x_max)
+        # as the scaling signal
+        del compact["r10x_over_4x"]
+        compact.pop("r10x_over_4x_truncated", None)
         line = json.dumps(compact, separators=(",", ":"))
     assert len(line) <= 1900, f"bench stdout line {len(line)} chars"
     print(line)

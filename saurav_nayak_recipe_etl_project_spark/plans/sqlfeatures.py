@@ -138,9 +138,123 @@ def _reach_sql(lineitem_rel: str) -> str:
     """
 
 
+def _groupby_all_sql(orders_rel: str) -> str:
+    """GROUP BY ALL + ORDER BY ALL (Spark 4 / DuckDB shared form):
+    the engine derives the grouping keys from the non-aggregate
+    select items and the total order from the full output row. Same
+    status x priority rollup either way — the feature under test is
+    the SQL-surface inference, cross-checked between engines."""
+    return f"""
+        SELECT o_orderstatus AS status,
+               o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM {orders_rel}
+        GROUP BY ALL
+        ORDER BY ALL
+    """
+
+
+def orders_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status x priority order rollup written with GROUP BY ALL /
+    ORDER BY ALL — the grouping keys and output order are INFERRED by
+    the analyzer from the select list, not spelled out. Plans
+    identically to the explicit GROUP BY (one partial+final hash
+    aggregate over the 15-ish key pairs); the capability is the
+    Spark-4 SQL surface itself, value-checked against DuckDB's
+    implementation of the same inference."""
+    return spark.sql(_groupby_all_sql(_view(spark, "orders", sf_dir)))
+
+
+def _orderby_all_sql(customer_rel: str, nation_rel: str,
+                     region_rel: str) -> str:
+    """ORDER BY ALL over a snowflake-join projection: deterministic
+    total order from the full output row (region, nation, segment are
+    a unique key here, so ALL is a stable sort in both engines)."""
+    return f"""
+        SELECT r.r_name AS region, n.n_name AS nation,
+               c.c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                    AS BIGINT) AS acctbal_cents
+        FROM {customer_rel} c
+        JOIN {nation_rel} n ON c.c_nationkey = n.n_nationkey
+        JOIN {region_rel} r ON n.n_regionkey = r.r_regionkey
+        GROUP BY ALL
+        ORDER BY ALL
+    """
+
+
+def customer_segments_orderby_all(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Region / nation / market-segment customer census ordered with
+    ORDER BY ALL. The nation+region dims broadcast (25/5 rows) so the
+    snowflake join is shuffle-free on the fact side; GROUP BY ALL
+    infers the three keys. Cross-engine value-check pins that both
+    analyzers resolve ALL to the same column sequence."""
+    return spark.sql(_orderby_all_sql(
+        _view(spark, "customer", sf_dir),
+        _view(spark, "nation", sf_dir),
+        _view(spark, "region", sf_dir),
+    ))
+
+
+def _unpivot_nulls_sql(lineitem_rel: str) -> str:
+    """UNPIVOT INCLUDE NULLS over per-order conditional metrics.
+    The FILTERed SUMs are NULL for orders where the metric never
+    applies (no returned line / no promo line / no high-tax line) —
+    INCLUDE NULLS keeps those rows in the long form so the per-metric
+    coverage count is over ALL orders, which the default
+    EXCLUDE-NULLS unpivot (plans/relational_ext.py E55) would
+    silently drop."""
+    return f"""
+        WITH per_order AS (
+          SELECT l_orderkey,
+                 SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                     * 100) AS BIGINT))
+                   FILTER (WHERE l_returnflag = 'R') AS returned_cents,
+                 SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                     * 100) AS BIGINT))
+                   FILTER (WHERE l_discount > 0.05) AS promo_cents,
+                 SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                     * 100) AS BIGINT))
+                   FILTER (WHERE l_tax > 0.04) AS taxed_cents
+          FROM {lineitem_rel}
+          GROUP BY l_orderkey
+        )
+        SELECT metric,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(COUNT(*) FILTER (WHERE cents IS NULL) AS BIGINT)
+                 AS n_missing,
+               CAST(SUM(cents) AS BIGINT) AS total_cents
+        FROM per_order
+          UNPIVOT INCLUDE NULLS (
+            cents FOR metric IN (returned_cents, promo_cents,
+                                 taxed_cents))
+        GROUP BY metric
+        ORDER BY metric
+    """
+
+
+def order_metrics_unpivot_nulls(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Per-order conditional revenue metrics melted with UNPIVOT
+    INCLUDE NULLS: each metric reports how many orders it covers, how
+    many have NO qualifying line (the NULL rows INCLUDE NULLS
+    preserves), and total revenue. One map-side Expand over the
+    per-order rollup — 3x row multiply on the aggregated frame
+    (|orders| rows), never on lineitem itself, then a 3-group
+    re-aggregate; no shuffle beyond the two groupBys."""
+    return spark.sql(_unpivot_nulls_sql(_view(spark, "lineitem", sf_dir)))
+
+
 SQLFEATURES_QUERIES = {
     "customer_latest_order_lateral": customer_latest_order_lateral,
     "copurchase_reach3": copurchase_reach3,
+    "orders_groupby_all": orders_groupby_all,
+    "customer_segments_orderby_all": customer_segments_orderby_all,
+    "order_metrics_unpivot_nulls": order_metrics_unpivot_nulls,
 }
 
 SQLFEATURES_ORACLES = {
@@ -151,4 +265,9 @@ SQLFEATURES_ORACLES = {
         .replace("COUNT(DISTINCT src) AS n_srcs",
                  "CAST(COUNT(DISTINCT src) AS BIGINT) AS n_srcs")
     ),
+    # identical text both engines: the feature IS the shared surface
+    "orders_groupby_all": _groupby_all_sql("orders"),
+    "customer_segments_orderby_all": _orderby_all_sql(
+        "customer", "nation", "region"),
+    "order_metrics_unpivot_nulls": _unpivot_nulls_sql("lineitem"),
 }

@@ -79,76 +79,37 @@ _load_optional()
 #       externally verified in (computed from the CORRECTNESS_r*.json
 #       union) — until the window is full.
 # With 186 entries and a 50-entry window, stalest-first re-verifies
-# every entry within ~6 rounds even in an additive round. Round-7
-# window composition, per the round-6 rotation plan:
-#   (1) the 15 round-6 deferrals — never yet in a driver window
-#       (judge-verified green at sf0.01 in VERDICT r6; a driver row is
-#       still the bar) — includes funnel_time_to_convert and
-#       part_pair_lift, both ALSO reworked this round;
-#   (2) entries whose implementation or oracle changed in round 7
-#       (de-weaked plan shapes + ADVICE fixes);
-#   (3) new round-7 entries;
-#   (4) stalest-first fill: the 27 r1 entries, then the r2 tail.
+# every entry within ~6 rounds even in an additive round. Round-8
+# window composition, per the round-7 rotation plan (staleness
+# computed from the CORRECTNESS_r1..r7 union: 17 entries last
+# verified r1, 30 r2, 3 r4, 43 r5):
+#   (1) entries whose implementation or load-bearing internals
+#       changed in round 8 — the de-weaked global-window plans
+#       (pareto/ABC cumsum ranks, window-free vocab coverage, bm25
+#       TakeOrdered query terms), the DECIMAL-widened top-p
+#       coverage, and every caller migrated to data-derived rank
+#       band widths (derive_band_widths + LM-frame checkpoint);
+#   (2) new round-8 entries (Spark-4 SQL surface);
+#   (3) stalest-first fill: ALL 17 remaining r1 entries, then the
+#       r2 tail alphabetically until the window cuts at 50. The 10
+#       r2 leftovers + the r4 trio lead round 9's fill.
 _DRIVER_PRIORITY = [
-    # -- (1) round-6 deferrals, first driver window --
-    "benford_digit_audit",
-    "analytics_mart_pipeline",
-    "funnel_time_to_convert",
+    # -- (1) changed in round 8 --
+    "part_revenue_pareto",
     "part_abc_classification",
-    "cohort_ltv",
-    "monthly_new_vs_repeat",
-    "supplier_scorecard",
-    "event_interarrival_disc",
-    "nation_trade_balance",
-    "brand_return_rates",
-    "discount_band_effect",
-    "segment_order_gini",
-    "segment_supplier_hhi",
-    "part_pair_lift",
-    "event_dow_hour_heatmap",
-    # -- (2) changed in round 7: distributed two-pass ranks
-    #    (customer_rfm, corpus_shuffle), degree-oriented triangles,
-    #    per-mille containment threshold (code+oracle), json_valid +
-    #    TRY_CAST oracle, DECIMAL(38,0) weighted-sum accumulation --
-    "customer_rfm",
-    "corpus_shuffle",
-    "copurchase_triangles",
-    "dedup_subset_containment",
-    "events_json_typed",
-    "event_time_weighted_avg",
-    # -- (3) new in round 7 (inserted as they land) --
-    "doc_novelty_5gram",
-    "weighted_sample_norep",
-    "text_type_token_ratio",
-    "segment_revenue_trend",
-    "price_quantity_decile_heatmap",
-    "perplexity_buckets",
-    "rolling_weekly_active_users",
-    "monthly_seasonality_index",
-    "zipf_slope",
-    "quality_lm_spearman",
+    "vocab_coverage",
+    "bm25_search",
     "source_topp_coverage",
-    "customer_latest_order_lateral",
-    "copurchase_reach3",
-    "events_variant_stats",
-    "events_session_window",
-    "multimodal_thumbnail",
-    "monthly_order_value_percentiles",
-    "doc_chunks_overlapping",
-    # late-round internal change (broadcast LM model): fresh external
-    # row for the plan change even though the oracle is untouched
-    "text_lm_score",
-    # -- (4) stalest: last externally verified in round 1 (all 27) --
-    "avg_lineitems_per_order",
-    "avg_order_value",
-    "customers_without_urgent_orders",
-    "events_json_extract",
-    "monthly_revenue",
-    "nest_unnest_roundtrip",
-    "normalize_explode_structs",
-    "normalize_posexplode",
-    "order_most_lineitems",
-    "orders_by_segment",
+    "customer_rfm",
+    "perplexity_buckets",
+    "quality_lm_spearman",
+    "price_quantity_decile_heatmap",
+    "funnel_time_to_convert",
+    # -- (2) new in round 8 (inserted as they land) --
+    "orders_groupby_all",
+    "customer_segments_orderby_all",
+    "order_metrics_unpivot_nulls",
+    # -- (3a) stalest: last externally verified in round 1 (all 17) --
     "part_revenue_rank",
     "parts_in_urgent_orders",
     "priority_distribution",
@@ -166,8 +127,8 @@ _DRIVER_PRIORITY = [
     "validate_orders",
     "validate_part",
     "validate_supplier",
-    # -- next-stalest: last verified in round 2 (the window cuts at
-    #    50; the rest of the r2 tail leads round 8's fill) --
+    # -- (3b) next-stalest: last verified in round 2, alphabetical
+    #    (the window cuts at 50 inside this block) --
     "asof_latest_order",
     "customer_part_baskets",
     "docs_by_source",
@@ -178,6 +139,31 @@ _DRIVER_PRIORITY = [
     "multimodal_byte_histogram",
     "multimodal_frames",
     "multimodal_meta",
+    "orders_status_pivot",
+    "part_degree_distribution",
+    "parts_bought_together",
+    "price_histogram",
+    "price_quantiles",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q18_large_orders",
+    "redact_numbers",
+    "revenue_rollup",
+    # -- below the 50-cut: the r2 leftovers, then the r4 trio —
+    #    round 9's fill leads here --
+    "rolling_weekly_revenue",
+    "sample_documents",
+    "severity_by_status",
+    "split_assignment",
+    "text_fingerprint",
+    "text_langid",
+    "tfidf_top_terms",
+    "top_event_users",
+    "view_purchase_attribution",
+    "view_purchase_funnel",
+    "text_langid_ngram",
+    "text_quality",
+    "text_token_count",
 ]
 
 

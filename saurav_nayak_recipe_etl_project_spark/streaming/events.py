@@ -94,6 +94,37 @@ def run_windowed_stream(spark: SparkSession, source_dir: str,
     )
 
 
+def run_windowed_stream_continuous(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str,
+    interval: str = "500 milliseconds",
+):
+    """processingTime-trigger twin of run_windowed_stream: the query
+    stays RESIDENT and fires a micro-batch every `interval`, picking
+    up files as they land — the long-lived production deployment
+    shape, vs availableNow's drain-and-stop used everywhere else in
+    this suite (and by the reference's event-driven loader,
+    bigquery_loader_function/main.py:20-40, which is invoked per
+    upload). Returns the live StreamingQuery; the CALLER owns stop().
+
+    Semantics are identical to the availableNow twin (same plan, same
+    checkpointed state), which is exactly what the soak test pins:
+    files fed across several wall-clock triggers must equal the batch
+    twin over the union."""
+    events = read_event_stream(spark, source_dir)
+    agg = _windowed(events.withWatermark("ts", WATERMARK))
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=interval)
+        .start()
+    )
+
+
 def run_windowed_stream_append(spark: SparkSession, source_dir: str,
                                checkpoint_dir: str, out_path: str) -> None:
     """Append-mode twin of run_windowed_stream: emits a window ONLY
