@@ -1,0 +1,157 @@
+"""Python DataSource (Spark 4 `spark.dataSource.register`) for JSONL
+document shards — the interchange format LLM-corpus pipelines
+actually exchange (one JSON object per line, one file per shard).
+
+This is the EXTENSION-SURFACE twin of the UDTF capability (E100): a
+user-defined source/sink that plugs into `spark.read.format(...)` /
+`df.write.format(...)` with real partition parallelism, not a
+driver-side loop:
+
+- Read side: one `InputPartition` PER SHARD FILE, so scan
+  parallelism equals shard count and each task streams one file —
+  the same task model as the built-in text source. No driver work
+  beyond the directory listing.
+- Write side: Spark's two-phase contract. Each task writes a
+  uniquely-named `_tmp-*.jsonl` and returns it as a commit message;
+  `commit()` on the driver renames the staged files to deterministic
+  `part-NNNNN.jsonl` names and drops `_SUCCESS`; `abort()` removes
+  the staging files. A failed job can never leave a half-visible
+  shard set — the plain-JSONL miniature of the WAP protocol
+  (operators/maintenance.py).
+
+HONEST scale note: rows cross the Python worker boundary (this is
+the row-path extension lane, like UDTFs — documented slow path).
+For bulk parquet<->JSONL conversion the built-in `spark.read.json`
+is the hot path; this source exists to prove the pluggable-source
+surface with correct partitioning and commit semantics.
+
+Reference scope: the reference ingests documents from a Firestore
+export (src/etl_pipeline.py:28-60); a sharded-JSONL drop is the
+self-hosted equivalent of that feed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+# matches the documents table (TESTDATA.md)
+DOC_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, "
+    "n_chars bigint"
+)
+
+
+class _ShardCommit(WriterCommitMessage):
+    def __init__(self, tmp_name: str | None):
+        self.tmp_name = tmp_name
+
+
+class JsonlDocsSource(DataSource):
+    """`format("jsonl_docs")` with `.option("path", dir)`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_docs"
+
+    def schema(self) -> str:
+        return DOC_SCHEMA
+
+    def reader(self, schema: StructType) -> "JsonlDocsReader":
+        return JsonlDocsReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool
+               ) -> "JsonlDocsWriter":
+        return JsonlDocsWriter(schema, self.options, overwrite)
+
+
+class JsonlDocsReader(DataSourceReader):
+    def __init__(self, schema: StructType, options):
+        self._fields = [f.name for f in schema.fields]
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("jsonl_docs requires .option('path', dir)")
+
+    def partitions(self):
+        shards = sorted(
+            os.path.join(self._path, f)
+            for f in os.listdir(self._path)
+            if f.endswith(".jsonl") and not f.startswith("_")
+        )
+        # one task per shard: scan parallelism == shard count
+        return [InputPartition(s) for s in shards]
+
+    def read(self, partition: InputPartition):
+        fields = self._fields
+        with open(partition.value, encoding="utf-8") as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                obj = json.loads(line)
+                yield tuple(obj.get(f) for f in fields)
+
+
+class JsonlDocsWriter(DataSourceWriter):
+    def __init__(self, schema: StructType, options, overwrite: bool):
+        self._fields = [f.name for f in schema.fields]
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("jsonl_docs requires .option('path', dir)")
+        self._overwrite = overwrite
+
+    def write(self, iterator) -> _ShardCommit:
+        os.makedirs(self._path, exist_ok=True)
+        tmp = f"_tmp-{uuid.uuid4().hex}.jsonl"
+        wrote = False
+        full = os.path.join(self._path, tmp)
+        with open(full, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(
+                    {f: row[i] for i, f in enumerate(self._fields)},
+                    ensure_ascii=False,
+                ))
+                fh.write("\n")
+                wrote = True
+        if not wrote:  # empty task: no shard, no commit entry
+            os.remove(full)
+            return _ShardCommit(None)
+        return _ShardCommit(tmp)
+
+    def commit(self, messages) -> None:
+        staged = sorted(
+            m.tmp_name for m in messages
+            if m is not None and m.tmp_name is not None
+        )
+        if self._overwrite:
+            for f in os.listdir(self._path):
+                if f.endswith(".jsonl") and f.startswith("part-"):
+                    os.remove(os.path.join(self._path, f))
+        for i, tmp in enumerate(staged):
+            os.replace(
+                os.path.join(self._path, tmp),
+                os.path.join(self._path, f"part-{i:05d}.jsonl"),
+            )
+        with open(os.path.join(self._path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.tmp_name is not None:
+                try:
+                    os.remove(os.path.join(self._path, m.tmp_name))
+                except FileNotFoundError:
+                    pass
+
+
+def register(spark) -> None:
+    spark.dataSource.register(JsonlDocsSource)
