@@ -39,6 +39,7 @@ import uuid
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -73,6 +74,9 @@ class JsonlDocsSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool
                ) -> "JsonlDocsWriter":
         return JsonlDocsWriter(schema, self.options, overwrite)
+
+    def streamReader(self, schema: StructType) -> "JsonlDocsStreamReader":
+        return JsonlDocsStreamReader(schema, self.options)
 
 
 class JsonlDocsReader(DataSourceReader):
@@ -151,6 +155,80 @@ class JsonlDocsWriter(DataSourceWriter):
                     os.remove(os.path.join(self._path, m.tmp_name))
                 except FileNotFoundError:
                     pass
+
+
+class JsonlDocsStreamReader(DataSourceStreamReader):
+    """Streaming half of the plugin surface (the PARTITIONED
+    DataSourceStreamReader, not the driver-side Simple variant —
+    micro-batch rows never pass through the driver): each new shard
+    landing in the directory becomes read tasks in the next
+    micro-batch.
+
+    Offset contract: shards must land with lexicographically
+    INCREASING names (part-00000..., or timestamped names — what any
+    sane shard producer emits); the offset is then just
+    {"n": consumed_count} over the sorted listing, trivially
+    checkpointable and replayable (partitions(start,end) re-derives
+    the same file slice during recovery). A file sorting BEFORE an
+    already-consumed name raises rather than being silently skipped."""
+
+    def __init__(self, schema: StructType, options):
+        self._fields = [f.name for f in schema.fields]
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("jsonl_docs requires .option('path', dir)")
+
+    def _shards(self):
+        try:
+            names = os.listdir(self._path)
+        except FileNotFoundError:
+            return []
+        return sorted(
+            f for f in names
+            if f.endswith(".jsonl") and not f.startswith("_")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"n": 0, "last": ""}
+
+    def latestOffset(self) -> dict:
+        shards = self._shards()
+        return {"n": len(shards), "last": shards[-1] if shards else ""}
+
+    def partitions(self, start: dict, end: dict):
+        shards = self._shards()
+        if len(shards) < end["n"]:
+            raise RuntimeError(
+                f"shard listing shrank below committed offset {end['n']} "
+                "(files deleted from a streaming source directory?)"
+            )
+        lo, hi = start["n"], end["n"]
+        # the offset's index range only identifies the same files if
+        # nothing landed BEHIND the consumed prefix — verify via the
+        # recorded boundary names instead of silently re-slicing
+        for off in (start, end):
+            if off["n"] and shards[off["n"] - 1] != off["last"]:
+                raise RuntimeError(
+                    f"out-of-order shard landing: offset {off} no longer "
+                    f"points at {off['last']!r} (shard names must be "
+                    "lexicographically increasing)"
+                )
+        return [
+            InputPartition(os.path.join(self._path, s))
+            for s in shards[lo:hi]
+        ]
+
+    def read(self, partition: InputPartition):
+        fields = self._fields
+        with open(partition.value, encoding="utf-8") as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                obj = json.loads(line)
+                yield tuple(obj.get(f) for f in fields)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the query checkpoint; nothing to ack
 
 
 def register(spark) -> None:

@@ -40,6 +40,88 @@ def test_jsonl_roundtrip_and_commit_protocol(spark, sf_dir, tmp_path):
     assert back.schema == docs.schema
 
 
+def test_jsonl_stream_reader_picks_up_new_shards(spark, sf_dir, tmp_path):
+    """The partitioned streaming reader: shard 1 consumed by the first
+    availableNow run, shard 2 (landing later, lexicographically after)
+    by a restart from the same checkpoint — union equals the batch
+    read, offsets replay from the query checkpoint."""
+    import json as _json
+
+    register(spark)
+    src = str(tmp_path / "stream_shards")
+    os.makedirs(src)
+    docs = load_table(spark, "documents", sf_dir).limit(40).collect()
+    fields = ["doc_id", "text", "lang", "source", "n_chars"]
+
+    def _land(name, rows):
+        with open(os.path.join(src, name), "w", encoding="utf-8") as fh:
+            for r in rows:
+                fh.write(_json.dumps({f: r[f] for f in fields},
+                                     ensure_ascii=False) + "\n")
+
+    out = str(tmp_path / "js_out")
+
+    def _drain():
+        # parquet sink: fault-tolerant, so the SECOND run genuinely
+        # recovers offsets from the checkpoint (memory sink refuses)
+        q = (spark.readStream.format("jsonl_docs").option("path", src)
+             .load()
+             .writeStream.format("parquet").option("path", out)
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ckpt_js"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    _land("shard-000.jsonl", docs[:25])
+    _drain()
+    assert spark.read.parquet(out).count() == 25
+
+    _land("shard-001.jsonl", docs[25:])
+    _drain()
+    got = sorted(
+        (r["doc_id"], r["text"]) for r in
+        spark.read.parquet(out).select("doc_id", "text").collect()
+    )
+    assert got == sorted((r["doc_id"], r["text"]) for r in docs)
+
+
+def test_jsonl_stream_rejects_out_of_order_shard(spark, sf_dir, tmp_path):
+    """A shard landing lexicographically BEFORE the consumed prefix
+    must fail the query loudly (silent index re-slicing would re-read
+    or skip data)."""
+    import json as _json
+
+    import pytest
+
+    register(spark)
+    src = str(tmp_path / "stream_shards_ooo")
+    os.makedirs(src)
+
+    def _land(name, ids):
+        with open(os.path.join(src, name), "w", encoding="utf-8") as fh:
+            for i in ids:
+                fh.write(_json.dumps({
+                    "doc_id": i, "text": "t", "lang": "en",
+                    "source": "s", "n_chars": 1}) + "\n")
+
+    out = str(tmp_path / "ooo_out")
+
+    def _drain():
+        q = (spark.readStream.format("jsonl_docs").option("path", src)
+             .load()
+             .writeStream.format("parquet").option("path", out)
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ckpt_ooo"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    _land("shard-005.jsonl", [1, 2])
+    _drain()
+    _land("shard-001.jsonl", [3])  # sorts BEFORE the consumed shard
+    with pytest.raises(Exception, match="out-of-order|STREAM_FAILED"):
+        _drain()
+
+
 def test_jsonl_overwrite_replaces_previous_shards(spark, sf_dir, tmp_path):
     register(spark)
     docs = load_table(spark, "documents", sf_dir).limit(50)
