@@ -79,12 +79,29 @@ class JsonlDocsSource(DataSource):
         return JsonlDocsStreamReader(schema, self.options)
 
 
+ARROW_BATCH_ROWS = 4096
+
+
 class JsonlDocsReader(DataSourceReader):
+    """Batch reader with an ARROW lane (default): rows are
+    accumulated into pyarrow RecordBatches of ARROW_BATCH_ROWS before
+    crossing the Python->JVM boundary — one columnar transfer per few
+    thousand rows instead of one pickled tuple per row (the same
+    Arrow-batching argument as Pandas UDFs vs row UDFs).
+    `.option("arrow", "false")` keeps the plain row lane for
+    comparison/debugging."""
+
     def __init__(self, schema: StructType, options):
         self._fields = [f.name for f in schema.fields]
         self._path = options.get("path")
         if not self._path:
             raise ValueError("jsonl_docs requires .option('path', dir)")
+        self._arrow = str(options.get("arrow", "true")).lower() != "false"
+        # simple type map: the doc schema only carries long + string
+        self._long_fields = {
+            f.name for f in schema.fields
+            if f.dataType.simpleString() == "bigint"
+        }
 
     def partitions(self):
         shards = sorted(
@@ -95,14 +112,47 @@ class JsonlDocsReader(DataSourceReader):
         # one task per shard: scan parallelism == shard count
         return [InputPartition(s) for s in shards]
 
+    def _arrow_schema(self):
+        import pyarrow as pa
+
+        return pa.schema([
+            (f, pa.int64() if f in self._long_fields else pa.string())
+            for f in self._fields
+        ])
+
     def read(self, partition: InputPartition):
         fields = self._fields
+        if not self._arrow:
+            with open(partition.value, encoding="utf-8") as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    obj = json.loads(line)
+                    yield tuple(obj.get(f) for f in fields)
+            return
+        import pyarrow as pa
+
+        schema = self._arrow_schema()
+        cols = {f: [] for f in fields}
+        n = 0
         with open(partition.value, encoding="utf-8") as fh:
             for line in fh:
                 if not line.strip():
                     continue
                 obj = json.loads(line)
-                yield tuple(obj.get(f) for f in fields)
+                for f in fields:
+                    cols[f].append(obj.get(f))
+                n += 1
+                if n >= ARROW_BATCH_ROWS:
+                    yield pa.record_batch(
+                        [pa.array(cols[f], schema.field(f).type)
+                         for f in fields], schema=schema)
+                    cols = {f: [] for f in fields}
+                    n = 0
+        if n:
+            yield pa.record_batch(
+                [pa.array(cols[f], schema.field(f).type)
+                 for f in fields], schema=schema)
 
 
 class JsonlDocsWriter(DataSourceWriter):

@@ -34,10 +34,14 @@ def test_jsonl_roundtrip_and_commit_protocol(spark, sf_dir, tmp_path):
 
     key = lambda r: (r["doc_id"], r["text"], r["lang"], r["source"],
                      r["n_chars"])
-    assert sorted(map(key, back.collect())) == sorted(
-        map(key, docs.collect())
-    )
+    want = sorted(map(key, docs.collect()))
+    assert sorted(map(key, back.collect())) == want
     assert back.schema == docs.schema
+
+    # the row lane (arrow=false) must agree with the Arrow lane
+    row_lane = (spark.read.format("jsonl_docs").option("path", out)
+                .option("arrow", "false").load())
+    assert sorted(map(key, row_lane.collect())) == want
 
 
 def test_jsonl_stream_reader_picks_up_new_shards(spark, sf_dir, tmp_path):
