@@ -40,6 +40,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -77,6 +78,10 @@ class JsonlDocsSource(DataSource):
 
     def streamReader(self, schema: StructType) -> "JsonlDocsStreamReader":
         return JsonlDocsStreamReader(schema, self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool
+                     ) -> "JsonlDocsStreamWriter":
+        return JsonlDocsStreamWriter(schema, self.options)
 
 
 ARROW_BATCH_ROWS = 4096
@@ -279,6 +284,74 @@ class JsonlDocsStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the query checkpoint; nothing to ack
+
+
+class JsonlDocsStreamWriter(DataSourceStreamWriter):
+    """Streaming JSONL sink with per-micro-batch two-phase commit and
+    IDEMPOTENT batch replay — the property that turns Spark's
+    at-least-once batch redelivery into exactly-once OUTPUT:
+
+    - each task stages `_tmp-*.jsonl` and reports it in its commit
+      message;
+    - `commit(messages, batchId)` first removes any existing
+      `batch-<id>-*` shards (a replayed batch after a mid-commit
+      failure REPLACES its own partial output instead of duplicating
+      it), then renames staging to deterministic
+      `batch-<id>-part-<i>.jsonl` names;
+    - `abort` removes the staged files, leaving prior batches intact.
+
+    Batch-prefixed names keep output lexicographically increasing in
+    batch order, so a JsonlDocsStreamReader can tail the directory a
+    downstream stage writes — the two halves compose into a
+    file-bus pipeline."""
+
+    def __init__(self, schema: StructType, options):
+        self._fields = [f.name for f in schema.fields]
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("jsonl_docs requires .option('path', dir)")
+
+    def write(self, iterator) -> _ShardCommit:
+        os.makedirs(self._path, exist_ok=True)
+        tmp = f"_tmp-{uuid.uuid4().hex}.jsonl"
+        full = os.path.join(self._path, tmp)
+        wrote = False
+        with open(full, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(
+                    {f: row[i] for i, f in enumerate(self._fields)},
+                    ensure_ascii=False,
+                ))
+                fh.write("\n")
+                wrote = True
+        if not wrote:
+            os.remove(full)
+            return _ShardCommit(None)
+        return _ShardCommit(tmp)
+
+    def commit(self, messages, batchId: int) -> None:
+        staged = sorted(
+            m.tmp_name for m in messages
+            if m is not None and m.tmp_name is not None
+        )
+        prefix = f"batch-{batchId:05d}-"
+        # idempotent replay: this batch replaces ITS OWN prior output
+        for f in os.listdir(self._path):
+            if f.startswith(prefix):
+                os.remove(os.path.join(self._path, f))
+        for i, tmp in enumerate(staged):
+            os.replace(
+                os.path.join(self._path, tmp),
+                os.path.join(self._path, f"{prefix}part-{i:05d}.jsonl"),
+            )
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and m.tmp_name is not None:
+                try:
+                    os.remove(os.path.join(self._path, m.tmp_name))
+                except FileNotFoundError:
+                    pass
 
 
 def register(spark) -> None:

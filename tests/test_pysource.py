@@ -126,6 +126,54 @@ def test_jsonl_stream_rejects_out_of_order_shard(spark, sf_dir, tmp_path):
         _drain()
 
 
+def test_jsonl_stream_writer_batch_prefixed_commit(spark, sf_dir, tmp_path):
+    """The streaming sink: two micro-batches (parquet shards landing
+    between availableNow runs) produce batch-prefixed JSONL shards,
+    contents equal to the batch read of everything; the custom stream
+    READER can then tail the very directory the writer produced (the
+    file-bus composition), and no staging files survive."""
+    import shutil as _shutil
+
+    register(spark)
+    src = str(tmp_path / "pq_in")
+    os.makedirs(src)
+    out = str(tmp_path / "jsonl_out")
+    docs = load_table(spark, "documents", sf_dir).limit(40)
+    a = docs.limit(25)
+
+    def _drain():
+        q = (spark.readStream.schema(docs.schema).parquet(src)
+             .writeStream.format("jsonl_docs").option("path", out)
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ckpt_w"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    stage = tmp_path / "stage_w"
+    a.coalesce(1).write.mode("overwrite").parquet(str(stage))
+    _shutil.move(str(next(stage.glob("part-*.parquet"))),
+                 os.path.join(src, "drop-a.parquet"))
+    _drain()
+    files1 = sorted(f for f in os.listdir(out) if f.endswith(".jsonl"))
+    assert files1 and all(f.startswith("batch-") for f in files1)
+
+    docs.exceptAll(a).coalesce(1).write.mode("overwrite").parquet(str(stage))
+    _shutil.move(str(next(stage.glob("part-*.parquet"))),
+                 os.path.join(src, "drop-b.parquet"))
+    _drain()
+    files2 = sorted(f for f in os.listdir(out) if f.endswith(".jsonl"))
+    assert set(files1) < set(files2)
+    assert not any(f.startswith("_tmp-") for f in os.listdir(out))
+    batch_ids = {f.split("-")[1] for f in files2}
+    assert len(batch_ids) == 2  # one prefix per micro-batch
+
+    back = spark.read.format("jsonl_docs").option("path", out).load()
+    key = lambda r: (r["doc_id"], r["text"])
+    assert sorted(map(key, back.collect())) == sorted(
+        map(key, docs.collect())
+    )
+
+
 def test_jsonl_overwrite_replaces_previous_shards(spark, sf_dir, tmp_path):
     register(spark)
     docs = load_table(spark, "documents", sf_dir).limit(50)
