@@ -35,13 +35,18 @@ def _as_double(col) -> F.Column:
 
 
 def cosine_topk(emb: DataFrame, n_queries: int = N_QUERIES,
-                k: int = TOP_K) -> DataFrame:
+                k: int = TOP_K,
+                sim_ceiling: float | None = None) -> DataFrame:
     """Brute-force exact top-k neighbors for each query vector.
 
     The (tiny) query matrix is broadcast as numpy and each corpus
     Arrow batch does ONE matmul against it — the block-product shape
     that scales linearly with the corpus. Final top-k is a per-query
-    window over the scored pairs (Q×N rows, already small)."""
+    window over the scored pairs (Q×N rows, already small).
+
+    `sim_ceiling` drops candidates at or above a similarity cap
+    BEFORE the top-k pick — the hard-negative mining form (exclude
+    near-duplicates, keep the hardest non-duplicates)."""
     import numpy as np
     import pandas as pd
 
@@ -74,6 +79,8 @@ def cosine_topk(emb: DataFrame, n_queries: int = N_QUERIES,
             )
 
     scored = e.mapInPandas(gen, schema="query_id long, neighbor_id long, sim double")
+    if sim_ceiling is not None:
+        scored = scored.filter(F.col("sim") < sim_ceiling)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -1235,6 +1242,27 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(load_table(spark, "embeddings", sf_dir))
 
 
+HARD_NEG_CEIL = 0.3  # embedding_dup_pairs' near-dup tau (operators/dedup.py)
+
+
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for embedding/contrastive training: for
+    each query vector, the top-k most-similar candidates whose cosine
+    is BELOW the near-duplicate threshold (the same tau
+    embedding_dup_pairs treats as duplicate) — the classic "hardest
+    non-duplicate" negatives that make a contrastive batch
+    informative, with the near-dups (false negatives that would
+    poison the loss) excluded by construction.
+
+    Same broadcast block-matmul scan as cosine_topk (linear in the
+    corpus); the ceiling filter drops dup-range candidates BEFORE the
+    per-query top-k window, so the pick is over the admissible set."""
+    return cosine_topk(
+        load_table(spark, "embeddings", sf_dir),
+        sim_ceiling=HARD_NEG_CEIL,
+    )
+
+
 # Per-QUERY recall floors for the two candidate-generation paths:
 # 0.2 = "every query must recover at least one of its exact top-5" —
 # a real candidate-generation gate (a bucketing/probe bug typically
@@ -1350,6 +1378,7 @@ def ann_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMILARITY_QUERIES = {
     "ann_nearest_centroid": ann_nearest_centroid,
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_hard_negatives": ann_hard_negatives,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_hnsw_topk": ann_hnsw_topk,
@@ -1415,6 +1444,24 @@ SIMILARITY_ORACLES = {
               PARTITION BY query_id ORDER BY sim DESC, neighbor_id
             ) AS rank
           FROM scored
+        ) WHERE rank <= {TOP_K}
+    """,
+    "ann_hard_negatives": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            list_dot_product(q.v, c.v) /
+            (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+              AS sim
+          FROM e q JOIN e c ON q.vec_id < {N_QUERIES}
+                           AND q.vec_id <> c.vec_id
+        )
+        SELECT query_id, neighbor_id, ROUND(sim, 6) AS cos_sim, rank FROM (
+          SELECT query_id, neighbor_id, sim,
+            ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+            ) AS rank
+          FROM scored WHERE sim < {HARD_NEG_CEIL}
         ) WHERE rank <= {TOP_K}
     """,
     # ann_lsh_bucketed / ann_ivf_topk: per-query bounds oracles — one
