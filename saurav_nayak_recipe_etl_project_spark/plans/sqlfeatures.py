@@ -249,12 +249,69 @@ def order_metrics_unpivot_nulls(spark: SparkSession,
     return spark.sql(_unpivot_nulls_sql(_view(spark, "lineitem", sf_dir)))
 
 
+def region_nation_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region report row: nation count, customer count, and the
+    alphabetized comma-joined nation roster via Spark 4's LISTAGG
+    (DISTINCT ... WITHIN GROUP (ORDER BY ...)) — the ordered string
+    aggregation report sheets are full of, newly a first-class SQL
+    function. Deterministic because the WITHIN GROUP order is total.
+
+    Scale note: LISTAGG state is O(group's distinct values) — correct
+    for dimension-bounded groups like nations-per-region (<=25);
+    for data-growing groups use collect_set + slicing or a top-k
+    first, never an unbounded string. The per-nation rollup happens
+    FIRST (two-level aggregate), so the string agg sees one row per
+    nation — no DISTINCT-in-listagg, which both engines distinct-
+    rewrite poorly (Spark 4.1 throws a SortOrder ClassCastException
+    mixing listagg DISTINCT WITHIN GROUP with other distinct aggs)."""
+    customer = _view(spark, "customer", sf_dir)
+    nation = _view(spark, "nation", sf_dir)
+    region = _view(spark, "region", sf_dir)
+    return spark.sql(f"""
+        WITH per_nation AS (
+          SELECT r.r_name, n.n_name,
+                 COUNT(*) AS n_cust
+          FROM {customer} c
+          JOIN {nation} n ON c.c_nationkey = n.n_nationkey
+          JOIN {region} r ON n.n_regionkey = r.r_regionkey
+          GROUP BY r.r_name, n.n_name
+        )
+        SELECT r_name AS region,
+               CAST(COUNT(*) AS BIGINT) AS n_nations,
+               CAST(SUM(n_cust) AS BIGINT) AS n_customers,
+               listagg(n_name, ', ')
+                 WITHIN GROUP (ORDER BY n_name) AS nation_roster
+        FROM per_nation
+        GROUP BY r_name
+        ORDER BY region
+    """)
+
+
+REGION_ROSTER_ORACLE = """
+    WITH per_nation AS (
+      SELECT r.r_name, n.n_name, COUNT(*) AS n_cust
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT r_name AS region,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           CAST(SUM(n_cust) AS BIGINT) AS n_customers,
+           string_agg(n_name, ', ' ORDER BY n_name) AS nation_roster
+    FROM per_nation
+    GROUP BY r_name
+    ORDER BY region
+"""
+
+
 SQLFEATURES_QUERIES = {
     "customer_latest_order_lateral": customer_latest_order_lateral,
     "copurchase_reach3": copurchase_reach3,
     "orders_groupby_all": orders_groupby_all,
     "customer_segments_orderby_all": customer_segments_orderby_all,
     "order_metrics_unpivot_nulls": order_metrics_unpivot_nulls,
+    "region_nation_roster": region_nation_roster,
 }
 
 SQLFEATURES_ORACLES = {
@@ -270,4 +327,7 @@ SQLFEATURES_ORACLES = {
     "customer_segments_orderby_all": _orderby_all_sql(
         "customer", "nation", "region"),
     "order_metrics_unpivot_nulls": _unpivot_nulls_sql("lineitem"),
+    # DuckDB spells ordered string aggregation string_agg(... ORDER
+    # BY) rather than listagg WITHIN GROUP — equivalent semantics
+    "region_nation_roster": REGION_ROSTER_ORACLE,
 }
