@@ -305,6 +305,46 @@ REGION_ROSTER_ORACLE = """
 """
 
 
+TOPK_SKETCH_K = 16  # > |event_type| (5) at every SF: sketch is EXACT
+
+
+def event_type_frequency_sketch(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Heavy-hitters via Spark 4's approx_top_k aggregate — the
+    ONE-PASS mergeable frequent-items sketch (each partition keeps a
+    bounded tracked-items map, partials merge associatively), the
+    shape that replaces a full groupBy when only the top of a
+    billion-key distribution matters. `inline` explodes the
+    array-of-struct result back to rows.
+
+    Oracled EXACTLY: k (16) and maxItemsTracked exceed the column's
+    cardinality (5 event types at every SF), and the sketch is
+    provably exact while nothing is evicted — so the DuckDB exact
+    GROUP BY is a legitimate value oracle, not a bounds check. At
+    real heavy-hitter scale (k << distinct) the guarantee weakens to
+    frequency error <= n/maxItemsTracked; cms_user_counts
+    (plans/profiling.py F23b) covers that regime with explicit
+    error-bound gates."""
+    events = _view(spark, "events", sf_dir)
+    return spark.sql(f"""
+        SELECT s.item AS event_type, CAST(s.count AS BIGINT) AS n
+        FROM (
+          SELECT inline(approx_top_k(event_type, {TOPK_SKETCH_K}))
+            AS (item, count)
+          FROM {events}
+        ) s
+        ORDER BY n DESC, event_type
+    """)
+
+
+TOPK_SKETCH_ORACLE = """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY n DESC, event_type
+"""
+
+
 SQLFEATURES_QUERIES = {
     "customer_latest_order_lateral": customer_latest_order_lateral,
     "copurchase_reach3": copurchase_reach3,
@@ -312,6 +352,7 @@ SQLFEATURES_QUERIES = {
     "customer_segments_orderby_all": customer_segments_orderby_all,
     "order_metrics_unpivot_nulls": order_metrics_unpivot_nulls,
     "region_nation_roster": region_nation_roster,
+    "event_type_frequency_sketch": event_type_frequency_sketch,
 }
 
 SQLFEATURES_ORACLES = {
@@ -330,4 +371,7 @@ SQLFEATURES_ORACLES = {
     # DuckDB spells ordered string aggregation string_agg(... ORDER
     # BY) rather than listagg WITHIN GROUP — equivalent semantics
     "region_nation_roster": REGION_ROSTER_ORACLE,
+    # exact GROUP BY oracle: the sketch is exact while k and
+    # maxItemsTracked exceed the column's cardinality (see docstring)
+    "event_type_frequency_sketch": TOPK_SKETCH_ORACLE,
 }

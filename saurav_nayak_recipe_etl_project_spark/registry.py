@@ -91,7 +91,7 @@ _load_optional()
 #       band widths (derive_band_widths + LM-frame checkpoint);
 #   (2) new round-8 entries (Spark-4 SQL surface);
 #   (3) stalest-first fill: ALL 17 remaining r1 entries, then the
-#       r2 tail alphabetically until the window cuts at 50. The 12
+#       r2 tail alphabetically until the window cuts at 50. The 13
 #       r2 leftovers + the r4 trio lead round 9's fill.
 _DRIVER_PRIORITY = [
     # -- (1) changed in round 8 --
@@ -111,6 +111,7 @@ _DRIVER_PRIORITY = [
     "order_metrics_unpivot_nulls",
     "ann_hard_negatives",
     "region_nation_roster",
+    "event_type_frequency_sketch",
     # -- (3a) stalest: last externally verified in round 1 (all 17) --
     "part_revenue_rank",
     "parts_in_urgent_orders",
