@@ -91,8 +91,9 @@ _load_optional()
 #       band widths (derive_band_widths + LM-frame checkpoint);
 #   (2) new round-8 entries (Spark-4 SQL surface);
 #   (3) stalest-first fill: ALL 17 remaining r1 entries, then the
-#       r2 tail alphabetically until the window cuts at 50. The 13
-#       r2 leftovers + the r4 trio lead round 9's fill.
+#       r2 tail alphabetically until the window cuts at 50 (after
+#       q14_promo_effect). The 13 r2 leftovers + the r4 trio lead
+#       round 9's fill.
 _DRIVER_PRIORITY = [
     # -- (1) changed in round 8 --
     "part_revenue_pareto",
