@@ -198,16 +198,6 @@ def derive_band_widths(
     return widths
 
 
-def auto_band(df: DataFrame, col: str, target_buckets: int = 256) -> Column:
-    """``floor(col / derive_band_width(...))`` — the drop-in bucket
-    expression for ``with_global_rank`` when the sort key is a numeric
-    column of ``df`` (ascending). For negated/derived keys call
-    ``derive_band_width`` on a frame that carries the derived key."""
-    return F.floor(
-        F.col(col) / F.lit(derive_band_width(df, col, target_buckets))
-    )
-
-
 def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
     """SQL-standard NTILE(k) bucket from an exact global rank.
 

@@ -135,13 +135,17 @@ def publish_with_audit(df: DataFrame, table_dir: str, audits,
         int(d[2:]) for d in os.listdir(table_dir)
         if d.startswith("_v") and d[2:].isdigit()
     )
-    # Version numbering must also skip stale staging leftovers (a
-    # crashed writer) so a new stage never collides with one.
-    staged_leftover = [
-        int(d[2:]) for d in os.listdir(staging_root)
-        if d.startswith("_v") and d[2:].isdigit()
-    ]
-    version = max(existing + staged_leftover, default=0) + 1
+    # Stale staging leftovers are orphans by definition (a staged dir
+    # is referenced by NOTHING until its publish rename, and a live
+    # publish holds this code path, not a background one) — prune
+    # them here so a crashed writer can't leak full-size snapshots
+    # outside keep_versions forever. Numbering then only needs the
+    # published set.
+    for d in os.listdir(staging_root):
+        if d.startswith("_v") and d[2:].isdigit():
+            shutil.rmtree(os.path.join(staging_root, d),
+                          ignore_errors=True)
+    version = max(existing, default=0) + 1
     staged = os.path.join(staging_root, f"_v{version}")
     df.write.mode("errorifexists").parquet(staged)
 

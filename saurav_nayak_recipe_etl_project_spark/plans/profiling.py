@@ -266,11 +266,14 @@ def price_quantity_decile_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Both decile assignments are the distributed two-pass rank
     (functions/ranking.py) over the FACT table — no global ntile
-    window over |lineitem| anywhere: price ranks bucket by 2^18-cent
-    (~$2.6k) bands (~40 buckets over this catalog's price range —
-    a 2^22 width collapsed to 3 buckets and serialized the window), quantity ranks bucket by its own 50-value domain;
-    NTILE(10) is reconstructed arithmetically from (rank, n) so the
-    cells are bit-identical to the window form.
+    window over |lineitem| anywhere: price ranks bucket by bands
+    auto-derived from an approxQuantile probe of the price column
+    (derive_band_width, ~256-bucket target; the round-7 hand-tuned
+    2^22 width collapsed to 3 buckets over this catalog and
+    serialized the window — the lesson behind the derivation),
+    quantity ranks bucket by its own 50-value domain; NTILE(10) is
+    reconstructed arithmetically from (rank, n) so the cells are
+    bit-identical to the window form.
 
     Row identity: (l_orderkey, l_linenumber) is NOT unique in this
     testdata, so an `occ` occurrence index (row_number inside the

@@ -195,7 +195,7 @@ def part_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keyed = rev.select(
         "l_partkey", "cents", (-F.col("cents")).alias("_neg")
-    )
+    ).localCheckpoint(eager=False)  # probe + rank + total: scan once
     width = derive_band_width(keyed, "_neg")
     ranked = with_global_rank(
         keyed,
@@ -204,7 +204,7 @@ def part_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         cumsum_of="cents",
         cumsum_col="cum_cents",
     )
-    total = rev.agg(F.sum("cents").alias("total_cents"))
+    total = keyed.agg(F.sum("cents").alias("total_cents"))
     return (
         ranked
         .crossJoin(F.broadcast(total))
@@ -243,6 +243,10 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
     )
+    # O(customers) rollup feeds FIVE separate actions (the quantile
+    # probe, three rank queries, the final join) — checkpoint it so
+    # the orders scan+groupBy runs once, not per action
+    per_cust = per_cust.localCheckpoint(eager=False)
     n = per_cust.agg(F.count("*").alias("_n"))
     negs = {
         # score col -> ascending negated sort key
@@ -632,9 +636,9 @@ def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keyed = rev.select(
         "l_partkey", "cents", (-F.col("cents")).alias("_neg")
-    )
+    ).localCheckpoint(eager=False)  # probe + rank + total: scan once
     width = derive_band_width(keyed, "_neg")
-    total = rev.agg(F.sum("cents").alias("total_cents"))
+    total = keyed.agg(F.sum("cents").alias("total_cents"))
     classed = (
         with_global_rank(
             keyed,

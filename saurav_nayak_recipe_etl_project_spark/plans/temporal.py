@@ -517,6 +517,10 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("t_s")
         )
     )
+    # the conversion-latency frame feeds three actions (count, the
+    # width probe, the rank query) — checkpoint so the events
+    # self-join runs once
+    conv = conv.localCheckpoint(eager=False)
     n = conv.agg(F.count("*").alias("_n"))
     # latency band width derived from the data (hour-bands collapse if
     # conversions cluster in minutes, or explode over a years-long log)

@@ -13,10 +13,12 @@ driver-side loop:
   beyond the directory listing.
 - Write side: Spark's two-phase contract. Each task writes a
   uniquely-named `_tmp-*.jsonl` and returns it as a commit message;
-  `commit()` on the driver renames the staged files to deterministic
-  `part-NNNNN.jsonl` names and drops `_SUCCESS`; `abort()` removes
-  the staging files. A failed job can never leave a half-visible
-  shard set — the plain-JSONL miniature of the WAP protocol
+  `commit()` on the driver removes `_SUCCESS` FIRST, renames the
+  staged files to deterministic `part-NNNNN.jsonl` names (appends
+  continue numbering past the existing max index), and re-drops
+  `_SUCCESS` last; `abort()` removes the staging files. A marker-
+  checking reader therefore never sees a half-swapped shard set —
+  the plain-JSONL miniature of the WAP protocol
   (operators/maintenance.py).
 
 HONEST scale note: rows cross the Python worker boundary (this is
@@ -191,14 +193,33 @@ class JsonlDocsWriter(DataSourceWriter):
             m.tmp_name for m in messages
             if m is not None and m.tmp_name is not None
         )
+        # drop the marker FIRST: a crash anywhere inside this commit
+        # must leave the directory claiming nothing (readers that
+        # require _SUCCESS see either the old-complete or the
+        # new-complete set, never a half-swapped one)
+        try:
+            os.remove(os.path.join(self._path, "_SUCCESS"))
+        except FileNotFoundError:
+            pass
+        existing = [
+            f for f in os.listdir(self._path)
+            if f.endswith(".jsonl") and f.startswith("part-")
+        ]
         if self._overwrite:
-            for f in os.listdir(self._path):
-                if f.endswith(".jsonl") and f.startswith("part-"):
-                    os.remove(os.path.join(self._path, f))
+            for f in existing:
+                os.remove(os.path.join(self._path, f))
+            base = 0
+        else:
+            # append: continue numbering past the existing max part
+            # index — renaming from 0 would clobber prior shards
+            base = 1 + max(
+                (int(f[len("part-"):].split(".")[0]) for f in existing),
+                default=-1,
+            )
         for i, tmp in enumerate(staged):
             os.replace(
                 os.path.join(self._path, tmp),
-                os.path.join(self._path, f"part-{i:05d}.jsonl"),
+                os.path.join(self._path, f"part-{base + i:05d}.jsonl"),
             )
         with open(os.path.join(self._path, "_SUCCESS"), "w"):
             pass
@@ -300,10 +321,11 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
       `batch-<id>-part-<i>.jsonl` names;
     - `abort` removes the staged files, leaving prior batches intact.
 
-    Batch-prefixed names keep output lexicographically increasing in
-    batch order, so a JsonlDocsStreamReader can tail the directory a
-    downstream stage writes — the two halves compose into a
-    file-bus pipeline."""
+    Batch-prefixed names (10-digit zero-padded, monotone through
+    10^10 batches — ~300 years at 1 batch/s) keep output
+    lexicographically increasing in batch order, so a
+    JsonlDocsStreamReader can tail the directory a downstream stage
+    writes — the two halves compose into a file-bus pipeline."""
 
     def __init__(self, schema: StructType, options):
         self._fields = [f.name for f in schema.fields]
@@ -334,7 +356,7 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
             m.tmp_name for m in messages
             if m is not None and m.tmp_name is not None
         )
-        prefix = f"batch-{batchId:05d}-"
+        prefix = f"batch-{batchId:010d}-"
         # idempotent replay: this batch replaces ITS OWN prior output
         for f in os.listdir(self._path):
             if f.startswith(prefix):

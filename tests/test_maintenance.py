@@ -113,8 +113,9 @@ def test_staged_snapshot_invisible_until_audited(spark, tmp_path):
     """A mid-write / unaudited snapshot lives under _staging and must
     be invisible to BOTH read authorities — published_versions() and
     read_published(version=N) — never just to the CURRENT pointer;
-    and a stale staging leftover must not collide with the next
-    publish's version number."""
+    and the next publish must PRUNE the stale leftover (orphan by
+    definition — staged dirs are referenced by nothing) instead of
+    leaking a full-size snapshot outside keep_versions forever."""
     import os
 
     from saurav_nayak_recipe_etl_project_spark.operators.maintenance import (
@@ -140,11 +141,13 @@ def test_staged_snapshot_invisible_until_audited(spark, tmp_path):
     with _pytest.raises(FileNotFoundError):
         read_published(spark, t, version=2)
 
-    # next publish must skip the stale staged number, not collide
+    # next publish prunes the stale staged dir and numbers from the
+    # published set — no collision, no leaked orphan snapshot
     publish_with_audit(spark.range(9), t, audits=[lambda df: True],
                        keep_versions=3)
-    assert published_versions(t) == [1, 3]
+    assert published_versions(t) == [1, 2]
     assert read_published(spark, t).count() == 9
+    assert not os.path.exists(stale)
 
 
 def test_publish_time_travel_reads_retained_versions(spark, tmp_path):

@@ -188,3 +188,23 @@ def test_jsonl_overwrite_replaces_previous_shards(spark, sf_dir, tmp_path):
     assert len(shards) == 1 and n_first > 1
     back = spark.read.format("jsonl_docs").option("path", out).load()
     assert back.count() == 50
+
+
+def test_jsonl_append_continues_numbering(spark, sf_dir, tmp_path):
+    """mode('append') must number NEW shards past the existing max —
+    renaming from part-00000 again would silently clobber the first
+    job's shards."""
+    register(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    a, b = docs.limit(30), docs.exceptAll(docs.limit(30)).limit(20)
+    out = str(tmp_path / "shards3")
+    (a.repartition(2).write.format("jsonl_docs")
+     .option("path", out).mode("overwrite").save())
+    (b.repartition(2).write.format("jsonl_docs")
+     .option("path", out).mode("append").save())
+    shards = sorted(f for f in os.listdir(out) if f.endswith(".jsonl"))
+    assert shards == [f"part-{i:05d}.jsonl" for i in range(len(shards))]
+    assert len(shards) >= 3  # both jobs' shards coexist
+    back = spark.read.format("jsonl_docs").option("path", out).load()
+    assert back.count() == 50
+    assert back.select("doc_id").distinct().count() == 50
