@@ -246,13 +246,43 @@ class JsonlDocsStreamReader(DataSourceStreamReader):
     {"n": consumed_count} over the sorted listing, trivially
     checkpointable and replayable (partitions(start,end) re-derives
     the same file slice during recovery). A file sorting BEFORE an
-    already-consumed name raises rather than being silently skipped."""
+    already-consumed name raises rather than being silently skipped.
+
+    Backpressure: `.option("maxFilesPerBatch", N)` caps how far
+    latestOffset advances past the last position this reader
+    instance has seen — BURST PROTECTION for a resident query: a
+    producer dumping 500 shards mid-run becomes ceil(500/N) bounded
+    micro-batches instead of one giant one. Scope, measured not
+    assumed: Spark asks latestOffset BEFORE initialOffset even on a
+    brand-new query (traced against pyspark 4.1's
+    python_streaming_source_runner), so the FIRST batch of any run
+    is necessarily uncapped — the API gives a fresh reader no
+    position to pace against, and a blind cap below a restored
+    checkpoint offset would report latest < start and wedge the
+    stream forever, strictly worse than one oversized batch. Every
+    batch after the first is capped (position learned from
+    partitions()/commit())."""
 
     def __init__(self, schema: StructType, options):
         self._fields = [f.name for f in schema.fields]
         self._path = options.get("path")
         if not self._path:
             raise ValueError("jsonl_docs requires .option('path', dir)")
+        mfb = options.get("maxFilesPerBatch")
+        self._max_files = int(mfb) if mfb is not None else None
+        if self._max_files is not None and self._max_files < 1:
+            raise ValueError("maxFilesPerBatch must be >= 1")
+        # last position this INSTANCE has seen; None until
+        # initialOffset (fresh query) or partitions/commit (restart)
+        # reveals one — the cap only applies once a position is known
+        self._seen_n = None
+
+    def _trace(self, msg):
+        import os as _os
+        tf = _os.environ.get("JSONL_DOCS_TRACE")
+        if tf:
+            with open(tf, "a") as fh:
+                fh.write(f"pid={_os.getpid()} id={id(self)} {msg}\n")
 
     def _shards(self):
         try:
@@ -265,13 +295,29 @@ class JsonlDocsStreamReader(DataSourceStreamReader):
         )
 
     def initialOffset(self) -> dict:
+        self._trace("initialOffset")
+        self._seen_n = 0
         return {"n": 0, "last": ""}
 
     def latestOffset(self) -> dict:
         shards = self._shards()
-        return {"n": len(shards), "last": shards[-1] if shards else ""}
+        n = len(shards)
+        if self._max_files is not None and self._seen_n is not None:
+            n = min(n, self._seen_n + self._max_files)
+            n = max(n, min(self._seen_n, len(shards)))
+        self._trace(f"latestOffset seen={self._seen_n} -> n={n}")
+        return {"n": n, "last": shards[n - 1] if n else ""}
 
     def partitions(self, start: dict, end: dict):
+        # pacing position = the END of the batch being planned (the
+        # range [start,end) is in-flight from here on; tracking the
+        # START would freeze latestOffset at the committed position
+        # and wedge the stream — and commit() is NOT reliably invoked
+        # by the 4.1 runner, traced, so end-tracking here is the one
+        # dependable signal). Also how a restarted query's first
+        # batch reveals the checkpointed position.
+        self._trace(f"partitions {start} -> {end}")
+        self._seen_n = max(self._seen_n or 0, end["n"])
         shards = self._shards()
         if len(shards) < end["n"]:
             raise RuntimeError(
@@ -304,7 +350,10 @@ class JsonlDocsStreamReader(DataSourceStreamReader):
                 yield tuple(obj.get(f) for f in fields)
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in the query checkpoint; nothing to ack
+        # offsets live in the query checkpoint; belt-and-braces sync
+        # (the 4.1 runner was traced NOT calling this — partitions()
+        # end-tracking above is the load-bearing pacing signal)
+        self._seen_n = max(self._seen_n or 0, end["n"])
 
 
 class JsonlDocsStreamWriter(DataSourceStreamWriter):

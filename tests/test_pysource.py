@@ -89,6 +89,70 @@ def test_jsonl_stream_reader_picks_up_new_shards(spark, sf_dir, tmp_path):
     assert got == sorted((r["doc_id"], r["text"]) for r in docs)
 
 
+def test_jsonl_stream_backpressure_bounds_burst(spark, sf_dir, tmp_path):
+    """Burst protection: a resident query (maxFilesPerBatch=1) that
+    has consumed its first batch gets THREE shards dumped at once —
+    they must arrive as three bounded 4-row micro-batches, never one
+    12-row gulp. (Batch 0 of any run is uncapped by API necessity —
+    Spark asks latestOffset before initialOffset — which the module
+    docstring documents; this test pins the steady-state cap.)"""
+    import json as _json
+    import time as _t
+
+    from saurav_nayak_recipe_etl_project_spark.streaming.monitor import (
+        recording,
+    )
+
+    register(spark)
+    src = str(tmp_path / "bp_shards")
+    os.makedirs(src)
+
+    def _land(i):
+        with open(os.path.join(src, f"shard-{i:03d}.jsonl"), "w") as fh:
+            for j in range(4):
+                fh.write(_json.dumps({
+                    "doc_id": i * 10 + j, "text": f"t{i}", "lang": "en",
+                    "source": "s", "n_chars": 2}) + "\n")
+
+    _land(0)  # batch 0 (uncapped by necessity): one small shard
+    out = str(tmp_path / "bp_out")
+
+    def _rows():
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0  # sink dir not created yet
+
+    with recording(spark) as rec:
+        q = (spark.readStream.format("jsonl_docs").option("path", src)
+             .option("maxFilesPerBatch", "1").load()
+             .writeStream.format("parquet").option("path", out)
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "bp_ckpt"))
+             .trigger(processingTime="300 milliseconds").start())
+        try:
+            deadline = _t.time() + 60
+            while _t.time() < deadline and _rows() < 4:
+                _t.sleep(0.3)
+            # the BURST: three shards land at once while resident
+            for i in (1, 2, 3):
+                _land(i)
+            while _t.time() < deadline and _rows() < 16:
+                _t.sleep(0.3)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+        _t.sleep(1.0)  # listener events are async
+        data_batches = [r for r in rec.snapshot() if r[4] > 0]
+
+    # batch 0 = 4 rows; the burst = three MORE 4-row batches
+    assert len(data_batches) == 4, data_batches
+    assert all(r[4] == 4 for r in data_batches), data_batches
+    got = spark.read.parquet(out)
+    assert got.count() == 16
+    assert got.select("doc_id").distinct().count() == 16
+
+
 def test_jsonl_stream_rejects_out_of_order_shard(spark, sf_dir, tmp_path):
     """A shard landing lexicographically BEFORE the consumed prefix
     must fail the query loudly (silent index re-slicing would re-read
