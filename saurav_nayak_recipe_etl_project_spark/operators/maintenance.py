@@ -135,17 +135,24 @@ def publish_with_audit(df: DataFrame, table_dir: str, audits,
         int(d[2:]) for d in os.listdir(table_dir)
         if d.startswith("_v") and d[2:].isdigit()
     )
-    # Stale staging leftovers are orphans by definition (a staged dir
-    # is referenced by NOTHING until its publish rename, and a live
-    # publish holds this code path, not a background one) — prune
-    # them here so a crashed writer can't leak full-size snapshots
-    # outside keep_versions forever. Numbering then only needs the
-    # published set.
+    # Prune staging leftovers that are PROVABLY dead: a staged _vN
+    # with N <= the max published version can never publish (the
+    # rename target name is taken), so it is a crashed writer's
+    # orphan — remove it instead of leaking a full-size snapshot
+    # outside keep_versions forever. A staged dir with N beyond the
+    # published set might be a CONCURRENT publisher's live in-flight
+    # write, so it is left alone and only skipped in numbering (the
+    # race-safe behavior the original skip-numbering had).
+    staged_leftover = []
+    max_published = max(existing, default=0)
     for d in os.listdir(staging_root):
         if d.startswith("_v") and d[2:].isdigit():
-            shutil.rmtree(os.path.join(staging_root, d),
-                          ignore_errors=True)
-    version = max(existing, default=0) + 1
+            if int(d[2:]) <= max_published:
+                shutil.rmtree(os.path.join(staging_root, d),
+                              ignore_errors=True)
+            else:
+                staged_leftover.append(int(d[2:]))
+    version = max(existing + staged_leftover, default=0) + 1
     staged = os.path.join(staging_root, f"_v{version}")
     df.write.mode("errorifexists").parquet(staged)
 

@@ -44,9 +44,11 @@ def cosine_topk(emb: DataFrame, n_queries: int = N_QUERIES,
     that scales linearly with the corpus. Final top-k is a per-query
     window over the scored pairs (Q×N rows, already small).
 
-    `sim_ceiling` drops candidates at or above a similarity cap
-    BEFORE the top-k pick — the hard-negative mining form (exclude
-    near-duplicates, keep the hardest non-duplicates)."""
+    `sim_ceiling` drops candidates whose ROUNDED (6-decimal, the
+    output convention) similarity reaches the cap BEFORE the top-k
+    pick — the hard-negative mining form (exclude near-duplicates,
+    keep the hardest non-duplicates); rounding the comparison keeps
+    the boundary engine-portable."""
     import numpy as np
     import pandas as pd
 
@@ -80,7 +82,12 @@ def cosine_topk(emb: DataFrame, n_queries: int = N_QUERIES,
 
     scored = e.mapInPandas(gen, schema="query_id long, neighbor_id long, sim double")
     if sim_ceiling is not None:
-        scored = scored.filter(F.col("sim") < sim_ceiling)
+        # filter on the ROUNDED sim (the same 6-decimal convention the
+        # output uses): numpy's FMA matmul and the oracle's sequential
+        # dot product can disagree in the last ulps, and an unrounded
+        # knife-edge at the ceiling would admit a pair in one engine
+        # and not the other
+        scored = scored.filter(F.round(F.col("sim"), 6) < sim_ceiling)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -1461,7 +1468,7 @@ SIMILARITY_ORACLES = {
             ROW_NUMBER() OVER (
               PARTITION BY query_id ORDER BY sim DESC, neighbor_id
             ) AS rank
-          FROM scored WHERE sim < {HARD_NEG_CEIL}
+          FROM scored WHERE ROUND(sim, 6) < {HARD_NEG_CEIL}
         ) WHERE rank <= {TOP_K}
     """,
     # ann_lsh_bucketed / ann_ivf_topk: per-query bounds oracles — one

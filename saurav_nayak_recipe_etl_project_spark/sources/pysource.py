@@ -61,6 +61,50 @@ class _ShardCommit(WriterCommitMessage):
         self.tmp_name = tmp_name
 
 
+def _stage_shard(path: str, fields, iterator) -> _ShardCommit:
+    """Task side of both sinks: write this task's rows to a unique
+    `_tmp-*.jsonl`; empty tasks stage nothing."""
+    os.makedirs(path, exist_ok=True)
+    tmp = f"_tmp-{uuid.uuid4().hex}.jsonl"
+    full = os.path.join(path, tmp)
+    wrote = False
+    with open(full, "w", encoding="utf-8") as fh:
+        for row in iterator:
+            fh.write(json.dumps(
+                {f: row[i] for i, f in enumerate(fields)},
+                ensure_ascii=False,
+            ))
+            fh.write("\n")
+            wrote = True
+    if not wrote:
+        os.remove(full)
+        return _ShardCommit(None)
+    return _ShardCommit(tmp)
+
+
+def _remove_staged(path: str, messages) -> None:
+    for m in messages:
+        if m is not None and m.tmp_name is not None:
+            try:
+                os.remove(os.path.join(path, m.tmp_name))
+            except FileNotFoundError:
+                pass
+
+
+def _purge_tmp(path: str) -> None:
+    """Remove ALL remaining `_tmp-*` files — called after a commit's
+    renames, when every surviving `_tmp` is by elimination a dead
+    task attempt's orphan (Spark only commits once tasks finished; a
+    zombie speculative attempt may still hold an fd, but unlinking an
+    open file just discards data nobody references)."""
+    for f in os.listdir(path):
+        if f.startswith("_tmp-") and f.endswith(".jsonl"):
+            try:
+                os.remove(os.path.join(path, f))
+            except FileNotFoundError:
+                pass
+
+
 class JsonlDocsSource(DataSource):
     """`format("jsonl_docs")` with `.option("path", dir)`."""
 
@@ -111,11 +155,25 @@ class JsonlDocsReader(DataSourceReader):
         }
 
     def partitions(self):
+        names = os.listdir(self._path)
         shards = sorted(
             os.path.join(self._path, f)
-            for f in os.listdir(self._path)
+            for f in names
             if f.endswith(".jsonl") and not f.startswith("_")
         )
+        # enforce the writer's own contract: part-* files without the
+        # _SUCCESS marker mean a batch commit died mid-swap — reading
+        # the partial set silently would inflate or lose rows on the
+        # retry. (batch-* shards come from the STREAM writer, whose
+        # per-batch _COMMITTED markers replace the job-level marker —
+        # a tailing/bus directory legitimately has no _SUCCESS.)
+        if any(f.startswith("part-") for f in names) \
+                and "_SUCCESS" not in names:
+            raise RuntimeError(
+                f"jsonl_docs: {self._path} has part-*.jsonl shards but "
+                "no _SUCCESS marker — a batch write crashed mid-commit; "
+                "rerun the write (overwrite) before reading"
+            )
         # one task per shard: scan parallelism == shard count
         return [InputPartition(s) for s in shards]
 
@@ -171,22 +229,7 @@ class JsonlDocsWriter(DataSourceWriter):
         self._overwrite = overwrite
 
     def write(self, iterator) -> _ShardCommit:
-        os.makedirs(self._path, exist_ok=True)
-        tmp = f"_tmp-{uuid.uuid4().hex}.jsonl"
-        wrote = False
-        full = os.path.join(self._path, tmp)
-        with open(full, "w", encoding="utf-8") as fh:
-            for row in iterator:
-                fh.write(json.dumps(
-                    {f: row[i] for i, f in enumerate(self._fields)},
-                    ensure_ascii=False,
-                ))
-                fh.write("\n")
-                wrote = True
-        if not wrote:  # empty task: no shard, no commit entry
-            os.remove(full)
-            return _ShardCommit(None)
-        return _ShardCommit(tmp)
+        return _stage_shard(self._path, self._fields, iterator)
 
     def commit(self, messages) -> None:
         staged = sorted(
@@ -221,16 +264,13 @@ class JsonlDocsWriter(DataSourceWriter):
                 os.path.join(self._path, tmp),
                 os.path.join(self._path, f"part-{base + i:05d}.jsonl"),
             )
+        # every _tmp still present is a dead task attempt's orphan
+        _purge_tmp(self._path)
         with open(os.path.join(self._path, "_SUCCESS"), "w"):
             pass
 
     def abort(self, messages) -> None:
-        for m in messages:
-            if m is not None and m.tmp_name is not None:
-                try:
-                    os.remove(os.path.join(self._path, m.tmp_name))
-                except FileNotFoundError:
-                    pass
+        _remove_staged(self._path, messages)
 
 
 class JsonlDocsStreamReader(DataSourceStreamReader):
@@ -304,7 +344,6 @@ class JsonlDocsStreamReader(DataSourceStreamReader):
         n = len(shards)
         if self._max_files is not None and self._seen_n is not None:
             n = min(n, self._seen_n + self._max_files)
-            n = max(n, min(self._seen_n, len(shards)))
         self._trace(f"latestOffset seen={self._seen_n} -> n={n}")
         return {"n": n, "last": shards[n - 1] if n else ""}
 
@@ -363,11 +402,21 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
 
     - each task stages `_tmp-*.jsonl` and reports it in its commit
       message;
-    - `commit(messages, batchId)` first removes any existing
-      `batch-<id>-*` shards (a replayed batch after a mid-commit
-      failure REPLACES its own partial output instead of duplicating
-      it), then renames staging to deterministic
-      `batch-<id>-part-<i>.jsonl` names;
+    - `commit(messages, batchId)` is FIRST-COMMIT-WINS: if the
+      batch's `_batch-<id>._COMMITTED` marker exists, a replayed
+      batch discards its own staging and keeps the original files —
+      a downstream reader tailing this directory (the file-bus) may
+      already hold committed offsets over them, and deleting+
+      rewriting on every replay would shrink its listing and wedge
+      it. Only when the marker is ABSENT (first commit, or a crash
+      mid-commit left a partial batch) are that batch's partials
+      removed, staging renamed to deterministic
+      `batch-<id>-part-<i>.jsonl` names, and the marker dropped
+      last. Residual window, stated honestly: a crash between the
+      first rename and the marker leaves a partial batch a
+      downstream reader could consume before the replay repairs it —
+      closing it needs a manifest/directory swap, which plain
+      renamed files cannot express;
     - `abort` removes the staged files, leaving prior batches intact.
 
     Batch-prefixed names (10-digit zero-padded, monotone through
@@ -383,30 +432,23 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
             raise ValueError("jsonl_docs requires .option('path', dir)")
 
     def write(self, iterator) -> _ShardCommit:
-        os.makedirs(self._path, exist_ok=True)
-        tmp = f"_tmp-{uuid.uuid4().hex}.jsonl"
-        full = os.path.join(self._path, tmp)
-        wrote = False
-        with open(full, "w", encoding="utf-8") as fh:
-            for row in iterator:
-                fh.write(json.dumps(
-                    {f: row[i] for i, f in enumerate(self._fields)},
-                    ensure_ascii=False,
-                ))
-                fh.write("\n")
-                wrote = True
-        if not wrote:
-            os.remove(full)
-            return _ShardCommit(None)
-        return _ShardCommit(tmp)
+        return _stage_shard(self._path, self._fields, iterator)
 
     def commit(self, messages, batchId: int) -> None:
+        prefix = f"batch-{batchId:010d}-"
+        marker = os.path.join(self._path, f"_batch-{batchId:010d}._COMMITTED")
+        if os.path.exists(marker):
+            # replayed batch: the original commit completed — keep
+            # its files (a downstream tailing reader may hold
+            # offsets over them) and discard this replay's staging
+            _remove_staged(self._path, messages)
+            return
         staged = sorted(
             m.tmp_name for m in messages
             if m is not None and m.tmp_name is not None
         )
-        prefix = f"batch-{batchId:010d}-"
-        # idempotent replay: this batch replaces ITS OWN prior output
+        # no marker: first commit, or a crash left a partial batch —
+        # remove the partials, then rename, then mark
         for f in os.listdir(self._path):
             if f.startswith(prefix):
                 os.remove(os.path.join(self._path, f))
@@ -415,14 +457,12 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
                 os.path.join(self._path, tmp),
                 os.path.join(self._path, f"{prefix}part-{i:05d}.jsonl"),
             )
+        _purge_tmp(self._path)
+        with open(marker, "w"):
+            pass
 
     def abort(self, messages, batchId: int) -> None:
-        for m in messages:
-            if m is not None and m.tmp_name is not None:
-                try:
-                    os.remove(os.path.join(self._path, m.tmp_name))
-                except FileNotFoundError:
-                    pass
+        _remove_staged(self._path, messages)
 
 
 def register(spark) -> None:

@@ -112,10 +112,13 @@ def test_publish_with_audit_failed_audit_leaves_table_untouched(spark, tmp_path)
 def test_staged_snapshot_invisible_until_audited(spark, tmp_path):
     """A mid-write / unaudited snapshot lives under _staging and must
     be invisible to BOTH read authorities — published_versions() and
-    read_published(version=N) — never just to the CURRENT pointer;
-    and the next publish must PRUNE the stale leftover (orphan by
-    definition — staged dirs are referenced by nothing) instead of
-    leaking a full-size snapshot outside keep_versions forever."""
+    read_published(version=N) — never just to the CURRENT pointer.
+    A staged leftover NEWER than every published version might be a
+    concurrent publisher's live write, so the next publish only
+    numbers past it; once a published version overtakes it the
+    leftover is PROVABLY dead (its rename target is taken) and the
+    following publish prunes it instead of leaking a full-size
+    snapshot outside keep_versions forever."""
     import os
 
     from saurav_nayak_recipe_etl_project_spark.operators.maintenance import (
@@ -141,12 +144,20 @@ def test_staged_snapshot_invisible_until_audited(spark, tmp_path):
     with _pytest.raises(FileNotFoundError):
         read_published(spark, t, version=2)
 
-    # next publish prunes the stale staged dir and numbers from the
-    # published set — no collision, no leaked orphan snapshot
+    # staged _v2 > max published (1): might be a live concurrent
+    # writer — the next publish skips its number rather than pruning
     publish_with_audit(spark.range(9), t, audits=[lambda df: True],
                        keep_versions=3)
-    assert published_versions(t) == [1, 2]
+    assert published_versions(t) == [1, 3]
     assert read_published(spark, t).count() == 9
+    assert os.path.exists(stale)
+
+    # now v3 > 2: the leftover is provably dead (its rename target
+    # is taken) and the following publish prunes it
+    publish_with_audit(spark.range(4), t, audits=[lambda df: True],
+                       keep_versions=3)
+    assert published_versions(t) == [1, 3, 4]
+    assert read_published(spark, t).count() == 4
     assert not os.path.exists(stale)
 
 

@@ -259,8 +259,17 @@ def test_jsonl_append_continues_numbering(spark, sf_dir, tmp_path):
     renaming from part-00000 again would silently clobber the first
     job's shards."""
     register(spark)
+    from pyspark.sql import functions as F
+
     docs = load_table(spark, "documents", sf_dir)
-    a, b = docs.limit(30), docs.exceptAll(docs.limit(30)).limit(20)
+    # deterministic doc_id split — two limit() evaluations are not
+    # guaranteed to pick the same rows across jobs
+    a = docs.where(F.col("doc_id") % 5 < 3).limit(30)
+    a_ids = [r["doc_id"] for r in a.select("doc_id").collect()]
+    a = docs.where(F.col("doc_id").isin(a_ids))
+    b = docs.where(~F.col("doc_id").isin(a_ids)).limit(20)
+    b_ids = [r["doc_id"] for r in b.select("doc_id").collect()]
+    b = docs.where(F.col("doc_id").isin(b_ids))
     out = str(tmp_path / "shards3")
     (a.repartition(2).write.format("jsonl_docs")
      .option("path", out).mode("overwrite").save())
