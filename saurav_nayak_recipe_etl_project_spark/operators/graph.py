@@ -279,11 +279,107 @@ _TRIANGLE_ORACLE = f"""
     FROM ne, w, tri
 """
 
+KCORE_K = 3
+KCORE_ROUNDS = 3
+
+
+def kcore_peel_stats(edges: DataFrame, k: int = KCORE_K,
+                     rounds: int = KCORE_ROUNDS) -> DataFrame:
+    """Bounded k-core peeling: `rounds` iterations of "drop every node
+    with degree < k, restrict edges to survivors", reporting
+    (peel_round, n_nodes, n_edges) after each peel. The dense-core
+    extractor recommenders run before trusting graph features — hubs
+    survive, the random-co-occurrence fringe evaporates.
+
+    Bounded-round form for the same reason copurchase_reach3 bounds
+    its recursion: run-to-fixpoint is data-dependent iteration count
+    (worst case O(|V|) rounds on a path graph), while R rounds of
+    degree-filtering are R edge-join + groupBy passes over the
+    support-pruned edge table — each round strictly shrinks the frame,
+    and the oracle unrolls the identical R stages. Fixpoint detection
+    at 100 TB would add one count() action per round on the same
+    shrinking frame (noted, not needed for the bounded report)."""
+    rows = []
+    cur = edges.select("pa", "pb").localCheckpoint()
+    for r in range(1, rounds + 1):
+        deg = (
+            cur.select(F.col("pa").alias("node"))
+            .unionAll(cur.select(F.col("pb").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("node")
+        cur = (
+            cur.join(keep.withColumnRenamed("node", "pa"), "pa", "semi")
+            .join(keep.withColumnRenamed("node", "pb"), "pb", "semi")
+            .select("pa", "pb")
+            .localCheckpoint()  # each round re-reads the previous one
+            # several times (two semi-join probes + both stat counts);
+            # frames are support-pruned tiny
+        )
+        n_nodes = keep.agg(F.count("*").alias("n_nodes"))
+        n_edges = cur.agg(F.count("*").alias("n_edges"))
+        rows.append(
+            n_nodes.crossJoin(n_edges)
+            .select(F.lit(r).cast("long").alias("peel_round"),
+                    "n_nodes", "n_edges")
+        )
+    out = rows[0]
+    for frame in rows[1:]:
+        out = out.unionAll(frame)
+    return out
+
+
+def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: 3 peels at k=3 over the support-2 co-purchase
+    graph (same edge set as the triangle census)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return kcore_peel_stats(support_edges(li))
+
+
+def _kcore_oracle_sql() -> str:
+    stages = [f"""
+    edges0 AS (
+      SELECT a.p AS pa, b.p AS pb
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+      HAVING COUNT(*) >= {TRI_MIN_SUPPORT}
+    )"""]
+    selects = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        stages.append(f"""
+    deg{r} AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT pa AS node FROM edges{r - 1}
+        UNION ALL SELECT pb FROM edges{r - 1}
+      ) GROUP BY node
+    ),
+    keep{r} AS (SELECT node FROM deg{r} WHERE deg >= {KCORE_K}),
+    edges{r} AS (
+      SELECT e.pa, e.pb FROM edges{r - 1} e
+      JOIN keep{r} ka ON e.pa = ka.node
+      JOIN keep{r} kb ON e.pb = kb.node
+    )""")
+        selects.append(
+            f"SELECT CAST({r} AS BIGINT) AS peel_round,"
+            f" CAST((SELECT COUNT(*) FROM keep{r}) AS BIGINT) AS n_nodes,"
+            f" CAST((SELECT COUNT(*) FROM edges{r}) AS BIGINT) AS n_edges"
+        )
+    return (
+        "WITH items AS (\n"
+        "  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem\n"
+        "),\n" + ",".join(stages) + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
 GRAPH_QUERIES = {
     "part_pagerank": part_pagerank,
     "copurchase_triangles": copurchase_triangles,
+    "copurchase_kcore": copurchase_kcore,
 }
 GRAPH_ORACLES = {
     "part_pagerank": _pagerank_oracle_sql(),
     "copurchase_triangles": _TRIANGLE_ORACLE,
+    "copurchase_kcore": _kcore_oracle_sql(),
 }

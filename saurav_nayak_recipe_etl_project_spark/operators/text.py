@@ -432,7 +432,77 @@ def text_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram Shannon entropy — the information-density
+    quality signal next to text_type_token_ratio: a templated source
+    (few words carry most mass) scores low even when its TTR looks
+    healthy, because entropy weighs the DISTRIBUTION, not just the
+    type count. H = ln(N) − Σ c·ln(c) / N over the per-source word
+    counts.
+
+    Bit-portability: ln is micro-rounded ONCE per count in the
+    vocabulary-sized frame (the zipf_slope / BM25 fixed-point
+    pattern), the Σ c·lnµ(c) accumulator runs in DECIMAL(38,0) /
+    HUGEINT (c·lnµ(c) alone is ~1e12 at sf0.1 — the product shape
+    that overflows BIGINT first at 100 TB), and the reported
+    entropy_micro is integer arithmetic end-to-end. Scale shape: one
+    explode + one (source, word) map-side-combined groupBy shrinks
+    the corpus to its vocabulary; the per-source rollup is
+    source-catalog-bounded."""
+    docs = load_table(spark, "documents", sf_dir)
+    ln_mu = "cast(round(ln(cast(n as double)) * 1000000) as bigint)"
+    wc = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("n"))
+    )
+    per_src = wc.groupBy("source").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(F.expr(f"cast(n as decimal(38,0)) * ({ln_mu})"))
+        .alias("s_nlnn"),
+    )
+    return per_src.select(
+        "source", "n_tokens", "n_types",
+        F.expr(
+            "cast(cast(round(ln(cast(n_tokens as double)) * 1000000)"
+            " as bigint) - s_nlnn DIV n_tokens as bigint)"
+        ).alias("entropy_micro"),
+    ).select(
+        "source", "n_tokens", "n_types", "entropy_micro",
+        F.round(F.col("entropy_micro") / F.lit(1e6), 4).alias("entropy"),
+    )
+
+
+SOURCE_ENTROPY_ORACLE = """
+    WITH wc AS (
+      SELECT source, w, COUNT(*) AS n FROM (
+        SELECT source,
+          unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents
+      ) GROUP BY source, w
+    ),
+    per_src AS (
+      SELECT source,
+        CAST(SUM(n) AS BIGINT) AS n_tokens,
+        CAST(COUNT(*) AS BIGINT) AS n_types,
+        SUM(CAST(n AS HUGEINT)
+            * CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT))
+          AS s_nlnn
+      FROM wc GROUP BY source
+    )
+    SELECT source, n_tokens, n_types,
+      CAST(CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+           - s_nlnn // n_tokens AS BIGINT) AS entropy_micro,
+      ROUND((CAST(CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000)
+                       AS BIGINT)
+             - s_nlnn // n_tokens AS BIGINT)) / 1000000.0, 4) AS entropy
+    FROM per_src
+"""
+
+
 TEXT_QUERIES = {
+    "source_token_entropy": source_token_entropy,
     "vocab_coverage": vocab_coverage,
     "quality_weighted_sample": quality_weighted_sample,
     "weighted_sample_norep": weighted_sample_norep,
@@ -454,6 +524,7 @@ _STOP_SQL = {
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 
 TEXT_ORACLES = {
+    "source_token_entropy": SOURCE_ENTROPY_ORACLE,
     "vocab_coverage": f"""
         WITH words AS (
           SELECT w, CAST(COUNT(*) AS BIGINT) AS n

@@ -328,7 +328,98 @@ def price_quantity_decile_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# One-pass table profile: every column's metrics in a SINGLE aggregate
+# over lineitem. Spec rows: (column, spark integer-view expr, duckdb
+# integer-view expr) — the integer view normalizes floats to cents /
+# hundredths and timestamps to TZ-free epoch days so min/max are
+# bit-portable; string columns profile NULL for min/max (distinct and
+# null counts still run on the raw value).
+_PROFILE_SPEC = [
+    ("l_orderkey", "l_orderkey", "l_orderkey"),
+    ("l_partkey", "l_partkey", "l_partkey"),
+    ("l_suppkey", "l_suppkey", "l_suppkey"),
+    ("l_linenumber", "cast(l_linenumber as bigint)",
+     "CAST(l_linenumber AS BIGINT)"),
+    ("l_quantity", "cast(l_quantity as bigint)",
+     "CAST(l_quantity AS BIGINT)"),
+    ("l_extendedprice", "cast(round(l_extendedprice * 100) as bigint)",
+     "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"),
+    ("l_discount", "cast(round(l_discount * 100) as bigint)",
+     "CAST(ROUND(l_discount * 100) AS BIGINT)"),
+    ("l_tax", "cast(round(l_tax * 100) as bigint)",
+     "CAST(ROUND(l_tax * 100) AS BIGINT)"),
+    ("l_returnflag", None, None),
+    ("l_linestatus", None, None),
+    ("l_shipdate",
+     "cast(datediff(cast(l_shipdate as date), date '1970-01-01') as bigint)",
+     "CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)"),
+]
+
+
+def table_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table column profile (deequ / `SUMMARIZE`-class): for every
+    lineitem column, row count, null count, exact distinct count, and
+    integer-normalized min/max — computed in ONE aggregate pass and
+    emitted long-form via `stack` on the single aggregated row.
+
+    Scale shape: the only data-sized work is the one scan + aggregate.
+    The 11 exact COUNT(DISTINCT)s plan as a single Expand (fan-out 11)
+    feeding one map-side-combined exchange — the documented cost of
+    EXACT distincts in one pass; at 100 TB the same spec drops to
+    approx_count_distinct per column (the sketch-vs-exact trade
+    approx_distinct_bounds quantifies) without touching the shape.
+    Everything after the aggregate is a 1-row project, so the stack
+    melt is free. Min/max normalize to integer views (cents /
+    hundredths / TZ-free epoch days) so the profile hash-verifies
+    cross-engine; string columns report NULL min/max by design."""
+    li = load_table(spark, "lineitem", sf_dir)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for i, (col, int_expr, _) in enumerate(_PROFILE_SPEC):
+        aggs.append(F.count(col).alias(f"np_{i}"))
+        aggs.append(F.countDistinct(col).alias(f"d_{i}"))
+        v = F.expr(int_expr) if int_expr else F.lit(None).cast("long")
+        aggs.append(F.min(v).alias(f"mn_{i}"))
+        aggs.append(F.max(v).alias(f"mx_{i}"))
+    row = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{col}', np_{i}, d_{i}, mn_{i}, mx_{i}"
+        for i, (col, _, _) in enumerate(_PROFILE_SPEC)
+    )
+    return row.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(_PROFILE_SPEC)}, {stack_args})"
+            " as (col_name, n_present, n_distinct, min_i, max_i)"
+        ),
+    ).select(
+        "col_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("n_present")).alias("n_null"),
+        "n_distinct",
+        "min_i",
+        "max_i",
+    )
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for col, _, duck_expr in _PROFILE_SPEC:
+        mn = f"CAST(MIN({duck_expr}) AS BIGINT)" if duck_expr \
+            else "CAST(NULL AS BIGINT)"
+        mx = f"CAST(MAX({duck_expr}) AS BIGINT)" if duck_expr \
+            else "CAST(NULL AS BIGINT)"
+        parts.append(f"""
+        SELECT '{col}' AS col_name,
+          CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_null,
+          CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+          {mn} AS min_i, {mx} AS max_i
+        FROM lineitem""")
+    return "\nUNION ALL\n".join(parts)
+
+
 PROFILING_QUERIES = {
+    "table_profile_lineitem": table_profile_lineitem,
     "price_quantity_decile_heatmap": price_quantity_decile_heatmap,
     "kmv_distinct_users": kmv_distinct_users,
     "lineitem_hist2d": lineitem_hist2d,
@@ -340,6 +431,7 @@ PROFILING_QUERIES = {
 }
 
 PROFILING_ORACLES = {
+    "table_profile_lineitem": _profile_oracle(),
     "price_quantity_decile_heatmap": """
         WITH base AS (
           SELECT l_orderkey, l_linenumber,

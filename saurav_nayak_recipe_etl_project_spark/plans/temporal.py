@@ -689,7 +689,144 @@ def event_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ATTR_WINDOW_US = 7 * 86400 * 1_000_000  # 7-day lookback, integer µs
+
+
+def attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch purchase attribution under three industry models in
+    one pass: each purchase's cents are credited to the user's view
+    events in the 7 days before it — all to the FIRST touch, all to
+    the LAST touch, or split LINEARly — then rolled up by the touch's
+    day-of-week (the epoch-integer DOW of event_dow_hour_heatmap), so
+    the report answers "which day's browsing actually drives revenue"
+    per model. Purchases with no view in the window surface as
+    dow = -1 (never silently dropped — the unattributed share is the
+    report's honesty column).
+
+    Integer end-to-end: µs timestamps, integer cents, linear split as
+    cents * 1e6 DIV n_touches micro-cents (floor; the remainder is
+    deliberately NOT redistributed so every engine computes the same
+    cell). Scale shape: one user-keyed equi-join bounded by the 7-day
+    predicate, per-PURCHASE windows (a user's weekly view count bounds
+    every frame), 3x row fan-out via stack, then a 3-model x 8-dow
+    bounded rollup. No global window, no theta join."""
+    ev = load_table(spark, "events", sf_dir)
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("pu"),
+        us.alias("pts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"),
+        F.col("user_id").alias("vu"),
+        us.alias("vts"),
+    )
+    j = purchases.join(
+        views,
+        (F.col("pu") == F.col("vu"))
+        & (F.col("vts") < F.col("pts"))
+        & (F.col("pts") - F.col("vts") <= F.lit(ATTR_WINDOW_US)),
+        "left",
+    )
+    wp = Window.partitionBy("pid")
+    touched = j.select(
+        "pid", "cents", "vid", "vts",
+        F.count("vid").over(wp).alias("n_touch"),
+        F.row_number().over(wp.orderBy(F.asc_nulls_last("vts"), "vid"))
+        .alias("rn_first"),
+        F.row_number().over(
+            wp.orderBy(F.desc_nulls_last("vts"), F.desc_nulls_last("vid"))
+        ).alias("rn_last"),
+    )
+    full = (F.col("cents") * F.lit(1_000_000)).cast("long")
+    credited = touched.select(
+        F.when(F.col("vid").isNull(), F.lit(-1))
+        .otherwise(F.expr("(vts div 1000000 div 86400 + 4) % 7"))
+        .cast("long")
+        .alias("dow"),
+        F.when(F.col("n_touch") == 0, full)
+        .when(F.col("rn_first") == 1, full).otherwise(F.lit(0))
+        .alias("first"),
+        F.when(F.col("n_touch") == 0, full)
+        .when(F.col("rn_last") == 1, full).otherwise(F.lit(0))
+        .alias("last"),
+        F.when(F.col("n_touch") == 0, full)
+        .otherwise(F.expr("cents * 1000000 DIV n_touch").cast("long"))
+        .alias("linear"),
+    )
+    return (
+        credited.select(
+            "dow",
+            F.expr(
+                "stack(3, 'first', first, 'last', last, 'linear', linear)"
+                " as (model, credit_micro)"
+            ),
+        )
+        .groupBy("model", "dow")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.sum("credit_micro").alias("credit_micro"),
+        )
+        # zero-credit touches are real rows (non-first views under the
+        # first-touch model); keep them — they carry n_touches
+    )
+
+
+ATTRIBUTION_ORACLE = f"""
+    WITH p AS (
+      SELECT event_id AS pid, user_id AS pu, epoch_us(ts) AS pts,
+        CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT event_id AS vid, user_id AS vu, epoch_us(ts) AS vts
+      FROM events WHERE event_type = 'view'
+    ),
+    j AS (
+      SELECT p.pid, p.cents, v.vid, v.vts
+      FROM p LEFT JOIN v
+        ON p.pu = v.vu AND v.vts < p.pts
+        AND p.pts - v.vts <= {ATTR_WINDOW_US}
+    ),
+    t AS (
+      SELECT pid, cents, vid, vts,
+        COUNT(vid) OVER (PARTITION BY pid) AS n_touch,
+        ROW_NUMBER() OVER (PARTITION BY pid
+          ORDER BY vts ASC NULLS LAST, vid ASC NULLS LAST) AS rn_first,
+        ROW_NUMBER() OVER (PARTITION BY pid
+          ORDER BY vts DESC NULLS LAST, vid DESC NULLS LAST) AS rn_last
+      FROM j
+    ),
+    c AS (
+      SELECT
+        CAST(CASE WHEN vid IS NULL THEN -1
+             ELSE ((vts // 1000000) // 86400 + 4) % 7 END AS BIGINT)
+          AS dow,
+        CASE WHEN n_touch = 0 THEN cents * 1000000
+             WHEN rn_first = 1 THEN cents * 1000000 ELSE 0 END AS f_c,
+        CASE WHEN n_touch = 0 THEN cents * 1000000
+             WHEN rn_last = 1 THEN cents * 1000000 ELSE 0 END AS l_c,
+        CASE WHEN n_touch = 0 THEN cents * 1000000
+             ELSE cents * 1000000 // n_touch END AS lin_c
+      FROM t
+    ),
+    m AS (
+      SELECT dow, 'first' AS model, f_c AS credit FROM c
+      UNION ALL SELECT dow, 'last', l_c FROM c
+      UNION ALL SELECT dow, 'linear', lin_c FROM c
+    )
+    SELECT model, dow, CAST(COUNT(*) AS BIGINT) AS n_touches,
+      CAST(SUM(credit) AS BIGINT) AS credit_micro
+    FROM m GROUP BY model, dow
+"""
+
+
 TEMPORAL_QUERIES = {
+    "attribution_credit": attribution_credit,
     "session_top_paths": session_top_paths,
     "km_risk_table": km_risk_table,
     "revenue_growth_decomposition": revenue_growth_decomposition,
@@ -710,6 +847,7 @@ TEMPORAL_QUERIES = {
 }
 
 TEMPORAL_ORACLES = {
+    "attribution_credit": ATTRIBUTION_ORACLE,
     "monthly_order_value_percentiles": """
         WITH d AS (
           SELECT (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1

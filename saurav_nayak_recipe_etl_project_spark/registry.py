@@ -47,6 +47,7 @@ def _load_optional() -> None:
         ("saurav_nayak_recipe_etl_project_spark.operators.semdedup", "SEMDEDUP_QUERIES", "SEMDEDUP_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.operators.vector_index", "VECTOR_INDEX_QUERIES", "VECTOR_INDEX_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.operators.graph", "GRAPH_QUERIES", "GRAPH_ORACLES"),
+        ("saurav_nayak_recipe_etl_project_spark.operators.fuzzy", "FUZZY_QUERIES", "FUZZY_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.pipelines", "PIPELINE_QUERIES", "PIPELINE_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.plans.temporal", "TEMPORAL_QUERIES", "TEMPORAL_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.plans.profiling", "PROFILING_QUERIES", "PROFILING_ORACLES"),
@@ -113,6 +114,11 @@ _DRIVER_PRIORITY = [
     "ann_hard_negatives",
     "region_nation_roster",
     "event_type_frequency_sketch",
+    "table_profile_lineitem",
+    "part_name_near_collisions",
+    "attribution_credit",
+    "source_token_entropy",
+    "copurchase_kcore",
     # -- (3a) stalest: last externally verified in round 1 (all 17) --
     "part_revenue_rank",
     "parts_in_urgent_orders",

@@ -1,0 +1,106 @@
+"""Semantic pins for the round-8 continuation entries (their registry
+queries are oracle-verified by the driver gate; these pin properties
+the oracle comparison alone can't state): profile metric sanity, the
+fuzzy blocking's completeness vs the unblocked oracle, attribution
+credit conservation, entropy bounds, and k-core monotonicity."""
+
+from __future__ import annotations
+
+from tests.oracle import assert_matches_oracle
+
+from saurav_nayak_recipe_etl_project_spark.operators.fuzzy import (
+    FUZZY_MAX_DIST,
+    PART_NAME_FUZZY_ORACLE,
+)
+from saurav_nayak_recipe_etl_project_spark.registry import ORACLES, QUERIES
+
+
+def test_new_entries_match_oracles(spark, sf_dir):
+    for name in [
+        "table_profile_lineitem",
+        "part_name_near_collisions",
+        "attribution_credit",
+        "source_token_entropy",
+        "copurchase_kcore",
+    ]:
+        assert_matches_oracle(QUERIES[name](spark, sf_dir),
+                              ORACLES[name], sf_dir)
+
+
+def test_table_profile_metrics_are_consistent(spark, sf_dir):
+    rows = {r["col_name"]: r
+            for r in QUERIES["table_profile_lineitem"](spark, sf_dir)
+            .collect()}
+    assert len(rows) == 11
+    n_rows = {r["n_rows"] for r in rows.values()}
+    assert len(n_rows) == 1  # every metric row saw the same scan
+    for r in rows.values():
+        assert 0 <= r["n_null"] <= r["n_rows"]
+        assert 1 <= r["n_distinct"] <= r["n_rows"]
+    # string columns profile NULL min/max by design; numerics never do
+    for c in ("l_returnflag", "l_linestatus"):
+        assert rows[c]["min_i"] is None and rows[c]["max_i"] is None
+    for c in ("l_quantity", "l_extendedprice", "l_shipdate"):
+        assert rows[c]["min_i"] is not None
+        assert rows[c]["min_i"] <= rows[c]["max_i"]
+
+
+def test_fuzzy_blocking_loses_no_pair(spark, sf_dir):
+    """The length-band blocked join must equal the unblocked all-pairs
+    oracle (completeness), and every emitted pair must respect the
+    canonical order and the distance band."""
+    df = QUERIES["part_name_near_collisions"](spark, sf_dir)
+    rows = df.collect()
+    assert rows, "fixture corpus must contain near-collisions"
+    for r in rows:
+        assert r["name_a"] < r["name_b"]
+        assert 1 <= r["dist"] <= FUZZY_MAX_DIST
+    assert_matches_oracle(df, PART_NAME_FUZZY_ORACLE, sf_dir)
+
+
+def test_attribution_conserves_purchase_cents(spark, sf_dir):
+    """First- and last-touch credit are a PARTITION of the purchase
+    total (every purchase's cents land on exactly one touch row or the
+    dow=-1 unattributed row); linear credit only loses the integer
+    floor remainder, bounded by (n_touch - 1) micro-cents/purchase."""
+    import pyspark.sql.functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    total_micro = (
+        ev.where(F.col("event_type") == "purchase")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")))
+        .collect()[0][0]
+    ) * 1_000_000
+    out = QUERIES["attribution_credit"](spark, sf_dir).collect()
+    per_model = {}
+    for r in out:
+        per_model[r["model"]] = (
+            per_model.get(r["model"], 0) + r["credit_micro"]
+        )
+    assert per_model["first"] == total_micro
+    assert per_model["last"] == total_micro
+    n_purchases = ev.where(F.col("event_type") == "purchase").count()
+    lost = total_micro - per_model["linear"]
+    assert 0 <= lost < n_purchases * 1_000_000
+
+
+def test_source_entropy_within_uniform_bound(spark, sf_dir):
+    """0 <= H <= ln(n_types): unigram entropy is maximized by the
+    uniform distribution (micro-unit slack for the rounding)."""
+    import math
+
+    for r in QUERIES["source_token_entropy"](spark, sf_dir).collect():
+        upper = math.log(r["n_types"]) * 1e6 + 2
+        assert 0 <= r["entropy_micro"] <= upper
+        assert r["n_types"] <= r["n_tokens"]
+
+
+def test_kcore_peeling_is_monotone(spark, sf_dir):
+    rows = sorted(
+        QUERIES["copurchase_kcore"](spark, sf_dir).collect(),
+        key=lambda r: r["peel_round"],
+    )
+    assert [r["peel_round"] for r in rows] == [1, 2, 3]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_nodes"] <= a["n_nodes"]
+        assert b["n_edges"] <= a["n_edges"]
