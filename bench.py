@@ -269,6 +269,15 @@ HEADLINE = [
     # not just pinned.
     "part_revenue_pareto",
     "bm25_search",
+    # Late-round-8 additions: the one-pass 11-distinct Expand profile,
+    # the blocked edit-distance pair join, the per-purchase-window
+    # attribution join, the vocab-sized entropy rollup, and the
+    # 3-round iterative peel — each a shape the list didn't carry.
+    "table_profile_lineitem",
+    "part_name_near_collisions",
+    "attribution_credit",
+    "source_token_entropy",
+    "copurchase_kcore",
 ]
 
 

@@ -59,7 +59,65 @@ def latest_order_before_event(spark, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "last_orderkey")
 
 
-ASOF_QUERIES = {"asof_latest_order": latest_order_before_event}
+ASOF_TOLERANCE_US = 30 * 60 * 1_000_000  # 30-minute staleness bound
+
+
+def latest_view_before_purchase_tolerance(spark, sf_dir: str) -> DataFrame:
+    """As-of join WITH STALENESS BOUND — the feature-backfill contract
+    real feature stores enforce (a week-old 'latest view' is not a
+    session feature, it's a leak): for every purchase event, the same
+    user's latest view event, NULLED when it is more than 30 minutes
+    stale. Same union+window shape as asof_latest_order; the match
+    timestamp is carried forward through the SAME window as the value
+    (one extra last() over the one shuffle — no second pass), so the
+    staleness test is exact per row in integer µs. The feed is bursty,
+    so both fresh matches and stale-nulled rows occur — the test pins
+    that neither set is empty."""
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    l = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("_k"), us.alias("_t"),
+        F.lit(1).alias("_side"), F.lit(None).cast("long").alias("_v"),
+        "event_id",
+    )
+    r = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("_k"), us.alias("_t"),
+        F.lit(0).alias("_side"), F.col("event_id").cast("long").alias("_v"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side", F.coalesce("_v", F.lit(-1)))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        l.unionByName(r)
+        .withColumn("_av", F.last("_v", ignorenulls=True).over(w))
+        .withColumn(
+            "_at",
+            F.last(F.when(F.col("_side") == 0, F.col("_t")),
+                   ignorenulls=True).over(w),
+        )
+    )
+    fresh = (F.col("_t") - F.col("_at")) <= ASOF_TOLERANCE_US
+    return (
+        carried.filter(F.col("_side") == 1)
+        .select(
+            "event_id",
+            F.col("_k").alias("user_id"),
+            F.when(fresh, F.col("_av")).alias("last_view_id_30m"),
+        )
+    )
+
+
+ASOF_QUERIES = {
+    "asof_latest_order": latest_order_before_event,
+    "asof_latest_view_30m": latest_view_before_purchase_tolerance,
+}
 
 ASOF_ORACLES = {
     "asof_latest_order": """
@@ -81,6 +139,33 @@ ASOF_ORACLES = {
           FROM u
         )
         SELECT event_id, k AS user_id, last_orderkey
+        FROM carried WHERE side = 1
+    """,
+    "asof_latest_view_30m": f"""
+        WITH u AS (
+          SELECT user_id AS k, epoch_us(ts) AS t, 1 AS side,
+                 CAST(NULL AS BIGINT) AS v, event_id
+          FROM events WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT user_id AS k, epoch_us(ts) AS t, 0 AS side,
+                 event_id AS v, NULL AS event_id
+          FROM events WHERE event_type = 'view'
+        ),
+        carried AS (
+          SELECT k, side, event_id, t,
+            last_value(v IGNORE NULLS) OVER (
+              PARTITION BY k ORDER BY t, side, COALESCE(v, -1)
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS av,
+            last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER (
+              PARTITION BY k ORDER BY t, side, COALESCE(v, -1)
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS at
+          FROM u
+        )
+        SELECT event_id, k AS user_id,
+          CASE WHEN t - at <= {ASOF_TOLERANCE_US}
+               THEN av END AS last_view_id_30m
         FROM carried WHERE side = 1
     """,
 }

@@ -164,6 +164,33 @@ def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KMV_K = 128
 KMV_SPACE = 1 << 60  # md5-15-hex hash space
+_KMV_SALTS = 64
+
+
+def _bottom_k_hashes(df: DataFrame, keys: list, k: int) -> DataFrame:
+    """Exact bottom-k of `h` per `keys` group WITHOUT a group-sized
+    window: phase 1 trims to k inside each of 64 salt cells (windows
+    bounded by cell size ~ n/64), phase 2 trims the <= 64k survivors
+    per group. Same rows as the single window, but no task ever sorts
+    a whole group — the two-phase shape that survives a billion
+    distinct keys per group. Salting by h is safe here (inputs are
+    DISTINCT hashes; the duplicate-row caveat of functions/skew.py
+    does not apply). Returns (keys..., h, rk<=k)."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("h")), F.lit(_KMV_SALTS))
+    )
+    w1 = Window.partitionBy(*(keys + ["_salt"])).orderBy("h")
+    pre = (
+        salted.withColumn("_rk", F.row_number().over(w1))
+        .where(F.col("_rk") <= k)
+    )
+    w2 = Window.partitionBy(*keys).orderBy("h") if keys \
+        else Window.orderBy("h")
+    return (
+        pre.select(*keys, "h")
+        .withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= k)
+    )
 
 
 def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,11 +212,7 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         " as bigint)"
     )
     hashes = ev.select("event_type", h.alias("h")).distinct()
-    w = Window.partitionBy("event_type").orderBy("h")
-    kmv = (
-        hashes.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= KMV_K)
-    )
+    kmv = _bottom_k_hashes(hashes, ["event_type"], KMV_K)
     return (
         kmv.groupBy("event_type")
         .agg(
@@ -210,6 +233,312 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("est_distinct"),
         )
     )
+
+
+def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set ALGEBRA — the theta-sketch intersection estimate the
+    plain distinct counter can't give: how many users both viewed and
+    purchased, from two bottom-K sketches alone. This is the sketch
+    family's justification at 100 TB: exact distinct-intersection
+    needs a shuffle of both full key sets; the sketch answer needs
+    2K rows.
+
+    Method (Dasgupta et al., theta sketch): trim each side to its
+    bottom-K md5 hashes, theta = the union's K-th smallest hash;
+    est_intersection = |A ∩ B ∩ {h < theta}| * SPACE / theta, and
+    est_union = (K-1) * SPACE / theta. All sketch CONTENT is
+    md5-derived and engine-identical, so the estimates — not just
+    bounds — hash-verify exactly (the F38 portability argument). The
+    exact intersection is carried next to the estimate so the driver
+    row also witnesses the sketch's accuracy. Small-domain exactness:
+    when the union has < K distinct hashes, theta covers everything
+    and both estimates collapse to exact counts."""
+    ev = load_table(spark, "events", sf_dir)
+    h = F.expr(
+        "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10)"
+        " as bigint)"
+    )
+    hashes = (
+        ev.where(F.col("event_type").isin("view", "purchase"))
+        .select("event_type", h.alias("h"))
+        .distinct()
+    )
+    trimmed = (
+        _bottom_k_hashes(hashes, ["event_type"], KMV_K)
+        .localCheckpoint()  # feeds theta, the pair join, and both
+        # per-side counts; 2K rows, one job
+    )
+    wu = Window.orderBy("h")  # union frame: <= 2K rows, bounded
+    theta_f = (
+        trimmed.select("h").distinct()
+        .withColumn("urk", F.row_number().over(wu))
+        .agg(
+            F.max(F.when(F.col("urk") == KMV_K, F.col("h")))
+            .alias("theta"),
+            F.count("*").alias("n_union_seen"),
+        )
+    )
+    a = trimmed.where(F.col("event_type") == "view").select("h")
+    b = trimmed.where(F.col("event_type") == "purchase").select("h")
+    common = a.join(b, "h").crossJoin(F.broadcast(theta_f)).agg(
+        F.coalesce(  # empty pair join -> 0, not NULL
+            F.sum(
+                F.when(
+                    F.col("theta").isNull() | (F.col("h") < F.col("theta")),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ),
+            F.lit(0),
+        ).alias("n_common_below"),
+    )
+    exact = (
+        ev.where(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("nt"))
+        .agg(
+            F.sum(F.when(F.col("nt") == 2, 1).otherwise(0))
+            .alias("exact_intersection")
+        )
+    )
+    est_i = (
+        F.when(F.col("theta").isNull(),
+               F.col("n_common_below"))
+        .otherwise(
+            F.expr(
+                f"n_common_below * cast({KMV_SPACE} as decimal(38,0))"
+                " DIV theta"
+            ).cast("long")
+        )
+    )
+    est_u = (
+        F.when(F.col("theta").isNull(), F.col("n_union_seen"))
+        .otherwise(
+            F.expr(
+                f"({KMV_K} - 1) * cast({KMV_SPACE} as decimal(38,0))"
+                " DIV theta"
+            ).cast("long")
+        )
+    )
+    return (
+        theta_f.crossJoin(common).crossJoin(exact)
+        .select(
+            F.coalesce("theta", F.lit(-1)).alias("theta"),
+            F.col("n_common_below").cast("long").alias("n_common_below"),
+            est_u.cast("long").alias("est_union"),
+            est_i.cast("long").alias("est_intersection"),
+            F.col("exact_intersection").cast("long")
+            .alias("exact_intersection"),
+        )
+    )
+
+
+KMV_OVERLAP_ORACLE = f"""
+    WITH hashes AS (
+      SELECT DISTINCT event_type,
+        ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    trimmed AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        FROM hashes
+      ) WHERE rk <= {KMV_K}
+    ),
+    theta_f AS (
+      SELECT MAX(CASE WHEN urk = {KMV_K} THEN h END) AS theta,
+             COUNT(*) AS n_union_seen
+      FROM (
+        SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS urk
+        FROM (SELECT DISTINCT h FROM trimmed)
+      )
+    ),
+    common AS (
+      SELECT COUNT(*) AS n_common_below
+      FROM (SELECT h FROM trimmed WHERE event_type = 'view') a
+      JOIN (SELECT h FROM trimmed WHERE event_type = 'purchase') b
+        USING (h), theta_f
+      WHERE theta IS NULL OR h < theta
+    ),
+    exact AS (
+      SELECT COUNT(*) AS exact_intersection FROM (
+        SELECT user_id FROM events
+        WHERE event_type IN ('view', 'purchase')
+        GROUP BY user_id
+        HAVING COUNT(DISTINCT event_type) = 2
+      )
+    )
+    SELECT COALESCE(theta, -1) AS theta,
+      CAST(n_common_below AS BIGINT) AS n_common_below,
+      CAST(CASE WHEN theta IS NULL THEN n_union_seen
+           ELSE ({KMV_K} - 1) * CAST({KMV_SPACE} AS HUGEINT) // theta
+           END AS BIGINT) AS est_union,
+      CAST(CASE WHEN theta IS NULL THEN n_common_below
+           ELSE n_common_below * CAST({KMV_SPACE} AS HUGEINT) // theta
+           END AS BIGINT) AS est_intersection,
+      CAST(exact_intersection AS BIGINT) AS exact_intersection
+    FROM theta_f, common, exact
+"""
+
+
+PSI_BINS = 10
+
+
+def order_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-value distribution,
+    first calendar half vs second half — THE ml-ops drift monitor for
+    a feature/score column (rule of thumb: PSI < 0.1 stable, > 0.25
+    drifted). Baseline decile edges come from period A; both periods
+    are binned against them; PSI = Σ (p−q)·ln(p/q).
+
+    Deterministic end-to-end: the time split is the integer midpoint
+    epoch day; edges are exact rank picks (banded two-pass rank over
+    period A, the E91 discipline — no global window); bin assignment
+    is a pure value comparison against the 9-edge broadcast array;
+    shares are integer ppm with add-one-ppm smoothing for empty
+    cells; ln(p/q) is micro-rounded ONCE per bin (a 10-row frame).
+    Output: per-bin (bin, n_a, n_b, p_ppm, q_ppm, term_pico) + the
+    summed psi_micro on every row (units: term_pico = ppm·micro-nats;
+    PSI = Σterm/1e12)."""
+    orders = load_table(spark, "orders", sf_dir)
+    o = orders.select(
+        F.expr("datediff(cast(o_orderdate as date), date '1970-01-01')")
+        .cast("long").alias("d"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    span = o.agg(
+        ((F.min("d") + F.max("d") + 1) / 2).cast("long").alias("mid")
+    )
+    tagged = o.crossJoin(F.broadcast(span)).withColumn(
+        "period", F.when(F.col("d") < F.col("mid"), "a").otherwise("b")
+    ).localCheckpoint()  # feeds the edge derivation AND both binning
+    # legs; midpoint scalar resolved once
+    a = tagged.where(F.col("period") == "a")
+    width = derive_band_width(a, "cents")
+    ranked = with_global_rank(
+        a.select("cents", "o_orderkey"),
+        ["cents", "o_orderkey"],
+        bucket=F.floor(F.col("cents") / F.lit(width)),
+    )
+    n_a_f = a.agg(F.count("*").alias("n_a_total"))
+    is_edge_rank = F.expr(
+        " or ".join(
+            f"rank = cast(ceil(n_a_total * {k} / {PSI_BINS}) as bigint)"
+            for k in range(1, PSI_BINS)
+        )
+    )
+    edges = (
+        ranked.crossJoin(F.broadcast(n_a_f))
+        .where(is_edge_rank)
+        .groupBy()
+        .agg(F.sort_array(F.collect_list("cents")).alias("edges"))
+    )
+    binned = (
+        tagged.crossJoin(F.broadcast(edges))
+        .select(
+            "period",
+            (
+                F.size(
+                    F.filter(
+                        "edges", lambda e: e < F.col("cents")
+                    )
+                ) + 1
+            ).cast("long").alias("bin"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("period") == "a", 1).otherwise(0))
+            .alias("n_a"),
+            F.sum(F.when(F.col("period") == "b", 1).otherwise(0))
+            .alias("n_b"),
+        )
+    )
+    totals = binned.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    shares = binned.crossJoin(F.broadcast(totals)).select(
+        "bin", "n_a", "n_b",
+        F.greatest(F.expr("n_a * 1000000 DIV ta"), F.lit(1))
+        .alias("p_ppm"),
+        F.greatest(F.expr("n_b * 1000000 DIV tb"), F.lit(1))
+        .alias("q_ppm"),
+    ).withColumn(
+        "term_pico",
+        (F.col("p_ppm") - F.col("q_ppm"))
+        * F.expr(
+            "cast(round(ln(cast(p_ppm as double) / cast(q_ppm as double))"
+            " * 1000000) as bigint)"
+        ),
+    )
+    psi = shares.agg(F.sum("term_pico").alias("psi_pico"))
+    return shares.crossJoin(F.broadcast(psi)).select(
+        "bin", "n_a", "n_b", "p_ppm", "q_ppm", "term_pico", "psi_pico"
+    )
+
+
+def _psi_oracle() -> str:
+    edge_ranks = " OR ".join(
+        f"rank = CAST(ceil(n_a_total * {k} / {PSI_BINS}) AS BIGINT)"
+        for k in range(1, PSI_BINS)
+    )
+    return f"""
+    WITH o AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS d,
+             o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    span AS (SELECT (MIN(d) + MAX(d) + 1) // 2 AS mid FROM o),
+    tagged AS (
+      SELECT cents, o_orderkey,
+        CASE WHEN d < mid THEN 'a' ELSE 'b' END AS period
+      FROM o, span
+    ),
+    a AS (SELECT * FROM tagged WHERE period = 'a'),
+    ranked AS (
+      SELECT cents,
+        ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS rank,
+        COUNT(*) OVER () AS n_a_total
+      FROM a
+    ),
+    edges AS (
+      SELECT list_sort(list(cents)) AS es FROM ranked
+      WHERE {edge_ranks}
+    ),
+    binned AS (
+      SELECT CAST(len(list_filter(es, e -> e < cents)) + 1 AS BIGINT)
+               AS bin,
+             period
+      FROM tagged, edges
+    ),
+    counts AS (
+      SELECT bin,
+        CAST(SUM(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_a,
+        CAST(SUM(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_b
+      FROM binned GROUP BY bin
+    ),
+    totals AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM counts),
+    shares AS (
+      SELECT bin, n_a, n_b,
+        CAST(GREATEST(n_a * 1000000 // ta, 1) AS BIGINT) AS p_ppm,
+        CAST(GREATEST(n_b * 1000000 // tb, 1) AS BIGINT) AS q_ppm
+      FROM counts, totals
+    ),
+    terms AS (
+      SELECT bin, n_a, n_b, p_ppm, q_ppm,
+        (p_ppm - q_ppm)
+          * CAST(ROUND(ln(CAST(p_ppm AS DOUBLE) / CAST(q_ppm AS DOUBLE))
+                 * 1000000) AS BIGINT) AS term_pico
+      FROM shares
+    )
+    SELECT bin, n_a, n_b, p_ppm, q_ppm, term_pico,
+      (SELECT CAST(SUM(term_pico) AS BIGINT) FROM terms) AS psi_pico
+    FROM terms
+"""
 
 
 HIST2D_QTY_BIN = 10        # l_quantity in [1,50] -> 5-6 bins
@@ -422,6 +751,8 @@ PROFILING_QUERIES = {
     "table_profile_lineitem": table_profile_lineitem,
     "price_quantity_decile_heatmap": price_quantity_decile_heatmap,
     "kmv_distinct_users": kmv_distinct_users,
+    "kmv_user_overlap": kmv_user_overlap,
+    "order_value_psi": order_value_psi,
     "lineitem_hist2d": lineitem_hist2d,
     "lineitem_corr_matrix": lineitem_corr_matrix,
     "stratified_sample": stratified_sample,
@@ -481,6 +812,8 @@ PROFILING_ORACLES = {
         SELECT 'l_discount', 'l_tax',
                ROUND(corr(l_discount, l_tax), 4) FROM lineitem
     """,
+    "kmv_user_overlap": KMV_OVERLAP_ORACLE,
+    "order_value_psi": _psi_oracle(),
     "kmv_distinct_users": f"""
         WITH hashes AS (
           SELECT DISTINCT event_type,

@@ -955,7 +955,183 @@ def part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECAY_TAU_DAYS = 365  # e-folding time constant of the recency weight
+
+
+def segment_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed revenue per market segment — the
+    recency-weighted LTV companion to customer_rfm: each order's cents
+    are weighted by w = exp(-age_days / tau) relative to the NEWEST
+    order date, so a segment whose revenue is all old scores low even
+    when its raw total matches a fresh one.
+
+    Bit-portability: exp is the same transcendental hazard as ln, so
+    the weight is micro-rounded ONCE per DISTINCT age (the zipf/BM25
+    fixed-point discipline) in a calendar-bounded frame (~2.5k ages),
+    broadcast back onto the fact rows; cents * w_micro accumulates in
+    DECIMAL(38,0)/HUGEINT (the product is ~1e13 per row at sf0.1 —
+    the width that dies first at 100 TB). Scale shape: one scalar
+    max-date aggregate, one bounded weight table (broadcast), one
+    broadcast customer->segment join... customer is NOT broadcast-
+    small in general — the segment tag rides the orders scan's
+    shuffled join on custkey; here Catalyst/AQE picks broadcast from
+    stats, both correct."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    day = "datediff(cast(o_orderdate as date), date '1970-01-01')"
+    o = orders.select(
+        "o_custkey",
+        F.expr(day).cast("long").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    ref = o.agg(F.max("d").alias("ref_d"))
+    aged = o.crossJoin(F.broadcast(ref)).withColumn(
+        "age", F.col("ref_d") - F.col("d")
+    )
+    weights = (
+        aged.select("age").distinct()
+        .withColumn(
+            "w_micro",
+            F.expr(
+                f"cast(round(exp(-cast(age as double) / {DECAY_TAU_DAYS})"
+                " * 1000000) as bigint)"
+            ),
+        )
+    )
+    return (
+        aged.join(F.broadcast(weights), "age")
+        .join(cust.select(F.col("c_custkey").alias("o_custkey"),
+                          "c_mktsegment"), "o_custkey")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("raw_cents"),
+            F.sum(F.col("cents").cast("decimal(38,0)") * F.col("w_micro"))
+            .alias("_dec"),
+        )
+        .select(
+            "segment", "n_orders", "raw_cents",
+            # micro-cents of decayed value, floor to integer cents
+            F.expr("cast(_dec DIV 1000000 as bigint)")
+            .alias("decayed_cents"),
+        )
+    )
+
+
+SEGMENT_DECAYED_ORACLE = f"""
+    WITH o AS (
+      SELECT o_custkey,
+        CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    ref AS (SELECT MAX(d) AS ref_d FROM o),
+    aged AS (SELECT o_custkey, cents, ref_d - d AS age FROM o, ref),
+    weights AS (
+      SELECT age,
+        CAST(ROUND(exp(-CAST(age AS DOUBLE) / {DECAY_TAU_DAYS})
+             * 1000000) AS BIGINT) AS w_micro
+      FROM (SELECT DISTINCT age FROM aged)
+    )
+    SELECT c.c_mktsegment AS segment,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(cents) AS BIGINT) AS raw_cents,
+      CAST(SUM(CAST(cents AS HUGEINT) * w_micro) // 1000000 AS BIGINT)
+        AS decayed_cents
+    FROM aged a
+    JOIN weights w USING (age)
+    JOIN customer c ON a.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+"""
+
+
+GAP_TOP_N = 10
+
+
+def orderkey_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands audit over lineitem's referenced-orderkey
+    sequence: the TOP-10
+    largest missing-key runs, each row also carrying the global gap
+    count and total missing keys — the sequence-integrity check a
+    warehouse runs on any surrogate key feed (a big gap = a lost batch,
+    not random attrition).
+
+    Classic SQL does LEAD over the full distinct-key list — a global
+    window over a data-sized frame. Here the boundary-pairing form
+    replaces it: a gap's left edge is a key k with k+1 absent (one
+    self-anti-join), its right edge a key m with m-1 absent; islands
+    alternate, so the r-th smallest left edge pairs with the r-th
+    smallest right edge above it. Both boundary sets rank through the
+    banded two-pass rank (functions/ranking.py — frames are
+    gap-count-sized but unbounded in principle, same treatment as the
+    vocabulary), the pair join is on rank, and the top-10 pick plans
+    as TakeOrderedAndProject (O(10) driver). The oracle runs the
+    classic LEAD form — agreement proves the pairing argument."""
+    li = load_table(spark, "lineitem", sf_dir)
+    keys = li.select(F.col("l_orderkey").alias("k")).distinct() \
+        .localCheckpoint()  # feeds 2 anti-joins, 2 rank passes, bounds
+    bounds = keys.agg(F.min("k").alias("mn"), F.max("k").alias("mx"))
+    succ = keys.select((F.col("k") - 1).alias("k"))
+    ends = (
+        keys.join(succ, "k", "anti")  # k+1 absent
+        .crossJoin(F.broadcast(bounds))
+        .where(F.col("k") < F.col("mx"))
+        .select("k")
+    )
+    pred = keys.select((F.col("k") + 1).alias("k"))
+    starts = (
+        keys.join(pred, "k", "anti")  # k-1 absent
+        .crossJoin(F.broadcast(bounds))
+        .where(F.col("k") > F.col("mn"))
+        .select("k")
+    )
+    band = F.floor(F.col("k") / F.lit(1 << 12))
+    e = with_global_rank(ends, ["k"], bucket=band).select(
+        F.col("k").alias("gap_end_k"), F.col("rank").alias("r")
+    )
+    s = with_global_rank(starts, ["k"], bucket=band).select(
+        F.col("k").alias("gap_start_k"), F.col("rank").alias("r")
+    )
+    gaps = e.join(s, "r").select(
+        (F.col("gap_end_k") + 1).alias("gap_start"),
+        (F.col("gap_start_k") - 1).alias("gap_end"),
+        (F.col("gap_start_k") - F.col("gap_end_k") - 1).alias("gap_len"),
+    )
+    summary = gaps.agg(
+        F.count("*").alias("n_gaps"),
+        F.coalesce(F.sum("gap_len"), F.lit(0)).alias("total_missing"),
+    )
+    return (
+        gaps.orderBy(F.desc("gap_len"), F.asc("gap_start"))
+        .limit(GAP_TOP_N)
+        .crossJoin(F.broadcast(summary))
+    )
+
+
+GAP_ISLANDS_ORACLE = f"""
+    WITH keys AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+    n AS (SELECT k, LEAD(k) OVER (ORDER BY k) AS nk FROM keys),
+    gaps AS (
+      SELECT k + 1 AS gap_start, nk - 1 AS gap_end,
+             nk - k - 1 AS gap_len
+      FROM n WHERE nk > k + 1
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             CAST(COALESCE(SUM(gap_len), 0) AS BIGINT) AS total_missing
+      FROM gaps
+    )
+    SELECT gap_start, gap_end, gap_len, n_gaps, total_missing
+    FROM (
+      SELECT * FROM gaps
+      ORDER BY gap_len DESC, gap_start ASC LIMIT {GAP_TOP_N}
+    ), s
+"""
+
+
 RELATIONAL_EXT_QUERIES = {
+    "segment_decayed_value": segment_decayed_value,
+    "orderkey_gap_islands": orderkey_gap_islands,
     "weighted_median_price": weighted_median_price,
     "part_abc_classification": part_abc_classification,
     "supplier_scorecard": supplier_scorecard,
@@ -980,6 +1156,8 @@ RELATIONAL_EXT_QUERIES = {
 }
 
 RELATIONAL_EXT_ORACLES = {
+    "segment_decayed_value": SEGMENT_DECAYED_ORACLE,
+    "orderkey_gap_islands": GAP_ISLANDS_ORACLE,
     "part_pair_lift": """
         WITH items AS (
           SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem

@@ -119,6 +119,14 @@ _DRIVER_PRIORITY = [
     "attribution_credit",
     "source_token_entropy",
     "copurchase_kcore",
+    "kmv_user_overlap",
+    "segment_decayed_value",
+    "orderkey_gap_islands",
+    "asof_latest_view_30m",
+    "order_value_psi",
+    # changed late-r8: two-phase salted bottom-k replaced the
+    # group-sized sketch window
+    "kmv_distinct_users",
     # -- (3a) stalest: last externally verified in round 1 (all 17) --
     "part_revenue_rank",
     "parts_in_urgent_orders",

@@ -27,6 +27,85 @@ def test_new_entries_match_oracles(spark, sf_dir):
                               ORACLES[name], sf_dir)
 
 
+def test_second_batch_entries_match_oracles(spark, sf_dir):
+    for name in [
+        "kmv_user_overlap",
+        "segment_decayed_value",
+        "orderkey_gap_islands",
+        "kmv_distinct_users",  # refitted to the two-phase bottom-k
+    ]:
+        assert_matches_oracle(QUERIES[name](spark, sf_dir),
+                              ORACLES[name], sf_dir)
+
+
+def test_third_batch_entries_match_oracles(spark, sf_dir):
+    for name in ["asof_latest_view_30m", "order_value_psi"]:
+        assert_matches_oracle(QUERIES[name](spark, sf_dir),
+                              ORACLES[name], sf_dir)
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, sf_dir):
+    """The bounded as-of must produce BOTH regimes on the bursty feed
+    (all-fresh or all-stale would make the tolerance vacuous), and
+    every fresh match must be a real view event of the same user."""
+    rows = QUERIES["asof_latest_view_30m"](spark, sf_dir).collect()
+    fresh = [r for r in rows if r["last_view_id_30m"] is not None]
+    assert 0 < len(fresh) < len(rows)
+    ev = {
+        (r["event_id"], r["user_id"])
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("event_id", "user_id")
+        .collect()
+    }
+    for r in fresh:
+        assert (r["last_view_id_30m"], r["user_id"]) in ev
+
+
+def test_psi_shares_sum_to_unity(spark, sf_dir):
+    rows = QUERIES["order_value_psi"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    # ppm shares floor-sum to <= 1e6 and close to it
+    for col in ("p_ppm", "q_ppm"):
+        tot = sum(r[col] for r in rows)
+        assert 1_000_000 - 10 <= tot <= 1_000_000 + 10
+    # psi is the term sum, and every term is non-negative
+    # ((p-q) and ln(p/q) always share a sign — the KL-symmetry
+    # property that makes PSI a distance)
+    assert {r["psi_pico"] for r in rows} == {sum(r["term_pico"]
+                                                for r in rows)}
+    for r in rows:
+        assert r["term_pico"] >= 0
+
+
+def test_kmv_overlap_tracks_exact_intersection(spark, sf_dir):
+    """At sf0.001 the union is under K: theta = -1 sentinel and both
+    estimates are EXACT. (The estimate regime is exercised at sf0.01
+    by the driver gate.)"""
+    r = QUERIES["kmv_user_overlap"](spark, sf_dir).collect()[0]
+    assert r["theta"] == -1
+    assert r["est_intersection"] == r["exact_intersection"]
+    assert r["est_union"] >= r["est_intersection"]
+
+
+def test_decayed_value_is_bounded_by_raw(spark, sf_dir):
+    for r in QUERIES["segment_decayed_value"](spark, sf_dir).collect():
+        # w = exp(-age/tau) <= 1, so decayed never exceeds raw
+        assert 0 < r["decayed_cents"] <= r["raw_cents"]
+
+
+def test_gap_islands_report_is_consistent(spark, sf_dir):
+    rows = QUERIES["orderkey_gap_islands"](spark, sf_dir).collect()
+    assert rows, "fixture must contain orderkey gaps"
+    n_gaps = {r["n_gaps"] for r in rows}
+    total = {r["total_missing"] for r in rows}
+    assert len(n_gaps) == 1 and len(total) == 1
+    assert len(rows) <= 10
+    shown = sum(r["gap_len"] for r in rows)
+    assert all(r["gap_len"] >= 1 for r in rows)
+    assert all(r["gap_start"] <= r["gap_end"] for r in rows)
+    assert shown <= total.pop()
+
+
 def test_table_profile_metrics_are_consistent(spark, sf_dir):
     rows = {r["col_name"]: r
             for r in QUERIES["table_profile_lineitem"](spark, sf_dir)
