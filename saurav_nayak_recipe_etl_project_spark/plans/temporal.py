@@ -825,8 +825,191 @@ ATTRIBUTION_ORACLE = f"""
 """
 
 
+def funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order WINDOWED 3-step funnel (view -> click within 24h ->
+    purchase within 24h of that click): a user counts at each step only
+    if the step's FIRST qualifying occurrence is strictly after the
+    previous step's and inside the step window — the ordered-sequence
+    semantics MATCH_RECOGNIZE sells, composed from three per-user min
+    aggregates instead (each an integer-µs groupBy; the three shuffles
+    share the user_id partitioning, which AQE reuses). One summary row:
+    per-step user counts + integer-ppm step and overall conversion.
+    The 2-step funnel (view_purchase_funnel) and the latency view
+    (funnel_time_to_convert) are this report's siblings."""
+    ev = load_table(spark, "events", sf_dir)
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    typed = ev.select("user_id", "event_type", us.alias("t"))
+    v = (
+        typed.where(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("t").alias("vt"))
+    )
+    c = (
+        typed.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where((F.col("t") > F.col("vt"))
+               & (F.col("t") - F.col("vt") <= F.lit(FUNNEL3_STEP_US)))
+        .groupBy("user_id").agg(F.min("t").alias("ct"))
+    )
+    p = (
+        typed.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where((F.col("t") > F.col("ct"))
+               & (F.col("t") - F.col("ct") <= F.lit(FUNNEL3_STEP_US)))
+        .groupBy("user_id").agg(F.min("t").alias("pt"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase")))
+        .select(
+            "n_view", "n_click", "n_purchase",
+            F.expr("n_click * 1000000 DIV n_view").alias("click_ppm"),
+            F.expr("n_purchase * 1000000 DIV n_click")
+            .alias("purchase_ppm"),
+            F.expr("n_purchase * 1000000 DIV n_view").alias("overall_ppm"),
+        )
+    )
+
+
+FUNNEL3_STEP_US = 24 * 3600 * 1_000_000  # per-step conversion window
+
+
+FUNNEL3_ORACLE = f"""
+    WITH typed AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+    ),
+    v AS (
+      SELECT user_id, MIN(t) AS vt FROM typed
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT typed.user_id, MIN(t) AS ct FROM typed
+      JOIN v USING (user_id)
+      WHERE event_type = 'click' AND t > vt
+        AND t - vt <= {FUNNEL3_STEP_US} GROUP BY typed.user_id
+    ),
+    p AS (
+      SELECT typed.user_id, MIN(t) AS pt FROM typed
+      JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND t > ct
+        AND t - ct <= {FUNNEL3_STEP_US} GROUP BY typed.user_id
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+      CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click,
+      CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase,
+      CAST((SELECT COUNT(*) FROM c) * 1000000
+           // (SELECT COUNT(*) FROM v) AS BIGINT) AS click_ppm,
+      CAST((SELECT COUNT(*) FROM p) * 1000000
+           // (SELECT COUNT(*) FROM c) AS BIGINT) AS purchase_ppm,
+      CAST((SELECT COUNT(*) FROM p) * 1000000
+           // (SELECT COUNT(*) FROM v) AS BIGINT) AS overall_ppm
+"""
+
+
+def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entry-type session bounce report: sessions grouped by their
+    FIRST event's type, with bounce share (single-event sessions) and
+    average session depth — 'which landing action loses people'. Same
+    30-min lag+cumsum sessionization as session_top_paths (one user_id
+    window); everything after is a session-sized rollup bounded by
+    |event_type|. Integer ppm / micro-depth divisions."""
+    ev = load_table(spark, "events", sf_dir)
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_sess = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_ts", F.lag("ts").over(w_u))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+                   > 1800 * 1_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sess",
+            F.sum("new_s").over(
+                w_u.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    w_s = Window.partitionBy("user_id", "sess").orderBy("ts", "event_id")
+    sessions = (
+        with_sess.withColumn("rn", F.row_number().over(w_s))
+        .groupBy("user_id", "sess")
+        .agg(
+            F.count("*").alias("depth"),
+            F.max(F.when(F.col("rn") == 1, F.col("event_type")))
+            .alias("entry_type"),
+        )
+    )
+    return (
+        sessions.groupBy("entry_type")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum(F.when(F.col("depth") == 1, 1).otherwise(0))
+            .alias("n_bounces"),
+            F.sum("depth").alias("total_events"),
+        )
+        .select(
+            "entry_type", "n_sessions", "n_bounces",
+            F.expr("n_bounces * 1000000 DIV n_sessions")
+            .alias("bounce_ppm"),
+            F.expr("total_events * 1000000 DIV n_sessions")
+            .alias("depth_micro"),
+        )
+    )
+
+
+BOUNCE_ORACLE = """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+        OR date_diff('microsecond', prev_ts, ts) > 1800 * 1000000
+        THEN 1 ELSE 0 END AS new_s
+      FROM e
+    ),
+    with_sess AS (
+      SELECT user_id, ts, event_id, event_type,
+        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM flagged
+    ),
+    sess AS (
+      SELECT user_id, sess, event_type,
+        ROW_NUMBER() OVER (PARTITION BY user_id, sess
+          ORDER BY ts, event_id) AS rn
+      FROM with_sess
+    ),
+    per_session AS (
+      SELECT user_id, sess, COUNT(*) AS depth,
+        MAX(CASE WHEN rn = 1 THEN event_type END) AS entry_type
+      FROM sess GROUP BY user_id, sess
+    )
+    SELECT entry_type,
+      CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      CAST(SUM(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_bounces,
+      CAST(SUM(CASE WHEN depth = 1 THEN 1 ELSE 0 END) * 1000000
+           // COUNT(*) AS BIGINT) AS bounce_ppm,
+      CAST(SUM(depth) * 1000000 // COUNT(*) AS BIGINT) AS depth_micro
+    FROM per_session GROUP BY entry_type
+"""
+
+
 TEMPORAL_QUERIES = {
     "attribution_credit": attribution_credit,
+    "funnel_three_step": funnel_three_step,
+    "session_bounce_rate": session_bounce_rate,
     "session_top_paths": session_top_paths,
     "km_risk_table": km_risk_table,
     "revenue_growth_decomposition": revenue_growth_decomposition,
@@ -848,6 +1031,8 @@ TEMPORAL_QUERIES = {
 
 TEMPORAL_ORACLES = {
     "attribution_credit": ATTRIBUTION_ORACLE,
+    "funnel_three_step": FUNNEL3_ORACLE,
+    "session_bounce_rate": BOUNCE_ORACLE,
     "monthly_order_value_percentiles": """
         WITH d AS (
           SELECT (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1

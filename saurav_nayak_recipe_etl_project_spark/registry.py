@@ -124,6 +124,8 @@ _DRIVER_PRIORITY = [
     "orderkey_gap_islands",
     "asof_latest_view_30m",
     "order_value_psi",
+    "funnel_three_step",
+    "session_bounce_rate",
     # changed late-r8: two-phase salted bottom-k replaced the
     # group-sized sketch window
     "kmv_distinct_users",

@@ -77,6 +77,30 @@ def test_psi_shares_sum_to_unity(spark, sf_dir):
         assert r["term_pico"] >= 0
 
 
+def test_fourth_batch_entries_match_oracles(spark, sf_dir):
+    for name in ["funnel_three_step", "session_bounce_rate"]:
+        assert_matches_oracle(QUERIES[name](spark, sf_dir),
+                              ORACLES[name], sf_dir)
+
+
+def test_funnel_three_step_is_monotone(spark, sf_dir):
+    r = QUERIES["funnel_three_step"](spark, sf_dir).collect()[0]
+    assert r["n_view"] >= r["n_click"] >= r["n_purchase"] > 0
+    # windowed strict order genuinely prunes (not a vacuous 100%)
+    assert r["n_click"] < r["n_view"]
+    assert r["overall_ppm"] <= r["click_ppm"]
+
+
+def test_bounce_rate_is_consistent(spark, sf_dir):
+    rows = QUERIES["session_bounce_rate"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_bounces"] <= r["n_sessions"]
+        assert 0 <= r["bounce_ppm"] <= 1_000_000
+        # average depth >= 1 by construction (micro units)
+        assert r["depth_micro"] >= 1_000_000
+
+
 def test_kmv_overlap_tracks_exact_intersection(spark, sf_dir):
     """At sf0.001 the union is under K: theta = -1 sentinel and both
     estimates are EXACT. (The estimate regime is exercised at sf0.01
