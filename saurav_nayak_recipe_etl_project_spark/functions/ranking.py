@@ -215,3 +215,45 @@ def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
         .otherwise(rem + F.floor((rank - big - 1) / base) + 1)
         .cast("long")
     )
+
+
+def two_phase_group_top_k(
+    df: DataFrame,
+    keys: list,
+    sort_cols: list,
+    k: int,
+    n_salts: int = 64,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Exact per-group top-k under ascending ``sort_cols`` WITHOUT a
+    group-sized window: phase 1 ranks inside (keys, salt) cells and
+    keeps k per cell (windows bounded by ~group/n_salts), phase 2
+    ranks the <= n_salts*k survivors per group and keeps k. The row
+    SET and ranks equal the single ``row_number() OVER (PARTITION BY
+    keys ORDER BY sort_cols) <= k`` window — provided ``sort_cols``
+    is a strict total order within each group (the module-header
+    requirement; without it phase-1 tie-dropping could pick a
+    different, equally-valid top-k than the window form and the
+    oracle bridge breaks).
+
+    The salt hashes the sort columns themselves — deterministic,
+    repartition-stable, and safe precisely BECAUSE sort_cols is a
+    total order (no duplicate rows per group, so the functions/skew.py
+    duplicate-row caveat cannot bite). This is the hot-group
+    counterpart of ``with_global_rank``: use that when the frame has
+    NO grouping, this when groups exist but one group can be
+    arbitrarily large (language strata, event types, sketch keys)."""
+    salt = F.pmod(F.xxhash64(*sort_cols), F.lit(n_salts))
+    salted = df.withColumn("_tp_salt", salt)
+    w1 = Window.partitionBy(*(keys + ["_tp_salt"])).orderBy(*sort_cols)
+    pre = (
+        salted.withColumn("_tp_rk", F.row_number().over(w1))
+        .where(F.col("_tp_rk") <= k)
+        .drop("_tp_rk")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*sort_cols)
+    return (
+        pre.withColumn(rank_col, F.row_number().over(w2).cast("long"))
+        .where(F.col(rank_col) <= k)
+        .drop("_tp_salt")
+    )

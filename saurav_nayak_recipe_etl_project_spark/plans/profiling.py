@@ -30,6 +30,7 @@ from pyspark.sql.window import Window
 from saurav_nayak_recipe_etl_project_spark.functions.ranking import (
     derive_band_width,
     ntile_from_rank,
+    two_phase_group_top_k,
     with_global_rank,
 )
 from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
@@ -45,16 +46,19 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fixed-size sample per language stratum: rank by
     md5(doc_id|text) inside each stratum, keep the first N. Content-
     keyed, so the sample is stable under repartitioning and re-runs —
-    no RNG state, unlike df.sampleBy."""
+    no RNG state, unlike df.sampleBy. Strata are language-sized (few,
+    LARGE), so the per-stratum pick runs through the two-phase salted
+    top-k (functions/ranking.py) — no task ever sorts a whole
+    stratum; the md5 key is a strict total order, so the rows and
+    ranks equal the single-window form the oracle encodes."""
     docs = load_table(spark, "documents", sf_dir)
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.concat_ws("|", "doc_id", "text"))
+    keyed = docs.select(
+        "doc_id", "lang",
+        F.md5(F.concat_ws("|", "doc_id", "text")).alias("_mk"),
     )
-    return (
-        docs.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= SAMPLE_PER_STRATUM)
-        .select("doc_id", "lang", "rn")
-    )
+    return two_phase_group_top_k(
+        keyed, ["lang"], ["_mk"], SAMPLE_PER_STRATUM, rank_col="rn"
+    ).select("doc_id", "lang", "rn")
 
 
 def approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,28 +172,13 @@ _KMV_SALTS = 64
 
 
 def _bottom_k_hashes(df: DataFrame, keys: list, k: int) -> DataFrame:
-    """Exact bottom-k of `h` per `keys` group WITHOUT a group-sized
-    window: phase 1 trims to k inside each of 64 salt cells (windows
-    bounded by cell size ~ n/64), phase 2 trims the <= 64k survivors
-    per group. Same rows as the single window, but no task ever sorts
-    a whole group — the two-phase shape that survives a billion
-    distinct keys per group. Salting by h is safe here (inputs are
-    DISTINCT hashes; the duplicate-row caveat of functions/skew.py
-    does not apply). Returns (keys..., h, rk<=k)."""
-    salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col("h")), F.lit(_KMV_SALTS))
-    )
-    w1 = Window.partitionBy(*(keys + ["_salt"])).orderBy("h")
-    pre = (
-        salted.withColumn("_rk", F.row_number().over(w1))
-        .where(F.col("_rk") <= k)
-    )
-    w2 = Window.partitionBy(*keys).orderBy("h") if keys \
-        else Window.orderBy("h")
-    return (
-        pre.select(*keys, "h")
-        .withColumn("rk", F.row_number().over(w2))
-        .where(F.col("rk") <= k)
+    """Exact bottom-k of `h` per `keys` group via the shared two-phase
+    salted top-k (functions/ranking.py) — no group-sized window; the
+    distinct hash column is the required strict total order. Returns
+    (keys..., h, rk <= k)."""
+    return two_phase_group_top_k(
+        df.select(*keys, "h"), keys, ["h"], k,
+        n_salts=_KMV_SALTS, rank_col="rk",
     )
 
 

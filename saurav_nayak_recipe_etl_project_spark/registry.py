@@ -126,9 +126,10 @@ _DRIVER_PRIORITY = [
     "order_value_psi",
     "funnel_three_step",
     "session_bounce_rate",
-    # changed late-r8: two-phase salted bottom-k replaced the
-    # group-sized sketch window
+    # changed late-r8: two-phase salted per-group top-k replaced the
+    # group-sized windows (sketch trim + stratum sample)
     "kmv_distinct_users",
+    "stratified_sample",
     # -- (3a) stalest: last externally verified in round 1 (all 17) --
     "part_revenue_rank",
     "parts_in_urgent_orders",

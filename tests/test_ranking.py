@@ -165,3 +165,35 @@ def test_global_rank_string_buckets_still_work(spark):
     )
     j = got.join(want, ["k", "id"])
     assert j.where(SF.col("rank") != SF.col("want")).count() == 0
+
+
+def test_two_phase_group_top_k_matches_window(spark):
+    """The two-phase salted per-group top-k must equal the single
+    row_number window — rows AND ranks — on a skewed-group fixture
+    (one giant group, several small, one smaller than k)."""
+    import random
+
+    from saurav_nayak_recipe_etl_project_spark.functions.ranking import (
+        two_phase_group_top_k,
+    )
+
+    rng = random.Random(7)
+    rows = (
+        [("big", rng.random() * 1000 + i / 1e9) for i in range(3000)]
+        + [("mid", float(i)) for i in range(50)]
+        + [("tiny", float(i)) for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = two_phase_group_top_k(df, ["g"], ["v"], 10, n_salts=8)
+    import pyspark.sql.functions as SF
+    w = Window.partitionBy("g").orderBy("v")
+    want = (
+        df.withColumn("want", SF.row_number().over(w).cast("long"))
+        .where(SF.col("want") <= 10)
+    )
+    j = got.join(want, ["g", "v"], "full")
+    assert j.where(
+        SF.col("rank").isNull() | SF.col("want").isNull()
+        | (SF.col("rank") != SF.col("want"))
+    ).count() == 0
+    assert got.where(SF.col("g") == "tiny").count() == 3
