@@ -126,6 +126,7 @@ _DRIVER_PRIORITY = [
     "order_value_psi",
     "funnel_three_step",
     "session_bounce_rate",
+    "brand_triples",
     # changed late-r8: two-phase salted per-group top-k replaced the
     # group-sized windows (sketch trim + stratum sample)
     "kmv_distinct_users",

@@ -101,6 +101,17 @@ def test_bounce_rate_is_consistent(spark, sf_dir):
         assert r["depth_micro"] >= 1_000_000
 
 
+def test_brand_triples_matches_oracle_and_bounds(spark, sf_dir):
+    assert_matches_oracle(QUERIES["brand_triples"](spark, sf_dir),
+                          ORACLES["brand_triples"], sf_dir)
+    rows = QUERIES["brand_triples"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["b1"] < r["b2"] < r["b3"]
+        # triple support can never exceed any member's solo support
+        assert r["n_orders"] <= min(r["n1"], r["n2"], r["n3"])
+
+
 def test_kmv_overlap_tracks_exact_intersection(spark, sf_dir):
     """At sf0.001 the union is under K: theta = -1 sentinel and both
     estimates are EXACT. (The estimate regime is exercised at sf0.01
