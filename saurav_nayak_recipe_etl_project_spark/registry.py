@@ -90,11 +90,17 @@ _load_optional()
 #       TakeOrdered query terms), the DECIMAL-widened top-p
 #       coverage, and every caller migrated to data-derived rank
 #       band widths (derive_band_widths + LM-frame checkpoint);
-#   (2) new round-8 entries (Spark-4 SQL surface);
+#   (2) new round-8 entries — the Spark-4 SQL surface, then the
+#       continuation-session additions (profile / fuzzy / attribution
+#       / entropy / k-core / KMV algebra / decayed value / gaps /
+#       bounded as-of / PSI / funnel3 / bounce / brand triples) and
+#       the two entries migrated to the two-phase salted top-k;
 #   (3) stalest-first fill: ALL 17 remaining r1 entries, then the
-#       r2 tail alphabetically until the window cuts at 50 (after
-#       q14_promo_effect). The 13 r2 leftovers + the r4 trio lead
-#       round 9's fill.
+#       r2 tail alphabetically until the window cuts at 50. With 31
+#       changed/new names up front the window is 31 + 17 r1 + the
+#       first 2 r2 names — the r1 debt still fully retires this
+#       round; r9's fill starts at the r2 remainder (~28) + r4 trio,
+#       then the r5 block (full rotation closes ~r11).
 _DRIVER_PRIORITY = [
     # -- (1) changed in round 8 --
     "part_revenue_pareto",
