@@ -181,6 +181,150 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(load_table(spark, "documents", sf_dir))
 
 
+# Dirichlet smoothing mass for the query-likelihood ranker (the
+# classic Zhai/Lafferty default scale) and the reciprocal-rank-fusion
+# damping constant (Cormack et al.'s k=60).
+QL_MU = 2000.0
+RRF_K = 60
+
+
+def rrf_hybrid_topk(docs: DataFrame, k: int = BM25_TOP_K,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the same queries
+    ranked by TWO independent retrieval models — BM25 and a
+    Dirichlet-smoothed query-likelihood LM (Zhai/Lafferty) — fused as
+    RRF = Σ 1/(60+rank). The RAG hybrid-search shape: rank fusion is
+    score-scale-free, so models whose scores live on incomparable
+    scales (tf-idf units vs log-probabilities) combine without
+    calibration.
+
+    Both models score the SAME candidate set (documents containing at
+    least one query term), so the fused ranks are comparable; QL sums
+    over ALL query terms with tf=0 falling back to the collection
+    model mu*(cf/T)/(dl+mu) — the smoothing that distinguishes QL from
+    a plain tf product. Each ln is micro-rounded once per candidate
+    row (module docstring) and the fusion arithmetic is pure integer:
+    1e6 DIV (60+r) summed over the two systems, so scores AND ranks
+    hash-verify cross-engine.
+
+    Scale: shares the bm25 inverted-index shape — one token explode,
+    broadcast query terms prune to posting lists immediately, rank
+    windows partition by query_id (posting-union-sized frames). The
+    QL term fan-out is |candidates| x |query terms| (2), not corpus x
+    vocab."""
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       tokens(F.col(text_col)).alias("toks"))
+    doclen = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    occ = toks.select("doc_id", F.explode("toks").alias("w"))
+    words = occ.groupBy("w").agg(F.count("*").alias("n"))
+    qterms = _query_terms(words)
+
+    stats = doclen.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+    ).withColumn("avgdl", F.col("total_dl") / F.col("n_docs"))
+
+    hits = occ.join(F.broadcast(qterms), "w")
+    tf = hits.groupBy("query_id", "w", "doc_id").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df_tbl = (
+        hits.select("w", "doc_id").distinct()
+        .groupBy("w").agg(F.count("*").cast("long").alias("df"))
+    )
+
+    # --- BM25 per-candidate score (same association as bm25_topk) ---
+    bm_scored = (
+        tf.join(F.broadcast(df_tbl), "w")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    c = idf * (
+        (F.col("tf") * F.lit(BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (F.col("dl") / F.col("avgdl")))
+        )
+    )
+    bm_per_doc = (
+        bm_scored.select(
+            "query_id", "doc_id",
+            F.round(c * F.lit(MICRO)).cast("long").alias("c_micro"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c_micro").alias("bm25_micro"))
+    )
+
+    # --- Query-likelihood per-candidate score -----------------------
+    cand = hits.select("query_id", "doc_id").distinct()
+    qcf = qterms.join(words, "w").select(
+        "query_id", "w", F.col("n").cast("long").alias("cf")
+    )
+    ql_per_doc = (
+        cand.join(F.broadcast(qcf), "query_id")
+        .join(tf, ["query_id", "w", "doc_id"], "left")
+        .withColumn("tf", F.coalesce(F.col("tf"), F.lit(0).cast("long")))
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id", "doc_id",
+            F.round(
+                F.log(
+                    (F.col("tf") + F.lit(QL_MU)
+                     * (F.col("cf") / F.col("total_dl")))
+                    / (F.col("dl") + F.lit(QL_MU))
+                )
+                * F.lit(MICRO)
+            ).cast("long").alias("q_micro"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("q_micro").alias("ql_micro"))
+    )
+
+    both = bm_per_doc.join(ql_per_doc, ["query_id", "doc_id"])
+    w_bm = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25_micro"), F.asc("doc_id")
+    )
+    w_ql = Window.partitionBy("query_id").orderBy(
+        F.desc("ql_micro"), F.asc("doc_id")
+    )
+    fused = (
+        both.withColumn("r_bm25", F.row_number().over(w_bm).cast("long"))
+        .withColumn("r_ql", F.row_number().over(w_ql).cast("long"))
+        .withColumn(
+            "rrf_ppm",
+            F.expr(f"1000000 DIV ({RRF_K} + r_bm25)"
+                   f" + 1000000 DIV ({RRF_K} + r_ql)"),
+        )
+    )
+    w_rrf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_ppm"), F.asc("doc_id")
+    )
+    qlabels = qterms.groupBy("query_id").agg(
+        F.array_join(F.array_sort(F.collect_list("w")), " ").alias("terms")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w_rrf).cast("long"))
+        .filter(F.col("rank") <= k)
+        .join(F.broadcast(qlabels), "query_id")
+        .select("query_id", "terms", "doc_id", "r_bm25", "r_ql",
+                "rrf_ppm", "rank")
+    )
+
+
+def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered hybrid retrieval: RRF fusion of BM25 and
+    query-likelihood top-10 over `documents`."""
+    return rrf_hybrid_topk(load_table(spark, "documents", sf_dir))
+
+
 def lm_score(docs: DataFrame, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
     """Char-trigram LM likelihood score (corpus-fitted, add-one

@@ -1217,7 +1217,186 @@ BRAND_TRIPLES_ORACLE = f"""
 """
 
 
+def order_line_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder proration: each order's HEADER total is
+    allocated across its lineitems proportionally to line price, in
+    integer cents, with the rounding shortfall distributed one cent at
+    a time to the lines with the largest division remainders — so the
+    per-order allocations sum to the header total EXACTLY (the invoice
+    /ledger allocation rule; float proration never reconciles). On
+    this corpus header totals are independent of line rollups (see
+    order_reconciliation), which is precisely when proration is
+    needed.
+
+    All integer: base = total*line // sum_lines (products bounded well
+    under BIGINT at any TPC-H SF: cents x cents of one order), the
+    bump pick is (remainder DESC, line_seq). Line identity is an
+    occurrence index per order — (l_orderkey, l_linenumber) is NOT
+    unique in this testdata (NOTES.md r7). Every window is bounded by
+    the order's own lines (<=7)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    lines = li.select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        .alias("line_cents"),
+        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+    )
+    w_o = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "line_cents", "l_quantity"
+    )
+    ranked = lines.withColumn("line_seq", F.row_number().over(w_o))
+    tot = ranked.groupBy("l_orderkey").agg(
+        F.sum("line_cents").alias("sum_cents")
+    )
+    hdr = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long")
+        .alias("total_cents"),
+    )
+    j = (
+        ranked.join(tot, "l_orderkey")
+        .join(hdr, ranked.l_orderkey == hdr.o_orderkey)
+        .withColumn("base", F.expr("(total_cents * line_cents) DIV sum_cents"))
+        .withColumn("frac", F.expr("(total_cents * line_cents) % sum_cents"))
+    )
+    w_sum = Window.partitionBy("l_orderkey")
+    w_bump = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("frac"), F.asc("line_seq")
+    )
+    return (
+        j.withColumn(
+            "shortfall", F.col("total_cents") - F.sum("base").over(w_sum)
+        )
+        .withColumn("bump_rank", F.row_number().over(w_bump))
+        .select(
+            "l_orderkey",
+            "line_seq",
+            "line_cents",
+            (
+                F.col("base")
+                + F.when(F.col("bump_rank") <= F.col("shortfall"), 1)
+                .otherwise(0)
+            ).alias("alloc_cents"),
+        )
+    )
+
+
+PRORATION_ORACLE = """
+    WITH lines AS (
+      SELECT l_orderkey,
+        CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS line_cents,
+        ROW_NUMBER() OVER (PARTITION BY l_orderkey
+          ORDER BY l_linenumber, l_partkey, l_suppkey,
+            CAST(ROUND(l_extendedprice * 100) AS BIGINT), l_quantity)
+          AS line_seq
+      FROM lineitem
+    ),
+    tot AS (
+      SELECT l_orderkey, CAST(SUM(line_cents) AS BIGINT) AS sum_cents
+      FROM lines GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT l.l_orderkey, l.line_seq, l.line_cents, t.sum_cents,
+        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+      FROM lines l
+      JOIN tot t USING (l_orderkey)
+      JOIN orders ON l.l_orderkey = o_orderkey
+    ),
+    b AS (
+      SELECT *,
+        total_cents * line_cents // sum_cents AS base,
+        (total_cents * line_cents) % sum_cents AS frac
+      FROM j
+    ),
+    r AS (
+      SELECT *,
+        total_cents - SUM(base) OVER (PARTITION BY l_orderkey)
+          AS shortfall,
+        ROW_NUMBER() OVER (PARTITION BY l_orderkey
+          ORDER BY frac DESC, line_seq) AS bump_rank
+      FROM b
+    )
+    SELECT l_orderkey, CAST(line_seq AS INTEGER) AS line_seq, line_cents,
+      CAST(base + CASE WHEN bump_rank <= shortfall THEN 1 ELSE 0 END
+           AS BIGINT) AS alloc_cents
+    FROM r
+"""
+
+
+def brand_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand audience-overlap matrix (set-similarity join): Jaccard of
+    the distinct-customer sets of every brand pair, top-20 by overlap
+    — 'which catalog brands share buyers' (the cross-sell/cannibal
+    question). Pair enumeration is per CUSTOMER over that customer's
+    distinct brand list, so fan-out is bounded by |brands|-choose-2
+    (~300) per customer regardless of how many rows the customer has —
+    never a brand x brand x fact blowup. Jaccard as integer ppm over
+    |A∩B| / (|A|+|B|-|A∩B|); deterministic (jaccard DESC, brand pair)
+    top-20 plans as TakeOrderedAndProject."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    cb = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    sizes = cb.groupBy("brand").agg(F.count("*").alias("n"))
+    a = cb.alias("a")
+    b = cb.alias("b")
+    inter = (
+        a.join(b, (F.col("a.cust") == F.col("b.cust"))
+               & (F.col("a.brand") < F.col("b.brand")))
+        .groupBy(F.col("a.brand").alias("brand_a"),
+                 F.col("b.brand").alias("brand_b"))
+        .agg(F.count("*").alias("n_both"))
+    )
+    sa = sizes.select(F.col("brand").alias("brand_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("brand").alias("brand_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .select(
+            "brand_a", "brand_b", "n_a", "n_b", "n_both",
+            F.expr("n_both * 1000000 DIV (n_a + n_b - n_both)")
+            .alias("jaccard_ppm"),
+        )
+        .orderBy(F.desc("jaccard_ppm"), "brand_a", "brand_b")
+        .limit(20)
+    )
+
+
+AUDIENCE_OVERLAP_ORACLE = """
+    WITH cb AS (
+      SELECT DISTINCT o_custkey AS cust, p_brand AS brand
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+    ),
+    sizes AS (SELECT brand, COUNT(*) AS n FROM cb GROUP BY brand),
+    inter AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_both
+      FROM cb a JOIN cb b ON a.cust = b.cust AND a.brand < b.brand
+      GROUP BY a.brand, b.brand
+    )
+    SELECT brand_a, brand_b,
+      CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+      CAST(n_both AS BIGINT) AS n_both,
+      CAST(n_both * 1000000 // (sa.n + sb.n - n_both) AS BIGINT)
+        AS jaccard_ppm
+    FROM inter
+    JOIN sizes sa ON brand_a = sa.brand
+    JOIN sizes sb ON brand_b = sb.brand
+    ORDER BY jaccard_ppm DESC, brand_a, brand_b
+    LIMIT 20
+"""
+
+
 RELATIONAL_EXT_QUERIES = {
+    "order_line_proration": order_line_proration,
+    "brand_audience_overlap": brand_audience_overlap,
     "segment_decayed_value": segment_decayed_value,
     "orderkey_gap_islands": orderkey_gap_islands,
     "brand_triples": brand_triples,
@@ -1245,6 +1424,8 @@ RELATIONAL_EXT_QUERIES = {
 }
 
 RELATIONAL_EXT_ORACLES = {
+    "order_line_proration": PRORATION_ORACLE,
+    "brand_audience_overlap": AUDIENCE_OVERLAP_ORACLE,
     "segment_decayed_value": SEGMENT_DECAYED_ORACLE,
     "orderkey_gap_islands": GAP_ISLANDS_ORACLE,
     "brand_triples": BRAND_TRIPLES_ORACLE,

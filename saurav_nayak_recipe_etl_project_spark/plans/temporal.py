@@ -1006,7 +1006,153 @@ BOUNCE_ORACLE = """
 """
 
 
+def session_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day peak concurrent sessions (capacity-planning sweep line):
+    every 30-min-gap session becomes a [first_event, last_event]
+    interval; intervals are split at midnight into per-day pieces, each
+    piece emits a +1 mark at its clamped start and a -1 mark one µs
+    after its clamped end (so two sessions meeting at an instant both
+    count at that instant), and the day's peak is the max running sum
+    over marks ordered by (t, delta) — delta ascending puts the -1
+    first at a tied timestamp, because a session whose last event was
+    at t-1µs is gone by t.
+
+    Scale shape: the running sum is NOT one window over a day's marks
+    (a day's sessions grow with data). Marks are bucketed by hour
+    offset within the day; the within-bucket running sum runs on
+    (day, hour) partitions and a calendar-bounded (<=25 rows/day)
+    window of bucket totals supplies the cross-bucket offsets — the
+    with_global_rank two-pass decomposition, valid per day because
+    every piece opens AND closes inside its day (per-day deltas sum to
+    zero). The oracle runs the classic one-window sweep, so agreement
+    proves the decomposition."""
+    ev = load_table(spark, "events", sf_dir)
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_sess = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("prev_ts", F.lag("ts").over(w_u))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+                   > 1800 * 1_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sess",
+            F.sum("new_s").over(
+                w_u.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    sessions = with_sess.groupBy("user_id", "sess").agg(
+        F.min("ts").alias("s_ts"), F.max("ts").alias("e_ts")
+    )
+    pieces = (
+        sessions
+        .withColumn(
+            "day", F.explode(F.expr("sequence(to_date(s_ts), to_date(e_ts))"))
+        )
+        .withColumn("day_start", F.col("day").cast("timestamp_ntz"))
+        .withColumn(
+            "next_day",
+            F.expr("timestampadd(DAY, 1, cast(day as timestamp_ntz))"),
+        )
+        .withColumn("m_start", F.greatest("s_ts", "day_start"))
+        .withColumn(
+            "m_end",
+            F.least(
+                F.expr("timestampadd(MICROSECOND, 1, e_ts)"), F.col("next_day")
+            ),
+        )
+    )
+    marks = pieces.select(
+        "day", F.col("m_start").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        pieces.select("day", F.col("m_end").alias("t"), F.lit(-1).alias("delta"))
+    ).withColumn(
+        # hour offset FROM day start (a -1 mark clamped to next
+        # midnight lands in bucket 24, after every in-day mark —
+        # hour(t) alone would missort it to bucket 0)
+        "hr",
+        F.expr("timestampdiff(HOUR, cast(day as timestamp_ntz), t)"),
+    )
+    bucket_tot = marks.groupBy("day", "hr").agg(F.sum("delta").alias("btot"))
+    w_b = Window.partitionBy("day").orderBy("hr")
+    offsets = bucket_tot.withColumn(
+        "off",
+        F.sum("btot").over(w_b.rowsBetween(Window.unboundedPreceding, 0))
+        - F.col("btot"),
+    )
+    w_in = Window.partitionBy("day", "hr").orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    run = marks.join(offsets.select("day", "hr", "off"), ["day", "hr"]).withColumn(
+        "run", F.col("off") + F.sum("delta").over(w_in)
+    )
+    return run.groupBy("day").agg(
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("n_sessions"),
+        F.max("run").alias("peak_concurrent"),
+    )
+
+
+CONCURRENCY_ORACLE = """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+        OR date_diff('microsecond', prev_ts, ts) > 1800 * 1000000
+        THEN 1 ELSE 0 END AS new_s
+      FROM e
+    ),
+    with_sess AS (
+      SELECT user_id, ts, event_id,
+        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, sess, MIN(ts) AS s_ts, MAX(ts) AS e_ts
+      FROM with_sess GROUP BY user_id, sess
+    ),
+    pieces AS (
+      SELECT user_id, sess, s_ts, e_ts,
+        CAST(UNNEST(generate_series(CAST(s_ts AS DATE), CAST(e_ts AS DATE),
+                                    INTERVAL 1 DAY)) AS DATE) AS day
+      FROM sessions
+    ),
+    marks AS (
+      SELECT day, GREATEST(s_ts, CAST(day AS TIMESTAMP)) AS t, 1 AS delta
+      FROM pieces
+      UNION ALL
+      SELECT day,
+        LEAST(e_ts + INTERVAL 1 MICROSECOND,
+              CAST(day AS TIMESTAMP) + INTERVAL 1 DAY),
+        -1
+      FROM pieces
+    ),
+    run AS (
+      SELECT day, delta,
+        SUM(delta) OVER (PARTITION BY day ORDER BY t, delta
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM marks
+    )
+    SELECT day,
+      CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_sessions,
+      CAST(MAX(run) AS BIGINT) AS peak_concurrent
+    FROM run GROUP BY day
+"""
+
+
 TEMPORAL_QUERIES = {
+    "session_concurrency_peak": session_concurrency_peak,
     "attribution_credit": attribution_credit,
     "funnel_three_step": funnel_three_step,
     "session_bounce_rate": session_bounce_rate,
@@ -1030,6 +1176,7 @@ TEMPORAL_QUERIES = {
 }
 
 TEMPORAL_ORACLES = {
+    "session_concurrency_peak": CONCURRENCY_ORACLE,
     "attribution_credit": ATTRIBUTION_ORACLE,
     "funnel_three_step": FUNNEL3_ORACLE,
     "session_bounce_rate": BOUNCE_ORACLE,

@@ -155,6 +155,15 @@ _DRIVER_PRIORITY = [
     "validate_orders",
     "validate_part",
     "validate_supplier",
+    # -- (2b) new in the second continuation session: placed BELOW the
+    #    r1-stale block (unlike earlier new entries) so the round-8
+    #    window still retires the whole r1 debt — these were verified
+    #    at 3 SFs locally at birth, while the r1 entries carry 7
+    #    rounds of drift exposure; whatever misses the 50-cut leads
+    #    round 9 (the benford-at-position-51 precedent from r6) --
+    "session_concurrency_peak",
+    "order_line_proration",
+    "brand_audience_overlap",
     # -- (3b) next-stalest: last verified in round 2, alphabetical
     #    (the window cuts at 50 inside this block) --
     "asof_latest_order",
