@@ -599,6 +599,26 @@ def dup_clusters_star(docs: DataFrame, tau: float = 0.5, n: int = 3,
                            id_col=id_col)
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     )
+    child = star_components(pairs, max_rounds=max_rounds)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(child.withColumnRenamed("a", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("parent", F.col("doc_id")).cast("long")
+            .alias("cluster_id"),
+        )
+    )
+
+
+def star_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Generic large-star/small-star contraction over an edge list
+    with columns (a, b) of any orderable type; returns the
+    (a -> parent) star forest: one row per NON-ROOT node of every
+    component of size >= 2, parent = the component's min node.
+    Callers left-join their node universe and coalesce singletons.
+    Extracted verbatim from dup_clusters_star so string-keyed entity
+    resolution (operators/fuzzy.py) shares the identical loop."""
     e = pairs.filter(F.col("a") != F.col("b")).distinct().localCheckpoint()
     converged = False
 
@@ -644,19 +664,10 @@ def dup_clusters_star(docs: DataFrame, tau: float = 0.5, n: int = 3,
             break
     if not converged:
         raise RuntimeError(
-            f"dup_clusters_star: star contraction did not reach a "
+            f"star_components: star contraction did not reach a "
             f"fixpoint within {max_rounds} rounds"
         )
-    child = e.groupBy("a").agg(F.min("b").alias("parent"))
-    return (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .join(child.withColumnRenamed("a", "doc_id"), "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("parent", F.col("doc_id")).cast("long")
-            .alias("cluster_id"),
-        )
-    )
+    return e.groupBy("a").agg(F.min("b").alias("parent"))
 
 
 def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -96,10 +96,116 @@ PART_NAME_FUZZY_ORACLE = f"""
     WHERE levenshtein(a.nm, b.nm) <= {FUZZY_MAX_DIST}
 """
 
+def part_name_entity_resolution(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution over part names (the MDM golden-
+    record pipeline composed from existing stages): length-band
+    blocking -> bounded levenshtein edges (name_near_collisions) ->
+    star-contraction connected components (operators/dedup.py
+    star_components, shared verbatim with the doc-dedup path) ->
+    survivorship. Canonical member per cluster = most catalog rows,
+    lexicographic name tie-break; singleton names are not emitted
+    (nothing to merge).
+
+    Output: one roster row per member of every >=2 cluster with its
+    canonical assignment — the reviewable merge plan. The per-cluster
+    canonical window is bounded by cluster size (edit-distance-2
+    clusters are tiny by construction). The oracle replays blocking-
+    free: UNBLOCKED all-pairs edges + WITH RECURSIVE transitive
+    closure, so a hash match proves blocking-losslessness AND
+    cross-algorithm component agreement in one gate."""
+    from saurav_nayak_recipe_etl_project_spark.operators.dedup import (
+        star_components,
+    )
+    from pyspark.sql.window import Window
+
+    part = load_table(spark, "part", sf_dir)
+    names = part.groupBy("p_name").agg(F.count("*").alias("n_rows"))
+    edges = name_near_collisions(names, "p_name", "n_rows").select(
+        F.col("name_a").alias("a"), F.col("name_b").alias("b")
+    )
+    child = star_components(edges)
+    labeled = (
+        names.join(
+            child.withColumnRenamed("a", "p_name"), "p_name", "left"
+        )
+        .select(
+            F.col("p_name").alias("member_name"),
+            "n_rows",
+            F.coalesce("parent", F.col("p_name")).alias("label"),
+        )
+    )
+    sizes = labeled.groupBy("label").agg(
+        F.count("*").alias("cluster_size")
+    ).where(F.col("cluster_size") >= 2)
+    w_c = Window.partitionBy("label").orderBy(
+        F.desc("n_rows"), F.asc("member_name")
+    )
+    membered = (
+        labeled.join(sizes, "label")
+        .withColumn("rk", F.row_number().over(w_c))
+    )
+    canon = membered.where(F.col("rk") == 1).select(
+        "label", F.col("member_name").alias("canonical_name")
+    )
+    return membered.join(canon, "label").select(
+        "canonical_name",
+        "member_name",
+        "n_rows",
+        "cluster_size",
+        (F.col("rk") == 1).alias("is_canonical"),
+    )
+
+
+ENTITY_RESOLUTION_ORACLE = f"""
+    WITH RECURSIVE
+    names AS (
+      SELECT p_name AS nm, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM part GROUP BY p_name
+    ),
+    edges AS (
+      SELECT a.nm AS na, b.nm AS nb
+      FROM names a JOIN names b ON a.nm < b.nm
+      WHERE levenshtein(a.nm, b.nm) <= {FUZZY_MAX_DIST}
+    ),
+    sym AS (
+      SELECT na AS s, nb AS d FROM edges
+      UNION SELECT nb, na FROM edges
+    ),
+    reach(nm, peer) AS (
+      SELECT nm, nm FROM names
+      UNION
+      SELECT r.nm, s.d FROM reach r JOIN sym s ON r.peer = s.s
+    ),
+    labels AS (SELECT nm, MIN(peer) AS label FROM reach GROUP BY nm),
+    sizes AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM labels GROUP BY label HAVING COUNT(*) >= 2
+    ),
+    membered AS (
+      SELECT l.label, l.nm AS member_name, n.n_rows, s.cluster_size,
+        ROW_NUMBER() OVER (PARTITION BY l.label
+          ORDER BY n.n_rows DESC, l.nm) AS rk
+      FROM labels l
+      JOIN names n ON l.nm = n.nm
+      JOIN sizes s ON l.label = s.label
+    ),
+    canon AS (
+      SELECT label, member_name AS canonical_name
+      FROM membered WHERE rk = 1
+    )
+    SELECT c.canonical_name, m.member_name, m.n_rows, m.cluster_size,
+      m.rk = 1 AS is_canonical
+    FROM membered m JOIN canon c USING (label)
+"""
+
+
 FUZZY_QUERIES = {
     "part_name_near_collisions": part_name_near_collisions,
+    "part_name_entity_resolution": part_name_entity_resolution,
 }
 
 FUZZY_ORACLES = {
     "part_name_near_collisions": PART_NAME_FUZZY_ORACLE,
+    "part_name_entity_resolution": ENTITY_RESOLUTION_ORACLE,
 }

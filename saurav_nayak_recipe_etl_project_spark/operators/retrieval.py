@@ -541,6 +541,7 @@ def quality_lm_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RETRIEVAL_QUERIES = {
+    "rrf_hybrid_search": rrf_hybrid_search,
     "bm25_search": bm25_search,
     "text_lm_score": text_lm_score,
     "perplexity_buckets": perplexity_buckets,
@@ -553,6 +554,124 @@ RETRIEVAL_ORACLES = {
     # Identical arithmetic association as the Spark expressions; the
     # only transcendental (ln) is immediately micro-rounded on both
     # sides (module docstring).
+    "rrf_hybrid_search": f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents
+        ),
+        doclen AS (
+          SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks
+        ),
+        occ AS (
+          SELECT doc_id, unnest(toks) AS w FROM toks
+        ),
+        words AS (
+          SELECT w, COUNT(*) AS n FROM occ GROUP BY w
+        ),
+        qterms AS (
+          SELECT CAST((rank - {BM25_RANK_LO}) % {N_BM25_QUERIES} AS BIGINT)
+                   AS query_id, w
+          FROM (
+            SELECT w, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rank
+            FROM words
+          )
+          WHERE rank >= {BM25_RANK_LO}
+            AND rank < {BM25_RANK_LO + 2 * N_BM25_QUERIES}
+        ),
+        stats AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS total_dl,
+                 CAST(SUM(dl) AS BIGINT) * 1.0 / CAST(COUNT(*) AS BIGINT)
+                   AS avgdl
+          FROM doclen
+        ),
+        hits AS (
+          SELECT query_id, occ.w AS w, doc_id
+          FROM occ JOIN qterms ON occ.w = qterms.w
+        ),
+        tf AS (
+          SELECT query_id, w, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM hits GROUP BY query_id, w, doc_id
+        ),
+        df_tbl AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS df
+          FROM (SELECT DISTINCT w, doc_id FROM hits) GROUP BY w
+        ),
+        bm_contrib AS (
+          SELECT query_id, doc_id,
+            CAST(ROUND(
+              ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+              * ((tf * {BM25_K1 + 1.0}) /
+                 (tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * (dl / avgdl))))
+              * {MICRO}
+            ) AS BIGINT) AS c_micro
+          FROM tf
+          JOIN df_tbl USING (w)
+          JOIN doclen USING (doc_id)
+          CROSS JOIN stats
+        ),
+        bm_per_doc AS (
+          SELECT query_id, doc_id,
+                 CAST(SUM(c_micro) AS BIGINT) AS bm25_micro
+          FROM bm_contrib GROUP BY query_id, doc_id
+        ),
+        cand AS (
+          SELECT DISTINCT query_id, doc_id FROM hits
+        ),
+        qcf AS (
+          SELECT query_id, qterms.w AS w, CAST(n AS BIGINT) AS cf
+          FROM qterms JOIN words ON qterms.w = words.w
+        ),
+        ql_contrib AS (
+          SELECT cand.query_id, cand.doc_id,
+            CAST(ROUND(
+              ln((COALESCE(tf.tf, 0) + {QL_MU} * (qcf.cf / stats.total_dl))
+                 / (doclen.dl + {QL_MU}))
+              * {MICRO}
+            ) AS BIGINT) AS q_micro
+          FROM cand
+          JOIN qcf ON cand.query_id = qcf.query_id
+          LEFT JOIN tf ON cand.query_id = tf.query_id
+            AND qcf.w = tf.w AND cand.doc_id = tf.doc_id
+          JOIN doclen ON cand.doc_id = doclen.doc_id
+          CROSS JOIN stats
+        ),
+        ql_per_doc AS (
+          SELECT query_id, doc_id,
+                 CAST(SUM(q_micro) AS BIGINT) AS ql_micro
+          FROM ql_contrib GROUP BY query_id, doc_id
+        ),
+        fused AS (
+          SELECT b.query_id, b.doc_id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY b.query_id
+              ORDER BY b.bm25_micro DESC, b.doc_id) AS BIGINT) AS r_bm25,
+            CAST(ROW_NUMBER() OVER (PARTITION BY b.query_id
+              ORDER BY q.ql_micro DESC, b.doc_id) AS BIGINT) AS r_ql
+          FROM bm_per_doc b
+          JOIN ql_per_doc q
+            ON b.query_id = q.query_id AND b.doc_id = q.doc_id
+        ),
+        rrf AS (
+          SELECT query_id, doc_id, r_bm25, r_ql,
+            CAST(1000000 // ({RRF_K} + r_bm25)
+                 + 1000000 // ({RRF_K} + r_ql) AS BIGINT) AS rrf_ppm
+          FROM fused
+        ),
+        qlabels AS (
+          SELECT query_id, string_agg(w, ' ' ORDER BY w) AS terms
+          FROM qterms GROUP BY query_id
+        )
+        SELECT query_id, terms, doc_id, r_bm25, r_ql, rrf_ppm,
+               CAST(rank AS BIGINT) AS rank
+        FROM (
+          SELECT query_id, doc_id, r_bm25, r_ql, rrf_ppm,
+            ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY rrf_ppm DESC, doc_id
+            ) AS rank
+          FROM rrf
+        )
+        JOIN qlabels USING (query_id)
+        WHERE rank <= {BM25_TOP_K}
+    """,
     "bm25_search": f"""
         WITH toks AS (
           SELECT doc_id, {_TOKS} AS toks FROM documents

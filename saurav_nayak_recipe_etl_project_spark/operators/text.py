@@ -501,7 +501,115 @@ SOURCE_ENTROPY_ORACLE = """
 """
 
 
+def distinctive_terms_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive vocabulary: top-5 terms by log-odds
+    ratio of in-source vs rest-of-corpus token frequency (Monroe et
+    al.'s "fightin' words" shape with the Haldane +1/2 prior, written
+    as +1 on doubled counts so every ln argument stays an exact
+    integer) — 'what does each source talk about that the others
+    don't', the corpus-curation companion to source_token_entropy
+    (which says HOW diverse a source is, not WHAT makes it distinct).
+
+    delta = ln(2c+1) - ln(2(n_s-c)+1) - ln(2c_rest+1)
+            + ln(2(n_rest-c_rest)+1), each ln micro-rounded once per
+    (source, word) row (the BM25 fixed-point pattern), so deltas AND
+    ranks hash-verify. Support floor c >= 5 keeps one-off typos out.
+
+    Scale shape: one explode + (source, word) map-side-combined
+    groupBy shrinks the corpus to |sources| x vocab; per-word and
+    per-source totals are vocab-/catalog-sized; the top-5 pick runs
+    through two_phase_group_top_k because a source's vocabulary grows
+    with the corpus (Heaps' law) — never a source-sized window. The
+    oracle runs the classic single-window form, so agreement proves
+    the two-phase decomposition."""
+    from saurav_nayak_recipe_etl_project_spark.functions.ranking import (
+        two_phase_group_top_k,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    wc = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = wc.groupBy("w").agg(F.sum("c").alias("cw"))
+    per_src = wc.groupBy("source").agg(F.sum("c").alias("ns"))
+    n_all = wc.agg(F.sum("c").alias("n"))
+
+    def _lnmu(expr: str) -> str:
+        return f"cast(round(ln(cast({expr} as double)) * 1000000) as bigint)"
+
+    scored = (
+        wc.where(F.col("c") >= 5)
+        .join(totals, "w")
+        .join(F.broadcast(per_src), "source")
+        .crossJoin(F.broadcast(n_all))
+        .withColumn("c_rest", F.col("cw") - F.col("c"))
+        .withColumn(
+            "delta_micro",
+            F.expr(
+                f"{_lnmu('2 * c + 1')} - {_lnmu('2 * (ns - c) + 1')}"
+                f" - {_lnmu('2 * c_rest + 1')}"
+                f" + {_lnmu('2 * ((n - ns) - c_rest) + 1')}"
+            ),
+        )
+    )
+    return two_phase_group_top_k(
+        scored,
+        keys=["source"],
+        sort_cols=[(-F.col("delta_micro")), F.col("w")],
+        k=5,
+    ).select(
+        "source",
+        F.col("w").alias("term"),
+        F.col("c").alias("n_in_source"),
+        F.col("c_rest").alias("n_elsewhere"),
+        "delta_micro",
+        "rank",
+    )
+
+
+DISTINCTIVE_TERMS_ORACLE = """
+    WITH wc AS (
+      SELECT source, w, COUNT(*) AS c FROM (
+        SELECT source,
+          unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents
+      ) GROUP BY source, w
+    ),
+    tot AS (SELECT w, SUM(c) AS cw FROM wc GROUP BY w),
+    ps AS (SELECT source, SUM(c) AS ns FROM wc GROUP BY source),
+    nn AS (SELECT SUM(c) AS n FROM wc),
+    d AS (
+      SELECT source, wc.w, c, cw - c AS c_rest,
+        CAST(round(ln(CAST(2 * c + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+        - CAST(round(ln(CAST(2 * (ns - c) + 1 AS DOUBLE)) * 1000000)
+               AS BIGINT)
+        - CAST(round(ln(CAST(2 * (cw - c) + 1 AS DOUBLE)) * 1000000)
+               AS BIGINT)
+        + CAST(round(ln(CAST(2 * ((n - ns) - (cw - c)) + 1 AS DOUBLE))
+                     * 1000000) AS BIGINT)
+          AS delta_micro
+      FROM wc
+      JOIN tot USING (w)
+      JOIN ps USING (source)
+      CROSS JOIN nn
+      WHERE c >= 5
+    )
+    SELECT source, w AS term, CAST(c AS BIGINT) AS n_in_source,
+      CAST(c_rest AS BIGINT) AS n_elsewhere, delta_micro,
+      CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY delta_micro DESC, w) AS rank
+      FROM d
+    )
+    WHERE rank <= 5
+"""
+
+
 TEXT_QUERIES = {
+    "distinctive_terms_logodds": distinctive_terms_logodds,
     "source_token_entropy": source_token_entropy,
     "vocab_coverage": vocab_coverage,
     "quality_weighted_sample": quality_weighted_sample,
@@ -524,6 +632,7 @@ _STOP_SQL = {
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 
 TEXT_ORACLES = {
+    "distinctive_terms_logodds": DISTINCTIVE_TERMS_ORACLE,
     "source_token_entropy": SOURCE_ENTROPY_ORACLE,
     "vocab_coverage": f"""
         WITH words AS (

@@ -164,6 +164,9 @@ _DRIVER_PRIORITY = [
     "session_concurrency_peak",
     "order_line_proration",
     "brand_audience_overlap",
+    "rrf_hybrid_search",
+    "distinctive_terms_logodds",
+    "part_name_entity_resolution",
     # -- (3b) next-stalest: last verified in round 2, alphabetical
     #    (the window cuts at 50 inside this block) --
     "asof_latest_order",
