@@ -75,6 +75,71 @@ def run_attribution_stream(spark: SparkSession, source_dir: str,
     )
 
 
+def _outer_attributed(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Every view LEFT OUTER joined to same-user purchases in the hour
+    AFTER it — unmatched views survive with a NULL purchase (the
+    'views that never converted' stream, which the inner form silently
+    drops)."""
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts")
+           <= F.col("v_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")),
+        "leftOuter",
+    )
+    return joined.select(
+        "view_id",
+        F.col("v_user").alias("user_id"),
+        "purchase_id",
+        F.col("purchase_id").isNotNull().alias("converted"),
+    )
+
+
+def view_purchase_attribution_outer(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Batch twin of the LEFT OUTER stream-stream join."""
+    views, purchases = _sides(load_table(spark, "events", sf_dir))
+    return _outer_attributed(views, purchases)
+
+
+def run_attribution_stream_outer(spark: SparkSession, source_dir: str,
+                                 checkpoint_dir: str, query_name: str,
+                                 max_files_per_trigger: int | None = None,
+                                 watermark: str = "2 hours") -> None:
+    """G19 — stream-stream LEFT OUTER interval join. The semantics the
+    inner join can't express: a view with no purchase inside its
+    window must STILL be emitted (purchase NULL) — but only once the
+    watermark has passed the end of its join window, because until
+    then a matching purchase could still arrive. Spark holds the
+    unmatched view in state and emits the null row at state expiry, so
+    null rows appearing AT ALL proves cross-micro-batch watermark
+    expiry ran (single-batch runs with a generous watermark would keep
+    every unmatched row in state forever and emit nothing for them —
+    availableNow drains pending state at end-of-stream, which the test
+    exercises both ways)."""
+    from saurav_nayak_recipe_etl_project_spark.streaming.events import (
+        read_event_stream,
+    )
+
+    events = read_event_stream(
+        spark, source_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    views, purchases = _sides(events)
+    out = _outer_attributed(
+        views.withWatermark("v_ts", watermark),
+        purchases.withWatermark("p_ts", watermark),
+    )
+    await_or_raise(
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 STREAM_JOIN_QUERIES = {"view_purchase_attribution": view_purchase_attribution}
 
 STREAM_JOIN_ORACLES = {
