@@ -1341,18 +1341,15 @@ def ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def centroid_classify(emb: DataFrame, decimals: int = 6) -> DataFrame:
-    """Nearest-centroid classifier over the embedding column: per-label
-    centroids (one (label, dim) shuffle — posexplode + avg, map-side
-    combined), then every vector scored against the TINY centroid table
-    (n_labels rows, broadcast — the crossJoin is bounded by the label
-    count, never corpus×corpus). Centroid dims are rounded before the
-    cosine so the oracle's independently-averaged centroids agree
-    bit-for-bit. Returns per-label n / n_correct / accuracy."""
-    e = emb.select("vec_id", "label", _as_double("embedding").alias("v"))
+def _centroids(e: DataFrame, decimals: int = 6) -> DataFrame:
+    """Per-label centroid vectors from (vec_id, label, v): one
+    (label, dim) shuffle — posexplode + avg, map-side combined —
+    yielding the TINY (c_label, c) table (n_labels rows, broadcast
+    everywhere it is used). Dims are rounded so independently-averaged
+    oracle centroids agree bit-for-bit."""
     dims = e.select("label", F.posexplode("v").alias("pos", "x"))
     cent = dims.groupBy("label", "pos").agg(F.avg("x").alias("m"))
-    cvec = (
+    return (
         cent.groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select(
@@ -1360,6 +1357,16 @@ def centroid_classify(emb: DataFrame, decimals: int = 6) -> DataFrame:
             F.transform("pm", lambda s: F.round(s["m"], decimals)).alias("c"),
         )
     )
+
+
+def centroid_classify(emb: DataFrame, decimals: int = 6) -> DataFrame:
+    """Nearest-centroid classifier over the embedding column: per-label
+    centroids (_centroids), then every vector scored against the
+    broadcast centroid table (the crossJoin is bounded by the label
+    count, never corpus×corpus). Returns per-label n / n_correct /
+    accuracy."""
+    e = emb.select("vec_id", "label", _as_double("embedding").alias("v"))
+    cvec = _centroids(e, decimals)
     scored = e.crossJoin(F.broadcast(cvec)).select(
         "vec_id",
         "label",
@@ -1382,7 +1389,75 @@ def ann_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_classify(load_table(spark, "embeddings", sf_dir))
 
 
+def label_separation_report(emb: DataFrame, decimals: int = 6) -> DataFrame:
+    """Embedding-space quality report per label (the silhouette-style
+    eval an embedding pipeline runs before trusting labels for
+    training): intra-label cohesion (mean member-to-own-centroid
+    cosine), the most-confusable OTHER label (max centroid-centroid
+    cosine, label tie-break), and the separation margin between them.
+    A label whose margin goes negative is bleeding into its neighbor.
+
+    All means are integer: per-member cosines are micro-rounded once
+    and integer-summed (order-free), intra_micro = sum DIV n; the
+    centroid-pair table is n_labels² rows, so the nearest-other pick
+    is a bounded window. One corpus-sized join against the broadcast
+    centroid table — never corpus × corpus."""
+    e = emb.select("vec_id", "label", _as_double("embedding").alias("v"))
+    cvec = _centroids(e, decimals)
+    intra = (
+        e.join(F.broadcast(cvec), e.label == cvec.c_label)
+        .select(
+            "label",
+            F.round(cosine(F.col("v"), F.col("c")) * F.lit(1e6))
+            .cast("long").alias("cos_micro"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cos_micro").alias("sum_micro"),
+        )
+        # explicit double floor, NOT integer DIV: Spark DIV truncates
+        # toward zero while DuckDB // floors — they disagree on
+        # negative sums, and a cosine mean can be negative
+        .select(
+            "label", "n",
+            F.floor(F.col("sum_micro") / F.col("n")).alias("intra_micro"),
+        )
+    )
+    a = cvec.select(F.col("c_label").alias("label"), F.col("c").alias("ca"))
+    b = cvec.select(F.col("c_label").alias("other_label"),
+                    F.col("c").alias("cb"))
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("label") != F.col("other_label"))
+        .select(
+            "label", "other_label",
+            F.round(cosine(F.col("ca"), F.col("cb")) * F.lit(1e6))
+            .cast("long").alias("inter_micro"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("inter_micro"), F.asc("other_label")
+    )
+    nearest = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("label", F.col("other_label").alias("nearest_label"),
+                "inter_micro")
+    )
+    return intra.join(nearest, "label").select(
+        "label", "n", "intra_micro", "nearest_label", "inter_micro",
+        (F.col("intra_micro") - F.col("inter_micro")).alias("margin_micro"),
+    )
+
+
+def embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered embedding label-separation report."""
+    return label_separation_report(load_table(spark, "embeddings", sf_dir))
+
+
 SIMILARITY_QUERIES = {
+    "embedding_label_separation": embedding_label_separation,
     "ann_nearest_centroid": ann_nearest_centroid,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_hard_negatives": ann_hard_negatives,
@@ -1394,6 +1469,54 @@ SIMILARITY_QUERIES = {
 }
 
 SIMILARITY_ORACLES = {
+    "embedding_label_separation": """
+        WITH e AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        dims AS (
+          SELECT label, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS x
+          FROM e
+        ),
+        cent AS (
+          SELECT label, pos, AVG(x) AS m FROM dims GROUP BY label, pos
+        ),
+        cvec AS (
+          SELECT label AS c_label,
+            list_transform(list(m ORDER BY pos), y -> round(y, 6)) AS c
+          FROM cent GROUP BY label
+        ),
+        intra AS (
+          SELECT e.label, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(FLOOR(CAST(SUM(CAST(ROUND(
+              list_dot_product(e.v, cvec.c) /
+                (sqrt(list_dot_product(e.v, e.v)) *
+                 sqrt(list_dot_product(cvec.c, cvec.c))) * 1000000
+            ) AS BIGINT)) AS DOUBLE) / COUNT(*)) AS BIGINT) AS intra_micro
+          FROM e JOIN cvec ON e.label = cvec.c_label
+          GROUP BY e.label
+        ),
+        pairs AS (
+          SELECT a.c_label AS label, b.c_label AS other_label,
+            CAST(ROUND(
+              list_dot_product(a.c, b.c) /
+                (sqrt(list_dot_product(a.c, a.c)) *
+                 sqrt(list_dot_product(b.c, b.c))) * 1000000
+            ) AS BIGINT) AS inter_micro
+          FROM cvec a JOIN cvec b ON a.c_label <> b.c_label
+        ),
+        nearest AS (
+          SELECT label, other_label AS nearest_label, inter_micro FROM (
+            SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY label ORDER BY inter_micro DESC, other_label
+            ) AS rn FROM pairs
+          ) WHERE rn = 1
+        )
+        SELECT intra.label, n, intra_micro, nearest_label, inter_micro,
+          CAST(intra_micro - inter_micro AS BIGINT) AS margin_micro
+        FROM intra JOIN nearest ON intra.label = nearest.label
+    """,
     "ann_nearest_centroid": """
         WITH e AS (
           SELECT vec_id, label,

@@ -736,7 +736,87 @@ def _profile_oracle() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+# Primary-key candidates for the uniqueness profile, narrowest first.
+# Each is a list of integer-typed lineitem columns; the composite is
+# fingerprinted as a '|'-joined decimal string (identical rendering in
+# Spark and DuckDB, unlike float formatting).
+_KEY_CANDIDATES = [
+    ["l_orderkey"],
+    ["l_orderkey", "l_linenumber"],
+    ["l_orderkey", "l_linenumber", "l_partkey"],
+    ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+    ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+     "l_quantity"],
+]
+
+
+def key_candidate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key candidate discovery (the deequ `isUnique`
+    constraint, swept over a candidate ladder in ONE pass): for each
+    column combination, exact distinct count vs row count and a
+    verdict — the audit that found this very testdata's
+    (l_orderkey, l_linenumber) is NOT unique (NOTES.md r7, the trap
+    that silently mispairs row-keyed joins). Five COUNT(DISTINCT)s
+    plan as one Expand feeding one map-side-combined exchange (the
+    table_profile shape); the melt runs on the single aggregated
+    row."""
+    li = load_table(spark, "lineitem", sf_dir)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for i, cols in enumerate(_KEY_CANDIDATES):
+        fp = F.concat_ws(
+            "|", *[F.col(c).cast("long").cast("string") for c in cols]
+        )
+        aggs.append(F.countDistinct(fp).alias(f"d_{i}"))
+    row = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{','.join(cols)}', d_{i}"
+        for i, cols in enumerate(_KEY_CANDIDATES)
+    )
+    return row.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(_KEY_CANDIDATES)}, {stack_args})"
+            " as (candidate, n_distinct)"
+        ),
+    ).select(
+        "candidate",
+        "n_rows",
+        "n_distinct",
+        (F.col("n_rows") - F.col("n_distinct")).alias("n_dup_rows"),
+        (F.col("n_distinct") == F.col("n_rows")).alias("is_key"),
+    )
+
+
+def _key_candidate_oracle() -> str:
+    sel = ",\n          ".join(
+        "COUNT(DISTINCT concat_ws('|', "
+        + ", ".join(f"CAST(CAST({c} AS BIGINT) AS VARCHAR)" for c in cols)
+        + f")) AS d_{i}"
+        for i, cols in enumerate(_KEY_CANDIDATES)
+    )
+    unions = "\n      UNION ALL\n      ".join(
+        f"SELECT '{','.join(cols)}' AS candidate, d_{i} AS n_distinct "
+        "FROM agg"
+        for i, cols in enumerate(_KEY_CANDIDATES)
+    )
+    return f"""
+        WITH agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+          {sel}
+          FROM lineitem
+        ),
+        melted AS (
+          {unions}
+        )
+        SELECT candidate, n_rows, CAST(n_distinct AS BIGINT) AS n_distinct,
+          CAST(n_rows - n_distinct AS BIGINT) AS n_dup_rows,
+          n_distinct = n_rows AS is_key
+        FROM melted CROSS JOIN agg
+    """
+
+
 PROFILING_QUERIES = {
+    "key_candidate_profile": key_candidate_profile,
     "table_profile_lineitem": table_profile_lineitem,
     "price_quantity_decile_heatmap": price_quantity_decile_heatmap,
     "kmv_distinct_users": kmv_distinct_users,
@@ -751,6 +831,7 @@ PROFILING_QUERIES = {
 }
 
 PROFILING_ORACLES = {
+    "key_candidate_profile": _key_candidate_oracle(),
     "table_profile_lineitem": _profile_oracle(),
     "price_quantity_decile_heatmap": """
         WITH base AS (

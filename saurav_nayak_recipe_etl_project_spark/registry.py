@@ -48,6 +48,7 @@ def _load_optional() -> None:
         ("saurav_nayak_recipe_etl_project_spark.operators.vector_index", "VECTOR_INDEX_QUERIES", "VECTOR_INDEX_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.operators.graph", "GRAPH_QUERIES", "GRAPH_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.operators.fuzzy", "FUZZY_QUERIES", "FUZZY_ORACLES"),
+        ("saurav_nayak_recipe_etl_project_spark.operators.skyline", "SKYLINE_QUERIES", "SKYLINE_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.pipelines", "PIPELINE_QUERIES", "PIPELINE_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.plans.temporal", "TEMPORAL_QUERIES", "TEMPORAL_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.plans.profiling", "PROFILING_QUERIES", "PROFILING_ORACLES"),
@@ -167,6 +168,9 @@ _DRIVER_PRIORITY = [
     "rrf_hybrid_search",
     "distinctive_terms_logodds",
     "part_name_entity_resolution",
+    "part_price_size_skyline",
+    "key_candidate_profile",
+    "embedding_label_separation",
     # -- (3b) next-stalest: last verified in round 2, alphabetical
     #    (the window cuts at 50 inside this block) --
     "asof_latest_order",
