@@ -1456,8 +1456,87 @@ def embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_separation_report(load_table(spark, "embeddings", sf_dir))
 
 
+MATRYOSHKA_DIMS = [8, 16, 32, 64]
+
+
+def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka dimension-truncation eval: exact top-5 recall when
+    search uses only the first d dims (d = 8/16/32/64) vs the full
+    64-dim exact top-5 — 'how many dims does retrieval actually need',
+    the question that decides index memory (PQ compresses codes;
+    truncation just drops tail dims, the MRL serving trade). The d=64
+    row is a built-in control (self-comparison, recall exactly 1e6
+    ppm).
+
+    EXACTLY oracled, not bounds-gated: every stage is the
+    deterministic brute-force scan (cosine_topk's broadcast-matmul
+    mapInPandas per d — linear in the corpus, four passes), and the
+    oracle replays the identical slicing, so recall values
+    hash-verify. Recall is integer ppm over Q*K."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    full = cosine_topk(emb).select("query_id", "neighbor_id")
+    res = None
+    for d in MATRYOSHKA_DIMS:
+        tr = cosine_topk(
+            emb.withColumn("embedding", F.slice("embedding", 1, d))
+        )
+        row = (
+            tr.select("query_id", "neighbor_id")
+            .join(full, ["query_id", "neighbor_id"])
+            .agg(F.count("*").alias("hits"))
+            .select(F.lit(d).alias("dims"), "hits")
+        )
+        res = row if res is None else res.unionByName(row)
+    return res.select(
+        "dims", "hits",
+        F.expr(f"hits * 1000000 DIV {N_QUERIES * TOP_K}")
+        .alias("recall_ppm"),
+    ).orderBy("dims")
+
+
+def _matryoshka_oracle() -> str:
+    def topk(alias, vexpr):
+        return f"""
+        {alias} AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              ROW_NUMBER() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_dot_product(q.{vexpr}, c.{vexpr}) /
+                  (sqrt(list_dot_product(q.{vexpr}, q.{vexpr})) *
+                   sqrt(list_dot_product(c.{vexpr}, c.{vexpr}))) DESC,
+                  c.vec_id
+              ) AS rnk
+            FROM e q JOIN e c
+              ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+          ) WHERE rnk <= {TOP_K}
+        )"""
+
+    ctes = ["e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+            topk("full_tk", "v")]
+    selects = []
+    for d in MATRYOSHKA_DIMS:
+        ctes.append(topk(f"tk_{d}", f"v[1:{d}]"))
+        selects.append(
+            f"SELECT {d} AS dims, CAST(COUNT(*) AS BIGINT) AS hits "
+            f"FROM tk_{d} t JOIN full_tk f USING (query_id, neighbor_id)"
+        )
+    u = "\n          UNION ALL\n          ".join(selects)
+    return f"""
+        WITH {','.join(ctes)},
+        counts AS (
+          {u}
+        )
+        SELECT dims, hits,
+          CAST(hits * 1000000 // {N_QUERIES * TOP_K} AS BIGINT)
+            AS recall_ppm
+        FROM counts ORDER BY dims
+    """
+
+
 SIMILARITY_QUERIES = {
     "embedding_label_separation": embedding_label_separation,
+    "ann_matryoshka_recall": ann_matryoshka_recall,
     "ann_nearest_centroid": ann_nearest_centroid,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_hard_negatives": ann_hard_negatives,
@@ -1469,6 +1548,7 @@ SIMILARITY_QUERIES = {
 }
 
 SIMILARITY_ORACLES = {
+    "ann_matryoshka_recall": _matryoshka_oracle(),
     "embedding_label_separation": """
         WITH e AS (
           SELECT vec_id, label,

@@ -171,6 +171,7 @@ _DRIVER_PRIORITY = [
     "part_price_size_skyline",
     "key_candidate_profile",
     "embedding_label_separation",
+    "ann_matryoshka_recall",
     # -- (3b) next-stalest: last verified in round 2, alphabetical
     #    (the window cuts at 50 inside this block) --
     "asof_latest_order",

@@ -62,6 +62,21 @@ def test_key_candidates_find_the_linenumber_trap(spark, sf_dir):
         assert r["n_distinct"] <= r["n_rows"]
 
 
+def test_matryoshka_recall_monotone_with_full_dim_control(spark, sf_dir):
+    from tests.oracle import assert_matches_oracle as amo
+
+    amo(QUERIES["ann_matryoshka_recall"](spark, sf_dir),
+        ORACLES["ann_matryoshka_recall"], sf_dir)
+    rows = {r["dims"]: r["recall_ppm"]
+            for r in QUERIES["ann_matryoshka_recall"](spark, sf_dir)
+            .collect()}
+    assert set(rows) == {8, 16, 32, 64}
+    # the full-dim row is a self-comparison: exact 1.0 control
+    assert rows[64] == 1_000_000
+    # truncation can plausibly wobble but the extremes must order
+    assert rows[8] <= rows[32] <= rows[64]
+
+
 def test_label_separation_bounds(spark, sf_dir):
     rows = QUERIES["embedding_label_separation"](spark, sf_dir).collect()
     assert rows
