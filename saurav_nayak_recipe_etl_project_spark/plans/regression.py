@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from saurav_nayak_recipe_etl_project_spark.functions.ranking import (
     with_global_rank,
@@ -193,13 +194,122 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def segment_trend_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per segment: the MEDIAN of all pairwise
+    monthly-revenue slopes — 29.3% breakdown point where the E90 OLS
+    slope is dragged by a single outlier month (the robust-regression
+    twin, same relationship as event_anomalies_mad to event_anomalies).
+
+    Exact integer pipeline: per-pair slope = (Δcents·10⁶) DIV Δmonth
+    (truncation toward zero — Spark DIV and DuckDB integer // agree on
+    negatives, verified); the median is the x2 idiom (sum of the two
+    middle ranks, or twice the middle one) so no half-unit rounding
+    hazard. The pair frame is CALENDAR-bounded — months² per segment
+    (~3k pairs at 80 months), independent of row count — so both the
+    pair join and the rank window cost O(calendar²), never O(data)."""
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    monthly = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", F.expr(_EPOCH_MONTH).alias("m"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .alias("cents")
+        )
+    )
+    a = monthly.select(
+        F.col("c_mktsegment").alias("seg"), F.col("m").alias("m1"),
+        F.col("cents").alias("c1"),
+    )
+    b = monthly.select(
+        F.col("c_mktsegment").alias("seg"), F.col("m").alias("m2"),
+        F.col("cents").alias("c2"),
+    )
+    pairs = a.join(b, ["seg"]).where(F.col("m2") > F.col("m1")).select(
+        "seg", "m1", "m2",
+        F.expr("((c2 - c1) * 1000000) DIV (m2 - m1)").alias("slope_micro"),
+    )
+    w_rn = Window.partitionBy("seg").orderBy("slope_micro", "m1", "m2")
+    w_n = Window.partitionBy("seg")
+    ranked = pairs.withColumn("rn", F.row_number().over(w_rn)).withColumn(
+        "np", F.count("*").over(w_n)
+    )
+    contrib = F.expr(
+        "CASE WHEN np % 2 = 0 AND rn IN (np DIV 2, np DIV 2 + 1)"
+        " THEN slope_micro"
+        " WHEN np % 2 = 1 AND rn = (np + 1) DIV 2 THEN 2 * slope_micro"
+        " ELSE 0 END"
+    )
+    out = ranked.groupBy("seg").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(contrib).alias("theilsen_x2_micro"),
+    )
+    months = monthly.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_months")
+    )
+    return (
+        out.join(months, out.seg == months.c_mktsegment)
+        .select(
+            "c_mktsegment", "n_months", "n_pairs", "theilsen_x2_micro",
+            (F.col("theilsen_x2_micro").cast("double") / F.lit(2e8))
+            .alias("slope_dollars_per_month"),
+        )
+    )
+
+
+THEILSEN_ORACLE = f"""
+    WITH monthly AS (
+      SELECT c_mktsegment AS seg, {_EPOCH_MONTH} AS m,
+        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, {_EPOCH_MONTH}
+    ),
+    pairs AS (
+      SELECT a.seg, a.m AS m1, b.m AS m2,
+        ((b.cents - a.cents) * 1000000) // (b.m - a.m) AS slope_micro
+      FROM monthly a JOIN monthly b
+        ON a.seg = b.seg AND b.m > a.m
+    ),
+    ranked AS (
+      SELECT seg, slope_micro,
+        ROW_NUMBER() OVER (PARTITION BY seg
+          ORDER BY slope_micro, m1, m2) AS rn,
+        COUNT(*) OVER (PARTITION BY seg) AS np
+      FROM pairs
+    ),
+    agg AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(SUM(CASE
+          WHEN np % 2 = 0 AND rn IN (np // 2, np // 2 + 1)
+            THEN slope_micro
+          WHEN np % 2 = 1 AND rn = (np + 1) // 2 THEN 2 * slope_micro
+          ELSE 0 END) AS BIGINT) AS theilsen_x2_micro
+      FROM ranked GROUP BY seg
+    ),
+    months AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_months
+      FROM monthly GROUP BY seg
+    )
+    SELECT agg.seg AS c_mktsegment, n_months, n_pairs, theilsen_x2_micro,
+      CAST(theilsen_x2_micro AS DOUBLE) / 200000000.0
+        AS slope_dollars_per_month
+    FROM agg JOIN months ON agg.seg = months.seg
+"""
+
+
 REGRESSION_QUERIES = {
+    "segment_trend_theilsen": segment_trend_theilsen,
     "segment_revenue_trend": segment_revenue_trend,
     "monthly_seasonality_index": monthly_seasonality_index,
     "zipf_slope": zipf_slope,
 }
 
 REGRESSION_ORACLES = {
+    "segment_trend_theilsen": THEILSEN_ORACLE,
     "monthly_seasonality_index": """
         WITH monthly AS (
           SELECT month(o_orderdate) AS cal_month,

@@ -88,3 +88,19 @@ def test_label_separation_bounds(spark, sf_dir):
         assert -1_000_000 <= r["inter_micro"] <= 1_000_000
         assert r["margin_micro"] == r["intra_micro"] - r["inter_micro"]
         assert r["n"] > 0
+
+
+def test_theilsen_matches_oracle_and_is_sane(spark, sf_dir):
+    from tests.oracle import assert_matches_oracle as amo
+
+    amo(QUERIES["segment_trend_theilsen"](spark, sf_dir),
+        ORACLES["segment_trend_theilsen"], sf_dir)
+    rows = QUERIES["segment_trend_theilsen"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # n_pairs is exactly months-choose-2 (the calendar bound)
+        n = r["n_months"]
+        assert r["n_pairs"] == n * (n - 1) // 2
+        assert r["slope_dollars_per_month"] == (
+            r["theilsen_x2_micro"] / 2e8
+        )
