@@ -278,6 +278,13 @@ HEADLINE = [
     "attribution_credit",
     "source_token_entropy",
     "copurchase_kcore",
+    # Second-continuation additions: the day-split sweep line (banded
+    # running sum), the hybrid two-ranker fusion (two scoring passes
+    # sharing one posting prune), and the blocking -> star-contraction
+    # -> survivorship composition — the three heaviest new shapes.
+    "session_concurrency_peak",
+    "rrf_hybrid_search",
+    "part_name_entity_resolution",
 ]
 
 
