@@ -608,7 +608,91 @@ DISTINCTIVE_TERMS_ORACLE = """
 """
 
 
+PHRASE_DELTA = 5  # word2phrase discount: bigrams rarer than this score <= 0
+
+
+def phrase_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase detection over ADJACENT word bigrams (Mikolov
+    word2phrase): score = (c_ab − δ)·N / (c_a·c_b) in integer ppm —
+    bigrams whose adjacency count beats chance become tokenizer merge
+    /phrase candidates. Adjacency is the load-bearing difference from
+    part_pair_lift-style co-occurrence: "new york" scores, "new …
+    york" anywhere in the doc does not.
+
+    Shape: posexplode + a doc-bounded lead window builds the bigram
+    stream (the shingle idiom), then three map-side-combined counts
+    (bigram, unigram, total). The score product runs in DECIMAL(38,0)
+    / HUGEINT (c_ab·N·10⁶ passes int64 at scale); deterministic
+    top-20 plans as TakeOrderedAndProject."""
+    docs = load_table(spark, "documents", sf_dir)
+    from pyspark.sql.window import Window
+
+    occ = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        occ.withColumn("w2", F.lead("w").over(w_doc))
+        .where(F.col("w2").isNotNull())
+        .groupBy(F.col("w").alias("w1"), "w2")
+        .agg(F.count("*").alias("n_pair"))
+        .where(F.col("n_pair") > PHRASE_DELTA)
+    )
+    uni = occ.groupBy("w").agg(F.count("*").alias("c"))
+    total = occ.agg(F.count("*").alias("n_tokens"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bigrams.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1", "w2", "n_pair",
+            F.expr(
+                f"cast(cast(n_pair - {PHRASE_DELTA} as decimal(38,0))"
+                " * n_tokens * 1000000"
+                " DIV (cast(c1 as decimal(38,0)) * c2) as bigint)"
+            ).alias("score_ppm"),
+        )
+        .orderBy(F.desc("score_ppm"), "w1", "w2")
+        .limit(20)
+    )
+
+
+PHRASE_BIGRAM_ORACLE = f"""
+    WITH occ AS (
+      SELECT doc_id, i AS pos, toks[i] AS w
+      FROM (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+      ), UNNEST(range(1, len(toks) + 1)) AS t(i)
+    ),
+    bi AS (
+      SELECT w AS w1,
+        LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM occ
+    ),
+    bigrams AS (
+      SELECT w1, w2, COUNT(*) AS n_pair FROM bi
+      WHERE w2 IS NOT NULL
+      GROUP BY w1, w2 HAVING COUNT(*) > {PHRASE_DELTA}
+    ),
+    uni AS (SELECT w, COUNT(*) AS c FROM occ GROUP BY w),
+    total AS (SELECT COUNT(*) AS n_tokens FROM occ)
+    SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+      CAST(CAST(n_pair - {PHRASE_DELTA} AS HUGEINT) * n_tokens * 1000000
+           // (CAST(c1.c AS HUGEINT) * c2.c) AS BIGINT) AS score_ppm
+    FROM bigrams
+    JOIN uni c1 ON bigrams.w1 = c1.w
+    JOIN uni c2 ON bigrams.w2 = c2.w
+    CROSS JOIN total
+    ORDER BY score_ppm DESC, w1, w2
+    LIMIT 20
+"""
+
+
 TEXT_QUERIES = {
+    "phrase_bigram_scores": phrase_bigram_scores,
     "distinctive_terms_logodds": distinctive_terms_logodds,
     "source_token_entropy": source_token_entropy,
     "vocab_coverage": vocab_coverage,
@@ -632,6 +716,7 @@ _STOP_SQL = {
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 
 TEXT_ORACLES = {
+    "phrase_bigram_scores": PHRASE_BIGRAM_ORACLE,
     "distinctive_terms_logodds": DISTINCTIVE_TERMS_ORACLE,
     "source_token_entropy": SOURCE_ENTROPY_ORACLE,
     "vocab_coverage": f"""

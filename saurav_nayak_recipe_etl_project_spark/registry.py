@@ -173,6 +173,7 @@ _DRIVER_PRIORITY = [
     "embedding_label_separation",
     "ann_matryoshka_recall",
     "segment_trend_theilsen",
+    "phrase_bigram_scores",
     # -- (3b) next-stalest: last verified in round 2, alphabetical
     #    (the window cuts at 50 inside this block) --
     "asof_latest_order",
