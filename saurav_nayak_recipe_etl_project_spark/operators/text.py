@@ -691,7 +691,159 @@ PHRASE_BIGRAM_ORACLE = f"""
 """
 
 
+def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution
+    from the CORPUS distribution — 'how far is this source from the
+    mixture', the statistic that sets source mixing weights next to
+    rebalance_sources (entropy says how diverse a source is,
+    distinctive-terms says WHAT differs; JS says HOW MUCH, bounded
+    [0, ln 2] and symmetric, defined even where KL is infinite).
+
+    Fixed-point trick: with P = c/n_s, Q = d/N, M = (P+Q)/2, the log
+    ratios collapse to INTEGER ratios — P/M = 2cN/(cN + d·n_s) and
+    Q/M = 2d·n_s/(cN + d·n_s) — so each ln argument is an exact
+    integer (DECIMAL(38,0) products; c·N passes int64 at scale),
+    micro-rounded once per (source, word) row. Accumulators Σc·Δ and
+    Σd·Δ run in DECIMAL(38,0)/HUGEINT; js_micro = (KL(P‖M)+KL(Q‖M))
+    DIV 2 with the truncating integer division both engines share.
+
+    Scale shape: one explode + (source, word) groupBy to the
+    vocab-sized frame; the Q-side needs EVERY corpus word per source
+    (c=0 rows), built as vocab x broadcast source-catalog rows, never
+    corpus-sized."""
+    docs = load_table(spark, "documents", sf_dir)
+    wc = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = wc.groupBy("w").agg(F.sum("c").alias("d"))
+    per_src = wc.groupBy("source").agg(F.sum("c").alias("ns"))
+    n_all = wc.agg(F.sum("c").alias("nn"))
+
+    def _lnmu(expr: str) -> str:
+        return (f"cast(round(ln(cast({expr} as double)) * 1000000)"
+                " as bigint)")
+
+    # the full (source, word) grid INCLUDING c=0 cells: vocab x
+    # |sources| rows (the Q-side KL sums over every corpus word)
+    grid = (
+        totals.crossJoin(F.broadcast(per_src))
+        .join(wc, ["source", "w"], "left")
+        .crossJoin(F.broadcast(n_all))
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+        .withColumn(
+            "den",
+            F.expr("cast(c as decimal(38,0)) * nn"
+                   " + cast(d as decimal(38,0)) * ns"),
+        )
+    )
+    terms = grid.select(
+        "source", "c", "d", "ns", "nn",
+        # P/M term only exists where c > 0 (P ln(P/M) -> 0 as P -> 0)
+        F.when(
+            F.col("c") > 0,
+            F.expr(_lnmu("2 * cast(c as decimal(38,0)) * nn"))
+            - F.expr(_lnmu("den")),
+        ).otherwise(F.lit(0)).alias("dp"),
+        (F.expr(_lnmu("2 * cast(d as decimal(38,0)) * ns"))
+         - F.expr(_lnmu("den"))).alias("dq"),
+    )
+    agg = terms.groupBy("source").agg(
+        F.max("ns").alias("n_tokens"),
+        F.max("nn").alias("nn"),
+        F.sum(F.expr("cast(c as decimal(38,0)) * dp")).alias("sp"),
+        F.sum(F.expr("cast(d as decimal(38,0)) * dq")).alias("sq"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        F.expr(
+            "cast((sp DIV n_tokens + sq DIV nn) DIV 2 as bigint)"
+        ).alias("js_micro"),
+    ).select(
+        "source", "n_tokens", "js_micro",
+        F.round(F.col("js_micro") / F.lit(1e6), 4).alias("js_nats"),
+    )
+
+
+SOURCE_JS_ORACLE = """
+    WITH wc AS (
+      SELECT source, w, COUNT(*) AS c FROM (
+        SELECT source,
+          unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents
+      ) GROUP BY source, w
+    ),
+    totals AS (SELECT w, SUM(c) AS d FROM wc GROUP BY w),
+    per_src AS (SELECT source, SUM(c) AS ns FROM wc GROUP BY source),
+    n_all AS (SELECT SUM(c) AS nn FROM wc),
+    grid AS (
+      SELECT per_src.source, totals.w, totals.d, per_src.ns, n_all.nn,
+        COALESCE(wc.c, 0) AS c,
+        CAST(COALESCE(wc.c, 0) AS HUGEINT) * nn
+          + CAST(totals.d AS HUGEINT) * ns AS den
+      FROM totals
+      CROSS JOIN per_src
+      LEFT JOIN wc ON wc.source = per_src.source AND wc.w = totals.w
+      CROSS JOIN n_all
+    ),
+    terms AS (
+      SELECT source, c, d, ns, nn,
+        CASE WHEN c > 0 THEN
+          CAST(round(ln(CAST(2 * CAST(c AS HUGEINT) * nn AS DOUBLE))
+               * 1000000) AS BIGINT)
+          - CAST(round(ln(CAST(den AS DOUBLE)) * 1000000) AS BIGINT)
+        ELSE 0 END AS dp,
+        CAST(round(ln(CAST(2 * CAST(d AS HUGEINT) * ns AS DOUBLE))
+             * 1000000) AS BIGINT)
+        - CAST(round(ln(CAST(den AS DOUBLE)) * 1000000) AS BIGINT)
+          AS dq
+      FROM grid
+    ),
+    agg AS (
+      SELECT source,
+        CAST(MAX(ns) AS BIGINT) AS n_tokens,
+        CAST(MAX(nn) AS BIGINT) AS nn,
+        SUM(CAST(c AS HUGEINT) * dp) AS sp,
+        SUM(CAST(d AS HUGEINT) * dq) AS sq
+      FROM terms GROUP BY source
+    )
+    SELECT source, n_tokens,
+      CAST((sp // n_tokens + sq // nn) // 2 AS BIGINT) AS js_micro,
+      ROUND(CAST((sp // n_tokens + sq // nn) // 2 AS BIGINT)
+            / 1000000.0, 4) AS js_nats
+    FROM agg
+"""
+
+
+def langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predictor-agreement crosstab for the two language-ID paths
+    (stopword-hit vs char-3-gram profile) against the labeled
+    language: one row per (labeled, pred_stopword, pred_ngram) cell —
+    the eval that says WHERE the two heuristics disagree, which is
+    exactly where a downstream language filter needs a third opinion.
+    Composes the two already-oracled predictors; the oracle splices
+    their SQL as subqueries, so the crosstab re-verifies both in one
+    hash. Cell space bounded by |langs+und|^3."""
+    docs = load_table(spark, "documents", sf_dir)
+    sw = stopword_langid(docs).select(
+        "doc_id", "labeled_lang",
+        F.col("predicted_lang").alias("pred_stopword"),
+    )
+    ng = charngram_langid(docs).select(
+        "doc_id", F.col("predicted_lang").alias("pred_ngram")
+    )
+    return (
+        sw.join(ng, "doc_id")
+        .groupBy("labeled_lang", "pred_stopword", "pred_ngram")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 TEXT_QUERIES = {
+    "langid_agreement": langid_agreement,
+    "source_js_divergence": source_js_divergence,
     "phrase_bigram_scores": phrase_bigram_scores,
     "distinctive_terms_logodds": distinctive_terms_logodds,
     "source_token_entropy": source_token_entropy,
@@ -716,6 +868,7 @@ _STOP_SQL = {
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 
 TEXT_ORACLES = {
+    "source_js_divergence": SOURCE_JS_ORACLE,
     "phrase_bigram_scores": PHRASE_BIGRAM_ORACLE,
     "distinctive_terms_logodds": DISTINCTIVE_TERMS_ORACLE,
     "source_token_entropy": SOURCE_ENTROPY_ORACLE,
@@ -977,3 +1130,14 @@ TEXT_ORACLES = {
         FROM documents
     """,
 }
+
+
+TEXT_ORACLES["langid_agreement"] = f"""
+    SELECT a.labeled_lang,
+      a.predicted_lang AS pred_stopword,
+      b.predicted_lang AS pred_ngram,
+      CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM ({TEXT_ORACLES['text_langid']}) a
+    JOIN ({TEXT_ORACLES['text_langid_ngram']}) b USING (doc_id)
+    GROUP BY a.labeled_lang, a.predicted_lang, b.predicted_lang
+"""

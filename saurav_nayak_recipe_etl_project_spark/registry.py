@@ -174,6 +174,8 @@ _DRIVER_PRIORITY = [
     "ann_matryoshka_recall",
     "segment_trend_theilsen",
     "phrase_bigram_scores",
+    "source_js_divergence",
+    "langid_agreement",
     # -- (3b) next-stalest: last verified in round 2, alphabetical
     #    (the window cuts at 50 inside this block) --
     "asof_latest_order",

@@ -1,0 +1,58 @@
+"""Semantic pins for the sixth round-8 continuation batch: phrase
+bigrams (adjacency semantics), source JS divergence (bounds,
+identity regime), and langid predictor agreement (marginal
+consistency with the individual predictors)."""
+
+from __future__ import annotations
+
+from tests.oracle import assert_matches_oracle
+
+from saurav_nayak_recipe_etl_project_spark.registry import ORACLES, QUERIES
+
+
+def test_new_entries_match_oracles(spark, sf_dir):
+    for name in ["phrase_bigram_scores", "source_js_divergence",
+                 "langid_agreement"]:
+        assert_matches_oracle(QUERIES[name](spark, sf_dir),
+                              ORACLES[name], sf_dir)
+
+
+def test_phrase_scores_are_adjacency_counts(spark, sf_dir):
+    rows = QUERIES["phrase_bigram_scores"](spark, sf_dir).collect()
+    assert rows
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("text").collect()
+    texts = [r["text"].strip().split() for r in docs]
+    for r in rows[:5]:
+        # recount the top pairs by brute force: adjacency only
+        n = sum(
+            1
+            for toks in texts
+            for i in range(len(toks) - 1)
+            if toks[i] == r["w1"] and toks[i + 1] == r["w2"]
+        )
+        assert n == r["n_pair"] > 5
+
+
+def test_js_divergence_bounds(spark, sf_dir):
+    rows = QUERIES["source_js_divergence"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # JS is bounded [0, ln 2]; micro-rounding gives a 2-unit slack
+        assert -2 <= r["js_micro"] <= 693149
+        assert r["n_tokens"] > 0
+
+
+def test_langid_agreement_marginals(spark, sf_dir):
+    cells = QUERIES["langid_agreement"](spark, sf_dir).collect()
+    assert cells
+    n_total = sum(r["n_docs"] for r in cells)
+    sw = QUERIES["text_langid"](spark, sf_dir).collect()
+    assert n_total == len(sw)
+    # marginal over the crosstab == the stopword predictor's own counts
+    from collections import Counter
+    want = Counter((r["labeled_lang"], r["predicted_lang"]) for r in sw)
+    got = Counter()
+    for r in cells:
+        got[(r["labeled_lang"], r["pred_stopword"])] += r["n_docs"]
+    assert got == want
