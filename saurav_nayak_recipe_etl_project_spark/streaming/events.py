@@ -393,3 +393,50 @@ def run_session_window_stream(spark: SparkSession, source_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_session_window_stream_append(spark: SparkSession, source_dir: str,
+                                     checkpoint_dir: str, query_name: str,
+                                     watermark: str = "2 hours") -> None:
+    """APPEND-mode native session_window: the PRODUCTION deployment
+    shape of run_session_window_stream — each session row emits
+    exactly once, when the watermark passes its close, so per-trigger
+    output is incremental instead of a complete rebuild. The
+    complement: sessions still open against the FINAL watermark stay
+    in state and never emit (a stream has no end-of-data oracle) —
+    the same contract as the LEFT OUTER join's null rows, which is
+    why the test compares watermark-closed sessions only.
+    max_files_per_trigger=1 forces cross-micro-batch session merging
+    before emission."""
+    from pyspark.sql import functions as FN
+
+    ev = read_event_stream(spark, source_dir, max_files_per_trigger=1)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(
+            FN.session_window("ts", "30 minutes").alias("sw"),
+            "user_id",
+        )
+        .agg(
+            FN.count("*").alias("n_events"),
+            FN.sum(FN.round(FN.col("value") * 100).cast("long"))
+            .alias("cents"),
+        )
+        .select(
+            "user_id",
+            FN.expr("timestampdiff(SECOND, TIMESTAMP '1970-01-01 00:00:00',"
+                    " sw.start)").cast("long").alias("session_start_s"),
+            FN.expr("timestampdiff(SECOND, TIMESTAMP '1970-01-01 00:00:00',"
+                    " sw.end)").cast("long").alias("session_end_s"),
+            "n_events",
+            (FN.col("cents") / FN.lit(100.0)).alias("session_value"),
+        )
+    )
+    await_or_raise(
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
