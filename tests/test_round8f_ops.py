@@ -56,3 +56,30 @@ def test_langid_agreement_marginals(spark, sf_dir):
     for r in cells:
         got[(r["labeled_lang"], r["pred_stopword"])] += r["n_docs"]
     assert got == want
+
+
+def test_pseudonymization_properties(spark, sf_dir):
+    from tests.oracle import assert_matches_oracle as amo
+
+    from saurav_nayak_recipe_etl_project_spark.operators.privacy import (
+        pseudonymize,
+    )
+
+    amo(QUERIES["pseudonymized_segment_report"](spark, sf_dir),
+        ORACLES["pseudonymized_segment_report"], sf_dir)
+    rows = QUERIES["pseudonymized_segment_report"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["token_collisions"] == 0
+    # tokens are not the raw keys, are 64-hex, and are deterministic
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .select("c_custkey").limit(5)
+    t1 = [r["c_custkey"] for r in pseudonymize(cust, ["c_custkey"]).collect()]
+    t2 = [r["c_custkey"] for r in pseudonymize(cust, ["c_custkey"]).collect()]
+    raw = [str(r["c_custkey"]) for r in cust.collect()]
+    assert sorted(t1) == sorted(t2)
+    assert all(len(t) == 64 and t not in raw for t in t1)
+    # a different secret re-keys everything
+    t3 = [r["c_custkey"]
+          for r in pseudonymize(cust, ["c_custkey"], secret="k2").collect()]
+    assert set(t1).isdisjoint(t3)
