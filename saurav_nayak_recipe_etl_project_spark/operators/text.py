@@ -841,7 +841,100 @@ def langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEYMAN_BUDGET = 100
+
+
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal sample allocation per language stratum: an
+    eval-set budget split ∝ N_h·σ_h (big AND variable strata get more
+    draws — minimum-variance stratified sampling, the design step
+    ahead of stratified_sample's uniform per-stratum quota). With x =
+    doc length, N_h·σ_h = sqrt(N_h·Σx² − (Σx)²) EXACTLY, an integer
+    radicand.
+
+    Portability note (new to this op): IEEE-754 requires sqrt to be
+    CORRECTLY ROUNDED, so sqrt(double) of an exact integer is
+    bit-identical across engines — unlike ln/exp, it needs no
+    micro-rounding for its own sake. The weights are still
+    micro-rounded to integers because the DOWNSTREAM sum of weights
+    must be order-free (double summation order differs across
+    engines); allocation then runs the largest-remainder machinery in
+    pure integers, so Σ alloc == budget exactly (pinned). Stratum
+    frame is language-catalog-sized; windows over it are bounded."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    stats = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.expr("cast(n_chars as decimal(38,0)) * n_chars"))
+        .alias("sxx"),
+    )
+    w = stats.select(
+        "lang", "n_docs",
+        F.expr(
+            "cast(round(sqrt(cast(n_docs * sxx - sx * sx as double))"
+            " * 1000000) as bigint)"
+        ).alias("w_micro"),
+    )
+    tot = w.agg(F.sum("w_micro").alias("w_tot"))
+    j = w.crossJoin(F.broadcast(tot)).select(
+        "lang", "n_docs", "w_micro",
+        F.expr(f"({NEYMAN_BUDGET} * w_micro) DIV w_tot").alias("base"),
+        F.expr(f"({NEYMAN_BUDGET} * w_micro) % w_tot").alias("rem"),
+    )
+    w_all = Window.partitionBy()
+    w_bump = Window.orderBy(F.desc("rem"), F.asc("lang"))
+    return (
+        j.withColumn(
+            "shortfall", F.lit(NEYMAN_BUDGET) - F.sum("base").over(w_all)
+        )
+        .withColumn("bump_rank", F.row_number().over(w_bump))
+        .select(
+            "lang", "n_docs", "w_micro",
+            (
+                F.col("base")
+                + F.when(F.col("bump_rank") <= F.col("shortfall"), 1)
+                .otherwise(0)
+            ).alias("alloc"),
+        )
+    )
+
+
+NEYMAN_ORACLE = f"""
+    WITH stats AS (
+      SELECT lang, COUNT(*) AS n_docs,
+        SUM(CAST(n_chars AS HUGEINT)) AS sx,
+        SUM(CAST(n_chars AS HUGEINT) * n_chars) AS sxx
+      FROM documents GROUP BY lang
+    ),
+    w AS (
+      SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+        CAST(round(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE))
+             * 1000000) AS BIGINT) AS w_micro
+      FROM stats
+    ),
+    tot AS (SELECT SUM(w_micro) AS w_tot FROM w),
+    j AS (
+      SELECT lang, n_docs, w_micro,
+        ({NEYMAN_BUDGET} * CAST(w_micro AS HUGEINT)) // w_tot AS base,
+        ({NEYMAN_BUDGET} * CAST(w_micro AS HUGEINT)) % w_tot AS rem
+      FROM w CROSS JOIN tot
+    ),
+    r AS (
+      SELECT *, {NEYMAN_BUDGET} - SUM(base) OVER () AS shortfall,
+        ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS bump_rank
+      FROM j
+    )
+    SELECT lang, n_docs, w_micro,
+      CAST(base + CASE WHEN bump_rank <= shortfall THEN 1 ELSE 0 END
+           AS BIGINT) AS alloc
+    FROM r
+"""
+
+
 TEXT_QUERIES = {
+    "neyman_allocation": neyman_allocation,
     "langid_agreement": langid_agreement,
     "source_js_divergence": source_js_divergence,
     "phrase_bigram_scores": phrase_bigram_scores,
@@ -868,6 +961,7 @@ _STOP_SQL = {
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 
 TEXT_ORACLES = {
+    "neyman_allocation": NEYMAN_ORACLE,
     "source_js_divergence": SOURCE_JS_ORACLE,
     "phrase_bigram_scores": PHRASE_BIGRAM_ORACLE,
     "distinctive_terms_logodds": DISTINCTIVE_TERMS_ORACLE,

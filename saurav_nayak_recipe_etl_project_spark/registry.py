@@ -178,6 +178,7 @@ _DRIVER_PRIORITY = [
     "source_js_divergence",
     "langid_agreement",
     "pseudonymized_segment_report",
+    "neyman_allocation",
     # -- (3b) next-stalest: last verified in round 2, alphabetical
     #    (the window cuts at 50 inside this block) --
     "asof_latest_order",

@@ -83,3 +83,18 @@ def test_pseudonymization_properties(spark, sf_dir):
     t3 = [r["c_custkey"]
           for r in pseudonymize(cust, ["c_custkey"], secret="k2").collect()]
     assert set(t1).isdisjoint(t3)
+
+
+def test_neyman_allocation_is_exact_and_variance_weighted(spark, sf_dir):
+    from tests.oracle import assert_matches_oracle as amo
+
+    amo(QUERIES["neyman_allocation"](spark, sf_dir),
+        ORACLES["neyman_allocation"], sf_dir)
+    rows = QUERIES["neyman_allocation"](spark, sf_dir).collect()
+    assert rows
+    # the budget is spent exactly — no rounding leak
+    assert sum(r["alloc"] for r in rows) == 100
+    # allocation order follows the Neyman weights
+    by_w = sorted(rows, key=lambda r: -r["w_micro"])
+    allocs = [r["alloc"] for r in by_w]
+    assert all(a >= b - 1 for a, b in zip(allocs, allocs[1:]))
