@@ -97,7 +97,87 @@ def analytics_mart_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def customer_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — per-customer ML feature materialization in ONE declarative
+    plan: the feature-store build step (churn/LTV model inputs) that
+    normally accretes as a dozen ad-hoc scripts. Coverage is the FULL
+    customer dimension (left joins — a customer with no orders is a
+    feature row of zeros, not a missing row, because serving-time
+    lookups must never miss); all features are exact integers (cents,
+    days, ppm) so the wide row hash-verifies.
+
+    Features: order recency/tenure (days vs the corpus max order
+    date, -1 for never-ordered), frequency (n_orders, distinct active
+    months), monetary (total/avg cents), basket breadth (line items,
+    distinct parts), and return behavior (ppm of lines returned).
+    Plan shape: two fact rollups (orders by customer; lineitem by
+    customer via a broadcast-dim-free orderkey join) + one broadcast
+    1-row max-date frame + left joins onto the dimension — three
+    shuffles total at any scale."""
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+
+    maxd = orders.agg(F.max("o_orderdate").alias("maxd"))
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .alias("total_cents"),
+        F.max("o_orderdate").alias("last_d"),
+        F.min("o_orderdate").alias("first_d"),
+        F.countDistinct(F.expr(
+            "(year(cast(o_orderdate as date)) - 1970) * 12"
+            " + month(cast(o_orderdate as date)) - 1"
+        )).alias("active_months"),
+    )
+    lines = (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .alias("n_returned"),
+        )
+    )
+    out = (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .drop("o_custkey")
+        .join(lines, cust.c_custkey == lines.o_custkey, "left")
+        .drop("o_custkey")
+        .crossJoin(F.broadcast(maxd))
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
+    return out.select(
+        "c_custkey",
+        "c_mktsegment",
+        z("n_orders").alias("n_orders"),
+        z("total_cents").alias("total_cents"),
+        F.expr("CASE WHEN n_orders IS NULL THEN 0"
+               " ELSE total_cents DIV n_orders END")
+        .alias("avg_order_cents"),
+        F.expr("CASE WHEN last_d IS NULL THEN -1"
+               " ELSE datediff(cast(maxd as date), cast(last_d as date))"
+               " END").cast("long").alias("recency_days"),
+        F.expr("CASE WHEN first_d IS NULL THEN -1"
+               " ELSE datediff(cast(maxd as date), cast(first_d as date))"
+               " END").cast("long").alias("tenure_days"),
+        z("active_months").alias("active_months"),
+        z("n_items").alias("n_items"),
+        z("distinct_parts").alias("distinct_parts"),
+        F.expr("CASE WHEN n_items IS NULL THEN 0"
+               " ELSE n_returned * 1000000 DIV n_items END")
+        .alias("return_rate_ppm"),
+    )
+
+
 PIPELINE_QUERIES = {
+    "customer_feature_store": customer_feature_store,
     "training_data_pipeline": training_data_pipeline,
     "analytics_mart_pipeline": analytics_mart_pipeline,
 }
@@ -177,4 +257,50 @@ PIPELINE_ORACLES["analytics_mart_pipeline"] = """
         AS revenue,
       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
     FROM conformed GROUP BY n_name, month
+"""
+
+PIPELINE_ORACLES["customer_feature_store"] = """
+    WITH maxd AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+    per_cust AS (
+      SELECT o_custkey,
+        CAST(COUNT(*) AS BIGINT) AS n_orders,
+        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          AS total_cents,
+        MAX(o_orderdate) AS last_d,
+        MIN(o_orderdate) AS first_d,
+        CAST(COUNT(DISTINCT (year(CAST(o_orderdate AS DATE)) - 1970) * 12
+             + month(CAST(o_orderdate AS DATE)) - 1) AS BIGINT)
+          AS active_months
+      FROM orders GROUP BY o_custkey
+    ),
+    lines AS (
+      SELECT o_custkey,
+        CAST(COUNT(*) AS BIGINT) AS n_items,
+        CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
+        CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_returned
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_custkey
+    )
+    SELECT c_custkey, c_mktsegment,
+      COALESCE(n_orders, 0) AS n_orders,
+      COALESCE(total_cents, 0) AS total_cents,
+      CAST(CASE WHEN n_orders IS NULL THEN 0
+           ELSE total_cents // n_orders END AS BIGINT) AS avg_order_cents,
+      CAST(CASE WHEN last_d IS NULL THEN -1
+           ELSE date_diff('day', CAST(last_d AS DATE), CAST(maxd AS DATE))
+           END AS BIGINT) AS recency_days,
+      CAST(CASE WHEN first_d IS NULL THEN -1
+           ELSE date_diff('day', CAST(first_d AS DATE), CAST(maxd AS DATE))
+           END AS BIGINT) AS tenure_days,
+      COALESCE(active_months, 0) AS active_months,
+      COALESCE(n_items, 0) AS n_items,
+      COALESCE(distinct_parts, 0) AS distinct_parts,
+      CAST(CASE WHEN n_items IS NULL THEN 0
+           ELSE n_returned * 1000000 // n_items END AS BIGINT)
+        AS return_rate_ppm
+    FROM customer
+    LEFT JOIN per_cust ON c_custkey = per_cust.o_custkey
+    LEFT JOIN lines ON c_custkey = lines.o_custkey
+    CROSS JOIN maxd
 """

@@ -179,6 +179,7 @@ _DRIVER_PRIORITY = [
     "langid_agreement",
     "pseudonymized_segment_report",
     "neyman_allocation",
+    "customer_feature_store",
     # -- (3b) next-stalest: last verified in round 2, alphabetical
     #    (the window cuts at 50 inside this block) --
     "asof_latest_order",

@@ -98,3 +98,27 @@ def test_neyman_allocation_is_exact_and_variance_weighted(spark, sf_dir):
     by_w = sorted(rows, key=lambda r: -r["w_micro"])
     allocs = [r["alloc"] for r in by_w]
     assert all(a >= b - 1 for a, b in zip(allocs, allocs[1:]))
+
+
+def test_feature_store_covers_full_dimension(spark, sf_dir):
+    from tests.oracle import assert_matches_oracle as amo
+
+    amo(QUERIES["customer_feature_store"](spark, sf_dir),
+        ORACLES["customer_feature_store"], sf_dir)
+    rows = QUERIES["customer_feature_store"](spark, sf_dir).collect()
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    # full-dimension coverage: one feature row per customer, no misses
+    assert len(rows) == n_cust
+    never = [r for r in rows if r["n_orders"] == 0]
+    ordered = [r for r in rows if r["n_orders"] > 0]
+    # this synthetic corpus gives every customer orders (checked at
+    # all SFs — unlike stock TPC-H), so the never-ordered regime is
+    # normally empty; its zero-row semantics are still pinned below
+    # whenever it appears, and by the oracle's LEFT JOIN equality
+    assert ordered
+    for r in never:
+        assert (r["recency_days"], r["tenure_days"]) == (-1, -1)
+        assert r["total_cents"] == r["n_items"] == 0
+    for r in ordered:
+        assert 0 <= r["recency_days"] <= r["tenure_days"]
+        assert 0 <= r["return_rate_ppm"] <= 1_000_000
