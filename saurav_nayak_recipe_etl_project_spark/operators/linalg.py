@@ -1,0 +1,161 @@
+"""Distributed linear algebra over the embedding column: the exact
+integer Gram / covariance matrix (the X^T X building block every
+spectral method — PCA, whitening, OPQ rotations, linear probes — sits
+on) and a driver-side PCA built from it.
+
+Shape, the one that matters at 100 TB: each Arrow batch computes ONE
+d×d integer matmul of its own rows (mapInPandas, numpy int64), emits
+d² partial cells, and a single map-side-combined groupBy sums them —
+corpus scans once, network carries only n_batches × d² cells, and the
+driver never sees a row. This is the block outer-product aggregation,
+not a d²-per-row explode.
+
+Portability: float sums are summation-order-dependent, so the vectors
+are quantized ONCE to integer micros (round(x·10⁶) — exact for
+float32 inputs) and every downstream sum is integer (DECIMAL(38,0) /
+HUGEINT at the aggregate layer; the per-batch int64 matmul is safe
+because |x_micro| ≤ ~2·10⁶ and batch rows ≤ 10⁴ keep partial cells
+under 2⁶³). The oracle recomputes the same integer sums via unnest
+pairs — quadratic in d but exact, fine at verification scale.
+
+Eigen-decomposition itself is NOT SQL-expressible and numpy's eigh is
+not bit-portable, so PCA stays a test-only capability
+(tests/test_linalg.py): eigh of the d×d integer matrix on the driver
+(O(d³), corpus-independent), projection as one broadcast matmul pass,
+with reconstruction/variance properties pinned instead of hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+
+MICRO = 1_000_000
+
+
+def gram_matrix_micro(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Exact integer Gram matrix: G[i,j] = Σ_rows x_i·x_j over
+    micro-quantized vectors, long form (i, j, n_rows, g) with i <= j
+    (the matrix is symmetric — emitting the upper triangle halves the
+    output). g is in micro² units (divide by 1e12 for the float
+    view)."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+            g = m.T @ m  # (d, d) int64
+            d = g.shape[0]
+            iu = np.triu_indices(d)
+            yield pd.DataFrame({
+                "i": iu[0].astype("int32"),
+                "j": iu[1].astype("int32"),
+                "n": np.full(len(iu[0]), len(pdf), dtype="int64"),
+                "g_part": g[iu],
+            })
+
+    e = emb.select(
+        F.transform(vec_col, lambda x: F.round(x.cast("double") * MICRO)
+                    .cast("long")).alias("v")
+    )
+    parts = e.mapInPandas(
+        gen, schema="i int, j int, n long, g_part long"
+    )
+    return parts.groupBy("i", "j").agg(
+        F.sum("n").alias("n_rows"),
+        F.sum(F.col("g_part").cast("decimal(38,0)")).alias("g"),
+    ).select(
+        "i", "j", "n_rows", F.col("g").cast("decimal(38,0)").alias("g")
+    )
+
+
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered exact Gram matrix of the embeddings table (upper
+    triangle, 64·65/2 = 2080 rows at d=64)."""
+    return gram_matrix_micro(load_table(spark, "embeddings", sf_dir))
+
+
+GRAM_ORACLE = f"""
+    WITH v AS (
+      SELECT list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {MICRO}) AS BIGINT))
+        AS m
+      FROM embeddings
+    ),
+    cells AS (
+      SELECT i.i AS i, j.j AS j,
+        CAST(m[i.i + 1] AS HUGEINT) * m[j.j + 1] AS p
+      FROM v,
+        UNNEST(range(0, len(m))) AS i(i),
+        UNNEST(range(0, len(m))) AS j(j)
+      WHERE i.i <= j.j
+    )
+    SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(p) AS DECIMAL(38,0)) AS g
+    FROM cells GROUP BY i, j
+"""
+
+
+def pca_project(emb: DataFrame, k: int = 8,
+                vec_col: str = "embedding",
+                id_col: str = "vec_id") -> tuple:
+    """Driver-side PCA from the distributed integer Gram matrix:
+    eigh of the (broadcastable, d×d) second-moment matrix, projection
+    of the corpus onto the top-k components in one broadcast-matmul
+    pass. Returns (projected DataFrame with id + array<double> pc,
+    explained-variance ratios list, descending). Test-only capability:
+    eigh is driver-side O(d³) — corpus-size-independent — and not
+    bit-portable, so properties are pinned instead of hashes."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    cells = gram_matrix_micro(emb, vec_col).collect()
+    d = max(r["j"] for r in cells) + 1
+    n = cells[0]["n_rows"]
+    g = np.zeros((d, d))
+    for r in cells:
+        val = float(r["g"]) / (MICRO * MICRO)
+        g[r["i"], r["j"]] = val
+        g[r["j"], r["i"]] = val
+    second_moment = g / int(n)
+    evals, evecs = np.linalg.eigh(second_moment)
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    ratios = (evals / evals.sum()).tolist()
+    w = evecs[:, :k]  # (d, k)
+    bc = spark.sparkContext.broadcast(w)
+
+    def gen(batches):
+        wk = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["v"].to_numpy())
+            proj = m @ wk
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "pc": list(proj),
+            })
+
+    e = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    )
+    out = e.mapInPandas(gen, schema="vec_id long, pc array<double>")
+    return out, ratios
+
+
+LINALG_QUERIES = {
+    "embedding_gram_matrix": embedding_gram_matrix,
+}
+
+LINALG_ORACLES = {
+    "embedding_gram_matrix": GRAM_ORACLE,
+}
