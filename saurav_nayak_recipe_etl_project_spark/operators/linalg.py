@@ -152,6 +152,114 @@ def pca_project(emb: DataFrame, k: int = 8,
     return out, ratios
 
 
+def linear_probe_accuracy(emb: DataFrame, ridge: float = 1e-3,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id",
+                          label_col: str = "label") -> DataFrame:
+    """Ridge-regression linear probe on the embedding column — the
+    standard 'are these embeddings linearly separable' quality eval.
+    One-vs-rest least squares solved EXACTLY from sufficient
+    statistics: W = (X^T X + λnI)⁻¹ X^T Y, where X^T X comes from the
+    distributed integer Gram aggregation and X^T Y from the same
+    block outer-product shape (d × n_labels partial cells per batch).
+    The corpus is scanned twice (stats, then scoring against the
+    broadcast d×L weight matrix); the driver solves a d×d system —
+    O(d³), corpus-size-independent. No gradient descent, no ML
+    library, no row ever on the driver.
+
+    Test-only capability: the solve is float linear algebra (not
+    bit-portable), so tests pin accuracy floors, determinism, and
+    that the probe beats the majority-class baseline."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    # X^T X from the integer Gram cells
+    cells = gram_matrix_micro(emb, vec_col).collect()
+    d = max(r["j"] for r in cells) + 1
+    n = int(cells[0]["n_rows"])
+    xtx = np.zeros((d, d))
+    for r in cells:
+        val = float(r["g"]) / (MICRO * MICRO)
+        xtx[r["i"], r["j"]] = val
+        xtx[r["j"], r["i"]] = val
+
+    labels = sorted(
+        r["l"] for r in
+        emb.select(F.col(label_col).alias("l")).distinct().collect()
+    )
+    lab_idx = {lab: k for k, lab in enumerate(labels)}
+
+    def xty_gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["v"].to_numpy())
+            y = np.zeros((len(pdf), len(labels)))
+            y[np.arange(len(pdf)), pdf["k"].to_numpy()] = 1.0
+            part = m.T @ y  # (d, L)
+            ii, jj = np.meshgrid(np.arange(d), np.arange(len(labels)),
+                                 indexing="ij")
+            yield pd.DataFrame({
+                "i": ii.ravel().astype("int32"),
+                "k": jj.ravel().astype("int32"),
+                "p": part.ravel(),
+            })
+
+    e = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    )
+    # label index as a CASE chain (JVM-side; labels are a tiny set)
+    k_expr = F.lit(-1)
+    for lab, k in lab_idx.items():
+        k_expr = F.when(F.col("label") == lab, k).otherwise(k_expr)
+    e = e.withColumn("k", k_expr.cast("int"))
+
+    xty_cells = e.select("v", "k").mapInPandas(
+        xty_gen, schema="i int, k int, p double"
+    ).groupBy("i", "k").agg(F.sum("p").alias("s")).collect()
+    xty = np.zeros((d, len(labels)))
+    for r in xty_cells:
+        xty[r["i"], r["k"]] = r["s"]
+
+    w = np.linalg.solve(xtx + ridge * n * np.eye(d), xty)  # (d, L)
+    bc = spark.sparkContext.broadcast(w)
+
+    def score_gen(batches):
+        wk = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["v"].to_numpy())
+            pred = (m @ wk).argmax(axis=1)
+            yield pd.DataFrame({
+                "k": pdf["k"],
+                "pred_k": pred.astype("int32"),
+            })
+
+    scored = e.select("v", "k").mapInPandas(
+        score_gen, schema="k int, pred_k int"
+    )
+    lab_rows = spark.createDataFrame(
+        [(k, lab) for lab, k in lab_idx.items()], "k int, label int"
+    )
+    return (
+        scored.groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("k") == F.col("pred_k")).cast("long"))
+            .alias("n_correct"),
+        )
+        .join(F.broadcast(lab_rows), "k")
+        .select(
+            "label", "n", "n_correct",
+            F.round(F.col("n_correct") / F.col("n"), 6).alias("accuracy"),
+        )
+    )
+
+
 LINALG_QUERIES = {
     "embedding_gram_matrix": embedding_gram_matrix,
 }

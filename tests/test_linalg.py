@@ -69,3 +69,30 @@ def test_pca_projection_properties(spark, sf_dir):
     rows2 = {r["vec_id"]: np.array(r["pc"]) for r in proj2.collect()}
     assert ratios == ratios2
     assert all(np.array_equal(rows[i], rows2[i]) for i in rows)
+
+
+def test_linear_probe_beats_majority_and_is_deterministic(spark, sf_dir):
+    from saurav_nayak_recipe_etl_project_spark.operators.linalg import (
+        linear_probe_accuracy,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    rows = sorted(
+        (r["label"], r["n"], r["n_correct"], r["accuracy"])
+        for r in linear_probe_accuracy(emb).collect()
+    )
+    assert rows
+    n_total = sum(r[1] for r in rows)
+    n_correct = sum(r[2] for r in rows)
+    majority = max(r[1] for r in rows) / n_total
+    overall = n_correct / n_total
+    # a linear probe on labeled synthetic embeddings must clear the
+    # majority-class baseline by a wide margin
+    assert overall > majority + 0.2, (overall, majority)
+    for label, n, n_c, acc in rows:
+        assert 0 <= n_c <= n
+    rows2 = sorted(
+        (r["label"], r["n"], r["n_correct"], r["accuracy"])
+        for r in linear_probe_accuracy(emb).collect()
+    )
+    assert rows == rows2
