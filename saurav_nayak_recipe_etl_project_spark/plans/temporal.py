@@ -1098,6 +1098,115 @@ def session_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_daily_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day session LOAD INTEGRAL: total concurrent-session time
+    (the area under the concurrency curve session_concurrency_peak
+    takes the max of) plus the implied average concurrency. The
+    integral needs NO sweep at all — ∫concurrency dt = Σ interval
+    durations — so this is a pure rollup over the same midnight-split
+    session pieces: exact µs sums (half-open [start, end+1µs) pieces,
+    so single-event sessions still carry 1µs of load), average
+    concurrency as integer ppm of the day."""
+    ev = load_table(spark, "events", sf_dir)
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_sess = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("prev_ts", F.lag("ts").over(w_u))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+                   > 1800 * 1_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sess",
+            F.sum("new_s").over(
+                w_u.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    sessions = with_sess.groupBy("user_id", "sess").agg(
+        F.min("ts").alias("s_ts"), F.max("ts").alias("e_ts")
+    )
+    pieces = (
+        sessions
+        .withColumn(
+            "day", F.explode(F.expr("sequence(to_date(s_ts), to_date(e_ts))"))
+        )
+        .withColumn("day_start", F.col("day").cast("timestamp_ntz"))
+        .withColumn(
+            "next_day",
+            F.expr("timestampadd(DAY, 1, cast(day as timestamp_ntz))"),
+        )
+        .withColumn("m_start", F.greatest("s_ts", "day_start"))
+        .withColumn(
+            "m_end",
+            F.least(
+                F.expr("timestampadd(MICROSECOND, 1, e_ts)"), F.col("next_day")
+            ),
+        )
+    )
+    day_us = 86_400_000_000
+    return pieces.groupBy("day").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.expr("timestampdiff(MICROSECOND, m_start, m_end)"))
+        .alias("load_us"),
+    ).select(
+        "day", "n_sessions", "load_us",
+        F.expr(f"load_us * 1000000 DIV {day_us}")
+        .alias("avg_concurrency_ppm"),
+    )
+
+
+DAILY_LOAD_ORACLE = """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+        OR date_diff('microsecond', prev_ts, ts) > 1800 * 1000000
+        THEN 1 ELSE 0 END AS new_s
+      FROM e
+    ),
+    with_sess AS (
+      SELECT user_id, ts, event_id,
+        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, sess, MIN(ts) AS s_ts, MAX(ts) AS e_ts
+      FROM with_sess GROUP BY user_id, sess
+    ),
+    pieces AS (
+      SELECT
+        CAST(UNNEST(generate_series(CAST(s_ts AS DATE), CAST(e_ts AS DATE),
+                                    INTERVAL 1 DAY)) AS DATE) AS day,
+        s_ts, e_ts
+      FROM sessions
+    ),
+    spans AS (
+      SELECT day,
+        GREATEST(s_ts, CAST(day AS TIMESTAMP)) AS m_start,
+        LEAST(e_ts + INTERVAL 1 MICROSECOND,
+              CAST(day AS TIMESTAMP) + INTERVAL 1 DAY) AS m_end
+      FROM pieces
+    )
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      CAST(SUM(date_diff('microsecond', m_start, m_end)) AS BIGINT)
+        AS load_us,
+      CAST(SUM(date_diff('microsecond', m_start, m_end)) * 1000000
+           // 86400000000 AS BIGINT) AS avg_concurrency_ppm
+    FROM spans GROUP BY day
+"""
+
+
 CONCURRENCY_ORACLE = """
     WITH e AS (
       SELECT user_id, ts, event_id,
@@ -1152,6 +1261,7 @@ CONCURRENCY_ORACLE = """
 
 
 TEMPORAL_QUERIES = {
+    "session_daily_load": session_daily_load,
     "session_concurrency_peak": session_concurrency_peak,
     "attribution_credit": attribution_credit,
     "funnel_three_step": funnel_three_step,
@@ -1176,6 +1286,7 @@ TEMPORAL_QUERIES = {
 }
 
 TEMPORAL_ORACLES = {
+    "session_daily_load": DAILY_LOAD_ORACLE,
     "session_concurrency_peak": CONCURRENCY_ORACLE,
     "attribution_credit": ATTRIBUTION_ORACLE,
     "funnel_three_step": FUNNEL3_ORACLE,

@@ -182,6 +182,7 @@ _DRIVER_PRIORITY = [
     "neyman_allocation",
     "customer_feature_store",
     "embedding_gram_matrix",
+    "session_daily_load",
     # -- (3b) next-stalest: last verified in round 2, alphabetical
     #    (the window cuts at 50 inside this block) --
     "asof_latest_order",

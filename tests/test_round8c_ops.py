@@ -96,3 +96,30 @@ def test_audience_overlap_bounds(spark, sf_dir):
         assert r["brand_a"] < r["brand_b"]
         assert 0 < r["n_both"] <= min(r["n_a"], r["n_b"])
         assert 0 < r["jaccard_ppm"] <= 1_000_000
+
+
+def test_daily_load_consistent_with_peak(spark, sf_dir):
+    from tests.oracle import assert_matches_oracle as amo
+
+    from saurav_nayak_recipe_etl_project_spark.registry import (
+        ORACLES as O2,
+        QUERIES as Q2,
+    )
+
+    amo(Q2["session_daily_load"](spark, sf_dir),
+        O2["session_daily_load"], sf_dir)
+    load = {r["day"]: r for r in
+            Q2["session_daily_load"](spark, sf_dir).collect()}
+    peak = {r["day"]: r for r in
+            Q2["session_concurrency_peak"](spark, sf_dir).collect()}
+    assert set(load) == set(peak) and load
+    day_us = 86_400_000_000
+    for d, r in load.items():
+        p = peak[d]
+        assert r["n_sessions"] == p["n_sessions"]
+        # the mean of a curve never exceeds its max:
+        # load_us <= peak * day_us; and each session piece carries
+        # at least 1 microsecond
+        assert r["n_sessions"] <= r["load_us"] <= (
+            p["peak_concurrent"] * day_us
+        )
