@@ -49,6 +49,17 @@ def gram_matrix_micro(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
             if not len(pdf):
                 continue
             m = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+            # numpy int64 matmul WRAPS silently on overflow — enforce
+            # the documented contract loudly instead: per-cell partial
+            # <= rows * max|x|^2 must stay under 2^63
+            peak = np.abs(m).max(initial=0)
+            if peak * peak * len(m) >= 2**62:
+                raise ValueError(
+                    f"gram_matrix_micro: batch of {len(m)} rows with "
+                    f"max|x_micro|={peak} risks int64 overflow; lower "
+                    "spark.sql.execution.arrow.maxRecordsPerBatch or "
+                    "rescale the vectors"
+                )
             g = m.T @ m  # (d, d) int64
             d = g.shape[0]
             iu = np.triu_indices(d)
