@@ -1161,6 +1161,103 @@ def session_daily_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LEADLAG_MAX = 3
+
+
+def view_purchase_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation: Pearson corr between daily VIEW
+    counts and daily PURCHASE value at day offsets -3..+3 — 'does view
+    volume lead purchase revenue, and by how many days' (positive lag
+    = views lead). The CCF is the causality-screening tool one corr
+    number can't provide.
+
+    Exactness: the five sufficient statistics are exact integer sums
+    (DECIMAL(38,0)); the only irrationals are the two sqrt calls,
+    which IEEE-754 requires to be CORRECTLY ROUNDED (the
+    neyman_allocation finding) — so numerator, radicands, and the
+    final quotient are engine-deterministic, rounded once at the
+    output. Frames: two calendar-bounded daily rollups, a 7-way
+    bounded offset join, one 7-row aggregate."""
+    ev = load_table(spark, "events", sf_dir)
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("x"))
+    )
+    buys = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("y")
+        )
+    )
+    lags = spark.range(-LEADLAG_MAX, LEADLAG_MAX + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    pairs = (
+        views.crossJoin(F.broadcast(lags))
+        .join(
+            buys.select(F.col("d").alias("d2"), "y"),
+            F.expr("date_add(d, lag) = d2"),
+        )
+    )
+    stats = pairs.groupBy("lag").agg(
+        F.count("*").alias("n_days"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("cast(y as decimal(38,0)) * y")).alias("syy"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * y")).alias("sxy"),
+    )
+    return stats.select(
+        "lag", "n_days",
+        F.round(
+            F.expr(
+                "cast(n_days * sxy - sx * sy as double)"
+                " / (sqrt(cast(n_days * sxx - sx * sx as double))"
+                "    * sqrt(cast(n_days * syy - sy * sy as double)))"
+            ),
+            6,
+        ).alias("corr"),
+    )
+
+
+LEADLAG_ORACLE = f"""
+    WITH views AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS x
+      FROM events WHERE event_type = 'view' GROUP BY CAST(ts AS DATE)
+    ),
+    buys AS (
+      SELECT CAST(ts AS DATE) AS d,
+        SUM(CAST(ROUND(value * 100) AS BIGINT)) AS y
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY CAST(ts AS DATE)
+    ),
+    lags AS (
+      SELECT UNNEST(range(-{LEADLAG_MAX}, {LEADLAG_MAX} + 1)) AS lag
+    ),
+    pairs AS (
+      SELECT lag, x, y
+      FROM views CROSS JOIN lags
+      JOIN buys ON buys.d = views.d + CAST(lag AS INTEGER)
+    ),
+    stats AS (
+      SELECT lag, COUNT(*) AS n_days,
+        SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        SUM(CAST(y AS HUGEINT) * y) AS syy,
+        SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS INTEGER) AS lag, CAST(n_days AS BIGINT) AS n_days,
+      ROUND(
+        CAST(n_days * sxy - sx * sy AS DOUBLE)
+        / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+           * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE))), 6) AS corr
+    FROM stats
+"""
+
+
 DAILY_LOAD_ORACLE = """
     WITH e AS (
       SELECT user_id, ts, event_id,
@@ -1261,6 +1358,7 @@ CONCURRENCY_ORACLE = """
 
 
 TEMPORAL_QUERIES = {
+    "view_purchase_lead_lag": view_purchase_lead_lag,
     "session_daily_load": session_daily_load,
     "session_concurrency_peak": session_concurrency_peak,
     "attribution_credit": attribution_credit,
@@ -1286,6 +1384,7 @@ TEMPORAL_QUERIES = {
 }
 
 TEMPORAL_ORACLES = {
+    "view_purchase_lead_lag": LEADLAG_ORACLE,
     "session_daily_load": DAILY_LOAD_ORACLE,
     "session_concurrency_peak": CONCURRENCY_ORACLE,
     "attribution_credit": ATTRIBUTION_ORACLE,

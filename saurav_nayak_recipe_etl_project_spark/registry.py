@@ -183,6 +183,7 @@ _DRIVER_PRIORITY = [
     "customer_feature_store",
     "embedding_gram_matrix",
     "session_daily_load",
+    "view_purchase_lead_lag",
     # -- (3b) next-stalest: last verified in round 2, alphabetical
     #    (the window cuts at 50 inside this block) --
     "asof_latest_order",

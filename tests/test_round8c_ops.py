@@ -123,3 +123,24 @@ def test_daily_load_consistent_with_peak(spark, sf_dir):
         assert r["n_sessions"] <= r["load_us"] <= (
             p["peak_concurrent"] * day_us
         )
+
+
+def test_lead_lag_ccf_shape(spark, sf_dir):
+    from tests.oracle import assert_matches_oracle as amo
+
+    from saurav_nayak_recipe_etl_project_spark.registry import (
+        ORACLES as O3,
+        QUERIES as Q3,
+    )
+
+    amo(Q3["view_purchase_lead_lag"](spark, sf_dir),
+        O3["view_purchase_lead_lag"], sf_dir)
+    rows = {r["lag"]: r for r in
+            Q3["view_purchase_lead_lag"](spark, sf_dir).collect()}
+    assert set(rows) == set(range(-3, 4))
+    for r in rows.values():
+        assert -1.0 <= r["corr"] <= 1.0
+        assert r["n_days"] > 2
+    # shifting by one day costs at most one overlap day per end
+    ns = [rows[k]["n_days"] for k in sorted(rows)]
+    assert max(ns) - min(ns) <= 2 * 3
