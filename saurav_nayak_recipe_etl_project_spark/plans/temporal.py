@@ -1222,6 +1222,81 @@ def view_purchase_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ACF_MAX = 7
+
+
+def daily_event_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily event counts at lags 1..7 —
+    the periodicity detector (a weekly cycle surfaces as a lag-7
+    peak), completing the time-series toolkit next to the cross-series
+    CCF (view_purchase_lead_lag) and the calendar seasonality index.
+    Identical exactness discipline: integer sufficient statistics per
+    lag over the aligned day pairs, IEEE-correctly-rounded sqrt, one
+    rounding at the output. Calendar-bounded daily frame, 7-way offset
+    self-join."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("x")
+    )
+    lags = spark.range(1, ACF_MAX + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    pairs = (
+        daily.crossJoin(F.broadcast(lags))
+        .join(
+            daily.select(F.col("d").alias("d2"), F.col("x").alias("y")),
+            F.expr("date_add(d, lag) = d2"),
+        )
+    )
+    stats = pairs.groupBy("lag").agg(
+        F.count("*").alias("n_days"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("cast(y as decimal(38,0)) * y")).alias("syy"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * y")).alias("sxy"),
+    )
+    return stats.select(
+        "lag", "n_days",
+        F.round(
+            F.expr(
+                "cast(n_days * sxy - sx * sy as double)"
+                " / (sqrt(cast(n_days * sxx - sx * sx as double))"
+                "    * sqrt(cast(n_days * syy - sy * sy as double)))"
+            ),
+            6,
+        ).alias("acf"),
+    )
+
+
+ACF_ORACLE = f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS x
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    lags AS (SELECT UNNEST(range(1, {ACF_MAX} + 1)) AS lag),
+    pairs AS (
+      SELECT lag, a.x AS x, b.x AS y
+      FROM daily a CROSS JOIN lags
+      JOIN daily b ON b.d = a.d + CAST(lag AS INTEGER)
+    ),
+    stats AS (
+      SELECT lag, COUNT(*) AS n_days,
+        SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        SUM(CAST(y AS HUGEINT) * y) AS syy,
+        SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS INTEGER) AS lag, CAST(n_days AS BIGINT) AS n_days,
+      ROUND(
+        CAST(n_days * sxy - sx * sy AS DOUBLE)
+        / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+           * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE))), 6) AS acf
+    FROM stats
+"""
+
+
 LEADLAG_ORACLE = f"""
     WITH views AS (
       SELECT CAST(ts AS DATE) AS d, COUNT(*) AS x
@@ -1358,6 +1433,7 @@ CONCURRENCY_ORACLE = """
 
 
 TEMPORAL_QUERIES = {
+    "daily_event_acf": daily_event_acf,
     "view_purchase_lead_lag": view_purchase_lead_lag,
     "session_daily_load": session_daily_load,
     "session_concurrency_peak": session_concurrency_peak,
@@ -1384,6 +1460,7 @@ TEMPORAL_QUERIES = {
 }
 
 TEMPORAL_ORACLES = {
+    "daily_event_acf": ACF_ORACLE,
     "view_purchase_lead_lag": LEADLAG_ORACLE,
     "session_daily_load": DAILY_LOAD_ORACLE,
     "session_concurrency_peak": CONCURRENCY_ORACLE,

@@ -186,6 +186,7 @@ _DRIVER_PRIORITY = [
     "session_daily_load",
     "view_purchase_lead_lag",
     "embedding_kmeans",
+    "daily_event_acf",
     # -- (3b) next-stalest: last verified in round 2, alphabetical
     #    (the window cuts at 50 inside this block) --
     "asof_latest_order",

@@ -144,3 +144,20 @@ def test_lead_lag_ccf_shape(spark, sf_dir):
     # shifting by one day costs at most one overlap day per end
     ns = [rows[k]["n_days"] for k in sorted(rows)]
     assert max(ns) - min(ns) <= 2 * 3
+
+
+def test_acf_bounds(spark, sf_dir):
+    from tests.oracle import assert_matches_oracle as amo
+
+    from saurav_nayak_recipe_etl_project_spark.registry import (
+        ORACLES as O4,
+        QUERIES as Q4,
+    )
+
+    amo(Q4["daily_event_acf"](spark, sf_dir),
+        O4["daily_event_acf"], sf_dir)
+    rows = {r["lag"]: r for r in
+            Q4["daily_event_acf"](spark, sf_dir).collect()}
+    assert set(rows) == set(range(1, 8))
+    for r in rows.values():
+        assert -1.0 <= r["acf"] <= 1.0 and r["n_days"] > 2
