@@ -285,6 +285,12 @@ HEADLINE = [
     "session_concurrency_peak",
     "rrf_hybrid_search",
     "part_name_entity_resolution",
+    # and the distributed-ML shapes: the integer Lloyd's loop (n*K*d
+    # explode per iteration), the X^T X block aggregation, and the
+    # four-pass truncation-recall harness.
+    "embedding_kmeans",
+    "embedding_gram_matrix",
+    "ann_matryoshka_recall",
 ]
 
 
