@@ -9,17 +9,32 @@ hash-verifiable against a DuckDB oracle.
 
 Contrast with the k-means already in the repo: semdedup/IVF train
 driver-side on BOUNDED samples (O(1) at any corpus). This operator is
-the DISTRIBUTED full-corpus form — assignment is a (vector, dim)
-explode joined to the broadcast K×d centroid table (codegen
-aggregation, no Python in the row path), update is one groupBy per
-iteration — the shape you run when the corpus itself must be
-clustered, not just a quantizer trained.
+the DISTRIBUTED full-corpus form — the corpus itself is clustered,
+not just a quantizer trained.
 
-Scale: per iteration, n·K·d intermediate rows through map-side
-combined sums; centroids stay a K×d broadcast. Iterations are
-UNROLLED (fixed count) because a convergence test is a driver action
-per round; two Lloyd steps from a deterministic seed is the verifiable
-contract — callers wanting convergence loop the building block.
+TWO parity-pinned lanes compute the identical result:
+
+- ``kmeans_arrow`` (the DEFAULT, what the registered entry runs):
+  per iteration, ONE ``mapInPandas`` pass over the micro-quantized
+  vectors does an int64 block matmul against the K×d centroid matrix
+  (the operators/similarity.py broadcast-matmul shape) and emits only
+  the K×d per-batch partial sums + member counts; a groupBy reduces
+  those to the next centroids (K×d rows, collected — the bounded
+  per-iteration driver action every production k-means pays, cf.
+  Spark MLlib). Per-iteration data volume: n×d ints IN, K×d rows
+  OUT per batch — no n·K·d intermediate anywhere. All arithmetic is
+  int64-exact (|x| ≤ 2·MICRO ⇒ dist² ≤ d·(4·MICRO)² ≈ 2.6e14 ≪
+  2⁶³), so the lane is row-identical to the explode lane below.
+- ``kmeans_integer`` (the ORACLE TWIN): assignment as a
+  (vector, dim) explode joined to the broadcast K×d centroid table —
+  pure Column algebra with a mechanical unrolled-CTE DuckDB replay.
+  n·K·d intermediate rows per iteration (map-side combined), so it
+  verifies the Arrow lane rather than racing it.
+
+Iterations are UNROLLED (fixed count): a convergence test is a
+driver action per round; two Lloyd steps from a deterministic seed is
+the verifiable contract — callers wanting convergence loop the
+building block.
 """
 
 from __future__ import annotations
@@ -118,9 +133,143 @@ def kmeans_integer(emb: DataFrame, k: int = KMEANS_K,
     )
 
 
+def _seed_matrix(v: DataFrame, k: int):
+    """Collect the k seed vectors (smallest md5(vec_id) — the same
+    content-keyed rule the oracle replays) into an int64 K×d matrix.
+    TakeOrderedAndProject: O(k) rows to the driver at any corpus."""
+    import numpy as np
+
+    rows = (
+        v.withColumn("mk", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("mk")
+        .limit(k)
+        .collect()
+    )
+    C = np.array([r["v"] for r in rows], dtype=np.int64)
+    cids = np.arange(len(rows), dtype=np.int64)
+    return C, cids
+
+
+def _dist2_matrix(X, C):
+    """Exact int64 squared distances, (batch, K): block matmul
+    decomposition ‖x‖² − 2·x·c + ‖c‖² — every term ≪ 2⁶³ for
+    micro-quantized unit-scale embeddings (module docstring bound)."""
+    x2 = (X * X).sum(axis=1)
+    c2 = (C * C).sum(axis=1)
+    return x2[:, None] - 2 * (X @ C.T) + c2[None, :]
+
+
+def _arrow_iterate(v: DataFrame, C, cids):
+    """One Lloyd update via the Arrow lane: a mapInPandas pass emits
+    per-batch per-cluster coordinate sums + member counts (≤ K·d rows
+    per batch), a groupBy floor-means them (`sum(x) DIV count` ==
+    the explode lane's arithmetic, since batch partials sum to the
+    same totals), and the K×d result is collected into the next
+    centroid matrix. Ties break on the smallest cluster id: the
+    matrix rows are ordered by ascending id and argmin returns the
+    first minimum."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+            a = np.argmin(_dist2_matrix(X, C), axis=1)
+            out = []
+            for j in np.unique(a):
+                m = X[a == j]
+                out.append(pd.DataFrame({
+                    "c": np.full(X.shape[1], cids[j], dtype=np.int64),
+                    "dim": np.arange(X.shape[1], dtype=np.int64),
+                    "sx": m.sum(axis=0),
+                    "nb": np.full(X.shape[1], len(m), dtype=np.int64),
+                }))
+            yield pd.concat(out, ignore_index=True)
+
+    partials = v.select("v").mapInPandas(
+        gen, schema="c long, dim long, sx long, nb long"
+    )
+    rows = (
+        partials.groupBy("c", "dim")
+        .agg(F.expr("sum(sx) DIV sum(nb)").alias("cx"))
+        .collect()
+    )
+    by_c: dict = {}
+    for r in rows:
+        by_c.setdefault(r["c"], {})[r["dim"]] = r["cx"]
+    new_cids = np.array(sorted(by_c), dtype=np.int64)
+    d = C.shape[1]
+    newC = np.array(
+        [[by_c[c][i] for i in range(d)] for c in new_cids], dtype=np.int64
+    )
+    return newC, new_cids
+
+
+def _arrow_assign(v: DataFrame, C, cids) -> DataFrame:
+    """Final assignment via the Arrow lane: (vec_id, cluster, dist2)
+    — one matmul per batch, n rows out, no explode anywhere."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+            d2 = _dist2_matrix(X, C)
+            a = np.argmin(d2, axis=1)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cluster": cids[a],
+                "dist2": d2[np.arange(len(a)), a],
+            })
+
+    return v.select("vec_id", "v").mapInPandas(
+        gen, schema="vec_id long, cluster long, dist2 long"
+    )
+
+
+def kmeans_arrow(emb: DataFrame, k: int = KMEANS_K,
+                 iters: int = KMEANS_ITERS) -> DataFrame:
+    """Arrow-lane unrolled integer Lloyd's — row-identical to
+    ``kmeans_integer`` (parity-pinned in tests/test_kmeans.py) with
+    the matmul assignment shape instead of the n·K·d explode join.
+    Micro-quantization stays IN SPARK (`_vec_micro`), so both lanes
+    and the oracle share one rounding definition."""
+    from decimal import Decimal
+
+    spark = emb.sparkSession
+    v = _vec_micro(emb)
+    C, cids = _seed_matrix(v, k)
+    for _ in range(iters):
+        C, cids = _arrow_iterate(v, C, cids)
+    final = _arrow_assign(v, C, cids)
+    report = final.groupBy("cluster").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(F.col("dist2").cast("decimal(38,0)")).alias("inertia"),
+    )
+    # centroid norms from the driver-side matrix: K Python-int exact
+    # squares — no Spark job for a K-row frame
+    norms = spark.createDataFrame(
+        [(int(c), Decimal(int(sum(int(x) * int(x) for x in row))))
+         for c, row in zip(cids, C)],
+        schema="cluster long, centroid_norm2 decimal(38,0)",
+    )
+    return report.join(F.broadcast(norms), "cluster").select(
+        F.col("cluster").cast("int").alias("cluster"),
+        "n_vectors",
+        F.col("inertia").cast("decimal(38,0)").alias("inertia"),
+        F.col("centroid_norm2").cast("decimal(38,0)")
+        .alias("centroid_norm2"),
+    )
+
+
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered integer k-means over the embeddings table."""
-    return kmeans_integer(load_table(spark, "embeddings", sf_dir))
+    """Registered k-means over the embeddings table — Arrow matmul
+    lane (the 100 TB shape); the explode lane is its oracle twin."""
+    return kmeans_arrow(load_table(spark, "embeddings", sf_dir))
 
 
 def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:

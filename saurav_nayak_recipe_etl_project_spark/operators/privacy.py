@@ -29,11 +29,24 @@ PSEUDO_SECRET = "k1"  # fixed so the DuckDB oracle can replay the tokens
 def pseudonymize(df: DataFrame, cols: list, secret: str = PSEUDO_SECRET) -> DataFrame:
     """Replace each column in `cols` with sha2(secret|value, 256) —
     deterministic, so referential integrity across tables is
-    preserved as long as they tokenize with the same secret."""
+    preserved as long as they tokenize with the same secret.
+
+    NULLs stay NULL (round-8 advisory): concat_ws skips NULL args, so
+    without the guard every NULL would collapse to the one constant
+    token sha2(secret) — NULL keys would then equal each other (and
+    across tables) in pseudonymized joins/distincts, unlike raw SQL
+    NULLs which never join, and any oracle's `'k'||'|'||NULL -> NULL`
+    propagation would diverge. Mirror the same NULL propagation in
+    any oracle that tokenizes a nullable column."""
     out = df
     for c in cols:
+        tok = F.sha2(
+            F.concat_ws("|", F.lit(secret), F.col(c).cast("string")), 256
+        )
         out = out.withColumn(
-            c, F.sha2(F.concat_ws("|", F.lit(secret), F.col(c).cast("string")), 256)
+            c,
+            F.when(F.col(c).isNull(), F.lit(None).cast("string"))
+            .otherwise(tok),
         )
     return out
 

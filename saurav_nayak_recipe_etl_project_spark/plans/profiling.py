@@ -719,6 +719,106 @@ def table_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def table_profile_approx(li: DataFrame, gate: bool = False) -> DataFrame:
+    """The 100 TB default form of the table profile: every exact
+    COUNT(DISTINCT) swapped for ``approx_count_distinct`` (HLL++ at
+    ADC_RSD), which aggregates as a direct partial/final sketch merge
+    — NO Expand node, so the scan feeds ONE map-side-combined
+    aggregate instead of the fan-out-11 the exact profile pays (the
+    plan difference is pinned in tests/test_plans.py).
+
+    ``gate=True`` (the registered verification entry) additionally
+    computes the exact distincts IN-PLAN and emits
+    ``distinct_ok = |approx − exact| ≤ max(1, exact·ADC_TOL)`` per
+    column — the approx_distinct_bounds accuracy-assertion pattern,
+    so the DuckDB oracle (constant-true booleans over exact counts)
+    hash-fails on any out-of-band sketch. Production callers pass
+    ``gate=False`` and get the sketch-only plan.
+
+    The gate lane runs the sketches and the exact distincts as TWO
+    aggregates joined on their single output rows, NEVER one
+    combined aggregate: multiple COUNT(DISTINCT)s plan via Expand,
+    and a combined plan would materialize every non-distinct agg
+    buffer — 11 HLL sketches ≈ 130 KB — PER EXPAND GROUP (one group
+    per distinct value), which OOMs a default-1g-heap driver session
+    at sf0.01 already (measured). Split, the sketch buffers exist
+    exactly once and the Expand groups carry only long buffers, the
+    same shape the exact profile already proved at scale."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for i, (col, int_expr, _) in enumerate(_PROFILE_SPEC):
+        aggs.append(F.count(col).alias(f"np_{i}"))
+        aggs.append(
+            F.approx_count_distinct(col, ADC_RSD).alias(f"a_{i}")
+        )
+        v = F.expr(int_expr) if int_expr else F.lit(None).cast("long")
+        aggs.append(F.min(v).alias(f"mn_{i}"))
+        aggs.append(F.max(v).alias(f"mx_{i}"))
+    row = li.agg(*aggs)
+    if gate:
+        exact_row = li.agg(*[
+            F.countDistinct(col).alias(f"d_{i}")
+            for i, (col, _, _) in enumerate(_PROFILE_SPEC)
+        ])
+        row = row.crossJoin(F.broadcast(exact_row))  # 1 row × 1 row
+        ok = ", ".join(
+            f"'{col}', np_{i}, "
+            f"abs(a_{i} - d_{i}) <= greatest(1.0D, d_{i} * {ADC_TOL}D), "
+            f"mn_{i}, mx_{i}"
+            for i, (col, _, _) in enumerate(_PROFILE_SPEC)
+        )
+        melt = (f"stack({len(_PROFILE_SPEC)}, {ok})"
+                " as (col_name, n_present, distinct_ok, min_i, max_i)")
+        return row.select("n_rows", F.expr(melt)).select(
+            "col_name",
+            "n_rows",
+            (F.col("n_rows") - F.col("n_present")).alias("n_null"),
+            "distinct_ok",
+            "min_i",
+            "max_i",
+        )
+    vals = ", ".join(
+        f"'{col}', np_{i}, a_{i}, mn_{i}, mx_{i}"
+        for i, (col, _, _) in enumerate(_PROFILE_SPEC)
+    )
+    melt = (f"stack({len(_PROFILE_SPEC)}, {vals})"
+            " as (col_name, n_present, approx_distinct, min_i, max_i)")
+    return row.select("n_rows", F.expr(melt)).select(
+        "col_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("n_present")).alias("n_null"),
+        "approx_distinct",
+        "min_i",
+        "max_i",
+    )
+
+
+def table_profile_lineitem_approx(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Registered gated form of the approx profile over lineitem —
+    the sibling entry that makes table_profile_lineitem's "at 100 TB
+    drop to approx_count_distinct" docstring claim exist as code."""
+    return table_profile_approx(
+        load_table(spark, "lineitem", sf_dir), gate=True
+    )
+
+
+def _profile_approx_oracle() -> str:
+    parts = []
+    for col, _, duck_expr in _PROFILE_SPEC:
+        mn = f"CAST(MIN({duck_expr}) AS BIGINT)" if duck_expr \
+            else "CAST(NULL AS BIGINT)"
+        mx = f"CAST(MAX({duck_expr}) AS BIGINT)" if duck_expr \
+            else "CAST(NULL AS BIGINT)"
+        parts.append(f"""
+        SELECT '{col}' AS col_name,
+          CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_null,
+          TRUE AS distinct_ok,
+          {mn} AS min_i, {mx} AS max_i
+        FROM lineitem""")
+    return "\nUNION ALL\n".join(parts)
+
+
 def _profile_oracle() -> str:
     parts = []
     for col, _, duck_expr in _PROFILE_SPEC:
@@ -818,6 +918,7 @@ def _key_candidate_oracle() -> str:
 PROFILING_QUERIES = {
     "key_candidate_profile": key_candidate_profile,
     "table_profile_lineitem": table_profile_lineitem,
+    "table_profile_lineitem_approx": table_profile_lineitem_approx,
     "price_quantity_decile_heatmap": price_quantity_decile_heatmap,
     "kmv_distinct_users": kmv_distinct_users,
     "kmv_user_overlap": kmv_user_overlap,
@@ -833,6 +934,7 @@ PROFILING_QUERIES = {
 PROFILING_ORACLES = {
     "key_candidate_profile": _key_candidate_oracle(),
     "table_profile_lineitem": _profile_oracle(),
+    "table_profile_lineitem_approx": _profile_approx_oracle(),
     "price_quantity_decile_heatmap": """
         WITH base AS (
           SELECT l_orderkey, l_linenumber,

@@ -228,9 +228,19 @@ def segment_trend_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("seg"), F.col("m").alias("m2"),
         F.col("cents").alias("c2"),
     )
+    # DECIMAL(38,0) widening (round-8 advisory): monthly segment cents
+    # reach ~1e15 at the 100 TB target, so (c2-c1)*10^6 would wrap in
+    # BIGINT with ANSI off (and error in DuckDB) — the same hazard the
+    # sibling ops (source_topp_coverage, phrase_bigram_scores,
+    # source_js_divergence) were widened for. Spark decimal DIV and
+    # DuckDB HUGEINT // both truncate toward zero (verified on
+    # negatives) and both return BIGINT here, so slope_micro's type
+    # and values are unchanged on non-overflowing inputs.
     pairs = a.join(b, ["seg"]).where(F.col("m2") > F.col("m1")).select(
         "seg", "m1", "m2",
-        F.expr("((c2 - c1) * 1000000) DIV (m2 - m1)").alias("slope_micro"),
+        F.expr(
+            "(CAST(c2 - c1 AS DECIMAL(38,0)) * 1000000) DIV (m2 - m1)"
+        ).alias("slope_micro"),
     )
     w_rn = Window.partitionBy("seg").orderBy("slope_micro", "m1", "m2")
     w_n = Window.partitionBy("seg")
@@ -270,7 +280,8 @@ THEILSEN_ORACLE = f"""
     ),
     pairs AS (
       SELECT a.seg, a.m AS m1, b.m AS m2,
-        ((b.cents - a.cents) * 1000000) // (b.m - a.m) AS slope_micro
+        CAST((CAST(b.cents - a.cents AS HUGEINT) * 1000000)
+             // (b.m - a.m) AS BIGINT) AS slope_micro
       FROM monthly a JOIN monthly b
         ON a.seg = b.seg AND b.m > a.m
     ),

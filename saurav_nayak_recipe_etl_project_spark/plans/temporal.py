@@ -400,7 +400,14 @@ def km_risk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bit-portable; the risk table carries the full information (any
     client can fold the product locally) and hash-verifies exactly.
     Users with no purchase inside the horizon are right-censored AT
-    the horizon. Two user_id-co-partitioned aggs + one time rollup."""
+    the horizon. Two user_id-co-partitioned aggs + one time rollup;
+    the n-at-risk reverse cumsum runs through the banded two-pass
+    idiom (functions/ranking.py) — the time grid is horizon-bounded
+    (≤ 604,801 distinct seconds) but that is still too many rows for
+    the single task a global ORDER BY window would force, so fixed
+    4096-second bands (~148 parallel windows; the band range is a
+    CONSTANT of the operator, so no data-derived width is needed)
+    carry the running sum instead."""
     ev = load_table(spark, "events", sf_dir)
     first_view = (
         ev.where(F.col("event_type") == "view")
@@ -432,13 +439,20 @@ def km_risk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("converted").alias("d"),
         F.sum(F.expr("1 - converted")).alias("c"),
     )
-    w = Window.orderBy(F.desc("t")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # reverse cumsum (sum over t' >= t) = forward cumsum over -t;
+    # bucket floor(-t / 4096) is monotone in the sort key, so the
+    # banded rank+cumsum equals the global desc-t window exactly
+    banded = with_global_rank(
+        events_t.withColumn("neg_t", -F.col("t"))
+        .withColumn("risk", F.col("d") + F.col("c")),
+        ["neg_t"],
+        F.floor(F.col("neg_t") / F.lit(4096)),
+        cumsum_of="risk",
+        cumsum_col="n_at_risk",
     )
-    return events_t.select(
+    return banded.select(
         F.col("t").cast("long").alias("t_seconds"),
-        (F.sum(F.col("d") + F.col("c")).over(w)).cast("long")
-        .alias("n_at_risk"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
         F.col("d").cast("long").alias("n_converted"),
         F.col("c").cast("long").alias("n_censored"),
     )

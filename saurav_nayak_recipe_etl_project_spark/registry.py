@@ -83,90 +83,36 @@ _load_optional()
 #   (2) the STALEST entries first — ordered by the round each was last
 #       externally verified in (computed from the CORRECTNESS_r*.json
 #       union) — until the window is full.
-# With 186 entries and a 50-entry window, stalest-first re-verifies
-# every entry within ~6 rounds even in an additive round. Round-8
-# window composition, per the round-7 rotation plan (staleness
-# computed from the CORRECTNESS_r1..r7 union: 17 entries last
-# verified r1, 30 r2, 3 r4, 43 r5):
+# With 228 entries and a 50-entry window, stalest-first re-verifies
+# every entry within ~5 rounds even in an additive round. Round-9
+# window composition, per the round-8 rotation plan and the judge's
+# round-8 directive (staleness computed fresh from the
+# CORRECTNESS_r1..r8 union at round-9 start: 20 entries never
+# driver-windowed, 30 last verified r2, 3 r4, 42 r5, 39 r6, 43 r7,
+# 50 r8):
 #   (1) entries whose implementation or load-bearing internals
-#       changed in round 8 — the de-weaked global-window plans
-#       (pareto/ABC cumsum ranks, window-free vocab coverage, bm25
-#       TakeOrdered query terms), the DECIMAL-widened top-p
-#       coverage, and every caller migrated to data-derived rank
-#       band widths (derive_band_widths + LM-frame checkpoint);
-#   (2) new round-8 entries — the Spark-4 SQL surface, then the
-#       continuation-session additions (profile / fuzzy / attribution
-#       / entropy / k-core / KMV algebra / decayed value / gaps /
-#       bounded as-of / PSI / funnel3 / bounce / brand triples) and
-#       the two entries migrated to the two-phase salted top-k;
-#   (3) stalest-first fill: ALL 17 remaining r1 entries, then the
-#       r2 tail alphabetically until the window cuts at 50. With 31
-#       changed/new names up front the window is 31 + 17 r1 + the
-#       first 2 r2 names — the r1 debt still fully retires this
-#       round; r9's fill starts at the r2 remainder (~28) + r4 trio,
-#       then the r5 block (full rotation closes ~r11).
+#       changed in round 9 — the Arrow-matmul k-means lane (now the
+#       default), the DECIMAL-widened Theil–Sen slope product, the
+#       banded K-M reverse cumsum, the NULL-preserving
+#       pseudonymize() — plus the one NEW entry (the approx table
+#       profile);
+#   (2) ALL remaining never-driver-windowed r8c entries (17 after
+#       the overlap with (1) — judge pre-verified green at sf0.01 in
+#       the round-8 verdict, so these should be cheap green rows);
+#   (3) stalest-first fill: the r2 block alphabetically — 28 of 30
+#       fit before the window cuts at 50. Below the cut: the 2 r2
+#       leftovers (view_purchase_attribution, view_purchase_funnel)
+#       + the r4 trio lead round 10's fill, then the r5 block
+#       (full rotation closes ~r12).
 _DRIVER_PRIORITY = [
-    # -- (1) changed in round 8 --
-    "part_revenue_pareto",
-    "part_abc_classification",
-    "vocab_coverage",
-    "bm25_search",
-    "source_topp_coverage",
-    "customer_rfm",
-    "perplexity_buckets",
-    "quality_lm_spearman",
-    "price_quantity_decile_heatmap",
-    "funnel_time_to_convert",
-    # -- (2) new in round 8 (inserted as they land) --
-    "orders_groupby_all",
-    "customer_segments_orderby_all",
-    "order_metrics_unpivot_nulls",
-    "ann_hard_negatives",
-    "region_nation_roster",
-    "event_type_frequency_sketch",
-    "table_profile_lineitem",
-    "part_name_near_collisions",
-    "attribution_credit",
-    "source_token_entropy",
-    "copurchase_kcore",
-    "kmv_user_overlap",
-    "segment_decayed_value",
-    "orderkey_gap_islands",
-    "asof_latest_view_30m",
-    "order_value_psi",
-    "funnel_three_step",
-    "session_bounce_rate",
-    "brand_triples",
-    # changed late-r8: two-phase salted per-group top-k replaced the
-    # group-sized windows (sketch trim + stratum sample)
-    "kmv_distinct_users",
-    "stratified_sample",
-    # -- (3a) stalest: last externally verified in round 1 (all 17) --
-    "part_revenue_rank",
-    "parts_in_urgent_orders",
-    "priority_distribution",
-    "q4_priority_with_big_items",
-    "q7_volume_shipping",
-    "returned_vs_global",
-    "schema_map_orders",
-    "text_repetition",
-    "top_customers",
-    "top_open_order_part",
-    "top_parts",
-    "validate_customer",
-    "validate_events",
-    "validate_lineitem",
-    "validate_orders",
-    "validate_part",
-    "validate_supplier",
-    # -- (2b) new in the second continuation session: placed BELOW the
-    #    r1-stale block (unlike earlier new entries) so the round-8
-    #    window still retires the whole r1 debt — these were verified
-    #    at 3 SFs locally at birth, while the r1 entries carry 7
-    #    rounds of drift exposure; whatever misses the 50-cut leads
-    #    round 9 (the benford-at-position-51 precedent from r6) --
-    "session_concurrency_peak",
-    "order_line_proration",
+    # -- (1) changed or new in round 9 --
+    "embedding_kmeans",
+    "segment_trend_theilsen",
+    "km_risk_table",
+    "pseudonymized_segment_report",
+    "table_profile_lineitem_approx",
+    # -- (2) never driver-windowed (r8c additions, judge-verified
+    #    green at sf0.01 in VERDICT r8) --
     "brand_audience_overlap",
     "rrf_hybrid_search",
     "distinctive_terms_logodds",
@@ -175,20 +121,17 @@ _DRIVER_PRIORITY = [
     "key_candidate_profile",
     "embedding_label_separation",
     "ann_matryoshka_recall",
-    "segment_trend_theilsen",
     "phrase_bigram_scores",
     "source_js_divergence",
     "langid_agreement",
-    "pseudonymized_segment_report",
     "neyman_allocation",
     "customer_feature_store",
     "embedding_gram_matrix",
     "session_daily_load",
     "view_purchase_lead_lag",
-    "embedding_kmeans",
     "daily_event_acf",
-    # -- (3b) next-stalest: last verified in round 2, alphabetical
-    #    (the window cuts at 50 inside this block) --
+    # -- (3) stalest fill: last verified round 2, alphabetical (the
+    #    window cuts at 50 inside this block, after top_event_users) --
     "asof_latest_order",
     "customer_part_baskets",
     "docs_by_source",
@@ -209,8 +152,6 @@ _DRIVER_PRIORITY = [
     "q18_large_orders",
     "redact_numbers",
     "revenue_rollup",
-    # -- below the 50-cut: the r2 leftovers, then the r4 trio —
-    #    round 9's fill leads here --
     "rolling_weekly_revenue",
     "sample_documents",
     "severity_by_status",
@@ -219,6 +160,8 @@ _DRIVER_PRIORITY = [
     "text_langid",
     "tfidf_top_terms",
     "top_event_users",
+    # -- below the 50-cut: the r2 leftovers, then the r4 trio —
+    #    round 10's fill leads here, then the r5 block --
     "view_purchase_attribution",
     "view_purchase_funnel",
     "text_langid_ngram",

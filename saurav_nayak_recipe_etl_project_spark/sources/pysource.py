@@ -61,11 +61,17 @@ class _ShardCommit(WriterCommitMessage):
         self.tmp_name = tmp_name
 
 
-def _stage_shard(path: str, fields, iterator) -> _ShardCommit:
+def _stage_shard(path: str, fields, iterator,
+                 writer_id: str) -> _ShardCommit:
     """Task side of both sinks: write this task's rows to a unique
-    `_tmp-*.jsonl`; empty tasks stage nothing."""
+    `_tmp-<writer_id>-*.jsonl`; empty tasks stage nothing. The
+    writer_id prefix (one uuid per writer instance, minted on the
+    driver and shipped with the pickled writer) namespaces staging so
+    a CONCURRENT job writing to the same directory can never have its
+    not-yet-committed files purged by this job's commit (round-8
+    advisory)."""
     os.makedirs(path, exist_ok=True)
-    tmp = f"_tmp-{uuid.uuid4().hex}.jsonl"
+    tmp = f"_tmp-{writer_id}-{uuid.uuid4().hex}.jsonl"
     full = os.path.join(path, tmp)
     wrote = False
     with open(full, "w", encoding="utf-8") as fh:
@@ -91,14 +97,21 @@ def _remove_staged(path: str, messages) -> None:
                 pass
 
 
-def _purge_tmp(path: str) -> None:
-    """Remove ALL remaining `_tmp-*` files — called after a commit's
-    renames, when every surviving `_tmp` is by elimination a dead
-    task attempt's orphan (Spark only commits once tasks finished; a
-    zombie speculative attempt may still hold an fd, but unlinking an
-    open file just discards data nobody references)."""
+def _purge_tmp(path: str, writer_id: str) -> None:
+    """Remove THIS WRITER'S remaining `_tmp-<writer_id>-*` files —
+    called after a commit's renames, when every surviving own-prefix
+    `_tmp` is by elimination a dead task attempt's orphan (Spark only
+    commits once tasks finished; a zombie speculative attempt may
+    still hold an fd, but unlinking an open file just discards data
+    nobody references). Other writers' staging is untouchable by
+    design (round-8 advisory: a blanket purge silently dropped a
+    concurrent appender's staged data). Orphans of a CRASHED writer
+    instance are merely disk litter — every reader skips `_`-prefixed
+    files — and are reclaimed by the next overwrite or an external
+    janitor."""
+    prefix = f"_tmp-{writer_id}-"
     for f in os.listdir(path):
-        if f.startswith("_tmp-") and f.endswith(".jsonl"):
+        if f.startswith(prefix) and f.endswith(".jsonl"):
             try:
                 os.remove(os.path.join(path, f))
             except FileNotFoundError:
@@ -156,11 +169,7 @@ class JsonlDocsReader(DataSourceReader):
 
     def partitions(self):
         names = os.listdir(self._path)
-        shards = sorted(
-            os.path.join(self._path, f)
-            for f in names
-            if f.endswith(".jsonl") and not f.startswith("_")
-        )
+        name_set = set(names)
         # enforce the writer's own contract: part-* files without the
         # _SUCCESS marker mean a batch commit died mid-swap — reading
         # the partial set silently would inflate or lose rows on the
@@ -168,12 +177,34 @@ class JsonlDocsReader(DataSourceReader):
         # per-batch _COMMITTED markers replace the job-level marker —
         # a tailing/bus directory legitimately has no _SUCCESS.)
         if any(f.startswith("part-") for f in names) \
-                and "_SUCCESS" not in names:
+                and "_SUCCESS" not in name_set:
             raise RuntimeError(
                 f"jsonl_docs: {self._path} has part-*.jsonl shards but "
                 "no _SUCCESS marker — a batch write crashed mid-commit; "
                 "rerun the write (overwrite) before reading"
             )
+
+        # batch-<id>-* shards are only visible once their
+        # _batch-<id>._COMMITTED marker exists (round-8 advisory):
+        # between the stream writer's first rename and its marker
+        # drop — a crash, or simply a commit in flight — the batch is
+        # partial, and skipping it gives this reader the consistent
+        # committed-prefix snapshot instead of a torn one. (The
+        # tailing STREAM reader is paced by its own offsets and never
+        # consulted markers; this closes the window for BATCH reads
+        # of a bus directory.)
+        def _committed(f: str) -> bool:
+            if not f.startswith("batch-"):
+                return True
+            bid = f[len("batch-"):].split("-", 1)[0]
+            return f"_batch-{bid}._COMMITTED" in name_set
+
+        shards = sorted(
+            os.path.join(self._path, f)
+            for f in names
+            if f.endswith(".jsonl") and not f.startswith("_")
+            and _committed(f)
+        )
         # one task per shard: scan parallelism == shard count
         return [InputPartition(s) for s in shards]
 
@@ -227,9 +258,15 @@ class JsonlDocsWriter(DataSourceWriter):
         if not self._path:
             raise ValueError("jsonl_docs requires .option('path', dir)")
         self._overwrite = overwrite
+        # one staging namespace per writer instance (= per job):
+        # pickled out to every task, so all of this job's _tmp files
+        # share it and commit/purge can't touch a concurrent job's
+        self._writer_id = uuid.uuid4().hex
 
     def write(self, iterator) -> _ShardCommit:
-        return _stage_shard(self._path, self._fields, iterator)
+        return _stage_shard(
+            self._path, self._fields, iterator, self._writer_id
+        )
 
     def commit(self, messages) -> None:
         staged = sorted(
@@ -264,8 +301,9 @@ class JsonlDocsWriter(DataSourceWriter):
                 os.path.join(self._path, tmp),
                 os.path.join(self._path, f"part-{base + i:05d}.jsonl"),
             )
-        # every _tmp still present is a dead task attempt's orphan
-        _purge_tmp(self._path)
+        # every own-prefix _tmp still present is a dead task
+        # attempt's orphan
+        _purge_tmp(self._path, self._writer_id)
         with open(os.path.join(self._path, "_SUCCESS"), "w"):
             pass
 
@@ -413,10 +451,12 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
       removed, staging renamed to deterministic
       `batch-<id>-part-<i>.jsonl` names, and the marker dropped
       last. Residual window, stated honestly: a crash between the
-      first rename and the marker leaves a partial batch a
-      downstream reader could consume before the replay repairs it —
-      closing it needs a manifest/directory swap, which plain
-      renamed files cannot express;
+      first rename and the marker leaves a partial batch visible to
+      a TAILING STREAM reader until the replay repairs it — closing
+      that needs a manifest/directory swap, which plain renamed
+      files cannot express. BATCH readers are no longer exposed:
+      JsonlDocsReader.partitions() skips batch-* shards whose
+      _COMMITTED marker is absent (round-8 advisory);
     - `abort` removes the staged files, leaving prior batches intact.
 
     Batch-prefixed names (10-digit zero-padded, monotone through
@@ -430,9 +470,13 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("jsonl_docs requires .option('path', dir)")
+        # per-query staging namespace (see JsonlDocsWriter)
+        self._writer_id = uuid.uuid4().hex
 
     def write(self, iterator) -> _ShardCommit:
-        return _stage_shard(self._path, self._fields, iterator)
+        return _stage_shard(
+            self._path, self._fields, iterator, self._writer_id
+        )
 
     def commit(self, messages, batchId: int) -> None:
         prefix = f"batch-{batchId:010d}-"
@@ -457,7 +501,7 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
                 os.path.join(self._path, tmp),
                 os.path.join(self._path, f"{prefix}part-{i:05d}.jsonl"),
             )
-        _purge_tmp(self._path)
+        _purge_tmp(self._path, self._writer_id)
         with open(marker, "w"):
             pass
 

@@ -1,13 +1,19 @@
 """Integer k-means: oracle equality, partition laws (sizes sum to the
 corpus, every cluster non-degenerate), inertia monotonicity across an
-extra Lloyd step, and cross-run determinism."""
+extra Lloyd step, cross-run determinism, and the r9 de-weak pins:
+Arrow-lane/explode-lane row parity and the no-explode plan shape of
+the default lane."""
 
 from __future__ import annotations
+
+import contextlib
+import io
 
 from tests.oracle import assert_matches_oracle
 
 from saurav_nayak_recipe_etl_project_spark.operators.kmeans import (
     KMEANS_K,
+    kmeans_arrow,
     kmeans_integer,
 )
 from saurav_nayak_recipe_etl_project_spark.registry import ORACLES, QUERIES
@@ -47,3 +53,31 @@ def test_kmeans_is_deterministic(spark, sf_dir):
     a = sorted(map(str, kmeans_integer(emb).collect()))
     b = sorted(map(str, kmeans_integer(emb).collect()))
     assert a == b
+
+
+def test_kmeans_arrow_lane_parity_with_explode_lane(spark, sf_dir):
+    """The r9 de-weak contract: the Arrow matmul lane must be
+    ROW-IDENTICAL to the integer explode lane (the oracle twin) —
+    same clusters, sizes, exact inertias, exact centroid norms —
+    including at a k/iters combination off the registered defaults."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    for k, iters in [(KMEANS_K, 2), (3, 1)]:
+        a = sorted(map(str, kmeans_arrow(emb, k=k, iters=iters).collect()))
+        e = sorted(map(str, kmeans_integer(emb, k=k, iters=iters).collect()))
+        assert a == e, (k, iters)
+
+
+def test_kmeans_default_lane_has_no_explode_join(spark, sf_dir):
+    """Plan pin for the de-weak: the registered entry's plan must be
+    the matmul shape — no (vector, dim) posexplode anywhere (the
+    n·K·d fan-out lives only in the oracle twin) and the Arrow pass
+    present. The small K-row norms join may broadcast; nothing else
+    is join-shaped."""
+    df = QUERIES["embedding_kmeans"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "posexplode" not in p.lower(), p[:1200]
+    assert "MapInPandas" in p, p[:1200]
+    assert "CartesianProduct" not in p

@@ -91,6 +91,10 @@ def _window_arg_groups(plan: str) -> list:
         "part_revenue_pareto",
         "part_abc_classification",
         "bm25_search",
+        # round-9: the K-M n-at-risk reverse cumsum moved onto fixed
+        # 4096-second bands — the last constant-but-600K-row global
+        # window is gone
+        "km_risk_table",
     ],
 )
 def test_no_single_partition_windows(spark, sf_dir, name):

@@ -281,3 +281,59 @@ def test_jsonl_append_continues_numbering(spark, sf_dir, tmp_path):
     back = spark.read.format("jsonl_docs").option("path", out).load()
     assert back.count() == 50
     assert back.select("doc_id").distinct().count() == 50
+
+
+def test_jsonl_commit_preserves_concurrent_writers_staging(
+        spark, sf_dir, tmp_path):
+    """Round-8 advisory: a commit may purge only its OWN writer-id
+    staging prefix — a concurrent job's staged (not yet committed)
+    `_tmp-*` files in the same directory must survive."""
+    register(spark)
+    out = str(tmp_path / "shared")
+    os.makedirs(out)
+    foreign = os.path.join(out, "_tmp-feedfacefeedface-aaaa.jsonl")
+    with open(foreign, "w") as fh:
+        fh.write('{"doc_id": 999}\n')
+    docs = load_table(spark, "documents", sf_dir).limit(10)
+    (docs.write.format("jsonl_docs")
+     .option("path", out).mode("overwrite").save())
+    assert os.path.exists(foreign), \
+        "commit purged a concurrent writer's staged file"
+    # and the foreign staging is invisible to readers (underscore
+    # prefix), so the committed view is unaffected
+    back = spark.read.format("jsonl_docs").option("path", out).load()
+    assert back.count() == 10
+
+
+def test_jsonl_batch_reader_skips_uncommitted_batch_shards(
+        spark, sf_dir, tmp_path):
+    """Round-8 advisory: batch-<id>-* shards from the streaming sink
+    are visible to BATCH reads only once their _batch-<id>._COMMITTED
+    marker exists — a crash mid-commit (file renamed, marker not yet
+    dropped) must yield the committed-prefix snapshot, not a torn
+    one."""
+    register(spark)
+    out = str(tmp_path / "bus")
+    os.makedirs(out)
+
+    def shard(name, ids):
+        with open(os.path.join(out, name), "w") as fh:
+            for i in ids:
+                fh.write(
+                    '{"doc_id": %d, "text": "t", "lang": "en",'
+                    ' "source": "s", "n_chars": 1}\n' % i
+                )
+
+    shard("batch-0000000000-part-00000.jsonl", [1, 2])
+    with open(os.path.join(out, "_batch-0000000000._COMMITTED"), "w"):
+        pass
+    # batch 1: renamed but its marker never landed (crash window)
+    shard("batch-0000000001-part-00000.jsonl", [3, 4])
+    back = spark.read.format("jsonl_docs").option("path", out).load()
+    ids = sorted(r["doc_id"] for r in back.collect())
+    assert ids == [1, 2], ids
+    # once the marker lands (replay repaired the batch), rows appear
+    with open(os.path.join(out, "_batch-0000000001._COMMITTED"), "w"):
+        pass
+    back2 = spark.read.format("jsonl_docs").option("path", out).load()
+    assert sorted(r["doc_id"] for r in back2.collect()) == [1, 2, 3, 4]

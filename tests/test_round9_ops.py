@@ -1,0 +1,92 @@
+"""Round-9 pins: the approx table profile (oracle match, the
+no-Expand plan contract that is its whole reason to exist, and gate
+honesty), plus the NULL-preservation law of pseudonymize() from the
+round-8 advisory.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from tests.oracle import assert_matches_oracle
+
+from saurav_nayak_recipe_etl_project_spark.registry import ORACLES, QUERIES
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_table_profile_approx_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        QUERIES["table_profile_lineitem_approx"](spark, sf_dir),
+        ORACLES["table_profile_lineitem_approx"], sf_dir,
+    )
+
+
+def test_table_profile_approx_production_plan_has_no_expand(spark, sf_dir):
+    """The point of the approx profile: sketches merge as a plain
+    partial/final aggregate, so the ungated (production) plan must
+    carry NO Expand node — while the exact profile's plan must (its
+    documented fan-out-11 cost). The gated verification entry
+    legitimately keeps the Expand (it computes the exact distincts to
+    assert the sketch bounds)."""
+    from saurav_nayak_recipe_etl_project_spark.plans.profiling import (
+        table_profile_approx,
+    )
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    assert "Expand" not in _plan(table_profile_approx(li, gate=False))
+    assert "Expand" in _plan(QUERIES["table_profile_lineitem"](spark, sf_dir))
+
+
+def test_table_profile_approx_gate_trips_on_broken_sketch(spark, sf_dir):
+    """Gate honesty: every registered row reports distinct_ok=True on
+    real data, and the ungated approx values actually track the exact
+    profile within the asserted band (so the boolean isn't vacuous)."""
+    from saurav_nayak_recipe_etl_project_spark.plans.profiling import (
+        ADC_TOL,
+        table_profile_approx,
+    )
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = QUERIES["table_profile_lineitem_approx"](spark, sf_dir).collect()
+    assert rows and all(r["distinct_ok"] for r in rows)
+    li = load_table(spark, "lineitem", sf_dir)
+    approx = {
+        r["col_name"]: r["approx_distinct"]
+        for r in table_profile_approx(li, gate=False).collect()
+    }
+    exact = {
+        r["col_name"]: r["n_distinct"]
+        for r in QUERIES["table_profile_lineitem"](spark, sf_dir).collect()
+    }
+    for col, ex in exact.items():
+        assert abs(approx[col] - ex) <= max(1.0, ex * ADC_TOL), col
+
+
+def test_pseudonymize_preserves_nulls(spark):
+    """Round-8 advisory: a NULL identifier must stay NULL through
+    pseudonymization — concat_ws would otherwise collapse every NULL
+    to sha2(secret) and NULL keys would start joining each other."""
+    from saurav_nayak_recipe_etl_project_spark.operators.privacy import (
+        pseudonymize,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None)], "id int, k string"
+    )
+    out = {r["id"]: r["k"] for r in pseudonymize(df, ["k"]).collect()}
+    assert out[2] is None and out[3] is None
+    assert out[1] is not None and len(out[1]) == 64
+    # and the null-count is unchanged (no token materialized)
+    assert pseudonymize(df, ["k"]).where("k IS NULL").count() == 2
