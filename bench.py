@@ -285,13 +285,57 @@ HEADLINE = [
     "session_concurrency_peak",
     "rrf_hybrid_search",
     "part_name_entity_resolution",
-    # and the distributed-ML shapes: the integer Lloyd's loop (n*K*d
-    # explode per iteration), the X^T X block aggregation, and the
+    # and the distributed-ML shapes: the Lloyd's loop (Arrow matmul
+    # assignment since round 9), the X^T X block aggregation, and the
     # four-pass truncation-recall harness.
     "embedding_kmeans",
     "embedding_gram_matrix",
     "ann_matryoshka_recall",
+    # round-9 additions (the remaining NOTES r9 headline candidates):
+    # the banded day-split sweep over sessions and the calendar-frame
+    # autocorrelation rollup.
+    "session_daily_load",
+    "daily_event_acf",
 ]
+
+# ann_recall_at_k runs FIVE ANN paths + the exact oracle inside one
+# entry, so its single timing can't attribute a regression to a
+# method. The detail artifact therefore also records each path timed
+# ALONE (same noop materialization; not added to the headline total —
+# the harness entry already contains this work).
+_ANN_METHODS = {
+    "exact": "cosine_topk",
+    "lsh_bucketed": "lsh_bucketed_topk",
+    "ivf": "ivf_topk",
+    "pq": "pq_topk",
+    "ivfpq": "ivfpq_topk",
+    "hnsw": "hnsw_topk",
+}
+
+
+def bench_ann_methods(spark, sf_dir: str, n_iter: int = 2) -> dict:
+    import importlib
+
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    sim = importlib.import_module(
+        "saurav_nayak_recipe_etl_project_spark.operators.similarity"
+    )
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = {}
+    for label, fn_name in _ANN_METHODS.items():
+        fn = getattr(sim, fn_name)
+        runs = []
+        for _ in range(n_iter):
+            t0 = time.perf_counter()
+            fn(emb).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        out[label] = round(min(runs), 3)
+        print(f"# ann_method {label}: min {out[label]:.3f}s",
+              file=sys.stderr)
+    return out
 
 
 def main() -> None:
@@ -406,6 +450,31 @@ def main() -> None:
             "excluded": _10X_EXCLUDED,
             "load_avg_start": round(os.getloadavg()[0], 2),
         }
+
+    # Per-method ANN attribution for the detail artifact (round-8
+    # verdict ask): times each path of the ann_recall_at_k harness
+    # alone so a single method's regression is attributable.
+    result["ann_methods"] = bench_ann_methods(spark, sf_dir)
+
+    # Cumulative per-query trend (round-8 verdict ask): one JSONL row
+    # per canonical run, so a slow 1.3x creep on ONE query is visible
+    # against round noise. Only the canonical sf0.1 configuration
+    # appends (local sf0.001/0.01 iteration loops would bloat the
+    # file); load_avg rides along so noisy rows self-identify.
+    if sf == "0.1":
+        trend_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "bench_trend.jsonl",
+        )
+        with open(trend_path, "a") as f:
+            f.write(json.dumps({
+                "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                "round": os.environ.get("SPARK_GRAFT_ROUND"),
+                "sf": result["sf"],
+                "value": result["value"],
+                "load_avg_start": result["conditions"]["load_avg_start"],
+                "queries": timings,
+            }, separators=(",", ":")) + "\n")
 
     # The driver records only the LAST 2000 CHARS of stdout and parses
     # the JSON line from it — round 5's full line blew that limit and

@@ -1,0 +1,166 @@
+"""Corpus provenance audits over the near-duplicate pair set: which
+SOURCES mirror each other, and how much near-duplicate content LEAKS
+across train/val/test splits.
+
+Two facts make these audits necessary at 100 TB:
+
+- Web-scale sources syndicate each other; a per-source dedup budget
+  or a source-mixing weight (rebalance_sources) computed without the
+  cross-source duplication matrix double-counts mirrored content.
+- A content-keyed split (plans/advanced.py split_assignment) provably
+  sends EXACT duplicates to one split, but NEAR-duplicates (the
+  paraphrase/boilerplate-variant class) still straddle the boundary —
+  the leakage every eval-contamination postmortem rediscovers. The
+  split_leakage matrix is the audit that quantifies it BEFORE
+  training.
+
+Both audits reuse the production two-stage pair generator
+(operators/dedup.py lsh_verified_pairs: LSH band candidates → exact
+Jaccard verify), so the pair set is output-proportional — no all-pairs
+shape. The label joins shuffle only the (small) pair set against the
+doc-sized label frame, and the final rollup is label-cardinality
+bounded (#sources² / 6 split pairs). Per-pair Jaccards are summed as
+micro-ints (each ROUND(j,6) double is bit-identical cross-engine —
+IEEE division of exact ints — but a float SUM is order-dependent, so
+the sum is taken over exact integers instead).
+
+Oracles run the UNBLOCKED exact tau=0.5 pair form (the
+dedup_lsh_verified oracle's CTE) + the label join in DuckDB, so
+hash-equality re-proves banding losslessness through the rollup.
+
+Reference scope: the reference has no dedup surface at all (it loads
+Firestore documents as-is); these extend the mandated
+training-data-pipeline suite (SURVEY §2 F).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from saurav_nayak_recipe_etl_project_spark.operators.dedup import (
+    lsh_verified_pairs,
+)
+from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+
+# Same split rule as plans/advanced.py split_assignment (md5-hex
+# ranges, 75/12.5/12.5) — duplicated as an expression so this module
+# and its oracle stay in lockstep with that entry's contract.
+_SPLIT = (
+    "CASE WHEN md5(text) < 'c' THEN 'train' "
+    "WHEN md5(text) < 'e' THEN 'val' ELSE 'test' END"
+)
+
+
+def pair_label_matrix(pairs: DataFrame, labels: DataFrame,
+                      label_col: str) -> DataFrame:
+    """Roll a (doc_a, doc_b, jaccard) pair set up to an unordered
+    label-pair matrix: n_pairs and the exact micro-int Jaccard sum
+    per (label_a <= label_b) cell."""
+    la = labels.select(
+        F.col("doc_id").alias("doc_a"), F.col(label_col).alias("_la")
+    )
+    lb = labels.select(
+        F.col("doc_id").alias("doc_b"), F.col(label_col).alias("_lb")
+    )
+    return (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .groupBy(
+            F.least("_la", "_lb").alias(f"{label_col}_a"),
+            F.greatest("_la", "_lb").alias(f"{label_col}_b"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.round(F.col("jaccard") * 1000000).cast("long"))
+            .alias("jacc_micro_sum"),
+        )
+    )
+
+
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplication matrix: for each unordered source
+    pair, how many verified near-dup pairs (tau=0.5) connect them and
+    the summed similarity mass — the input to any syndication-aware
+    dedup budget or source-mixing correction."""
+    docs = load_table(spark, "documents", sf_dir)
+    return pair_label_matrix(
+        lsh_verified_pairs(docs), docs.select("doc_id", "source"), "source"
+    )
+
+
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test near-dup leakage matrix. Diagonal cells
+    (split_a = split_b) are benign duplication inside one split;
+    off-diagonal cells are LEAKAGE — near-duplicate content the
+    content-keyed split could not co-locate because the texts differ.
+    Exact duplicates never appear off-diagonal by construction (same
+    text ⇒ same md5 ⇒ same split), so every off-diagonal pair is a
+    genuine paraphrase-class leak."""
+    docs = load_table(spark, "documents", sf_dir)
+    labels = docs.select("doc_id", F.expr(_SPLIT).alias("split"))
+    return pair_label_matrix(lsh_verified_pairs(docs), labels, "split")
+
+
+# The exact un-pruned tau=0.5 pair CTE (operators/dedup.py
+# dedup_lsh_verified oracle) + label join. Kept textually local so a
+# change to either side is a conscious contract change.
+_PAIR_CTE = r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(toks) >= 3 THEN list_distinct(
+          list_transform(generate_series(1, len(toks) - 2),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        ELSE [] END) AS shingle
+      FROM t
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b,
+             ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    )
+"""
+
+
+def _matrix_oracle(label_select: str, label_col: str) -> str:
+    return f"""{_PAIR_CTE},
+    lab AS (SELECT doc_id, {label_select} AS lbl FROM documents),
+    j AS (
+      SELECT least(la.lbl, lb.lbl) AS {label_col}_a,
+             greatest(la.lbl, lb.lbl) AS {label_col}_b,
+             jaccard
+      FROM pairs
+      JOIN lab la ON la.doc_id = doc_a
+      JOIN lab lb ON lb.doc_id = doc_b
+    )
+    SELECT {label_col}_a, {label_col}_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CAST(ROUND(jaccard * 1000000) AS BIGINT)) AS BIGINT)
+             AS jacc_micro_sum
+    FROM j GROUP BY {label_col}_a, {label_col}_b
+    """
+
+
+CORPUS_AUDIT_QUERIES = {
+    "dedup_source_matrix": dedup_source_matrix,
+    "split_leakage": split_leakage,
+}
+
+CORPUS_AUDIT_ORACLES = {
+    "dedup_source_matrix": _matrix_oracle("source", "source"),
+    "split_leakage": _matrix_oracle(_SPLIT, "split"),
+}

@@ -35,6 +35,7 @@ def _load_optional() -> None:
         ("saurav_nayak_recipe_etl_project_spark.operators.validation", "VALIDATION_QUERIES", "VALIDATION_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.operators.dedup", "DEDUP_QUERIES", "DEDUP_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.operators.linedup", "LINEDUP_QUERIES", "LINEDUP_ORACLES"),
+        ("saurav_nayak_recipe_etl_project_spark.operators.corpus_audit", "CORPUS_AUDIT_QUERIES", "CORPUS_AUDIT_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.operators.similarity", "SIMILARITY_QUERIES", "SIMILARITY_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.operators.text", "TEXT_QUERIES", "TEXT_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.operators.multimodal", "MULTIMODAL_QUERIES", "MULTIMODAL_ORACLES"),
@@ -161,12 +162,17 @@ _DRIVER_PRIORITY = [
     "tfidf_top_terms",
     "top_event_users",
     # -- below the 50-cut: the r2 leftovers, then the r4 trio —
-    #    round 10's fill leads here, then the r5 block --
+    #    round 10's fill leads here, then the r5 block. New round-9
+    #    entries born AFTER the window was composed sit below the cut
+    #    too (the r8c precedent: verified at 3 SFs + NY locally at
+    #    birth; the stale entries carry more drift exposure) --
     "view_purchase_attribution",
     "view_purchase_funnel",
     "text_langid_ngram",
     "text_quality",
     "text_token_count",
+    "dedup_source_matrix",
+    "split_leakage",
 ]
 
 

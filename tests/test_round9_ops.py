@@ -90,3 +90,55 @@ def test_pseudonymize_preserves_nulls(spark):
     assert out[1] is not None and len(out[1]) == 64
     # and the null-count is unchanged (no token materialized)
     assert pseudonymize(df, ["k"]).where("k IS NULL").count() == 2
+
+
+def test_corpus_audit_matrices_match_oracles(spark, sf_dir):
+    for name in ["dedup_source_matrix", "split_leakage"]:
+        assert_matches_oracle(QUERIES[name](spark, sf_dir),
+                              ORACLES[name], sf_dir)
+
+
+def test_corpus_audit_matrices_conserve_the_pair_set(spark, sf_dir):
+    """Both matrices are rollups of the SAME verified pair set, so
+    their n_pairs totals must equal the pair count exactly — a lost
+    or double-counted pair (e.g. a least/greatest mix-up) breaks
+    conservation before it breaks the oracle hash."""
+    from saurav_nayak_recipe_etl_project_spark.operators.dedup import (
+        lsh_verified_pairs,
+    )
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    n = lsh_verified_pairs(load_table(spark, "documents", sf_dir)).count()
+    for name in ["dedup_source_matrix", "split_leakage"]:
+        rows = QUERIES[name](spark, sf_dir).collect()
+        assert sum(r["n_pairs"] for r in rows) == n, name
+        # unordered cells: every (a, b) has a <= b and appears once
+        cells = [(r[0], r[1]) for r in rows]
+        assert all(a <= b for a, b in cells)
+        assert len(cells) == len(set(cells))
+
+
+def test_split_leakage_diagonal_is_split_pure(spark, sf_dir):
+    """Exact duplicates can never leak across splits (same text ->
+    same md5 -> same split): every exact-duplicate group must map to
+    exactly one split label."""
+    from pyspark.sql import functions as F
+
+    from saurav_nayak_recipe_etl_project_spark.operators.corpus_audit import (
+        _SPLIT,
+    )
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    bad = (
+        docs.select(F.md5("text").alias("h"), F.expr(_SPLIT).alias("s"))
+        .groupBy("h")
+        .agg(F.countDistinct("s").alias("ns"))
+        .where("ns > 1")
+        .count()
+    )
+    assert bad == 0
