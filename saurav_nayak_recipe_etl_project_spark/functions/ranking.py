@@ -71,8 +71,11 @@ def with_global_rank(
     exchange-shaped (e.g. a mapInPandas source the optimizer can't
     common out); profile before flipping it.
 
-    ``cumsum_of`` (a column name in ``df``) additionally emits
-    ``cumsum_col`` = the exact running sum of that column over the
+    ``cumsum_of`` (a column name in ``df``, or a LIST of names — all
+    riding the same aggregation, offsets, and join) additionally emits
+    ``cumsum_col`` (resp. one output per name: an explicit list, or
+    ``{col}_{cumsum_col}`` when ``cumsum_col`` stays a string) = the
+    exact running sum of that column over the
     same global order — the Pareto / coverage-curve frame — via the
     identical two-pass shape: per-bucket window running sum plus the
     broadcast sum of all earlier buckets. No extra shuffle: the
@@ -95,20 +98,36 @@ def with_global_rank(
     )
     if materialize:
         d = d.localCheckpoint(eager=False)
+    # cumsum_of accepts one column name or a list; a list rides the
+    # SAME count aggregation and offset join (no extra shuffle per
+    # column), which is what the two-sample statistics need (both
+    # groups' cumulative counts over one shared value order).
+    if cumsum_of is None:
+        cs_cols, cs_names = [], []
+    elif isinstance(cumsum_of, str):
+        cs_cols, cs_names = [cumsum_of], [cumsum_col]
+    else:
+        cs_cols = list(cumsum_of)
+        cs_names = (
+            list(cumsum_col)
+            if not isinstance(cumsum_col, str)
+            else [f"{c}_{cumsum_col}" for c in cs_cols]
+        )
     aggs = [F.count("*").alias("_rk_c")]
-    if cumsum_of is not None:
-        aggs.append(F.sum(cumsum_of).alias("_rk_s"))
+    for i, c in enumerate(cs_cols):
+        aggs.append(F.sum(c).alias(f"_rk_s{i}"))
     cnts = d.groupBy(_BUCKET).agg(*aggs)
     lo_cols = [
         F.col(_BUCKET).alias("_rk_b_lo"), F.col("_rk_c").alias("_rk_c_lo")
     ]
-    if cumsum_of is not None:
-        lo_cols.append(F.col("_rk_s").alias("_rk_s_lo"))
+    for i in range(len(cs_cols)):
+        lo_cols.append(F.col(f"_rk_s{i}").alias(f"_rk_s{i}_lo"))
     lo = cnts.select(*lo_cols)
     off_aggs = [F.coalesce(F.sum("_rk_c_lo"), F.lit(0)).alias(_OFFSET)]
-    if cumsum_of is not None:
+    for i in range(len(cs_cols)):
         off_aggs.append(
-            F.coalesce(F.sum("_rk_s_lo"), F.lit(0)).alias(_SUMOFF)
+            F.coalesce(F.sum(f"_rk_s{i}_lo"), F.lit(0))
+            .alias(f"{_SUMOFF}{i}")
         )
     offs = (
         cnts.join(
@@ -125,14 +144,14 @@ def with_global_rank(
             (F.row_number().over(w).cast("long") + F.col(_OFFSET)),
         )
     )
-    if cumsum_of is not None:
+    for i, (c, name) in enumerate(zip(cs_cols, cs_names)):
         out = out.withColumn(
-            cumsum_col,
-            F.sum(cumsum_of).over(
+            name,
+            F.sum(c).over(
                 w.rowsBetween(Window.unboundedPreceding, 0)
             )
-            + F.col(_SUMOFF),
-        ).drop(_SUMOFF)
+            + F.col(f"{_SUMOFF}{i}"),
+        ).drop(f"{_SUMOFF}{i}")
     return out.drop(_BUCKET, _OFFSET)
 
 

@@ -95,6 +95,11 @@ def _window_arg_groups(plan: str) -> list:
         # 4096-second bands — the last constant-but-600K-row global
         # window is gone
         "km_risk_table",
+        # round-9: the two-sample CDF statistics — their cumulative
+        # counts over the distinct-value frame must stay on the
+        # banded lane, never a global ORDER BY (value) window
+        "order_value_ks_test",
+        "priority_value_mannwhitney",
     ],
 )
 def test_no_single_partition_windows(spark, sf_dir, name):

@@ -101,6 +101,30 @@ def test_global_rank_cumsum_matches_window(spark):
     assert j.count() == len(rows)
 
 
+def test_global_rank_multi_cumsum_matches_two_windows(spark):
+    """The list form of cumsum_of (the two-sample-statistics lane)
+    must equal per-column running SUMs over the same global order —
+    both columns riding one aggregation, so the two outputs can never
+    disagree on the order they cumulate over."""
+    rows = [((v * 13) % 37, v, (v * 7) % 11) for v in range(250)]
+    df = spark.createDataFrame(rows, "v long, id long, u long")
+    got = with_global_rank(
+        df, ["v", "id"], bucket=F.floor(F.col("v") / F.lit(6)),
+        cumsum_of=["v", "u"], cumsum_col=["cv", "cu"],
+    )
+    w = Window.orderBy("v", "id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = df.withColumn("wv", F.sum("v").over(w)).withColumn(
+        "wu", F.sum("u").over(w)
+    )
+    j = got.join(want, ["v", "id", "u"])
+    assert j.where(
+        (F.col("cv") != F.col("wv")) | (F.col("cu") != F.col("wu"))
+    ).count() == 0
+    assert j.count() == len(rows)
+
+
 @pytest.mark.parametrize(
     "lo,hi",
     [

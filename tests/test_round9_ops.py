@@ -142,3 +142,77 @@ def test_split_leakage_diagonal_is_split_pure(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_twosample_entries_match_oracles(spark, sf_dir):
+    for name in ["order_value_ks_test", "priority_value_mannwhitney"]:
+        assert_matches_oracle(QUERIES[name](spark, sf_dir),
+                              ORACLES[name], sf_dir)
+
+
+def test_ks_matches_brute_force_and_bounds(spark, sf_dir):
+    """KS D from the banded lane must equal a driver-side brute-force
+    over the collected values (small at test SF), and D is a CDF gap,
+    so ks_d_micro must sit in [0, 1e6]."""
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    row = QUERIES["order_value_ks_test"](spark, sf_dir).collect()[0]
+    assert 0 <= row["ks_d_micro"] <= 1_000_000
+    vals = (
+        load_table(spark, "orders", sf_dir)
+        .where("o_orderstatus IN ('F', 'O')")
+        .selectExpr(
+            "cast(round(o_totalprice * 100) as bigint) c", "o_orderstatus s"
+        )
+        .collect()
+    )
+    f = sorted(v["c"] for v in vals if v["s"] == "F")
+    o = sorted(v["c"] for v in vals if v["s"] == "O")
+    import bisect
+
+    best = 0
+    for c in sorted(set(f) | set(o)):
+        d = abs(
+            bisect.bisect_right(f, c) * len(o)
+            - bisect.bisect_right(o, c) * len(f)
+        )
+        best = max(best, d)
+    assert row["ks_d_micro"] == best * 1_000_000 // (len(f) * len(o))
+    assert row["n_f"] == len(f) and row["n_o"] == len(o)
+
+
+def test_mannwhitney_matches_brute_force_midranks(spark, sf_dir):
+    """The doubled rank-sum lane must reproduce the classic midrank
+    computation exactly, and AUC must respect U1 + U2 = n1*n2 (the
+    complement law) within the shared floor division."""
+    from collections import Counter
+
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    row = QUERIES["priority_value_mannwhitney"](spark, sf_dir).collect()[0]
+    assert 0 <= row["auc_micro"] <= 1_000_000 and row["z2_micro"] >= 0
+    vals = (
+        load_table(spark, "orders", sf_dir)
+        .selectExpr(
+            "cast(round(o_totalprice * 100) as bigint) c",
+            "o_orderpriority in ('1-URGENT', '2-HIGH') u",
+        )
+        .collect()
+    )
+    cnt = Counter(v["c"] for v in vals)
+    # doubled midrank per value: 2*(count of smaller) + count(v) + 1
+    seen = 0
+    mid_x2 = {}
+    for c in sorted(cnt):
+        mid_x2[c] = 2 * seen + cnt[c] + 1
+        seen += cnt[c]
+    n1 = sum(1 for v in vals if v["u"])
+    n2 = len(vals) - n1
+    r1_x2 = sum(mid_x2[v["c"]] for v in vals if v["u"])
+    u1_x2 = r1_x2 - n1 * (n1 + 1)
+    assert row["n_urgent"] == n1 and row["n_other"] == n2
+    assert row["auc_micro"] == u1_x2 * 1_000_000 // (2 * n1 * n2)
