@@ -362,6 +362,67 @@ def priority_status_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def segment_priority_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between customer market segment
+    and order priority — the information-theoretic sibling of the
+    chi-square crosstab above: chi2 says WHETHER the two columns
+    associate; the per-cell PMI says WHERE (which segment over/under-
+    orders which priority) in interpretable nats, and the mi_term
+    column sums to the total mutual information.
+
+    Exactness: pmi = ln(o*N) - ln(r*c) — ln of INTEGER arguments only
+    (the source_js_divergence discipline: each ln arg is an exact
+    DECIMAL(38,0) product, micro-rounded once per cell in a
+    25-row-bounded frame). mi_term_nano = o * pmi_micro * 1000 DIV N
+    (nano-nats, truncating division shared by both engines; negative
+    PMI truncates toward zero identically — the Theil-Sen-verified
+    behavior).
+
+    Plan: one orders-x-customer key join (segment rides the customer
+    row; no broadcast assumption — AQE picks the strategy, and at
+    100 TB this is a plain co-partitioned shuffle join), a
+    (segment, priority) count shuffle, then broadcast margins — the
+    chi2 plan with one extra dim join."""
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    cell = (
+        orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        )
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").alias("o"))
+    )
+    rt = cell.groupBy("c_mktsegment").agg(F.sum("o").alias("rt"))
+    ct = cell.groupBy("o_orderpriority").agg(F.sum("o").alias("ct"))
+    n = cell.agg(F.sum("o").alias("n"))
+
+    def _lnmu(expr: str) -> str:
+        return (f"cast(round(ln(cast({expr} as double)) * 1000000)"
+                " as bigint)")
+
+    big = "CAST({} AS DECIMAL(38,0))"
+    return (
+        cell.join(F.broadcast(rt), "c_mktsegment")
+        .join(F.broadcast(ct), "o_orderpriority")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "pmi_micro",
+            F.expr(_lnmu(f"{big.format('o')} * n"))
+            - F.expr(_lnmu(f"{big.format('rt')} * ct")),
+        )
+        .select(
+            "c_mktsegment",
+            "o_orderpriority",
+            "o",
+            "pmi_micro",
+            F.expr(
+                f"CAST({big.format('o')} * pmi_micro * 1000 DIV n"
+                " AS BIGINT)"
+            ).alias("mi_term_nano"),
+        )
+    )
+
+
 def event_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust (MAD) anomaly detection — the median-based twin of the
     z-score monitor (plans/advanced.event_anomalies). Mean/stddev are
@@ -1421,6 +1482,7 @@ RELATIONAL_EXT_QUERIES = {
     "customer_rfm": customer_rfm,
     "order_value_trimmed_mean": order_value_trimmed_mean,
     "priority_status_chi2": priority_status_chi2,
+    "segment_priority_pmi": segment_priority_pmi,
 }
 
 RELATIONAL_EXT_ORACLES = {
@@ -1771,6 +1833,37 @@ RELATIONAL_EXT_ORACLES = {
         FROM ranked
         WHERE rn > n // 20 AND rn <= n - n // 20
         GROUP BY o_orderpriority
+    """,
+    "segment_priority_pmi": """
+        WITH cell AS (
+          SELECT c_mktsegment, o_orderpriority, COUNT(*) AS o
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment, o_orderpriority
+        ),
+        rt AS (
+          SELECT c_mktsegment, SUM(o) AS rt FROM cell
+          GROUP BY c_mktsegment
+        ),
+        ct AS (
+          SELECT o_orderpriority, SUM(o) AS ct FROM cell
+          GROUP BY o_orderpriority
+        ),
+        n AS (SELECT SUM(o) AS n FROM cell)
+        SELECT c_mktsegment, o_orderpriority, o,
+          CAST(round(ln(CAST(CAST(o AS HUGEINT) * n AS DOUBLE))
+               * 1000000) AS BIGINT)
+          - CAST(round(ln(CAST(CAST(rt AS HUGEINT) * ct AS DOUBLE))
+               * 1000000) AS BIGINT) AS pmi_micro,
+          CAST(CAST(o AS HUGEINT)
+               * (CAST(round(ln(CAST(CAST(o AS HUGEINT) * n AS DOUBLE))
+                    * 1000000) AS BIGINT)
+                  - CAST(round(ln(CAST(CAST(rt AS HUGEINT) * ct
+                    AS DOUBLE)) * 1000000) AS BIGINT))
+               * 1000 // n AS BIGINT) AS mi_term_nano
+        FROM cell
+        JOIN rt USING (c_mktsegment)
+        JOIN ct USING (o_orderpriority)
+        CROSS JOIN n
     """,
     "priority_status_chi2": """
         WITH cell AS (

@@ -176,6 +176,7 @@ _DRIVER_PRIORITY = [
     "split_leakage",
     "order_value_ks_test",
     "priority_value_mannwhitney",
+    "segment_priority_pmi",
 ]
 
 

@@ -216,3 +216,30 @@ def test_mannwhitney_matches_brute_force_midranks(spark, sf_dir):
     u1_x2 = r1_x2 - n1 * (n1 + 1)
     assert row["n_urgent"] == n1 and row["n_other"] == n2
     assert row["auc_micro"] == u1_x2 * 1_000_000 // (2 * n1 * n2)
+
+
+def test_pmi_matches_oracle_and_brute_force(spark, sf_dir):
+    """Oracle hash plus an independent Python recomputation of every
+    cell's PMI from the counts — guards against Spark and DuckDB
+    sharing a same-wrong formula. Cell count is the 5x5 catalog
+    product; row margins must reproduce N."""
+    import math
+
+    assert_matches_oracle(QUERIES["segment_priority_pmi"](spark, sf_dir),
+                          ORACLES["segment_priority_pmi"], sf_dir)
+    rows = QUERIES["segment_priority_pmi"](spark, sf_dir).collect()
+    assert len(rows) == 25
+    n = sum(r["o"] for r in rows)
+    rt = {}
+    ct = {}
+    for r in rows:
+        rt[r["c_mktsegment"]] = rt.get(r["c_mktsegment"], 0) + r["o"]
+        ct[r["o_orderpriority"]] = ct.get(r["o_orderpriority"], 0) + r["o"]
+    for r in rows:
+        want = round(math.log(r["o"] * n) * 1e6) - round(
+            math.log(rt[r["c_mktsegment"]] * ct[r["o_orderpriority"]]) * 1e6
+        )
+        assert r["pmi_micro"] == want, (r, want)
+        term = r["o"] * r["pmi_micro"] * 1000
+        want_term = term // n if term >= 0 else -((-term) // n)
+        assert r["mi_term_nano"] == want_term
