@@ -38,7 +38,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from saurav_nayak_recipe_etl_project_spark.functions.text_fn import tokens
 from saurav_nayak_recipe_etl_project_spark.operators.dedup import (
+    dup_clusters,
     lsh_verified_pairs,
 )
 from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
@@ -102,6 +104,77 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_label_matrix(lsh_verified_pairs(docs), labels, "split")
 
 
+def split_leakage_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION the split_leakage audit calls for: any near-dup
+    CLUSTER that spans more than one split is reassigned wholesale to
+    'train' (quarantining leaked content on the training side keeps
+    val/test clean without discarding data). Component-level — not
+    pair-level — reassignment is what makes the repair a FIXPOINT:
+    moving single pair endpoints can create new cross-split pairs
+    against their remaining neighbors; moving whole components cannot
+    (post-repair zero-off-diagonal law pinned in tests).
+
+    Output is the bounded MOVED set only (doc_id, old_split,
+    new_split) — the patch a pipeline applies, not a corpus copy."""
+    docs = load_table(spark, "documents", sf_dir)
+    lab = dup_clusters(docs).join(
+        docs.select("doc_id", F.expr(_SPLIT).alias("old_split")), "doc_id"
+    )
+    mixed = (
+        lab.groupBy("cluster_id")
+        .agg(F.countDistinct("old_split").alias("ns"))
+        .where("ns > 1")
+        .select("cluster_id")
+    )
+    return (
+        lab.join(mixed, "cluster_id")
+        .where(F.col("old_split") != F.lit("train"))
+        .select(
+            "doc_id", "old_split", F.lit("train").alias("new_split")
+        )
+    )
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster canonicalization: per transitive duplicate
+    cluster keep the LONGEST document (max token count, min doc_id on
+    ties — the keep-longest policy near-dedup pipelines default to,
+    since the longest variant usually supersets its near-copies;
+    documents_deduped's exact-dup keeper can't do this because exact
+    copies have equal length). Integer keys only — a float
+    quality-score argmax would hinge cross-engine on last-bit float
+    order.
+
+    Plan: cluster labels from the sub-quadratic pair path, one token
+    count per doc riding the scan, keeper = max(struct(n_tokens,
+    -doc_id)) per cluster (map-side combined), broadcast-joined back.
+    Output is the full doc -> keeper mapping with a keep flag."""
+    docs = load_table(spark, "documents", sf_dir)
+    lab = dup_clusters(docs).join(
+        docs.select(
+            "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+        ),
+        "doc_id",
+    )
+    keeper = (
+        lab.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_tokens"), (-F.col("doc_id")).alias("neg_id")
+                )
+            ).alias("m")
+        )
+        .select("cluster_id", (-F.col("m.neg_id")).alias("keeper_id"))
+    )
+    return lab.join(keeper, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "keeper_id",
+        (F.col("doc_id") == F.col("keeper_id")).alias("keep"),
+    )
+
+
 # The exact un-pruned tau=0.5 pair CTE (operators/dedup.py
 # dedup_lsh_verified oracle) + label join. Kept textually local so a
 # change to either side is a conscious contract change.
@@ -155,12 +228,69 @@ def _matrix_oracle(label_select: str, label_col: str) -> str:
     """
 
 
+# Transitive-closure extension of the pair CTE (the dedup_clusters
+# oracle's recursive shape spliced onto the shared pair set).
+_CLOSURE = _PAIR_CTE.replace("WITH t AS", "WITH RECURSIVE t AS", 1) + """,
+    sym AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, peer) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.doc, s.d FROM reach r JOIN sym s ON r.peer = s.s
+    ),
+    clab AS (
+      SELECT doc AS doc_id, CAST(MIN(peer) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY doc
+    )
+"""
+
+_REPAIR_ORACLE = f"""{_CLOSURE},
+    lab AS (
+      SELECT d.doc_id, clab.cluster_id, {_SPLIT} AS old_split
+      FROM documents d JOIN clab ON clab.doc_id = d.doc_id
+    ),
+    mixed AS (
+      SELECT cluster_id FROM lab
+      GROUP BY cluster_id HAVING COUNT(DISTINCT old_split) > 1
+    )
+    SELECT doc_id, old_split, 'train' AS new_split
+    FROM lab JOIN mixed USING (cluster_id)
+    WHERE old_split <> 'train'
+    """
+
+_KEEP_BEST_ORACLE = f"""{_CLOSURE},
+    nt AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    sel AS (
+      SELECT cluster_id, doc_id AS keeper_id FROM (
+        SELECT c.cluster_id, c.doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.cluster_id
+                 ORDER BY nt.n_tokens DESC, c.doc_id
+               ) AS rn
+        FROM clab c JOIN nt ON nt.doc_id = c.doc_id
+      ) WHERE rn = 1
+    )
+    SELECT c.doc_id, c.cluster_id, CAST(sel.keeper_id AS BIGINT) AS keeper_id,
+           c.doc_id = sel.keeper_id AS keep
+    FROM clab c JOIN sel USING (cluster_id)
+    """
+
 CORPUS_AUDIT_QUERIES = {
     "dedup_source_matrix": dedup_source_matrix,
     "split_leakage": split_leakage,
+    "split_leakage_repair": split_leakage_repair,
+    "dedup_keep_best": dedup_keep_best,
 }
 
 CORPUS_AUDIT_ORACLES = {
     "dedup_source_matrix": _matrix_oracle("source", "source"),
     "split_leakage": _matrix_oracle(_SPLIT, "split"),
+    "split_leakage_repair": _REPAIR_ORACLE,
+    "dedup_keep_best": _KEEP_BEST_ORACLE,
 }

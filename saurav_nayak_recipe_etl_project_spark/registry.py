@@ -177,6 +177,8 @@ _DRIVER_PRIORITY = [
     "order_value_ks_test",
     "priority_value_mannwhitney",
     "segment_priority_pmi",
+    "split_leakage_repair",
+    "dedup_keep_best",
 ]
 
 

@@ -243,3 +243,84 @@ def test_pmi_matches_oracle_and_brute_force(spark, sf_dir):
         term = r["o"] * r["pmi_micro"] * 1000
         want_term = term // n if term >= 0 else -((-term) // n)
         assert r["mi_term_nano"] == want_term
+
+
+def test_split_repair_reaches_zero_leakage_fixpoint(spark, sf_dir):
+    """The component-level repair must be a FIXPOINT: recomputing the
+    near-dup pair matrix with the repaired labels yields ZERO
+    off-diagonal cells (pair-level endpoint moves would fail this —
+    they can create fresh cross-split pairs)."""
+    from pyspark.sql import functions as F
+
+    from saurav_nayak_recipe_etl_project_spark.operators.corpus_audit import (
+        _SPLIT,
+        pair_label_matrix,
+    )
+    from saurav_nayak_recipe_etl_project_spark.operators.dedup import (
+        lsh_verified_pairs,
+    )
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    moved = QUERIES["split_leakage_repair"](spark, sf_dir).select(
+        "doc_id", "new_split"
+    )
+    repaired = (
+        docs.select("doc_id", F.expr(_SPLIT).alias("split"))
+        .join(moved, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("new_split", "split").alias("split"),
+        )
+    )
+    m = pair_label_matrix(lsh_verified_pairs(docs), repaired, "split")
+    off = m.where(F.col("split_a") != F.col("split_b")).count()
+    assert off == 0
+    # and the audit itself sees leakage BEFORE the repair (the test
+    # data plants paraphrase-class leaks, so the repair is not vacuous)
+    pre = QUERIES["split_leakage"](spark, sf_dir)
+    assert pre.where(F.col("split_a") != F.col("split_b")).count() > 0
+
+
+def test_keep_best_keeper_laws(spark, sf_dir):
+    """Exactly one keeper per cluster; the keeper's token count is the
+    cluster max; ties break to the smallest doc_id; every doc maps to
+    a keeper in its own cluster."""
+    from pyspark.sql import functions as F
+
+    from saurav_nayak_recipe_etl_project_spark.functions.text_fn import (
+        tokens,
+    )
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    out = QUERIES["dedup_keep_best"](spark, sf_dir)
+    per = out.groupBy("cluster_id").agg(
+        F.sum(F.col("keep").cast("int")).alias("nk"),
+        F.countDistinct("keeper_id").alias("nd"),
+    )
+    assert per.where("nk != 1 OR nd != 1").count() == 0
+    docs = load_table(spark, "documents", sf_dir)
+    nt = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    j = out.join(nt, "doc_id")
+    stats = j.groupBy("cluster_id").agg(
+        F.max("n_tokens").alias("mx"),
+        F.min(F.when(F.col("keep"), F.col("n_tokens"))).alias("keeper_nt"),
+        F.min(F.when(F.col("keep"), F.col("doc_id"))).alias("kid"),
+    )
+    assert stats.where("keeper_nt != mx").count() == 0
+    # tie law: keeper is the SMALLEST doc_id among max-length members
+    want = (
+        j.join(stats.select("cluster_id", "mx"), "cluster_id")
+        .where(F.col("n_tokens") == F.col("mx"))
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("want_kid"))
+    )
+    assert (
+        stats.join(want, "cluster_id").where("kid != want_kid").count() == 0
+    )
