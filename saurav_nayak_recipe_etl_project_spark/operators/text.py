@@ -248,6 +248,74 @@ def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention curve over quality-score cutoffs: for each candidate
+    threshold (0.1 .. 0.9), how many documents and how many tokens
+    survive `quality_score >= t` — the curve a pipeline owner reads
+    BEFORE fixing a filter cutoff (F8 scores documents; this prices
+    each cutoff in kept data). ppm shares make the trade-off explicit
+    at any corpus size.
+
+    Exactness: the score is micro-rounded ONCE per doc (the same
+    double expression the oracled F8 entry proves cross-engine), so
+    every threshold comparison is INTEGER >= INTEGER — no float at
+    any cutoff boundary. Products run in DECIMAL(38,0) (token totals
+    * 1e6 pass int64 around sf10).
+
+    Scale shape: the text scan happens once into a per-doc
+    (score_micro, n_tokens) stats frame; the 9-row threshold grid
+    joins THAT, not the corpus text — 9x a two-column frame, one
+    map-side-combined groupBy(threshold)."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens(F.col("text"))
+    n_chars = F.length("text")
+    n_tokens = F.size(toks)
+    punct_chars = F.length(F.regexp_replace("text", "[A-Za-z0-9\\s]", ""))
+    stop_hits = _hits(toks, QUALITY_STOPWORDS)
+    score = (
+        F.least(F.lit(1.0), n_tokens / F.lit(50.0)) * 0.5
+        + (1 - punct_chars / n_chars) * 0.3
+        + F.least(F.lit(1.0), (stop_hits / n_tokens) * 5) * 0.2
+    )
+    per = docs.select(
+        F.round(score * 1000000).cast("long").alias("s"),
+        n_tokens.cast("long").alias("nt"),
+    )
+    grid = spark.range(1, 10).select(
+        (F.col("id") * 100000).alias("thr_micro")
+    )
+    kept = (
+        per.crossJoin(F.broadcast(grid))
+        .groupBy("thr_micro")
+        .agg(
+            F.sum(
+                F.when(F.col("s") >= F.col("thr_micro"), 1).otherwise(0)
+            ).alias("n_docs_kept"),
+            F.sum(
+                F.when(F.col("s") >= F.col("thr_micro"), F.col("nt"))
+                .otherwise(0)
+            ).alias("tokens_kept"),
+        )
+    )
+    tot = per.agg(
+        F.count("*").alias("nd"), F.sum("nt").alias("ntt")
+    )
+    big = "CAST({} AS DECIMAL(38,0))"
+    return kept.crossJoin(F.broadcast(tot)).select(
+        "thr_micro",
+        "n_docs_kept",
+        "tokens_kept",
+        F.expr(
+            f"CAST({big.format('n_docs_kept')} * 1000000 DIV nd"
+            " AS BIGINT)"
+        ).alias("docs_kept_ppm"),
+        F.expr(
+            f"CAST({big.format('tokens_kept')} * 1000000 DIV ntt"
+            " AS BIGINT)"
+        ).alias("tokens_kept_ppm"),
+    )
+
+
 VOCAB_KS = (5, 20, 100, 10000)
 
 
@@ -948,6 +1016,7 @@ TEXT_QUERIES = {
     "text_repetition": text_repetition,
     "text_token_count": text_token_count,
     "text_quality": text_quality,
+    "quality_threshold_sweep": quality_threshold_sweep,
     "text_langid": text_langid,
     "text_langid_ngram": text_langid_ngram,
     "text_fingerprint": text_fingerprint,
@@ -1048,6 +1117,44 @@ TEXT_ORACLES = {
           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
             AS bpe_tokens
         FROM documents
+    """,
+    "quality_threshold_sweep": f"""
+        WITH q AS (
+          SELECT CAST(ROUND((
+                   LEAST(1.0, n_tokens / 50.0) * 0.5
+                   + (1 - punct_chars / n_chars) * 0.3
+                   + LEAST(1.0, (stop_hits / n_tokens) * 5) * 0.2
+                 ) * 1000000) AS BIGINT) AS s,
+                 CAST(n_tokens AS BIGINT) AS nt
+          FROM (
+            SELECT length(text) AS n_chars,
+              len({_TOKS}) AS n_tokens,
+              length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                AS punct_chars,
+              len(list_filter({_TOKS}, t -> t IN {_STOP_SQL['en']}))
+                AS stop_hits
+            FROM documents
+          )
+        ),
+        grid AS (SELECT i * 100000 AS thr_micro FROM range(1, 10) t(i)),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+                 CAST(SUM(nt) AS BIGINT) AS ntt
+          FROM q
+        )
+        SELECT thr_micro,
+          CAST(SUM(CASE WHEN s >= thr_micro THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_docs_kept,
+          CAST(SUM(CASE WHEN s >= thr_micro THEN nt ELSE 0 END) AS BIGINT)
+            AS tokens_kept,
+          CAST(SUM(CASE WHEN s >= thr_micro THEN 1 ELSE 0 END)
+               * CAST(1000000 AS HUGEINT) // nd AS BIGINT)
+            AS docs_kept_ppm,
+          CAST(SUM(CASE WHEN s >= thr_micro THEN nt ELSE 0 END)
+               * CAST(1000000 AS HUGEINT) // ntt AS BIGINT)
+            AS tokens_kept_ppm
+        FROM q CROSS JOIN grid CROSS JOIN tot
+        GROUP BY thr_micro, nd, ntt
     """,
     "text_quality": f"""
         SELECT doc_id,

@@ -1446,8 +1446,123 @@ CONCURRENCY_ORACLE = """
 """
 
 
+def monthly_revenue_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of monthly revenue:
+    trend (centered 12-month moving average), per-calendar-month
+    seasonal component, residual — the E90/E94 pair gives slope and a
+    multiplicative index; this gives the full trend/seasonal/residual
+    split an anomaly monitor subtracts before flagging.
+
+    Exactness: the centered MA has half-weights at the +/-6 ends, so
+    everything is carried in x24 units — trend_x24 = m[t-6] +
+    2*sum(m[t-5..t+5]) + m[t+6], an exact integer; detrended_x24 =
+    24*m[t] - trend_x24; seasonal_x24 = per-calendar-month floor mean
+    (truncating DIV, cross-engine-identical on negatives); residual
+    closes the identity residual_x24 = detrended_x24 - seasonal_x24
+    exactly (law pinned). Trend is NULL at the 6-month edges (and
+    wherever the 13-month window is incomplete) in both engines.
+
+    Scale: the month frame is CALENDAR-BOUNDED (~84 rows at any
+    corpus size), so the ordered windows here are constant-size — the
+    documented exception to the banded-window rule. RANGE frames on
+    the month index (not ROWS) keep the arithmetic correct even if a
+    month has no orders."""
+    orders = load_table(spark, "orders", sf_dir)
+    m = orders.groupBy(
+        F.expr(
+            "(year(cast(o_orderdate as date)) - 1970) * 12"
+            " + month(cast(o_orderdate as date)) - 1"
+        ).alias("idx"),
+        F.expr("month(cast(o_orderdate as date))").alias("cal_month"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .alias("rev")
+    )
+    w = Window.orderBy("idx")
+    full = m.select(
+        "idx",
+        "cal_month",
+        "rev",
+        F.count("*").over(w.rangeBetween(-6, 6)).alias("n13"),
+        F.sum("rev").over(w.rangeBetween(-6, -6)).alias("lo"),
+        F.sum("rev").over(w.rangeBetween(-5, 5)).alias("mid"),
+        F.sum("rev").over(w.rangeBetween(6, 6)).alias("hi"),
+    ).withColumn(
+        "trend_x24",
+        F.when(
+            F.col("n13") == 13,
+            F.col("lo") + 2 * F.col("mid") + F.col("hi"),
+        ),
+    ).withColumn(
+        "detrended_x24", 24 * F.col("rev") - F.col("trend_x24")
+    )
+    seasonal = (
+        full.where(F.col("trend_x24").isNotNull())
+        .groupBy("cal_month")
+        .agg(
+            F.expr(
+                "CAST(sum(detrended_x24) DIV count(*) AS BIGINT)"
+            ).alias("seasonal_x24")
+        )
+    )
+    return (
+        full.join(F.broadcast(seasonal), "cal_month", "left")
+        .select(
+            "idx",
+            "cal_month",
+            F.col("rev").alias("revenue_cents"),
+            "trend_x24",
+            "seasonal_x24",
+            (F.col("detrended_x24") - F.col("seasonal_x24"))
+            .alias("residual_x24"),
+        )
+    )
+
+
+_STL_ORACLE = """
+    WITH m AS (
+      SELECT (year(CAST(o_orderdate AS DATE)) - 1970) * 12
+               + month(CAST(o_orderdate AS DATE)) - 1 AS idx,
+             CAST(month(CAST(o_orderdate AS DATE)) AS INTEGER)
+               AS cal_month,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    full_f AS (
+      SELECT idx, cal_month, rev,
+        CASE WHEN COUNT(*) OVER
+               (ORDER BY idx RANGE BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+             = 13 THEN
+          SUM(rev) OVER
+            (ORDER BY idx RANGE BETWEEN 6 PRECEDING AND 6 PRECEDING)
+          + 2 * SUM(rev) OVER
+            (ORDER BY idx RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+          + SUM(rev) OVER
+            (ORDER BY idx RANGE BETWEEN 6 FOLLOWING AND 6 FOLLOWING)
+        END AS trend_x24
+      FROM m
+    ),
+    det AS (
+      SELECT *, 24 * rev - trend_x24 AS detrended_x24 FROM full_f
+    ),
+    seasonal AS (
+      SELECT cal_month,
+             CAST(SUM(detrended_x24) // COUNT(*) AS BIGINT)
+               AS seasonal_x24
+      FROM det WHERE trend_x24 IS NOT NULL GROUP BY cal_month
+    )
+    SELECT idx, det.cal_month, rev AS revenue_cents,
+           CAST(trend_x24 AS BIGINT) AS trend_x24,
+           seasonal_x24,
+           CAST(detrended_x24 - seasonal_x24 AS BIGINT) AS residual_x24
+    FROM det LEFT JOIN seasonal ON det.cal_month = seasonal.cal_month
+"""
+
+
 TEMPORAL_QUERIES = {
     "daily_event_acf": daily_event_acf,
+    "monthly_revenue_stl": monthly_revenue_stl,
     "view_purchase_lead_lag": view_purchase_lead_lag,
     "session_daily_load": session_daily_load,
     "session_concurrency_peak": session_concurrency_peak,
@@ -1475,6 +1590,7 @@ TEMPORAL_QUERIES = {
 
 TEMPORAL_ORACLES = {
     "daily_event_acf": ACF_ORACLE,
+    "monthly_revenue_stl": _STL_ORACLE,
     "view_purchase_lead_lag": LEADLAG_ORACLE,
     "session_daily_load": DAILY_LOAD_ORACLE,
     "session_concurrency_peak": CONCURRENCY_ORACLE,

@@ -179,6 +179,8 @@ _DRIVER_PRIORITY = [
     "segment_priority_pmi",
     "split_leakage_repair",
     "dedup_keep_best",
+    "monthly_revenue_stl",
+    "quality_threshold_sweep",
 ]
 
 

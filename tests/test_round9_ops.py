@@ -324,3 +324,63 @@ def test_keep_best_keeper_laws(spark, sf_dir):
     assert (
         stats.join(want, "cluster_id").where("kid != want_kid").count() == 0
     )
+
+
+def test_stl_identity_and_edges(spark, sf_dir):
+    """Oracle hash plus the decomposition laws: residual closes the
+    additive identity EXACTLY on interior months, trend/residual are
+    NULL exactly where the 13-month window is incomplete, and the
+    seasonal component is shared per calendar month."""
+    from pyspark.sql import functions as F
+
+    assert_matches_oracle(QUERIES["monthly_revenue_stl"](spark, sf_dir),
+                          ORACLES["monthly_revenue_stl"], sf_dir)
+    rows = QUERIES["monthly_revenue_stl"](spark, sf_dir).collect()
+    idxs = sorted(r["idx"] for r in rows)
+    by_idx = {r["idx"]: r for r in rows}
+    for r in rows:
+        interior = all(
+            r["idx"] + d in by_idx for d in range(-6, 7)
+        )
+        if interior:
+            assert r["trend_x24"] is not None
+            assert (
+                24 * r["revenue_cents"]
+                - r["trend_x24"]
+                - r["seasonal_x24"]
+                == r["residual_x24"]
+            )
+        else:
+            assert r["trend_x24"] is None and r["residual_x24"] is None
+    # one seasonal value per calendar month
+    seas = {}
+    for r in rows:
+        if r["seasonal_x24"] is not None:
+            seas.setdefault(r["cal_month"], set()).add(r["seasonal_x24"])
+    assert all(len(v) == 1 for v in seas.values())
+    assert len(idxs) == len(set(idxs))
+
+
+def test_quality_sweep_monotone_and_totals(spark, sf_dir):
+    """Oracle hash plus the retention laws: kept counts are monotone
+    NON-INCREASING in the threshold, and the ppm shares are floors of
+    the exact ratios against the corpus totals."""
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    assert_matches_oracle(QUERIES["quality_threshold_sweep"](spark, sf_dir),
+                          ORACLES["quality_threshold_sweep"], sf_dir)
+    rows = sorted(
+        QUERIES["quality_threshold_sweep"](spark, sf_dir).collect(),
+        key=lambda r: r["thr_micro"],
+    )
+    assert [r["thr_micro"] for r in rows] == [
+        t * 100000 for t in range(1, 10)
+    ]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_docs_kept"] <= a["n_docs_kept"]
+        assert b["tokens_kept"] <= a["tokens_kept"]
+    nd = load_table(spark, "documents", sf_dir).count()
+    for r in rows:
+        assert r["docs_kept_ppm"] == r["n_docs_kept"] * 1_000_000 // nd
