@@ -135,21 +135,20 @@ def split_leakage_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup cluster canonicalization: per transitive duplicate
-    cluster keep the LONGEST document (max token count, min doc_id on
-    ties — the keep-longest policy near-dedup pipelines default to,
-    since the longest variant usually supersets its near-copies;
-    documents_deduped's exact-dup keeper can't do this because exact
-    copies have equal length). Integer keys only — a float
-    quality-score argmax would hinge cross-engine on last-bit float
-    order.
+def keep_best_mapping(docs: DataFrame) -> DataFrame:
+    """Near-dup cluster canonicalization over any documents frame:
+    per transitive duplicate cluster keep the LONGEST document (max
+    token count, min doc_id on ties — the keep-longest policy
+    near-dedup pipelines default to, since the longest variant
+    usually supersets its near-copies; documents_deduped's exact-dup
+    keeper can't do this because exact copies have equal length).
+    Integer keys only — a float quality-score argmax would hinge
+    cross-engine on last-bit float order.
 
     Plan: cluster labels from the sub-quadratic pair path, one token
     count per doc riding the scan, keeper = max(struct(n_tokens,
     -doc_id)) per cluster (map-side combined), broadcast-joined back.
     Output is the full doc -> keeper mapping with a keep flag."""
-    docs = load_table(spark, "documents", sf_dir)
     lab = dup_clusters(docs).join(
         docs.select(
             "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
@@ -173,6 +172,12 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keeper_id",
         (F.col("doc_id") == F.col("keeper_id")).alias("keep"),
     )
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the keep-longest mapping over the full
+    documents table (see keep_best_mapping)."""
+    return keep_best_mapping(load_table(spark, "documents", sf_dir))
 
 
 # The exact un-pruned tau=0.5 pair CTE (operators/dedup.py

@@ -28,6 +28,11 @@ from saurav_nayak_recipe_etl_project_spark.operators.packing import (
     SHARD_SIZE,
     pack_sequences_df,
 )
+from saurav_nayak_recipe_etl_project_spark.functions.text_fn import tokens
+from saurav_nayak_recipe_etl_project_spark.operators.corpus_audit import (
+    _SPLIT,
+    keep_best_mapping,
+)
 from saurav_nayak_recipe_etl_project_spark.operators.text import (
     quality_reasons,
 )
@@ -53,6 +58,41 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 
+
+def corpus_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — corpus release manifest: quality filter → NEAR-dup
+    keep-longest canonicalization → content-hash split → per
+    (split, source) doc/token report, one declarative plan.
+
+    Stage ORDER is the load-bearing design choice: canonicalizing
+    near-dup clusters BEFORE splitting means every cluster
+    contributes exactly one keeper, so no near-dup pair can straddle
+    a split boundary — the split_leakage_repair pass becomes
+    provably unnecessary (zero verified pairs exist among keepers;
+    law pinned in tests). Split-then-dedup would need the repair.
+
+    The near-dup stage is the sub-quadratic LSH→verify path
+    (operators/dedup.py) over quality survivors only — filtering
+    first shrinks the shingle explode, the pipeline's dominant cost.
+    Composed oracle: filter rules + survivor-scoped recursive
+    closure + keep-longest + split + rollup in one SQL."""
+    docs = load_table(spark, "documents", sf_dir)
+    surv = docs.filter(quality_reasons() == "")
+    stats = surv.select(
+        "doc_id",
+        "source",
+        F.expr(_SPLIT).alias("split"),
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+    )
+    keepers = keep_best_mapping(surv).where("keep").select("doc_id")
+    return (
+        stats.join(keepers, "doc_id")
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("long")).alias("n_tokens"),
+        )
+    )
 
 
 def analytics_mart_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,6 +220,7 @@ PIPELINE_QUERIES = {
     "customer_feature_store": customer_feature_store,
     "training_data_pipeline": training_data_pipeline,
     "analytics_mart_pipeline": analytics_mart_pipeline,
+    "corpus_release_pipeline": corpus_release_pipeline,
 }
 
 # One composed oracle for the full chain. The rule constants are
@@ -238,6 +279,94 @@ PIPELINE_ORACLES = {
         FROM c GROUP BY lang, shard, tokens_before // {SEQ_BUDGET}
     """,
 }
+
+# P5: the survivor-scoped closure repeats the corpus_audit pair CTE
+# with `documents` swapped for the quality-survivor set — same
+# double-coverage rationale as above.
+PIPELINE_ORACLES["corpus_release_pipeline"] = f"""
+    WITH RECURSIVE q AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+          length(text) AS n_chars,
+          len({_TOKS}) AS n_tokens,
+          len(list_distinct({_TOKS})) AS distinct_toks,
+          length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+            AS digits,
+          length(text) - length(regexp_replace(text, '\\s', '', 'g'))
+            AS spaces
+        FROM documents
+      )
+      WHERE NOT (digits / n_chars > 0.2)
+        AND NOT (n_tokens >= 5 AND distinct_toks / n_tokens < 0.3)
+        AND NOT (spaces / n_chars > 0.5)
+        AND NOT (n_chars > 20000)
+        AND NOT (n_chars < 20)
+    ),
+    surv AS (
+      SELECT d.doc_id, d.text, d.source FROM documents d JOIN q USING (doc_id)
+    ),
+    t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM surv
+    ),
+    sh AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(toks) >= 3 THEN list_distinct(
+          list_transform(generate_series(1, len(toks) - 2),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        ELSE [] END) AS shingle
+      FROM t
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    ),
+    sym AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, peer) AS (
+      SELECT doc_id, doc_id FROM surv
+      UNION
+      SELECT r.doc, s.d FROM reach r JOIN sym s ON r.peer = s.s
+    ),
+    clab AS (
+      SELECT doc AS doc_id, MIN(peer) AS cluster_id FROM reach GROUP BY doc
+    ),
+    nt AS (
+      SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+'))
+        AS n_tokens
+      FROM surv
+    ),
+    sel AS (
+      SELECT doc_id AS keeper_id FROM (
+        SELECT c.cluster_id, c.doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.cluster_id
+                 ORDER BY nt.n_tokens DESC, c.doc_id
+               ) AS rn
+        FROM clab c JOIN nt ON nt.doc_id = c.doc_id
+      ) WHERE rn = 1
+    )
+    SELECT {_SPLIT.replace('md5(text)', 'md5(surv.text)')} AS split,
+           surv.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt.n_tokens) AS BIGINT) AS n_tokens
+    FROM sel
+    JOIN surv ON surv.doc_id = sel.keeper_id
+    JOIN nt ON nt.doc_id = sel.keeper_id
+    GROUP BY 1, 2
+    """
 
 PIPELINE_ORACLES["analytics_mart_pipeline"] = """
     WITH valid AS (

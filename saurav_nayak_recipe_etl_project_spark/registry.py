@@ -181,6 +181,7 @@ _DRIVER_PRIORITY = [
     "dedup_keep_best",
     "monthly_revenue_stl",
     "quality_threshold_sweep",
+    "corpus_release_pipeline",
 ]
 
 

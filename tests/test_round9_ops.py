@@ -384,3 +384,39 @@ def test_quality_sweep_monotone_and_totals(spark, sf_dir):
     nd = load_table(spark, "documents", sf_dir).count()
     for r in rows:
         assert r["docs_kept_ppm"] == r["n_docs_kept"] * 1_000_000 // nd
+
+
+def test_corpus_release_dedup_then_split_needs_no_repair(spark, sf_dir):
+    """P5's load-bearing design law: after keep-longest
+    canonicalization, ZERO verified near-dup pairs exist among the
+    keepers (each cluster contributes one doc), so the content split
+    can never leak — the repair pass is provably unnecessary in this
+    stage order. Also pins the composed oracle and conservation:
+    per-(split, source) doc counts sum to the keeper count."""
+    from pyspark.sql import functions as F
+
+    from saurav_nayak_recipe_etl_project_spark.operators.corpus_audit import (
+        keep_best_mapping,
+    )
+    from saurav_nayak_recipe_etl_project_spark.operators.dedup import (
+        lsh_verified_pairs,
+    )
+    from saurav_nayak_recipe_etl_project_spark.operators.text import (
+        quality_reasons,
+    )
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    assert_matches_oracle(QUERIES["corpus_release_pipeline"](spark, sf_dir),
+                          ORACLES["corpus_release_pipeline"], sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    surv = docs.filter(quality_reasons() == "")
+    keepers = keep_best_mapping(surv).where("keep").select("doc_id")
+    keeper_docs = surv.join(keepers, "doc_id")
+    assert lsh_verified_pairs(keeper_docs).count() == 0
+    n_keepers = keepers.count()
+    out = QUERIES["corpus_release_pipeline"](spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in out) == n_keepers
+    # and the pipeline actually dropped something at each stage
+    assert n_keepers < surv.count() <= docs.count()
