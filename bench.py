@@ -104,7 +104,8 @@ _10X_EXCLUDED = {
 # corpus makes exact-duplicate groups of 10, so the verified pair set
 # grows ~45x per group; the operators are doing their job on a corpus
 # whose duplicate structure is the artifact. NOTES.md 10x section has
-# the measurements.
+# the measurements. corpus_release_pipeline (r9) belongs to the same
+# class: its keep-longest stage rolls up that same ~45x pair set.
 
 
 def prepare_10x(spark, sf_dir: str, n_copies: int = 10) -> str:
@@ -296,6 +297,11 @@ HEADLINE = [
     # autocorrelation rollup.
     "session_daily_load",
     "daily_event_acf",
+    # round-9 late additions: the two-sample banded-CDF lane (list-form
+    # cumsum) and the corpus-release capstone (filter -> keep-longest
+    # near-dedup -> split -> manifest in one plan).
+    "order_value_ks_test",
+    "corpus_release_pipeline",
 ]
 
 # ann_recall_at_k runs FIVE ANN paths + the exact oracle inside one

@@ -176,6 +176,119 @@ def priority_value_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantity_discount_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between lineitem quantity and discount — the
+    concordance member of the correlation family (E70 Pearson, F44
+    Spearman): rank-free, ties handled exactly, the association test
+    that survives any monotone transform.
+
+    Scale trick: both columns live on DOMAIN-BOUNDED grids (quantity
+    1..50, discount 0..10 hundredths), so the n^2 pair enumeration
+    collapses to the 550-cell JOINT-DISTINCT grid — concordant/
+    discordant masses are one broadcast self-join over grid cells
+    (<= 550^2/2 pairs, a constant at any corpus size), and the tie
+    terms come off the two marginal rollups. One count shuffle
+    against the fact table; everything after is grid-sized.
+
+    Exactness: C, D, and the tie terms are exact integer sums in
+    DECIMAL(38,0); tau_b needs a sqrt, which IS bit-portable (IEEE
+    correctly rounded — the F57 finding), taken of an exact integer
+    radicand converted to double ONCE; the ratio is micro-rounded
+    once. C/D outputs pass int64 through ~sf10 (n^2/2 growth — the
+    E64-chi2-style documented bound); tau_b_micro is bounded
+    [-1e6, 1e6] at any scale."""
+    li = load_table(spark, "lineitem", sf_dir)
+    cell = (
+        li.select(
+            F.round("l_quantity").cast("long").alias("qx"),
+            F.round(F.col("l_discount") * 100).cast("long").alias("dx"),
+        )
+        .groupBy("qx", "dx")
+        .agg(F.count("*").cast("decimal(38,0)").alias("cnt"))
+    )
+    a, b = cell.alias("a"), cell.alias("b")
+    cd = (
+        a.join(F.broadcast(b), F.col("a.qx") < F.col("b.qx"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("a.dx") < F.col("b.dx"),
+                    F.col("a.cnt") * F.col("b.cnt"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("c_pairs"),
+            F.sum(
+                F.when(
+                    F.col("a.dx") > F.col("b.dx"),
+                    F.col("a.cnt") * F.col("b.cnt"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("d_pairs"),
+        )
+    )
+    tx = (
+        cell.groupBy("qx").agg(F.sum("cnt").alias("t"))
+        .agg(F.sum(F.expr("t * (t - 1) DIV 2")).alias("tie_x"))
+    )
+    ty = (
+        cell.groupBy("dx").agg(F.sum("cnt").alias("t"))
+        .agg(F.sum(F.expr("t * (t - 1) DIV 2")).alias("tie_y"))
+    )
+    tot = cell.agg(F.sum("cnt").alias("n"))
+    return (
+        cd.crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr("CAST(n AS BIGINT)").alias("n"),
+            F.expr("CAST(c_pairs AS BIGINT)").alias("c_pairs"),
+            F.expr("CAST(d_pairs AS BIGINT)").alias("d_pairs"),
+            F.expr("CAST(tie_x AS BIGINT)").alias("tie_x_pairs"),
+            F.expr("CAST(tie_y AS BIGINT)").alias("tie_y_pairs"),
+            F.expr(
+                "CAST(round(CAST(c_pairs - d_pairs AS DOUBLE) * 1000000"
+                " / sqrt(CAST((n * (n - 1) DIV 2 - tie_x)"
+                " * (n * (n - 1) DIV 2 - tie_y) AS DOUBLE)))"
+                " AS BIGINT)"
+            ).alias("tau_b_micro"),
+        )
+    )
+
+
+_KENDALL_ORACLE = """
+WITH cell AS (
+  SELECT CAST(ROUND(l_quantity) AS BIGINT) AS qx,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS dx,
+         CAST(COUNT(*) AS HUGEINT) AS cnt
+  FROM lineitem GROUP BY 1, 2
+),
+cd AS (
+  SELECT SUM(CASE WHEN a.dx < b.dx THEN a.cnt * b.cnt
+             ELSE CAST(0 AS HUGEINT) END) AS c_pairs,
+         SUM(CASE WHEN a.dx > b.dx THEN a.cnt * b.cnt
+             ELSE CAST(0 AS HUGEINT) END) AS d_pairs
+  FROM cell a JOIN cell b ON a.qx < b.qx
+),
+tx AS (
+  SELECT SUM(t * (t - 1) // 2) AS tie_x
+  FROM (SELECT SUM(cnt) AS t FROM cell GROUP BY qx)
+),
+ty AS (
+  SELECT SUM(t * (t - 1) // 2) AS tie_y
+  FROM (SELECT SUM(cnt) AS t FROM cell GROUP BY dx)
+),
+tot AS (SELECT SUM(cnt) AS n FROM cell)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(c_pairs AS BIGINT) AS c_pairs,
+       CAST(d_pairs AS BIGINT) AS d_pairs,
+       CAST(tie_x AS BIGINT) AS tie_x_pairs,
+       CAST(tie_y AS BIGINT) AS tie_y_pairs,
+       CAST(ROUND(CAST(c_pairs - d_pairs AS DOUBLE) * 1000000
+            / sqrt(CAST((n * (n - 1) // 2 - tie_x)
+                        * (n * (n - 1) // 2 - tie_y) AS DOUBLE)))
+            AS BIGINT) AS tau_b_micro
+FROM cd, tx, ty, tot
+"""
+
+
 _KS_ORACLE = """
 WITH s AS (
   SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
@@ -241,9 +354,11 @@ FROM agg
 TWOSAMPLE_QUERIES = {
     "order_value_ks_test": order_value_ks_test,
     "priority_value_mannwhitney": priority_value_mannwhitney,
+    "quantity_discount_kendall": quantity_discount_kendall,
 }
 
 TWOSAMPLE_ORACLES = {
     "order_value_ks_test": _KS_ORACLE,
     "priority_value_mannwhitney": _MW_ORACLE,
+    "quantity_discount_kendall": _KENDALL_ORACLE,
 }

@@ -182,6 +182,7 @@ _DRIVER_PRIORITY = [
     "monthly_revenue_stl",
     "quality_threshold_sweep",
     "corpus_release_pipeline",
+    "quantity_discount_kendall",
 ]
 
 

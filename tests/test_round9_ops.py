@@ -420,3 +420,54 @@ def test_corpus_release_dedup_then_split_needs_no_repair(spark, sf_dir):
     assert sum(r["n_docs"] for r in out) == n_keepers
     # and the pipeline actually dropped something at each stage
     assert n_keepers < surv.count() <= docs.count()
+
+
+def test_kendall_matches_python_grid_brute_force(spark, sf_dir):
+    """Recompute C/D/ties/tau from the collected joint grid in pure
+    Python (the grid is domain-bounded, so exhaustive cell-pair
+    enumeration is cheap) — independent of both engines' SQL."""
+    import math
+
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    assert_matches_oracle(
+        QUERIES["quantity_discount_kendall"](spark, sf_dir),
+        ORACLES["quantity_discount_kendall"], sf_dir,
+    )
+    row = QUERIES["quantity_discount_kendall"](spark, sf_dir).collect()[0]
+    cells = (
+        load_table(spark, "lineitem", sf_dir)
+        .selectExpr(
+            "cast(round(l_quantity) as bigint) qx",
+            "cast(round(l_discount * 100) as bigint) dx",
+        )
+        .groupBy("qx", "dx")
+        .count()
+        .collect()
+    )
+    grid = [(r["qx"], r["dx"], r["count"]) for r in cells]
+    C = D = 0
+    for i, (qa, da, na) in enumerate(grid):
+        for qb, db, nb in grid[i + 1:]:
+            if qa == qb or da == db:
+                continue
+            if (qa < qb) == (da < db):
+                C += na * nb
+            else:
+                D += na * nb
+    n = sum(c for _, _, c in grid)
+    tx = {}
+    ty = {}
+    for qx, dx, c in grid:
+        tx[qx] = tx.get(qx, 0) + c
+        ty[dx] = ty.get(dx, 0) + c
+    n1 = sum(t * (t - 1) // 2 for t in tx.values())
+    n2 = sum(t * (t - 1) // 2 for t in ty.values())
+    assert (row["n"], row["c_pairs"], row["d_pairs"]) == (n, C, D)
+    assert (row["tie_x_pairs"], row["tie_y_pairs"]) == (n1, n2)
+    n0 = n * (n - 1) // 2
+    want = round((C - D) * 1e6 / math.sqrt(float((n0 - n1) * (n0 - n2))))
+    assert row["tau_b_micro"] == want
+    assert -1_000_000 <= row["tau_b_micro"] <= 1_000_000
