@@ -471,3 +471,29 @@ def test_kendall_matches_python_grid_brute_force(spark, sf_dir):
     want = round((C - D) * 1e6 / math.sqrt(float((n0 - n1) * (n0 - n2))))
     assert row["tau_b_micro"] == want
     assert -1_000_000 <= row["tau_b_micro"] <= 1_000_000
+
+
+def test_drift_stream_matches_batch_twin(spark, sf_dir, tmp_path):
+    """The streamed (day, type) counts MV, pushed through the SAME
+    drift_from_counts rollup, must reproduce the batch twin exactly
+    (session is UTC, so epoch-aligned day windows == NTZ dates)."""
+    import shutil
+
+    from saurav_nayak_recipe_etl_project_spark.streaming import drift as D
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
+    D.run_type_mix_stream(
+        spark, str(src), str(tmp_path / "ckpt"), "drift_mv_test"
+    )
+    streamed = spark.sql("SELECT d, event_type, c FROM drift_mv_test")
+    got = {
+        (str(r["d"]), r["js_micro"], r["n_events"])
+        for r in D.drift_from_counts(streamed).collect()
+    }
+    want = {
+        (str(r["d"]), r["js_micro"], r["n_events"])
+        for r in D.daily_type_mix_drift(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) == 30
