@@ -253,6 +253,100 @@ def quantity_discount_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def priority_value_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across the five order priorities — the
+    parametric k-group complement to the two-group Mann-Whitney
+    above: F = (SSB/(k-1)) / (SSW/(N-k)) plus eta-squared
+    (SSB/(SSB+SSW)), the variance-explained effect size.
+
+    Exactness path: per-group sufficient statistics (n_g, S_g, Q_g)
+    are exact integer sums; the only non-integer step, S_g^2/n_g, is
+    FLOORED once per group in the 5-row-bounded priority frame (<= 1
+    cents^2 loss per group — deterministic and engine-shared, the
+    per-cell discipline of the chi-square/PMI entries). NOTE the
+    floor cannot use Spark's DIV: DIV always returns BIGINT, so a
+    quotient past int64 silently wraps (found by this entry's oracle
+    at sf0.001 — S_g^2/n_g is ~1e17 already). The exact-decimal floor
+    idiom is (a - a % b) / b: the subtraction makes the quotient
+    exact, so the scale-6 decimal division is representable and the
+    final cast truncates nothing. F and eta^2 are then single
+    truncating DIVs of DECIMAL(38,0) products whose QUOTIENTS are
+    micro-bounded (safe for DIV's bigint result at any SF).
+
+    Plan: ONE map-side-combined groupBy over orders; everything after
+    is arithmetic on a broadcast 5-row frame."""
+    orders = load_table(spark, "orders", sf_dir)
+    g = orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_g"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+        ).alias("s_g"),
+        F.sum(
+            F.expr(
+                "CAST(round(o_totalprice * 100) AS DECIMAL(38,0))"
+                " * CAST(round(o_totalprice * 100) AS DECIMAL(38,0))"
+            )
+        ).alias("q_g"),
+    )
+    agg = g.agg(
+        F.count("*").alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("q_g").alias("q"),
+        F.sum(
+            F.expr(
+                "CAST((s_g * s_g - (s_g * s_g) % n_g) / n_g"
+                " AS DECIMAL(38,0))"
+            )
+        ).alias("t"),
+    )
+    # A = N*sum(floor(S_g^2/n_g)) - S^2 (= SSB*N up to the floor),
+    # B = N*Q - N*sum(...) (= SSW*N) — exact DECIMAL(38,0) products.
+    a_c2 = "(CAST(n AS DECIMAL(38,0)) * t - s * s)"
+    b_c2 = ("(CAST(n AS DECIMAL(38,0)) * q"
+            " - CAST(n AS DECIMAL(38,0)) * t)")
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.expr(
+            f"CAST({a_c2} * (n - k) * 1000000"
+            f" DIV ((k - 1) * {b_c2}) AS BIGINT)"
+        ).alias("f_stat_micro"),
+        F.expr(
+            f"CAST({a_c2} * 1000000 DIV ({a_c2} + {b_c2}) AS BIGINT)"
+        ).alias("eta2_micro"),
+    )
+
+
+_ANOVA_ORACLE = """
+WITH g AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS HUGEINT) AS n_g,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+              AS HUGEINT) AS s_g,
+         SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT)
+             * CAST(ROUND(o_totalprice * 100) AS HUGEINT)) AS q_g
+  FROM orders GROUP BY o_orderpriority
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS k,
+         SUM(n_g) AS n,
+         SUM(s_g) AS s,
+         SUM(q_g) AS q,
+         SUM(s_g * s_g // n_g) AS t
+  FROM g
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+  CAST((n * t - s * s) * (n - k) * 1000000
+       // ((k - 1) * (n * q - n * t)) AS BIGINT)
+    AS f_stat_micro,
+  CAST((n * t - s * s) * 1000000
+       // ((n * t - s * s) + (n * q - n * t)) AS BIGINT)
+    AS eta2_micro
+FROM agg
+"""
+
+
 _KENDALL_ORACLE = """
 WITH cell AS (
   SELECT CAST(ROUND(l_quantity) AS BIGINT) AS qx,
@@ -355,9 +449,11 @@ TWOSAMPLE_QUERIES = {
     "order_value_ks_test": order_value_ks_test,
     "priority_value_mannwhitney": priority_value_mannwhitney,
     "quantity_discount_kendall": quantity_discount_kendall,
+    "priority_value_anova": priority_value_anova,
 }
 
 TWOSAMPLE_ORACLES = {
+    "priority_value_anova": _ANOVA_ORACLE,
     "order_value_ks_test": _KS_ORACLE,
     "priority_value_mannwhitney": _MW_ORACLE,
     "quantity_discount_kendall": _KENDALL_ORACLE,

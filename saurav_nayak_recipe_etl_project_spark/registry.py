@@ -185,6 +185,7 @@ _DRIVER_PRIORITY = [
     "corpus_release_pipeline",
     "quantity_discount_kendall",
     "daily_type_mix_drift",
+    "priority_value_anova",
 ]
 
 

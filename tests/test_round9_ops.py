@@ -497,3 +497,39 @@ def test_drift_stream_matches_batch_twin(spark, sf_dir, tmp_path):
         for r in D.daily_type_mix_drift(spark, sf_dir).collect()
     }
     assert got == want and len(got) == 30
+
+
+def test_anova_matches_python_brute_force(spark, sf_dir):
+    """Recompute F and eta^2 in Python integers from the raw cents —
+    independent of both engines — including the documented per-group
+    floor on S_g^2/n_g."""
+    from collections import defaultdict
+
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    assert_matches_oracle(QUERIES["priority_value_anova"](spark, sf_dir),
+                          ORACLES["priority_value_anova"], sf_dir)
+    row = QUERIES["priority_value_anova"](spark, sf_dir).collect()[0]
+    vals = (
+        load_table(spark, "orders", sf_dir)
+        .selectExpr(
+            "o_orderpriority p", "cast(round(o_totalprice * 100) as bigint) c"
+        )
+        .collect()
+    )
+    groups = defaultdict(list)
+    for v in vals:
+        groups[v["p"]].append(v["c"])
+    k = len(groups)
+    n = sum(len(g) for g in groups.values())
+    s = sum(sum(g) for g in groups.values())
+    q = sum(c * c for g in groups.values() for c in g)
+    t = sum(sum(g) ** 2 // len(g) for g in groups.values())
+    a = n * t - s * s
+    b = n * q - n * t
+    assert row["n"] == n and row["k"] == k
+    assert row["f_stat_micro"] == a * (n - k) * 1_000_000 // ((k - 1) * b)
+    assert row["eta2_micro"] == a * 1_000_000 // (a + b)
+    assert row["eta2_micro"] >= 0 and row["f_stat_micro"] >= 0
