@@ -117,10 +117,93 @@ PSEUDO_REPORT_ORACLE = f"""
     FROM rep JOIN raw ON rep.c_mktsegment = raw.c_mktsegment
 """
 
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity exposure report over the customer quasi-identifier
+    (segment, nation, $1000 account-balance band): for each candidate
+    k in {2, 5, 10, 25}, how many QI groups and how many CUSTOMERS sit
+    in groups smaller than k — the re-identification exposure a
+    release-review reads before publishing "anonymized" microdata
+    (pseudonymization above hides the key; it does NOT hide a unique
+    quasi-identifier combination, which is what k-anonymity measures).
+
+    All integer: one QI groupBy (map-side combined; the QI grid is
+    catalog x balance-range bounded, never customer-sized), a 4-row
+    broadcast threshold grid over the GROUP-SIZE frame, exposure
+    shares as ppm floor divisions. floor(c_acctbal/1000) is exact
+    IEEE on both engines (negative balances land in their own
+    band)."""
+    customer = load_table(spark, "customer", sf_dir)
+    g = customer.groupBy(
+        "c_mktsegment",
+        "c_nationkey",
+        F.expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").alias(
+            "bal_band"
+        ),
+    ).agg(F.count("*").alias("n"))
+    ks = spark.range(0, 4).select(
+        F.element_at(
+            F.array(F.lit(2), F.lit(5), F.lit(10), F.lit(25)),
+            (F.col("id") + 1).cast("int"),
+        ).alias("k")
+    )
+    tot = g.agg(
+        F.count("*").alias("n_groups"), F.sum("n").alias("n_rows")
+    )
+    return (
+        g.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("n") < F.col("k"), 1).otherwise(0))
+            .alias("groups_below"),
+            F.sum(F.when(F.col("n") < F.col("k"), F.col("n")).otherwise(0))
+            .alias("rows_below"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "groups_below",
+            "rows_below",
+            "n_groups",
+            F.expr(
+                "CAST(CAST(rows_below AS DECIMAL(38,0)) * 1000000"
+                " DIV n_rows AS BIGINT)"
+            ).alias("exposure_ppm"),
+        )
+    )
+
+
+K_ANON_ORACLE = """
+    WITH g AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    ks AS (SELECT UNNEST([2, 5, 10, 25]) AS k),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(n) AS BIGINT) AS n_rows
+      FROM g
+    )
+    SELECT k,
+      CAST(SUM(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT)
+        AS groups_below,
+      CAST(SUM(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT)
+        AS rows_below,
+      n_groups,
+      CAST(SUM(CASE WHEN n < k THEN n ELSE 0 END)
+           * CAST(1000000 AS HUGEINT) // n_rows AS BIGINT)
+        AS exposure_ppm
+    FROM g CROSS JOIN ks CROSS JOIN tot
+    GROUP BY k, n_groups, n_rows
+"""
+
 PRIVACY_QUERIES = {
     "pseudonymized_segment_report": pseudonymized_segment_report,
+    "k_anonymity_audit": k_anonymity_audit,
 }
 
 PRIVACY_ORACLES = {
     "pseudonymized_segment_report": PSEUDO_REPORT_ORACLE,
+    "k_anonymity_audit": K_ANON_ORACLE,
 }

@@ -1560,9 +1560,110 @@ _STL_ORACLE = """
 """
 
 
+def revenue_anomalies_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly flags: the E135 decomposition's
+    residuals put through the E68 robust MAD cut (|r - median| >
+    3*1.4826*MAD) — the monitor that does NOT fire on Decembers just
+    for being December, because trend and month-shape were subtracted
+    first. Composes the two entries; the oracle recomputes the whole
+    chain so a drift in either half goes red here too.
+
+    Integer end-to-end: residuals are exact x24 units; the median and
+    MAD use the doubled-value idiom (med_x2 = the two middle values
+    summed; mad_x4 = doubled median of dev_x2 = |2r - med_x2|), and
+    the cut is the cross-multiplied integer predicate
+    dev_x2 * 20000 > 22239 * mad_x4 — no float at the flag boundary.
+    Frame is the interior-month set (calendar-bounded, ~72 rows), so
+    the two rank windows are constant-size."""
+    stl = monthly_revenue_stl(spark, sf_dir).where(
+        F.col("residual_x24").isNotNull()
+    ).select("idx", "cal_month", "revenue_cents", "residual_x24")
+    w = Window.orderBy("residual_x24", "idx")
+    ranked = stl.withColumn("rn", F.row_number().over(w))
+    n = ranked.agg(F.count("*").alias("n"))
+    med = (
+        ranked.crossJoin(F.broadcast(n))
+        .where(
+            (F.col("rn") == F.expr("(n + 1) DIV 2"))
+            | (F.col("rn") == F.expr("(n + 2) DIV 2"))
+        )
+        .agg(
+            F.expr(
+                "CASE WHEN count(*) = 1 THEN 2 * min(residual_x24)"
+                " ELSE sum(residual_x24) END"
+            ).alias("med_x2")
+        )
+    )
+    dev = ranked.crossJoin(F.broadcast(med)).withColumn(
+        "dev_x2", F.abs(2 * F.col("residual_x24") - F.col("med_x2"))
+    )
+    wd = Window.orderBy("dev_x2", "idx")
+    dranked = dev.withColumn("dn", F.row_number().over(wd))
+    mad = (
+        dranked.crossJoin(F.broadcast(n))
+        .where(
+            (F.col("dn") == F.expr("(n + 1) DIV 2"))
+            | (F.col("dn") == F.expr("(n + 2) DIV 2"))
+        )
+        .agg(
+            F.expr(
+                "CASE WHEN count(*) = 1 THEN 2 * min(dev_x2)"
+                " ELSE sum(dev_x2) END"
+            ).alias("mad_x4")
+        )
+    )
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .select(
+            "idx",
+            "cal_month",
+            "revenue_cents",
+            "residual_x24",
+            (F.col("dev_x2") * 20000 > 22239 * F.col("mad_x4"))
+            .alias("is_anomaly"),
+        )
+    )
+
+
+_STL_ANOM_ORACLE = f"""
+    WITH stl AS (
+      SELECT * FROM ({_STL_ORACLE}) WHERE residual_x24 IS NOT NULL
+    ),
+    ranked AS (
+      SELECT idx, cal_month, revenue_cents, residual_x24,
+        ROW_NUMBER() OVER (ORDER BY residual_x24, idx) AS rn
+      FROM stl
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM ranked),
+    med AS (
+      SELECT CASE WHEN COUNT(*) = 1 THEN 2 * MIN(residual_x24)
+             ELSE SUM(residual_x24) END AS med_x2
+      FROM ranked, nn
+      WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+    ),
+    dev AS (
+      SELECT r.*, ABS(2 * residual_x24 - med_x2) AS dev_x2
+      FROM ranked r, med
+    ),
+    dranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY dev_x2, idx) AS dn FROM dev
+    ),
+    mad AS (
+      SELECT CASE WHEN COUNT(*) = 1 THEN 2 * MIN(dev_x2)
+             ELSE SUM(dev_x2) END AS mad_x4
+      FROM dranked, nn
+      WHERE dn = (n + 1) // 2 OR dn = (n + 2) // 2
+    )
+    SELECT idx, cal_month, revenue_cents, residual_x24,
+      dev_x2 * 20000 > 22239 * mad_x4 AS is_anomaly
+    FROM dev, mad
+"""
+
+
 TEMPORAL_QUERIES = {
     "daily_event_acf": daily_event_acf,
     "monthly_revenue_stl": monthly_revenue_stl,
+    "revenue_anomalies_stl": revenue_anomalies_stl,
     "view_purchase_lead_lag": view_purchase_lead_lag,
     "session_daily_load": session_daily_load,
     "session_concurrency_peak": session_concurrency_peak,
@@ -1591,6 +1692,7 @@ TEMPORAL_QUERIES = {
 TEMPORAL_ORACLES = {
     "daily_event_acf": ACF_ORACLE,
     "monthly_revenue_stl": _STL_ORACLE,
+    "revenue_anomalies_stl": _STL_ANOM_ORACLE,
     "view_purchase_lead_lag": LEADLAG_ORACLE,
     "session_daily_load": DAILY_LOAD_ORACLE,
     "session_concurrency_peak": CONCURRENCY_ORACLE,

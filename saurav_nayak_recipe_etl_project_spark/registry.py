@@ -186,6 +186,8 @@ _DRIVER_PRIORITY = [
     "quantity_discount_kendall",
     "daily_type_mix_drift",
     "priority_value_anova",
+    "k_anonymity_audit",
+    "revenue_anomalies_stl",
 ]
 
 

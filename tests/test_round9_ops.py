@@ -533,3 +533,42 @@ def test_anova_matches_python_brute_force(spark, sf_dir):
     assert row["f_stat_micro"] == a * (n - k) * 1_000_000 // ((k - 1) * b)
     assert row["eta2_micro"] == a * 1_000_000 // (a + b)
     assert row["eta2_micro"] >= 0 and row["f_stat_micro"] >= 0
+
+
+def test_k_anonymity_monotone_and_matches_oracle(spark, sf_dir):
+    """Exposure is monotone NON-DECREASING in k (a group below k is
+    below every larger k), and the k=2 row counts exactly the
+    singleton groups."""
+    assert_matches_oracle(QUERIES["k_anonymity_audit"](spark, sf_dir),
+                          ORACLES["k_anonymity_audit"], sf_dir)
+    rows = sorted(QUERIES["k_anonymity_audit"](spark, sf_dir).collect(),
+                  key=lambda r: r["k"])
+    assert [r["k"] for r in rows] == [2, 5, 10, 25]
+    for a, b in zip(rows, rows[1:]):
+        assert b["groups_below"] >= a["groups_below"]
+        assert b["rows_below"] >= a["rows_below"]
+        assert b["exposure_ppm"] >= a["exposure_ppm"]
+    assert rows[0]["groups_below"] == rows[0]["rows_below"]  # size-1 groups
+
+
+def test_stl_anomalies_match_python_mad(spark, sf_dir):
+    """Recompute the median/MAD cut in Python from the decomposition's
+    residuals — the flag set must match exactly, and flags must be a
+    strict minority (a robust cut that flags half the months is
+    diagnosing itself)."""
+    assert_matches_oracle(QUERIES["revenue_anomalies_stl"](spark, sf_dir),
+                          ORACLES["revenue_anomalies_stl"], sf_dir)
+    rows = QUERIES["revenue_anomalies_stl"](spark, sf_dir).collect()
+    res = sorted(r["residual_x24"] for r in rows)
+    n = len(res)
+    med_x2 = res[(n - 1) // 2] + res[n // 2]
+    devs = sorted(abs(2 * r["residual_x24"] - med_x2) for r in rows)
+    mad_x4 = devs[(n - 1) // 2] + devs[n // 2]
+    want = {
+        r["idx"]: abs(2 * r["residual_x24"] - med_x2) * 20000
+        > 22239 * mad_x4
+        for r in rows
+    }
+    got = {r["idx"]: r["is_anomaly"] for r in rows}
+    assert got == want
+    assert 0 < sum(got.values()) < n / 2
