@@ -345,7 +345,42 @@ TOPK_SKETCH_ORACLE = """
 """
 
 
+def orders_pipe_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status x priority revenue rollup written in Spark 4 SQL PIPE
+    syntax (FROM ... |> WHERE |> EXTEND |> AGGREGATE |> EXTEND) — the
+    linear query style GoogleSQL introduced and Spark 4.0 adopted;
+    each |> stage sees only the previous stage's columns, so the
+    query reads top-to-bottom like a DataFrame chain. Catalyst plans
+    it identically to the classic form (same optimized plan), which
+    is exactly what the classic-SQL DuckDB oracle proves. Money in
+    integer cents; avg is a truncating DIV (cents-bounded
+    quotient)."""
+    orders = _view(spark, "orders", sf_dir)
+    return spark.sql(f"""
+        FROM {orders}
+        |> WHERE o_orderstatus IN ('F', 'O')
+        |> EXTEND CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |> AGGREGATE COUNT(*) AS n_orders, SUM(cents) AS revenue_cents
+           GROUP BY o_orderstatus, o_orderpriority
+        |> EXTEND revenue_cents DIV n_orders AS avg_cents
+    """)
+
+
+PIPE_SUMMARY_ORACLE = """
+    SELECT o_orderstatus, o_orderpriority,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        AS revenue_cents,
+      CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+           // COUNT(*) AS BIGINT) AS avg_cents
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'O')
+    GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
 SQLFEATURES_QUERIES = {
+    "orders_pipe_summary": orders_pipe_summary,
     "customer_latest_order_lateral": customer_latest_order_lateral,
     "copurchase_reach3": copurchase_reach3,
     "orders_groupby_all": orders_groupby_all,
@@ -356,6 +391,7 @@ SQLFEATURES_QUERIES = {
 }
 
 SQLFEATURES_ORACLES = {
+    "orders_pipe_summary": PIPE_SUMMARY_ORACLE,
     "customer_latest_order_lateral": LATERAL_LATEST_ORACLE,
     "copurchase_reach3": (
         _reach_sql("lineitem")

@@ -188,6 +188,7 @@ _DRIVER_PRIORITY = [
     "priority_value_anova",
     "k_anonymity_audit",
     "revenue_anomalies_stl",
+    "orders_pipe_summary",
 ]
 
 

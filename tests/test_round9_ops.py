@@ -572,3 +572,28 @@ def test_stl_anomalies_match_python_mad(spark, sf_dir):
     got = {r["idx"]: r["is_anomaly"] for r in rows}
     assert got == want
     assert 0 < sum(got.values()) < n / 2
+
+
+def test_pipe_syntax_matches_oracle_and_classic_form(spark, sf_dir):
+    """The pipe-syntax query must hash-match the classic-SQL oracle
+    AND produce the identical result as the classic Spark SQL form —
+    pinning that |> is pure syntax, not different semantics."""
+    assert_matches_oracle(QUERIES["orders_pipe_summary"](spark, sf_dir),
+                          ORACLES["orders_pipe_summary"], sf_dir)
+    from saurav_nayak_recipe_etl_project_spark.plans.sqlfeatures import (
+        _view,
+    )
+
+    orders = _view(spark, "orders", sf_dir)
+    classic = spark.sql(f"""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+          SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+          SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) DIV COUNT(*)
+            AS avg_cents
+        FROM {orders} WHERE o_orderstatus IN ('F', 'O')
+        GROUP BY o_orderstatus, o_orderpriority
+    """)
+    got = sorted(map(tuple, QUERIES["orders_pipe_summary"](
+        spark, sf_dir).collect()))
+    want = sorted(map(tuple, classic.collect()))
+    assert got == want and len(got) == 10
