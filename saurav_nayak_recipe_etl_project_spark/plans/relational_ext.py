@@ -1016,6 +1016,103 @@ def part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def part_recommendations_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item recommendation serving table: for every anchor part,
+    its top-3 co-purchase recommendations by lift — the materialized
+    'customers who bought X also bought' surface (part_pair_lift above
+    ranks the global pair list; a recommender needs the PER-ANCHOR
+    ranking, symmetrized, with deterministic tie-breaks).
+
+    Same exact-rational lift ppm and n_ab >= 3 support floor as the
+    lift entry; pairs symmetrized so both endpoints serve as anchors;
+    rank = row_number over (lift desc, n_ab desc, rec asc) inside a
+    PARTITIONED window (per-anchor — bounded by co-purchase degree,
+    never corpus-sized). Output is anchor x <=3 rows, the shape a
+    key-value store loads verbatim."""
+    li = load_table(spark, "lineitem", sf_dir)
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n = items.agg(F.countDistinct("o").alias("n_orders"))
+    per_part = items.groupBy("p").agg(F.count("*").alias("n_p"))
+    b = items.select(F.col("o"), F.col("p").alias("q"))
+    pairs = (
+        items.join(b, "o")
+        .where(F.col("p") < F.col("q"))
+        .groupBy("p", "q")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= 3)
+    )
+    sym = pairs.select(
+        F.col("p").alias("part_id"), F.col("q").alias("rec_part_id"), "n_ab"
+    ).unionByName(
+        pairs.select(
+            F.col("q").alias("part_id"), F.col("p").alias("rec_part_id"),
+            "n_ab",
+        )
+    )
+    na = per_part.withColumnRenamed("p", "pa").withColumnRenamed("n_p", "n_a")
+    nb = per_part.withColumnRenamed("p", "pb").withColumnRenamed("n_p", "n_b")
+    scored = (
+        sym.join(F.broadcast(na), sym.part_id == na.pa)
+        .join(F.broadcast(nb), sym.rec_part_id == nb.pb)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_id", "rec_part_id", "n_ab",
+            F.expr(
+                "cast(cast(n_ab as decimal(38,0)) * n_orders * 1000000"
+                " DIV (cast(n_a as decimal(38,0)) * n_b) as bigint)"
+            ).alias("lift_ppm"),
+        )
+    )
+    w = Window.partitionBy("part_id").orderBy(
+        F.desc("lift_ppm"), F.desc("n_ab"), F.asc("rec_part_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("part_id", "rank", "rec_part_id", "n_ab", "lift_ppm")
+    )
+
+
+RECS_TOPN_ORACLE = """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT o) AS HUGEINT) AS n_orders FROM items),
+    per_part AS (SELECT p, COUNT(*) AS n_p FROM items GROUP BY p),
+    pairs AS (
+      SELECT a.p, b.p AS q, COUNT(*) AS n_ab
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p HAVING COUNT(*) >= 3
+    ),
+    sym AS (
+      SELECT p AS part_id, q AS rec_part_id, n_ab FROM pairs
+      UNION ALL
+      SELECT q, p, n_ab FROM pairs
+    ),
+    scored AS (
+      SELECT part_id, rec_part_id, CAST(n_ab AS BIGINT) AS n_ab,
+        CAST(CAST(n_ab AS HUGEINT) * n_orders * 1000000
+             // (CAST(na.n_p AS HUGEINT) * nb.n_p) AS BIGINT)
+          AS lift_ppm
+      FROM sym
+      JOIN per_part na ON na.p = part_id
+      JOIN per_part nb ON nb.p = rec_part_id
+      CROSS JOIN n
+    )
+    SELECT part_id, CAST(rank AS BIGINT) AS rank, rec_part_id, n_ab,
+           lift_ppm
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY part_id
+        ORDER BY lift_ppm DESC, n_ab DESC, rec_part_id
+      ) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+"""
+
+
 DECAY_TAU_DAYS = 365  # e-folding time constant of the recency weight
 
 
@@ -1483,6 +1580,7 @@ RELATIONAL_EXT_QUERIES = {
     "order_value_trimmed_mean": order_value_trimmed_mean,
     "priority_status_chi2": priority_status_chi2,
     "segment_priority_pmi": segment_priority_pmi,
+    "part_recommendations_topn": part_recommendations_topn,
 }
 
 RELATIONAL_EXT_ORACLES = {
@@ -1491,6 +1589,7 @@ RELATIONAL_EXT_ORACLES = {
     "segment_decayed_value": SEGMENT_DECAYED_ORACLE,
     "orderkey_gap_islands": GAP_ISLANDS_ORACLE,
     "brand_triples": BRAND_TRIPLES_ORACLE,
+    "part_recommendations_topn": RECS_TOPN_ORACLE,
     "part_pair_lift": """
         WITH items AS (
           SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem

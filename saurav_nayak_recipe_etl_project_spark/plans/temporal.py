@@ -1660,10 +1660,99 @@ _STL_ANOM_ORACLE = f"""
 """
 
 
+def revenue_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the two zero-parameter forecasting
+    baselines every real forecast must beat: naive (next month = this
+    month) and seasonal-naive (next month = same month last year) —
+    the missing EVALUATION leg of the time-series toolkit (E90 fits
+    trend, E94/E135 fit seasonality, E131 detects periodicity; this
+    says which baseline your data actually rewards, and any model
+    that can't beat the winner here isn't worth shipping).
+
+    One row per method over the months where BOTH forecasts exist
+    (same eval set — otherwise the comparison is apples/oranges):
+    n_months, MAE in exact cents (floor mean), and MAPE in ppm
+    (per-month |err|*1e6 DIV actual — one truncating division per
+    month in the calendar-bounded frame — then a floor mean).
+
+    Plan: month rollup, two lag self-joins on the month index
+    (calendar-bounded), a 2-method rollup. No windows at all."""
+    orders = load_table(spark, "orders", sf_dir)
+    m = orders.groupBy(
+        F.expr(
+            "(year(cast(o_orderdate as date)) - 1970) * 12"
+            " + month(cast(o_orderdate as date)) - 1"
+        ).alias("idx")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .alias("rev")
+    )
+    lag1 = m.select((F.col("idx") + 1).alias("idx"), F.col("rev").alias("f_naive"))
+    lag12 = m.select(
+        (F.col("idx") + 12).alias("idx"), F.col("rev").alias("f_snaive")
+    )
+    j = m.join(lag1, "idx").join(lag12, "idx")
+    methods = j.select(
+        "idx", "rev", F.lit("naive").alias("method"),
+        F.col("f_naive").alias("f"),
+    ).unionByName(
+        j.select(
+            "idx", "rev", F.lit("seasonal_naive").alias("method"),
+            F.col("f_snaive").alias("f"),
+        )
+    )
+    per = methods.select(
+        "method",
+        F.abs(F.col("rev") - F.col("f")).alias("ae"),
+        F.expr(
+            "CAST(abs(rev - f) AS DECIMAL(38,0)) * 1000000 DIV rev"
+        ).alias("ape_ppm"),
+    )
+    return per.groupBy("method").agg(
+        F.count("*").alias("n_months"),
+        F.expr("CAST(sum(ae) DIV count(*) AS BIGINT)").alias("mae_cents"),
+        F.expr(
+            "CAST(sum(ape_ppm) DIV count(*) AS BIGINT)"
+        ).alias("mape_ppm"),
+    )
+
+
+_BACKTEST_ORACLE = """
+    WITH m AS (
+      SELECT (year(CAST(o_orderdate AS DATE)) - 1970) * 12
+               + month(CAST(o_orderdate AS DATE)) - 1 AS idx,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    j AS (
+      SELECT a.idx, a.rev, l1.rev AS f_naive, l12.rev AS f_snaive
+      FROM m a
+      JOIN m l1 ON l1.idx = a.idx - 1
+      JOIN m l12 ON l12.idx = a.idx - 12
+    ),
+    methods AS (
+      SELECT idx, rev, 'naive' AS method, f_naive AS f FROM j
+      UNION ALL
+      SELECT idx, rev, 'seasonal_naive', f_snaive FROM j
+    ),
+    per AS (
+      SELECT method, ABS(rev - f) AS ae,
+             CAST(ABS(rev - f) AS HUGEINT) * 1000000 // rev AS ape_ppm
+      FROM methods
+    )
+    SELECT method, CAST(COUNT(*) AS BIGINT) AS n_months,
+      CAST(SUM(ae) // COUNT(*) AS BIGINT) AS mae_cents,
+      CAST(SUM(ape_ppm) // COUNT(*) AS BIGINT) AS mape_ppm
+    FROM per GROUP BY method
+"""
+
+
 TEMPORAL_QUERIES = {
     "daily_event_acf": daily_event_acf,
     "monthly_revenue_stl": monthly_revenue_stl,
     "revenue_anomalies_stl": revenue_anomalies_stl,
+    "revenue_forecast_backtest": revenue_forecast_backtest,
     "view_purchase_lead_lag": view_purchase_lead_lag,
     "session_daily_load": session_daily_load,
     "session_concurrency_peak": session_concurrency_peak,
@@ -1693,6 +1782,7 @@ TEMPORAL_ORACLES = {
     "daily_event_acf": ACF_ORACLE,
     "monthly_revenue_stl": _STL_ORACLE,
     "revenue_anomalies_stl": _STL_ANOM_ORACLE,
+    "revenue_forecast_backtest": _BACKTEST_ORACLE,
     "view_purchase_lead_lag": LEADLAG_ORACLE,
     "session_daily_load": DAILY_LOAD_ORACLE,
     "session_concurrency_peak": CONCURRENCY_ORACLE,

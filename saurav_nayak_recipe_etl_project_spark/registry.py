@@ -189,6 +189,8 @@ _DRIVER_PRIORITY = [
     "k_anonymity_audit",
     "revenue_anomalies_stl",
     "orders_pipe_summary",
+    "revenue_forecast_backtest",
+    "part_recommendations_topn",
 ]
 
 

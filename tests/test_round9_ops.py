@@ -597,3 +597,67 @@ def test_pipe_syntax_matches_oracle_and_classic_form(spark, sf_dir):
         spark, sf_dir).collect()))
     want = sorted(map(tuple, classic.collect()))
     assert got == want and len(got) == 10
+
+
+def test_backtest_matches_python(spark, sf_dir):
+    """Recompute both baselines' MAE/MAPE from the month rollup in
+    Python — the eval set (months with BOTH forecasts) must match."""
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    assert_matches_oracle(
+        QUERIES["revenue_forecast_backtest"](spark, sf_dir),
+        ORACLES["revenue_forecast_backtest"], sf_dir,
+    )
+    m = {
+        r["idx"]: r["rev"]
+        for r in load_table(spark, "orders", sf_dir)
+        .groupBy(
+            F.expr(
+                "(year(cast(o_orderdate as date)) - 1970) * 12"
+                " + month(cast(o_orderdate as date)) - 1"
+            ).alias("idx")
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+             .alias("rev"))
+        .collect()
+    }
+    evalset = [i for i in m if i - 1 in m and i - 12 in m]
+    rows = {r["method"]: r for r in
+            QUERIES["revenue_forecast_backtest"](spark, sf_dir).collect()}
+    for method, lag in [("naive", 1), ("seasonal_naive", 12)]:
+        aes = [abs(m[i] - m[i - lag]) for i in evalset]
+        apes = [abs(m[i] - m[i - lag]) * 1_000_000 // m[i] for i in evalset]
+        r = rows[method]
+        assert r["n_months"] == len(evalset)
+        assert r["mae_cents"] == sum(aes) // len(aes)
+        assert r["mape_ppm"] == sum(apes) // len(apes)
+
+
+def test_recommendations_serving_table_laws(spark, sf_dir):
+    """<=3 recs per anchor with contiguous ranks from 1; every rec
+    pair is symmetric at the PAIR level (if (a,b) passes the support
+    floor, both a and b appear as anchors somewhere); rank order
+    matches (lift desc, n_ab desc, rec asc) within each anchor."""
+    assert_matches_oracle(
+        QUERIES["part_recommendations_topn"](spark, sf_dir),
+        ORACLES["part_recommendations_topn"], sf_dir,
+    )
+    rows = QUERIES["part_recommendations_topn"](spark, sf_dir).collect()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in rows:
+        per[r["part_id"]].append(r)
+    for anchor, rs in per.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        keys = [(-r["lift_ppm"], -r["n_ab"], r["rec_part_id"]) for r in rs]
+        assert keys == sorted(keys)
+    anchors = set(per)
+    recs = {r["rec_part_id"] for r in rows}
+    # symmetrization: every recommended part is itself an anchor
+    assert recs <= anchors
