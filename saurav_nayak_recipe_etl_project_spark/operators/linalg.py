@@ -271,10 +271,168 @@ def linear_probe_accuracy(emb: DataFrame, ridge: float = 1e-3,
     )
 
 
+def embedding_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier flags: squared distance to the corpus
+    mean vector, cut at the robust MAD threshold — the vector-QC pass
+    a training pipeline runs before ANN indexing or SemDeDup (corrupt
+    encodes, wrong-modality rows, and truncated vectors land far from
+    the mean; a stddev cut would let the outliers it hunts drag the
+    threshold, the E68 argument).
+
+    Exactness: vectors micro-quantized once; the mean vector is a
+    per-dim truncating DIV of exact DECIMAL sums (d-row broadcast
+    frame); dist2 is an exact integer; median and MAD of dist2 run on
+    the with_global_rank BANDED lane (dist2 is corpus-sized — a
+    global ORDER BY window here would be the single-task trap), with
+    the doubled-value idiom and the cross-multiplied DECIMAL flag
+    predicate dev_x2 * 20000 > 22239 * mad_x4.
+
+    Scale note: the per-dim explode is one n*d pass (no K factor —
+    unlike the k-means assignment this runs ONCE); the Arrow-matmul
+    lane (operators/similarity.py) is the drop-in if d grows past
+    a few hundred."""
+    from saurav_nayak_recipe_etl_project_spark.functions.ranking import (
+        derive_band_width,
+        with_global_rank,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.select(
+        "vec_id", "label",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * MICRO).cast("long"),
+        ).alias("qv"),
+    )
+    dims = q.select("vec_id", F.posexplode("qv").alias("d", "v"))
+    mean = dims.groupBy("d").agg(
+        F.expr(
+            "CAST(sum(CAST(v AS DECIMAL(38,0))) DIV count(*) AS BIGINT)"
+        ).alias("m")
+    )
+    dist = (
+        dims.join(F.broadcast(mean), "d")
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(v - m AS DECIMAL(38,0)) * (v - m))"
+                " AS BIGINT)"
+            ).alias("dist2")
+        )
+    )
+    n = dist.agg(F.count("*").alias("n"))
+    w1 = derive_band_width(dist, "dist2")
+    ranked = with_global_rank(
+        dist, ["dist2", "vec_id"],
+        bucket=F.floor(F.col("dist2") / F.lit(w1)),
+    )
+    med = (
+        ranked.crossJoin(F.broadcast(n))
+        .where(
+            (F.col("rank") == F.expr("(n + 1) DIV 2"))
+            | (F.col("rank") == F.expr("(n + 2) DIV 2"))
+        )
+        .agg(
+            F.expr(
+                "CASE WHEN count(*) = 1 THEN 2 * min(dist2)"
+                " ELSE sum(dist2) END"
+            ).alias("med_x2")
+        )
+    )
+    dev = dist.crossJoin(F.broadcast(med)).withColumn(
+        "dev_x2", F.abs(2 * F.col("dist2") - F.col("med_x2"))
+    )
+    w2 = derive_band_width(dev, "dev_x2")
+    dranked = with_global_rank(
+        dev.select("vec_id", "dev_x2"), ["dev_x2", "vec_id"],
+        bucket=F.floor(F.col("dev_x2") / F.lit(w2)),
+    )
+    mad = (
+        dranked.crossJoin(F.broadcast(n))
+        .where(
+            (F.col("rank") == F.expr("(n + 1) DIV 2"))
+            | (F.col("rank") == F.expr("(n + 2) DIV 2"))
+        )
+        .agg(
+            F.expr(
+                "CASE WHEN count(*) = 1 THEN 2 * min(dev_x2)"
+                " ELSE sum(dev_x2) END"
+            ).alias("mad_x4")
+        )
+    )
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .join(q.select("vec_id", "label"), "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            "dist2",
+            F.expr(
+                "CAST(dev_x2 AS DECIMAL(38,0)) * 20000"
+                " > 22239 * CAST(mad_x4 AS DECIMAL(38,0))"
+            ).alias("is_outlier"),
+        )
+    )
+
+
+OUTLIERS_ORACLE = f"""
+    WITH q AS (
+      SELECT vec_id, label,
+        list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * {MICRO}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT vec_id, i.i AS d, qv[i.i + 1] AS v
+      FROM q, UNNEST(range(0, len(qv))) AS i(i)
+    ),
+    mean AS (
+      SELECT d, CAST(SUM(CAST(v AS HUGEINT)) // COUNT(*) AS BIGINT) AS m
+      FROM dims GROUP BY d
+    ),
+    dist AS (
+      SELECT vec_id,
+        CAST(SUM(CAST(v - m AS HUGEINT) * (v - m)) AS BIGINT) AS dist2
+      FROM dims JOIN mean USING (d) GROUP BY vec_id
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM dist),
+    ranked AS (
+      SELECT vec_id, dist2,
+        ROW_NUMBER() OVER (ORDER BY dist2, vec_id) AS rn
+      FROM dist
+    ),
+    med AS (
+      SELECT CASE WHEN COUNT(*) = 1 THEN 2 * MIN(dist2)
+             ELSE SUM(dist2) END AS med_x2
+      FROM ranked, nn WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+    ),
+    dev AS (
+      SELECT d.vec_id, d.dist2, ABS(2 * d.dist2 - med_x2) AS dev_x2
+      FROM dist d, med
+    ),
+    dranked AS (
+      SELECT vec_id, dev_x2,
+        ROW_NUMBER() OVER (ORDER BY dev_x2, vec_id) AS dn
+      FROM dev
+    ),
+    mad AS (
+      SELECT CASE WHEN COUNT(*) = 1 THEN 2 * MIN(dev_x2)
+             ELSE SUM(dev_x2) END AS mad_x4
+      FROM dranked, nn WHERE dn = (n + 1) // 2 OR dn = (n + 2) // 2
+    )
+    SELECT dev.vec_id, q.label, dev.dist2,
+      CAST(dev_x2 AS HUGEINT) * 20000 > 22239 * CAST(mad_x4 AS HUGEINT)
+        AS is_outlier
+    FROM dev, mad JOIN q ON q.vec_id = dev.vec_id
+"""
+
+
 LINALG_QUERIES = {
     "embedding_gram_matrix": embedding_gram_matrix,
+    "embedding_outliers_mad": embedding_outliers_mad,
 }
 
 LINALG_ORACLES = {
     "embedding_gram_matrix": GRAM_ORACLE,
+    "embedding_outliers_mad": OUTLIERS_ORACLE,
 }

@@ -191,6 +191,7 @@ _DRIVER_PRIORITY = [
     "orders_pipe_summary",
     "revenue_forecast_backtest",
     "part_recommendations_topn",
+    "embedding_outliers_mad",
 ]
 
 

@@ -100,6 +100,9 @@ def _window_arg_groups(plan: str) -> list:
         # banded lane, never a global ORDER BY (value) window
         "order_value_ks_test",
         "priority_value_mannwhitney",
+        # round-9: the embedding-QC median/MAD runs on the banded
+        # lane — dist2 is corpus-sized, so no global window allowed
+        "embedding_outliers_mad",
     ],
 )
 def test_no_single_partition_windows(spark, sf_dir, name):

@@ -661,3 +661,38 @@ def test_recommendations_serving_table_laws(spark, sf_dir):
     recs = {r["rec_part_id"] for r in rows}
     # symmetrization: every recommended part is itself an anchor
     assert recs <= anchors
+
+
+def test_embedding_outliers_match_python(spark, sf_dir):
+    """Recompute mean vector, dist2, median/MAD cut in Python integers
+    from the raw embeddings — flags must match exactly."""
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    assert_matches_oracle(QUERIES["embedding_outliers_mad"](spark, sf_dir),
+                          ORACLES["embedding_outliers_mad"], sf_dir)
+    vecs = {
+        r["vec_id"]: [round(float(x) * 1_000_000) for x in r["embedding"]]
+        for r in load_table(spark, "embeddings", sf_dir).collect()
+    }
+    d = len(next(iter(vecs.values())))
+    n = len(vecs)
+    def trunc_div(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+    mean = [trunc_div(sum(v[i] for v in vecs.values()), n) for i in range(d)]
+    dist2 = {
+        k: sum((v[i] - mean[i]) ** 2 for i in range(d))
+        for k, v in vecs.items()
+    }
+    s = sorted(dist2.values())
+    med_x2 = s[(n - 1) // 2] + s[n // 2]
+    devs = sorted(abs(2 * x - med_x2) for x in dist2.values())
+    mad_x4 = devs[(n - 1) // 2] + devs[n // 2]
+    rows = QUERIES["embedding_outliers_mad"](spark, sf_dir).collect()
+    assert len(rows) == n
+    for r in rows:
+        assert r["dist2"] == dist2[r["vec_id"]]
+        want = abs(2 * r["dist2"] - med_x2) * 20000 > 22239 * mad_x4
+        assert r["is_outlier"] == want, r
