@@ -784,6 +784,124 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load_table(spark, "documents", sf_dir))
 
 
+SIMHASH_BAND_BLOCKS = 4   # 15-bit blocks over the 60-bit code
+SIMHASH_BAND_RADIUS = 3   # pigeonhole: hamming <= blocks-1 => >=1 shared block
+
+
+def simhash_banded_pairs(docs: DataFrame,
+                         radius: int = SIMHASH_BAND_RADIUS) -> DataFrame:
+    """SimHash near-pair generator with EXACT recall at the banded
+    radius: split the 60-bit code into 4 disjoint 15-bit blocks; any
+    pair within hamming distance <= 3 differs in at most 3 blocks, so
+    it MATCHES on at least one (pigeonhole) — candidates form only
+    inside (block_id, block_value) buckets, never all-pairs, and the
+    hamming filter afterwards is exact. Complements minhash banding:
+    LSH banding has probabilistic recall; simhash block banding is
+    LOSSLESS for radius < n_blocks."""
+    assert radius < SIMHASH_BAND_BLOCKS, "pigeonhole needs radius < blocks"
+    codes = simhash(docs).persist()
+    blocks = codes.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.expr(
+                    f"CAST((simhash >> {15 * i}) & 32767 AS BIGINT)"
+                )
+                for i in range(SIMHASH_BAND_BLOCKS)
+            ])
+        ).alias("blk_id", "blk_val"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk_id") == F.col("b.blk_id"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ca = codes.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("code_a")
+    )
+    cb = codes.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("code_b")
+    )
+    return (
+        cand.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.expr("bit_count(code_a ^ code_b)").alias("hamming"),
+        )
+        .where(F.col("hamming") <= radius)
+    )
+
+
+def simhash_radius_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which hamming radius should a SimHash dedup use? Per radius r
+    in 0..3: candidate pairs within r, how many are TRUE tau=0.5
+    near-dups (precision), and what share of the true pair set the
+    radius catches (recall) — the threshold-selection study run once
+    before committing a production radius. The truth set is the
+    verified exact pair set (lsh_verified_pairs, itself proven equal
+    to the unblocked exact join by its own entry's oracle).
+
+    Candidates come from the LOSSLESS block-banded generator above,
+    so within r <= 3 the audit measures the ESTIMATOR (simhash), not
+    the banding. ppm ratios are guarded truncating divisions (NULL
+    when a radius has zero candidates, identically in both
+    engines)."""
+    docs = load_table(spark, "documents", sf_dir)
+    cand = simhash_banded_pairs(docs)
+    truth = lsh_verified_pairs(docs).select(
+        "doc_a", "doc_b", F.lit(1).alias("_t")
+    )
+    flagged = cand.join(truth.drop("_t").withColumn("_t", F.lit(1)),
+                        ["doc_a", "doc_b"], "left")
+    n_exact = truth.agg(F.count("*").alias("n_exact"))
+    radii = spark.range(0, SIMHASH_BAND_RADIUS + 1).select(
+        F.col("id").cast("int").alias("radius")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(radii))
+        .groupBy("radius")
+        .agg(
+            F.sum(
+                F.when(F.col("hamming") <= F.col("radius"), 1).otherwise(0)
+            ).alias("n_cand"),
+            F.sum(
+                F.when(
+                    (F.col("hamming") <= F.col("radius"))
+                    & F.col("_t").isNotNull(),
+                    1,
+                ).otherwise(0)
+            ).alias("n_true"),
+        )
+        .crossJoin(F.broadcast(n_exact))
+        .select(
+            "radius",
+            "n_cand",
+            "n_true",
+            "n_exact",
+            F.expr(
+                "CASE WHEN n_cand = 0 THEN NULL ELSE"
+                " CAST(CAST(n_true AS DECIMAL(38,0)) * 1000000"
+                " DIV n_cand AS BIGINT) END"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CASE WHEN n_exact = 0 THEN NULL ELSE"
+                " CAST(CAST(n_true AS DECIMAL(38,0)) * 1000000"
+                " DIV n_exact AS BIGINT) END"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
 # Bucketed embedding-dedup quality floors for the bounds oracle:
 # measured recall 0.69-0.71 across sf0.001/0.01/0.1 (hyperplane
 # buckets at tau=0.3 — LOW-similarity pairs hash apart often; at the
@@ -847,6 +965,7 @@ DEDUP_QUERIES = {
     "dedup_lsh_verified": dedup_lsh_verified,
     "dedup_contamination": dedup_contamination,
     "documents_deduped": documents_deduped,
+    "simhash_radius_audit": simhash_radius_audit,
 }
 
 _SHINGLES = """
@@ -985,6 +1104,89 @@ DEDUP_ORACLES = {
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    """,
+    # simhash_radius_audit: the oracle recomputes the exact codes,
+    # takes the UNBANDED all-pairs hamming <= 3 candidate set (hash
+    # equality with the block-banded Spark path re-proves the
+    # pigeonhole losslessness), rebuilds the exact tau=0.5 truth set,
+    # and rolls both up per radius.
+    "simhash_radius_audit": f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+          FROM documents
+        ),
+        w AS (
+          SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS w
+          FROM tok GROUP BY doc_id, token
+        ),
+        hh AS (
+          SELECT doc_id, w,
+                 ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+          FROM w
+        ),
+        bits AS (
+          SELECT doc_id,
+            {_SIMHASH_BIT_SUMS}
+          FROM hh GROUP BY doc_id
+        ),
+        codes AS (
+          SELECT doc_id, CAST({_SIMHASH_PACK} AS BIGINT) AS simhash
+          FROM bits
+        ),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 bit_count(xor(a.simhash, b.simhash)) AS hamming
+          FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ),
+        t2 AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents
+        ),
+        sh2 AS (
+          SELECT doc_id, unnest({_SHINGLES}) AS shingle
+          FROM t2
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh2 GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM sh2 a JOIN sh2 b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ),
+        truth AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5
+        ),
+        flagged AS (
+          SELECT c.doc_a, c.doc_b, c.hamming,
+                 t.doc_a IS NOT NULL AS hit
+          FROM cand c LEFT JOIN truth t
+            ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+        ),
+        ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM truth),
+        radii AS (SELECT CAST(UNNEST(range(0, 4)) AS INTEGER) AS radius)
+        SELECT radius,
+          CAST(SUM(CASE WHEN hamming <= radius THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_cand,
+          CAST(SUM(CASE WHEN hamming <= radius AND hit THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_true,
+          n_exact,
+          CASE WHEN SUM(CASE WHEN hamming <= radius THEN 1 ELSE 0 END) = 0
+               THEN NULL ELSE
+            CAST(SUM(CASE WHEN hamming <= radius AND hit THEN 1 ELSE 0 END)
+                 * CAST(1000000 AS HUGEINT)
+                 // SUM(CASE WHEN hamming <= radius THEN 1 ELSE 0 END)
+                 AS BIGINT) END AS precision_ppm,
+          CASE WHEN n_exact = 0 THEN NULL ELSE
+            CAST(SUM(CASE WHEN hamming <= radius AND hit THEN 1 ELSE 0 END)
+                 * CAST(1000000 AS HUGEINT) // n_exact AS BIGINT) END
+            AS recall_ppm
+        FROM flagged CROSS JOIN radii CROSS JOIN ne
+        GROUP BY radius, n_exact
     """,
     # dedup_simhash: the per-token hash is md5-derived (bit-identical
     # across engines), so the oracle recomputes the exact 60-bit codes.

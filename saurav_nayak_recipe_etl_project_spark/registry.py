@@ -192,6 +192,7 @@ _DRIVER_PRIORITY = [
     "revenue_forecast_backtest",
     "part_recommendations_topn",
     "embedding_outliers_mad",
+    "simhash_radius_audit",
 ]
 
 

@@ -696,3 +696,45 @@ def test_embedding_outliers_match_python(spark, sf_dir):
         assert r["dist2"] == dist2[r["vec_id"]]
         want = abs(2 * r["dist2"] - med_x2) * 20000 > 22239 * mad_x4
         assert r["is_outlier"] == want, r
+
+
+def test_simhash_radius_audit_laws(spark, sf_dir):
+    """Candidate and true-positive counts are monotone in the radius;
+    r=0 candidates are exact-code collisions (near-identical texts),
+    so their precision should be perfect on this corpus; the banded
+    generator agrees with an unbanded brute-force hamming filter
+    (pigeonhole losslessness, re-proven engine-independently)."""
+    from pyspark.sql import functions as F
+
+    from saurav_nayak_recipe_etl_project_spark.operators.dedup import (
+        simhash,
+        simhash_banded_pairs,
+    )
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    assert_matches_oracle(QUERIES["simhash_radius_audit"](spark, sf_dir),
+                          ORACLES["simhash_radius_audit"], sf_dir)
+    rows = sorted(QUERIES["simhash_radius_audit"](spark, sf_dir).collect(),
+                  key=lambda r: r["radius"])
+    assert [r["radius"] for r in rows] == [0, 1, 2, 3]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_cand"] >= a["n_cand"] and b["n_true"] >= a["n_true"]
+        assert b["recall_ppm"] >= a["recall_ppm"]
+    assert rows[0]["precision_ppm"] == 1_000_000
+    # losslessness: banded pair set == brute force over the codes
+    docs = load_table(spark, "documents", sf_dir)
+    codes = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    ids = sorted(codes)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(codes[a] ^ codes[b]).count("1") <= 3
+    }
+    banded = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_banded_pairs(docs).collect()
+    }
+    assert banded == brute
