@@ -155,6 +155,71 @@ def with_global_rank(
     return out.drop(_BUCKET, _OFFSET)
 
 
+def with_grouped_rank(
+    df: DataFrame,
+    group_cols: list,
+    sort_cols: list,
+    bucket: Column,
+    rank_col: str = "rank",
+    count_col: str | None = None,
+) -> DataFrame:
+    """Per-GROUP exact 1-based rank under ascending ``sort_cols`` —
+    the banded lane for ranking WITHIN groups that are themselves
+    corpus-sized (event types, statuses: |group| = |corpus|/k). A
+    plain ``Window.partitionBy(group)`` funnels each whole group
+    through ONE task; here the window partition is (group, bucket),
+    so wall-clock is bounded by the largest band of the largest
+    group, and the offset frame is (groups x <=~4096 bands) —
+    broadcast-sized whenever the group key is catalog-bounded.
+
+    Same requirements as ``with_global_rank`` (strict total order
+    within a group via ``sort_cols``; ``bucket`` monotone w.r.t. the
+    sort). ``count_col`` additionally emits each group's TOTAL row
+    count (percentile selectors need n_g; it rides the same count
+    aggregation, no extra scan)."""
+    d = df.withColumn(
+        _BUCKET,
+        F.when(
+            bucket.isNull(),
+            F.assert_true(
+                F.lit(False),
+                F.lit("with_grouped_rank: bucket expression yielded "
+                      "NULL (null sort keys unsupported)"),
+            ),
+        ).otherwise(bucket),
+    )
+    cnts = d.groupBy(*group_cols, _BUCKET).agg(F.count("*").alias("_rk_c"))
+    lo = cnts.select(
+        *[F.col(c).alias(f"_rk_g_{c}") for c in group_cols],
+        F.col(_BUCKET).alias("_rk_b_lo"),
+        F.col("_rk_c").alias("_rk_c_lo"),
+    )
+    same_group = None
+    for c in group_cols:
+        eq = F.col(f"_rk_g_{c}") == F.col(c)
+        same_group = eq if same_group is None else (same_group & eq)
+    offs = (
+        cnts.join(
+            F.broadcast(lo),
+            same_group & (F.col("_rk_b_lo") < F.col(_BUCKET)),
+            "left",
+        )
+        .groupBy(*group_cols, _BUCKET)
+        .agg(F.coalesce(F.sum("_rk_c_lo"), F.lit(0)).alias(_OFFSET))
+    )
+    w = Window.partitionBy(*group_cols, _BUCKET).orderBy(*sort_cols)
+    out = d.join(F.broadcast(offs), [*group_cols, _BUCKET]).withColumn(
+        rank_col,
+        F.row_number().over(w).cast("long") + F.col(_OFFSET),
+    )
+    if count_col is not None:
+        totals = cnts.groupBy(*group_cols).agg(
+            F.sum("_rk_c").alias(count_col)
+        )
+        out = out.join(F.broadcast(totals), group_cols)
+    return out.drop(_BUCKET, _OFFSET)
+
+
 def derive_band_width(
     df: DataFrame,
     col: str,

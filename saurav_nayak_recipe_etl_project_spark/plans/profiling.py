@@ -32,6 +32,7 @@ from saurav_nayak_recipe_etl_project_spark.functions.ranking import (
     ntile_from_rank,
     two_phase_group_top_k,
     with_global_rank,
+    with_grouped_rank,
 )
 from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
 
@@ -915,7 +916,75 @@ def _key_candidate_oracle() -> str:
     """
 
 
+def event_value_percentiles_exact(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """EXACT per-event-type value percentiles (P50/P90/P99 cents) —
+    the latency-report shape, computed scale-safely: event-type
+    groups are CORPUS-SIZED (|corpus|/5 each), so the usual
+    ``Window.partitionBy(event_type)`` rank would funnel each whole
+    group through one task; this runs on the with_grouped_rank
+    per-group BANDED lane ((type, value-band) window partitions +
+    broadcast per-group offsets — new in r9 for exactly this shape).
+
+    Quantile definition is the inverse-CDF (type-1): value at rank
+    ceil(q*n_g), realized as the integer ceiling (n_g*q + 99) DIV 100
+    — engine-exact, no interpolation float. One conditional-min agg
+    per group picks all three ranks in one pass over the ranked
+    frame."""
+    ev = load_table(spark, "events", sf_dir)
+    d = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+    width = derive_band_width(d, "cents")
+    ranked = with_grouped_rank(
+        d,
+        ["event_type"],
+        ["cents", "event_id"],
+        bucket=F.floor(F.col("cents") / F.lit(width)),
+        count_col="n_g",
+    )
+    sel = None
+    aggs = [F.max("n_g").alias("n")]
+    for q in (50, 90, 99):
+        k = F.expr(f"(n_g * {q} + 99) DIV 100")
+        aggs.append(
+            F.min(F.when(F.col("rank") == k, F.col("cents")))
+            .alias(f"p{q}_cents")
+        )
+        cond = F.col("rank") == k
+        sel = cond if sel is None else (sel | cond)
+    return ranked.where(sel).groupBy("event_type").agg(*aggs)
+
+
+EVENT_PCTL_ORACLE = """
+    WITH d AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents, event_id
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, cents,
+        ROW_NUMBER() OVER (
+          PARTITION BY event_type ORDER BY cents, event_id
+        ) AS rank,
+        COUNT(*) OVER (PARTITION BY event_type) AS n_g
+      FROM d
+    )
+    SELECT event_type, CAST(MAX(n_g) AS BIGINT) AS n,
+      MIN(CASE WHEN rank = (n_g * 50 + 99) // 100 THEN cents END)
+        AS p50_cents,
+      MIN(CASE WHEN rank = (n_g * 90 + 99) // 100 THEN cents END)
+        AS p90_cents,
+      MIN(CASE WHEN rank = (n_g * 99 + 99) // 100 THEN cents END)
+        AS p99_cents
+    FROM ranked GROUP BY event_type
+"""
+
+
 PROFILING_QUERIES = {
+    "event_value_percentiles_exact": event_value_percentiles_exact,
     "key_candidate_profile": key_candidate_profile,
     "table_profile_lineitem": table_profile_lineitem,
     "table_profile_lineitem_approx": table_profile_lineitem_approx,
@@ -932,6 +1001,7 @@ PROFILING_QUERIES = {
 }
 
 PROFILING_ORACLES = {
+    "event_value_percentiles_exact": EVENT_PCTL_ORACLE,
     "key_candidate_profile": _key_candidate_oracle(),
     "table_profile_lineitem": _profile_oracle(),
     "table_profile_lineitem_approx": _profile_approx_oracle(),

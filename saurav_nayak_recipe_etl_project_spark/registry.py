@@ -193,6 +193,7 @@ _DRIVER_PRIORITY = [
     "part_recommendations_topn",
     "embedding_outliers_mad",
     "simhash_radius_audit",
+    "event_value_percentiles_exact",
 ]
 
 

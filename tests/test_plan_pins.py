@@ -103,6 +103,9 @@ def _window_arg_groups(plan: str) -> list:
         # round-9: the embedding-QC median/MAD runs on the banded
         # lane — dist2 is corpus-sized, so no global window allowed
         "embedding_outliers_mad",
+        # round-9: per-group percentiles over corpus-sized groups —
+        # every window must carry the (group, band) partition spec
+        "event_value_percentiles_exact",
     ],
 )
 def test_no_single_partition_windows(spark, sf_dir, name):

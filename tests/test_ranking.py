@@ -221,3 +221,29 @@ def test_two_phase_group_top_k_matches_window(spark):
         | (SF.col("rank") != SF.col("want"))
     ).count() == 0
     assert got.where(SF.col("g") == "tiny").count() == 3
+
+
+def test_grouped_rank_matches_per_group_window(spark):
+    """with_grouped_rank must equal row_number() partitioned by the
+    group — including across band boundaries, under band skew, and
+    with the count_col rider."""
+    from saurav_nayak_recipe_etl_project_spark.functions.ranking import (
+        with_grouped_rank,
+    )
+
+    rows = [((v * 7) % 3, (v * 13) % 37, v) for v in range(300)]
+    df = spark.createDataFrame(rows, "g long, v long, id long")
+    got = with_grouped_rank(
+        df, ["g"], ["v", "id"], bucket=F.floor(F.col("v") / F.lit(6)),
+        count_col="n_g",
+    )
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = df.withColumn("want_rank", F.row_number().over(w))
+    j = got.join(want, ["g", "v", "id"])
+    assert j.where(F.col("rank") != F.col("want_rank")).count() == 0
+    assert j.count() == len(rows)
+    sizes = {r["g"]: r["c"] for r in
+             df.groupBy("g").agg(F.count("*").alias("c")).collect()}
+    assert got.where(
+        F.col("n_g") != F.udf(lambda g: sizes[g], "long")("g")
+    ).count() == 0

@@ -738,3 +738,37 @@ def test_simhash_radius_audit_laws(spark, sf_dir):
         for r in simhash_banded_pairs(docs).collect()
     }
     assert banded == brute
+
+
+def test_event_percentiles_match_python(spark, sf_dir):
+    """Recompute the type-1 quantiles in Python from the raw cents —
+    per event type, p_q = sorted values[ceil(q*n) - 1]."""
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    assert_matches_oracle(
+        QUERIES["event_value_percentiles_exact"](spark, sf_dir),
+        ORACLES["event_value_percentiles_exact"], sf_dir,
+    )
+    from collections import defaultdict
+
+    vals = defaultdict(list)
+    for r in (
+        load_table(spark, "events", sf_dir)
+        .selectExpr("event_type t", "cast(round(value * 100) as bigint) c")
+        .collect()
+    ):
+        vals[r["t"]].append(r["c"])
+    rows = {r["event_type"]: r for r in
+            QUERIES["event_value_percentiles_exact"](spark, sf_dir).collect()}
+    assert set(rows) == set(vals)
+    for t, v in vals.items():
+        v.sort()
+        n = len(v)
+        r = rows[t]
+        assert r["n"] == n
+        for q in (50, 90, 99):
+            k = (n * q + 99) // 100
+            assert r[f"p{q}_cents"] == v[k - 1], (t, q)
+        assert r["p50_cents"] <= r["p90_cents"] <= r["p99_cents"]
