@@ -434,20 +434,36 @@ def event_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dev_x2 = |2*cents - med_x2| half-cent units, mad_x4 = doubled
     median of dev_x2), and the 3 * 1.4826 * MAD cut is the cross-
     multiplied integer predicate dev_x2 * 20000 > 22239 * mad_x4 — no
-    float at the flag boundary, engine-exact row set. Two per-type
-    rank windows (same shuffle key), stats join back broadcast."""
+    float at the flag boundary, engine-exact row set.
+
+    Scale (migrated r9): the two per-type rank passes originally ran
+    plain partitionBy(event_type) windows — each group is corpus/5,
+    so at 100 TB every rank pass funnels a fifth of the corpus
+    through ONE task. Both now run the with_grouped_rank banded lane
+    ((type, band) window partitions + broadcast per-group offsets);
+    the SELECTED median/MAD values are unchanged (the value at rank k
+    of a sorted multiset does not depend on the tie order the added
+    event_id tiebreak fixes), so the entry stays hash-identical —
+    re-verified against the unchanged oracle at both SFs."""
+    from saurav_nayak_recipe_etl_project_spark.functions.ranking import (
+        derive_band_width,
+        with_grouped_rank,
+    )
+
     ev = load_table(spark, "events", sf_dir)
     d = ev.select(
         "event_id", "event_type",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    w_rank = Window.partitionBy("event_type").orderBy("cents")
-    w_grp = Window.partitionBy("event_type")
+    width = derive_band_width(d, "cents")
+    ranked = with_grouped_rank(
+        d, ["event_type"], ["cents", "event_id"],
+        bucket=F.floor(F.col("cents") / F.lit(width)),
+        rank_col="rn", count_col="n",
+    )
     med = (
-        d.withColumn("rn", F.row_number().over(w_rank))
-        .withColumn("n", F.count("*").over(w_grp))
-        .where((F.col("rn") == F.expr("(n + 1) DIV 2"))
-               | (F.col("rn") == F.expr("(n + 2) DIV 2")))
+        ranked.where((F.col("rn") == F.expr("(n + 1) DIV 2"))
+                     | (F.col("rn") == F.expr("(n + 2) DIV 2")))
         .groupBy("event_type")
         .agg(F.when(F.count("*") == 1, F.sum("cents") * 2)
              .otherwise(F.sum("cents")).cast("long").alias("med_x2"))
@@ -455,12 +471,16 @@ def event_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = d.join(F.broadcast(med), "event_type").withColumn(
         "dev_x2", F.abs(F.col("cents") * 2 - F.col("med_x2"))
     )
-    w_rank2 = Window.partitionBy("event_type").orderBy("dev_x2")
+    width2 = derive_band_width(dev, "dev_x2")
+    dranked = with_grouped_rank(
+        dev.select("event_type", "event_id", "dev_x2"),
+        ["event_type"], ["dev_x2", "event_id"],
+        bucket=F.floor(F.col("dev_x2") / F.lit(width2)),
+        rank_col="rn", count_col="n",
+    )
     mad = (
-        dev.withColumn("rn", F.row_number().over(w_rank2))
-        .withColumn("n", F.count("*").over(w_grp))
-        .where((F.col("rn") == F.expr("(n + 1) DIV 2"))
-               | (F.col("rn") == F.expr("(n + 2) DIV 2")))
+        dranked.where((F.col("rn") == F.expr("(n + 1) DIV 2"))
+                      | (F.col("rn") == F.expr("(n + 2) DIV 2")))
         .groupBy("event_type")
         .agg(F.when(F.count("*") == 1, F.sum("dev_x2") * 2)
              .otherwise(F.sum("dev_x2")).cast("long").alias("mad_x4"))

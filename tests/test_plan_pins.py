@@ -106,6 +106,9 @@ def _window_arg_groups(plan: str) -> list:
         # round-9: per-group percentiles over corpus-sized groups —
         # every window must carry the (group, band) partition spec
         "event_value_percentiles_exact",
+        # round-9 migration: MAD anomaly ranks now on the grouped
+        # banded lane (formerly whole-group per-type windows)
+        "event_anomalies_mad",
     ],
 )
 def test_no_single_partition_windows(spark, sf_dir, name):
