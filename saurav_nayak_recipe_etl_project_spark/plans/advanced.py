@@ -185,17 +185,42 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
 
 
 def event_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile + percent_rank window frame: quartile label and exact
-    percentile position of every event's value within its type."""
-    events = load_table(spark, "events", sf_dir)
-    w = Window.partitionBy("event_type").orderBy(
-        F.asc("value"), F.asc("event_id")
+    """ntile + percent_rank semantics: quartile label and exact
+    percentile position of every event's value within its type.
+
+    r9 scale migration: the original per-type ntile/percent_rank
+    windows put a whole corpus/5-sized group through one task; both
+    are now ARITHMETIC over the with_grouped_rank (type, band) lane —
+    quartile via ntile_from_rank (bit-equal to NTILE(4) by its
+    property test) and pct_rank = (rank-1)/(n-1) (equal to
+    percent_rank because the (value, event_id) order is strict, so
+    rank == row_number == RANK)."""
+    from saurav_nayak_recipe_etl_project_spark.functions.ranking import (
+        derive_band_width,
+        ntile_from_rank,
+        with_grouped_rank,
     )
-    return events.select(
+
+    events = load_table(spark, "events", sf_dir)
+    d = events.select("event_id", "event_type", "value")
+    width = derive_band_width(d, "value")
+    ranked = with_grouped_rank(
+        d, ["event_type"], ["value", "event_id"],
+        bucket=F.floor(F.col("value") / F.lit(width)),
+        count_col="n",
+    )
+    return ranked.select(
         "event_id",
         "event_type",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        ntile_from_rank(
+            F.col("rank"), F.col("n").cast("long"), 4
+        ).cast("long").alias("quartile"),
+        F.round(
+            F.when(F.col("n") == 1, F.lit(0.0)).otherwise(
+                (F.col("rank") - 1) / (F.col("n") - 1)
+            ),
+            6,
+        ).alias("pct_rank"),
     )
 
 

@@ -102,14 +102,29 @@ def order_value_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the median path is the one to watch: a full per-group
     sort. For wide keys switch to price_quantiles_approx (GK sketch);
     this operator is the exact form for report-sized group counts."""
+    from saurav_nayak_recipe_etl_project_spark.functions.ranking import (
+        derive_band_width,
+        with_grouped_rank,
+    )
+
     orders = load_table(spark, "orders", sf_dir)
-    d = orders.select("o_orderpriority", "o_orderstatus", _cents().alias("cents"))
-    w_rank = Window.partitionBy("o_orderpriority").orderBy("cents")
-    w_grp = Window.partitionBy("o_orderpriority")
+    d = orders.select(
+        "o_orderpriority", "o_orderstatus", "o_orderkey",
+        _cents().alias("cents"),
+    )
+    # r9 scale migration: the median rank pass ran a whole-group
+    # partitionBy(priority) window (corpus/5 per task); it now runs
+    # the with_grouped_rank (priority, band) lane — selected values
+    # identical (position-k of a sorted multiset is tie-order-free).
+    width = derive_band_width(d, "cents")
+    ranked = with_grouped_rank(
+        d.select("o_orderpriority", "cents", "o_orderkey"),
+        ["o_orderpriority"], ["cents", "o_orderkey"],
+        bucket=F.floor(F.col("cents") / F.lit(width)),
+        rank_col="rn", count_col="n",
+    )
     med = (
-        d.withColumn("rn", F.row_number().over(w_rank))
-        .withColumn("n", F.count("*").over(w_grp))
-        .where(
+        ranked.where(
             (F.col("rn") == F.expr("(n + 1) DIV 2"))
             | (F.col("rn") == F.expr("(n + 2) DIV 2"))
         )
@@ -296,13 +311,26 @@ def order_value_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut is rank-based and integer-exact: keep rows with
     trim < rn <= n - trim where trim = n DIV 20; the mean is the raw
     double division of an integer cents sum by an integer count."""
+    from saurav_nayak_recipe_etl_project_spark.functions.ranking import (
+        derive_band_width,
+        with_grouped_rank,
+    )
+
     orders = load_table(spark, "orders", sf_dir)
-    d = orders.select("o_orderpriority", _cents().alias("cents"))
-    w_rank = Window.partitionBy("o_orderpriority").orderBy("cents")
-    w_grp = Window.partitionBy("o_orderpriority")
+    d = orders.select(
+        "o_orderpriority", "o_orderkey", _cents().alias("cents")
+    )
+    # r9 scale migration onto the (priority, band) grouped lane; the
+    # kept VALUE multiset is tie-order-free (boundary ties share the
+    # same cents), so the sum is unchanged.
+    width = derive_band_width(d, "cents")
+    ranked = with_grouped_rank(
+        d, ["o_orderpriority"], ["cents", "o_orderkey"],
+        bucket=F.floor(F.col("cents") / F.lit(width)),
+        rank_col="rn", count_col="n",
+    )
     return (
-        d.withColumn("rn", F.row_number().over(w_rank))
-        .withColumn("n", F.count("*").over(w_grp))
+        ranked
         .withColumn("trim", F.expr("n DIV 20"))
         .where((F.col("rn") > F.col("trim"))
                & (F.col("rn") <= F.col("n") - F.col("trim")))

@@ -114,10 +114,14 @@ _DRIVER_PRIORITY = [
     "km_risk_table",
     "pseudonymized_segment_report",
     "table_profile_lineitem_approx",
-    # late-r9 migration: MAD anomaly ranks moved from per-type windows
-    # onto the grouped banded lane (values proven unchanged locally,
-    # but a changed plan means a fresh external row per policy)
+    # late-r9 migration: MAD anomaly / median / trimmed-mean /
+    # quartile ranks moved from whole-group windows onto the grouped
+    # banded lane (values proven unchanged locally, but a changed
+    # plan means a fresh external row per policy)
     "event_anomalies_mad",
+    "order_value_median_mode",
+    "order_value_trimmed_mean",
+    "event_value_quartiles",
     # -- (2) never driver-windowed (r8c additions, judge-verified
     #    green at sf0.01 in VERDICT r8) --
     "brand_audience_overlap",

@@ -109,6 +109,12 @@ def _window_arg_groups(plan: str) -> list:
         # round-9 migration: MAD anomaly ranks now on the grouped
         # banded lane (formerly whole-group per-type windows)
         "event_anomalies_mad",
+        # round-9 migration: per-priority median / trimmed mean and
+        # per-type quartiles off whole-group windows too (the mode
+        # limb of median_mode keeps its catalog-bounded 15-row window)
+        "order_value_median_mode",
+        "order_value_trimmed_mean",
+        "event_value_quartiles",
     ],
 )
 def test_no_single_partition_windows(spark, sf_dir, name):
