@@ -162,6 +162,8 @@ def with_grouped_rank(
     bucket: Column,
     rank_col: str = "rank",
     count_col: str | None = None,
+    cumsum_of: str | list | None = None,
+    cumsum_col: str | list = "cum",
 ) -> DataFrame:
     """Per-GROUP exact 1-based rank under ascending ``sort_cols`` —
     the banded lane for ranking WITHIN groups that are themselves
@@ -176,7 +178,20 @@ def with_grouped_rank(
     within a group via ``sort_cols``; ``bucket`` monotone w.r.t. the
     sort). ``count_col`` additionally emits each group's TOTAL row
     count (percentile selectors need n_g; it rides the same count
-    aggregation, no extra scan)."""
+    aggregation, no extra scan). ``cumsum_of``/``cumsum_col`` mirror
+    ``with_global_rank``'s per-row running sums, restarting at each
+    group boundary (the weighted-median frame)."""
+    if cumsum_of is None:
+        cs_cols, cs_names = [], []
+    elif isinstance(cumsum_of, str):
+        cs_cols, cs_names = [cumsum_of], [cumsum_col]
+    else:
+        cs_cols = list(cumsum_of)
+        cs_names = (
+            list(cumsum_col)
+            if not isinstance(cumsum_col, str)
+            else [f"{c}_{cumsum_col}" for c in cs_cols]
+        )
     d = df.withColumn(
         _BUCKET,
         F.when(
@@ -188,16 +203,28 @@ def with_grouped_rank(
             ),
         ).otherwise(bucket),
     )
-    cnts = d.groupBy(*group_cols, _BUCKET).agg(F.count("*").alias("_rk_c"))
-    lo = cnts.select(
+    aggs = [F.count("*").alias("_rk_c")]
+    for i, c in enumerate(cs_cols):
+        aggs.append(F.sum(c).alias(f"_rk_s{i}"))
+    cnts = d.groupBy(*group_cols, _BUCKET).agg(*aggs)
+    lo_cols = [
         *[F.col(c).alias(f"_rk_g_{c}") for c in group_cols],
         F.col(_BUCKET).alias("_rk_b_lo"),
         F.col("_rk_c").alias("_rk_c_lo"),
-    )
+    ]
+    for i in range(len(cs_cols)):
+        lo_cols.append(F.col(f"_rk_s{i}").alias(f"_rk_s{i}_lo"))
+    lo = cnts.select(*lo_cols)
     same_group = None
     for c in group_cols:
         eq = F.col(f"_rk_g_{c}") == F.col(c)
         same_group = eq if same_group is None else (same_group & eq)
+    off_aggs = [F.coalesce(F.sum("_rk_c_lo"), F.lit(0)).alias(_OFFSET)]
+    for i in range(len(cs_cols)):
+        off_aggs.append(
+            F.coalesce(F.sum(f"_rk_s{i}_lo"), F.lit(0))
+            .alias(f"{_SUMOFF}{i}")
+        )
     offs = (
         cnts.join(
             F.broadcast(lo),
@@ -205,13 +232,19 @@ def with_grouped_rank(
             "left",
         )
         .groupBy(*group_cols, _BUCKET)
-        .agg(F.coalesce(F.sum("_rk_c_lo"), F.lit(0)).alias(_OFFSET))
+        .agg(*off_aggs)
     )
     w = Window.partitionBy(*group_cols, _BUCKET).orderBy(*sort_cols)
     out = d.join(F.broadcast(offs), [*group_cols, _BUCKET]).withColumn(
         rank_col,
         F.row_number().over(w).cast("long") + F.col(_OFFSET),
     )
+    for i, (c, name) in enumerate(zip(cs_cols, cs_names)):
+        out = out.withColumn(
+            name,
+            F.sum(c).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            + F.col(f"{_SUMOFF}{i}"),
+        ).drop(f"{_SUMOFF}{i}")
     if count_col is not None:
         totals = cnts.groupBy(*group_cols).agg(
             F.sum("_rk_c").alias(count_col)

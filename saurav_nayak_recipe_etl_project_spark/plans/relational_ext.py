@@ -650,33 +650,47 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Integer-exact cut: rows sorted by price cents, cumulative quantity
     (integer) compared to total via cross-multiplication (2*cum >=
-    total picks the lower weighted median; ROW_NUMBER on the predicate
-    takes the first qualifying row). One shuffle + one ordered window
-    per flag."""
+    total picks the lower weighted median).
+
+    r9 scale migration: originally THREE whole-group
+    partitionBy(l_returnflag) windows (corpus/3 rows per task); the
+    running quantity now rides with_grouped_rank's grouped cumsum on
+    (flag, price-band) partitions, the total is a plain group
+    aggregate, and the pick is a MIN over qualifying rows (the first
+    crossing row's PRICE is tie-order-free) — no whole-group window
+    anywhere, values hash-identical."""
+    from saurav_nayak_recipe_etl_project_spark.functions.ranking import (
+        derive_band_width,
+        with_grouped_rank,
+    )
+
     li = load_table(spark, "lineitem", sf_dir)
     d = li.select(
-        "l_returnflag",
+        "l_returnflag", "l_orderkey", "l_linenumber",
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
         F.col("l_quantity").cast("long").alias("qty"),
     )
-    w_ord = Window.partitionBy("l_returnflag").orderBy("cents")
-    w_grp = Window.partitionBy("l_returnflag")
-    ranked = (
-        d.withColumn(
-            "cum_qty",
-            F.sum("qty").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-        .withColumn("total_qty", F.sum("qty").over(w_grp))
-        .where(F.col("cum_qty") * 2 >= F.col("total_qty"))
+    width = derive_band_width(d, "cents")
+    ranked = with_grouped_rank(
+        d, ["l_returnflag"], ["cents", "l_orderkey", "l_linenumber"],
+        bucket=F.floor(F.col("cents") / F.lit(width)),
+        cumsum_of="qty", cumsum_col="cum_qty",
     )
-    w_pick = Window.partitionBy("l_returnflag").orderBy("cents", "cum_qty")
+    totals = d.groupBy("l_returnflag").agg(
+        F.sum("qty").alias("total_qty")
+    )
     return (
-        ranked.withColumn("rk", F.row_number().over(w_pick))
-        .where(F.col("rk") == 1)
+        ranked.join(F.broadcast(totals), "l_returnflag")
+        .where(F.col("cum_qty") * 2 >= F.col("total_qty"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("total_qty").alias("total_qty"),
+            F.min("cents").alias("_mc"),
+        )
         .select(
             "l_returnflag",
             "total_qty",
-            (F.col("cents") / F.lit(100.0)).alias("weighted_median_price"),
+            (F.col("_mc") / F.lit(100.0)).alias("weighted_median_price"),
         )
     )
 

@@ -122,6 +122,7 @@ _DRIVER_PRIORITY = [
     "order_value_median_mode",
     "order_value_trimmed_mean",
     "event_value_quartiles",
+    "weighted_median_price",
     # -- (2) never driver-windowed (r8c additions, judge-verified
     #    green at sf0.01 in VERDICT r8) --
     "brand_audience_overlap",

@@ -115,6 +115,7 @@ def _window_arg_groups(plan: str) -> list:
         "order_value_median_mode",
         "order_value_trimmed_mean",
         "event_value_quartiles",
+        "weighted_median_price",
     ],
 )
 def test_no_single_partition_windows(spark, sf_dir, name):

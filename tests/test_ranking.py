@@ -247,3 +247,26 @@ def test_grouped_rank_matches_per_group_window(spark):
     assert got.where(
         F.col("n_g") != F.udf(lambda g: sizes[g], "long")("g")
     ).count() == 0
+
+
+def test_grouped_rank_cumsum_matches_per_group_window(spark):
+    """The grouped cumsum must equal a per-group running SUM window —
+    restarting at group boundaries, across bands, under skew."""
+    from saurav_nayak_recipe_etl_project_spark.functions.ranking import (
+        with_grouped_rank,
+    )
+
+    rows = [((v * 7) % 3, (v * 13) % 37, v, (v * 5) % 9)
+            for v in range(300)]
+    df = spark.createDataFrame(rows, "g long, v long, id long, q long")
+    got = with_grouped_rank(
+        df, ["g"], ["v", "id"], bucket=F.floor(F.col("v") / F.lit(6)),
+        cumsum_of="q", cumsum_col="cq",
+    )
+    w = Window.partitionBy("g").orderBy("v", "id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = df.withColumn("wq", F.sum("q").over(w))
+    j = got.join(want, ["g", "v", "id", "q"])
+    assert j.where(F.col("cq") != F.col("wq")).count() == 0
+    assert j.count() == len(rows)
