@@ -137,10 +137,15 @@ def monthly_order_value_percentiles(spark: SparkSession,
     dashboard wants the percentile PER month). Discrete rank picks
     (percentile_disc form, the event_interarrival_disc idiom): integer
     cents, the value AT rank ceil(q*n) with orderkey tie-break, so the
-    series is engine-exact. Windows partition by month — bounded by
-    the calendar, never by order count per se; at extreme per-month
-    volumes the two-pass rank (functions/ranking.py) slots in with a
-    (month, cents-band) bucket."""
+    series is engine-exact. r9 scale migration: the ranks now run the
+    with_grouped_rank (month, cents-band) lane the old docstring
+    promised for extreme per-month volumes — no month-sized window
+    partition remains; values hash-identical."""
+    from saurav_nayak_recipe_etl_project_spark.functions.ranking import (
+        derive_band_width,
+        with_grouped_rank,
+    )
+
     orders = load_table(spark, "orders", sf_dir)
     d = orders.select(
         F.expr(
@@ -150,11 +155,11 @@ def monthly_order_value_percentiles(spark: SparkSession,
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    w_rank = Window.partitionBy("month").orderBy("cents", "o_orderkey")
-    w_grp = Window.partitionBy("month")
-    ranked = (
-        d.withColumn("rn", F.row_number().over(w_rank))
-        .withColumn("n", F.count("*").over(w_grp))
+    width = derive_band_width(d, "cents")
+    ranked = with_grouped_rank(
+        d, ["month"], ["cents", "o_orderkey"],
+        bucket=F.floor(F.col("cents") / F.lit(width)),
+        rank_col="rn", count_col="n",
     )
     pick = lambda q: F.max(
         F.when(F.col("rn") == F.expr(f"cast(ceil(n * {q}) as bigint)"),
@@ -267,11 +272,18 @@ def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily OHLC bars per event type — the resampling shape every
     time-series store exposes (open/high/low/close + count + volume).
 
-    Open/close are picked by deterministic ROW_NUMBER windows ordered
-    on (ts, event_id) — not first()/last(), whose result depends on
-    partition order. Both window directions share one hash exchange on
-    (event_type, day); the groupBy rides it too. Money stays integer
-    cents until the final raw division."""
+    Open/close are picked deterministically as the cents of the
+    MIN/MAX (ts, event_id, cents) struct — (ts, event_id) is unique,
+    so the lexicographic struct extreme IS the first/last event, with
+    no dependence on partition order (unlike first()/last()).
+
+    r9 scale migration: the original two ROW_NUMBER windows sorted
+    every (type, day) cell — cells are rate-bounded but at 100 TB a
+    hot day of one type is still a giant single-task sort. Struct
+    min/max are ASSOCIATIVE aggregates, so the whole bar computes
+    map-side-combined in ONE shuffle with no window and no sort at
+    all — the ideal resampling shape. Values hash-identical (same
+    deterministic pick)."""
     ev = load_table(spark, "events", sf_dir)
     base = ev.select(
         "event_type",
@@ -280,26 +292,15 @@ def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    w_asc = Window.partitionBy("event_type", "day").orderBy(
-        F.asc("ts"), F.asc("event_id")
-    )
-    w_desc = Window.partitionBy("event_type", "day").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
-    return (
-        base.withColumn("rn_a", F.row_number().over(w_asc))
-        .withColumn("rn_d", F.row_number().over(w_desc))
-        .groupBy("event_type", "day")
-        .agg(
-            F.count("*").alias("n_events"),
-            (F.max(F.when(F.col("rn_a") == 1, F.col("cents"))) / F.lit(100.0))
-            .alias("open"),
-            (F.max("cents") / F.lit(100.0)).alias("high"),
-            (F.min("cents") / F.lit(100.0)).alias("low"),
-            (F.max(F.when(F.col("rn_d") == 1, F.col("cents"))) / F.lit(100.0))
-            .alias("close"),
-            (F.sum("cents") / F.lit(100.0)).alias("volume"),
-        )
+    first = F.min(F.struct("ts", "event_id", "cents"))
+    last = F.max(F.struct("ts", "event_id", "cents"))
+    return base.groupBy("event_type", "day").agg(
+        F.count("*").alias("n_events"),
+        (first["cents"] / F.lit(100.0)).alias("open"),
+        (F.max("cents") / F.lit(100.0)).alias("high"),
+        (F.min("cents") / F.lit(100.0)).alias("low"),
+        (last["cents"] / F.lit(100.0)).alias("close"),
+        (F.sum("cents") / F.lit(100.0)).alias("volume"),
     )
 
 
@@ -646,14 +647,40 @@ def event_interarrival_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type inter-arrival latency percentiles (global stream,
     ordered by ts, event_id): p50/p90/max gap in µs-floored seconds,
     percentile_disc rank picks — the feed-health monitor that tells a
-    pipeline how bursty each event class is. One type-partitioned lag
-    window + rank picks over the per-type frame; all integers."""
+    pipeline how bursty each event class is.
+
+    r9 scale migration: both per-type passes were whole-group windows
+    (corpus/5 per task). The LAG becomes a banded rank + an adjacency
+    self-join on (type, rank == rank-1) — one extra co-partitioned
+    shuffle, no group-sized sort; the percentile ranks run the same
+    grouped banded lane. Values hash-identical (adjacency under a
+    strict total order is band-independent)."""
+    from saurav_nayak_recipe_etl_project_spark.functions.ranking import (
+        derive_band_width,
+        with_grouped_rank,
+    )
+
     ev = load_table(spark, "events", sf_dir)
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    base = ev.select("event_type", "ts", "event_id").withColumn(
+        "tsec",
+        F.expr(
+            "timestampdiff(SECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).cast("long"),
+    )
+    twidth = derive_band_width(base, "tsec")
+    seq = with_grouped_rank(
+        base, ["event_type"], ["ts", "event_id"],
+        bucket=F.floor(F.col("tsec") / F.lit(twidth)),
+        rank_col="seq",
+    )
+    prev = seq.select(
+        "event_type",
+        (F.col("seq") + 1).alias("seq"),
+        F.col("ts").alias("prev_ts"),
+    )
     gaps = (
-        ev.select("event_type", "ts", "event_id")
-        .withColumn("prev_ts", F.lag("ts").over(w))
-        .where(F.col("prev_ts").isNotNull())
+        seq.join(prev, ["event_type", "seq"])
         .select(
             "event_type",
             "event_id",
@@ -661,11 +688,11 @@ def event_interarrival_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("gap_s"),
         )
     )
-    w_rank = Window.partitionBy("event_type").orderBy("gap_s", "event_id")
-    w_grp = Window.partitionBy("event_type")
-    ranked = (
-        gaps.withColumn("rn", F.row_number().over(w_rank))
-        .withColumn("n", F.count("*").over(w_grp))
+    gwidth = derive_band_width(gaps, "gap_s")
+    ranked = with_grouped_rank(
+        gaps, ["event_type"], ["gap_s", "event_id"],
+        bucket=F.floor(F.col("gap_s") / F.lit(gwidth)),
+        rank_col="rn", count_col="n",
     )
     pick = lambda q: F.max(
         F.when(F.col("rn") == F.expr(f"cast(ceil(n * {q}) as bigint)"),

@@ -125,6 +125,9 @@ _DRIVER_PRIORITY = [
     "order_value_trimmed_mean",
     "event_value_quartiles",
     "weighted_median_price",
+    "events_ohlc",
+    "monthly_order_value_percentiles",
+    "event_interarrival_disc",
     # -- (2) never driver-windowed (r8c additions, judge-verified
     #    green at sf0.01 in VERDICT r8) --
     "brand_audience_overlap",

@@ -116,6 +116,8 @@ def _window_arg_groups(plan: str) -> list:
         "order_value_trimmed_mean",
         "event_value_quartiles",
         "weighted_median_price",
+        "monthly_order_value_percentiles",
+        "event_interarrival_disc",
     ],
 )
 def test_no_single_partition_windows(spark, sf_dir, name):
@@ -129,6 +131,19 @@ def test_no_single_partition_windows(spark, sf_dir, name):
     assert all(g == 3 for g in groups), (
         f"{name} has a global (unpartitioned) window: {groups}"
     )
+
+
+def test_events_ohlc_has_no_window(spark, sf_dir):
+    """The r9 OHLC migration's whole point: open/close via
+    associative struct min/max — the plan must carry NO Window node
+    and no sort beyond the shuffle (one map-side-combined
+    aggregate)."""
+    p = _plan(QUERIES["events_ohlc"](spark, sf_dir))
+    assert not _window_arg_groups(p), "unexpected Window node"
+    # struct min/max is not hash-aggregable, so Spark plans a
+    # SortAggregate — still partial/final combined; the pin is the
+    # ABSENCE of Window, plus an aggregate of either flavor
+    assert "SortAggregate" in p or "HashAggregate" in p
 
 
 def test_vocab_coverage_has_no_window(spark, sf_dir):
