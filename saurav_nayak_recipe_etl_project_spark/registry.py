@@ -102,13 +102,15 @@ _load_optional()
 #   (2) ALL remaining never-driver-windowed r8c entries (17 after
 #       the overlap with (1) — judge pre-verified green at sf0.01 in
 #       the round-8 verdict, so these should be cheap green rows);
-#   (3) stalest-first fill: the r2 block alphabetically. The five
+#   (3) stalest-first fill: the r2 block alphabetically. The NINE
 #       late-r9 scale migrations (MAD anomalies, median_mode,
-#       trimmed mean, quartiles, weighted median — plans changed,
-#       values proven unchanged) join section (1) per policy, so 23
-#       of 30 r2 entries fit before the window cuts at 50. Below the
-#       cut: the 7 r2 leftovers + the r4 trio lead round 10's fill,
-#       then the r5 block (full rotation closes ~r12).
+#       trimmed mean, quartiles, weighted median, OHLC, monthly
+#       percentiles, interarrival — plans changed, values proven
+#       unchanged locally at 2 SFs + NY) join section (1) per
+#       policy, so 19 of 30 r2 entries fit before the window cuts
+#       at 50. Below the cut: the 11 r2 leftovers + the r4 trio lead
+#       round 10's fill, then the r5 block (full rotation closes
+#       ~r12-r13).
 _DRIVER_PRIORITY = [
     # -- (1) changed or new in round 9 --
     "embedding_kmeans",
