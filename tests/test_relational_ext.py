@@ -337,9 +337,12 @@ def test_weighted_median_half_units_law(spark, tmp_path):
 
     # 3 rows: price 1.00 x 98 units, 2.00 x 1, 3.00 x 1.
     # row median = 2.00; unit-weighted median = 1.00.
+    # (l_orderkey/l_linenumber: the r9 grouped-lane tie-break keys)
     df = spark.createDataFrame(
-        [("A", 1.00, 98.0), ("A", 2.00, 1.0), ("A", 3.00, 1.0)],
-        "l_returnflag string, l_extendedprice double, l_quantity double",
+        [("A", 1, 1, 1.00, 98.0), ("A", 1, 2, 2.00, 1.0),
+         ("A", 2, 1, 3.00, 1.0)],
+        "l_returnflag string, l_orderkey long, l_linenumber int,"
+        " l_extendedprice double, l_quantity double",
     )
     with tempfile.TemporaryDirectory() as td:
         df.write.mode("overwrite").parquet(f"{td}/lineitem.parquet")
