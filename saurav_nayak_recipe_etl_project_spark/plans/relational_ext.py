@@ -1175,6 +1175,57 @@ RECS_TOPN_ORACLE = """
 """
 
 
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging: orders still in status 'O', bucketed
+    into 90-day age bands as of the corpus's latest order date, with
+    count and tied-up value per (band, priority) — the ops report
+    that says WHAT is stuck, HOW old, and HOW much money it holds
+    (an average age hides a bimodal backlog; the banded histogram
+    doesn't).
+
+    Exact integers throughout: age in days against a 1-row broadcast
+    max-date frame (the house scalar-combine — no eager collect),
+    band = age DIV 90, value in cents. One filtered scan + one
+    (band, priority) groupBy, map-side combined."""
+    orders = load_table(spark, "orders", sf_dir)
+    mx = orders.agg(
+        F.max(F.expr("cast(o_orderdate as date)")).alias("max_d")
+    )
+    return (
+        orders.where(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_orderpriority",
+            F.expr(
+                "datediff(max_d, cast(o_orderdate as date)) DIV 90"
+            ).alias("age_band"),
+            _cents().alias("cents"),
+        )
+        .groupBy("age_band", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("backlog_cents"),
+        )
+        .withColumn("band_start_days", F.col("age_band") * 90)
+    )
+
+
+BACKLOG_AGING_ORACLE = """
+    WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS max_d FROM orders)
+    SELECT CAST(datediff('day', CAST(o_orderdate AS DATE), max_d) // 90
+                AS BIGINT) AS age_band,
+           o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS backlog_cents,
+           CAST(datediff('day', CAST(o_orderdate AS DATE), max_d) // 90
+                AS BIGINT) * 90 AS band_start_days
+    FROM orders CROSS JOIN mx
+    WHERE o_orderstatus = 'O'
+    GROUP BY 1, 2, 5
+"""
+
+
 DECAY_TAU_DAYS = 365  # e-folding time constant of the recency weight
 
 
@@ -1643,6 +1694,7 @@ RELATIONAL_EXT_QUERIES = {
     "priority_status_chi2": priority_status_chi2,
     "segment_priority_pmi": segment_priority_pmi,
     "part_recommendations_topn": part_recommendations_topn,
+    "orders_backlog_aging": orders_backlog_aging,
 }
 
 RELATIONAL_EXT_ORACLES = {
@@ -1652,6 +1704,7 @@ RELATIONAL_EXT_ORACLES = {
     "orderkey_gap_islands": GAP_ISLANDS_ORACLE,
     "brand_triples": BRAND_TRIPLES_ORACLE,
     "part_recommendations_topn": RECS_TOPN_ORACLE,
+    "orders_backlog_aging": BACKLOG_AGING_ORACLE,
     "part_pair_lift": """
         WITH items AS (
           SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem

@@ -1775,11 +1775,123 @@ _BACKTEST_ORACLE = """
 """
 
 
+def customer_interpurchase_time(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Median days between consecutive orders per market segment —
+    the purchase-cadence KPI behind replenishment reminders and churn
+    windows (a segment whose median gap stretches is quietly
+    churning).
+
+    Two-lane composition: per-customer adjacent gaps come from a
+    PER-ENTITY window (partition key = custkey — bounded by one
+    customer's order count, always safe), then the per-SEGMENT median
+    of those gaps runs the with_grouped_rank banded lane (segments
+    are corpus/5-sized — the whole-group-window class this round
+    retired). x2 median idiom keeps the day count integer-exact; the
+    display double is a raw halving."""
+    from saurav_nayak_recipe_etl_project_spark.functions.ranking import (
+        derive_band_width,
+        with_grouped_rank,
+    )
+
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    o = orders.select(
+        "o_custkey", "o_orderkey",
+        F.expr("datediff(cast(o_orderdate as date), date '1970-01-01')")
+        .alias("d"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = (
+        o.withColumn("prev_d", F.lag("d").over(w))
+        .where(F.col("prev_d").isNotNull())
+        .select(
+            "o_custkey", "o_orderkey",
+            (F.col("d") - F.col("prev_d")).cast("long").alias("gap_days"),
+        )
+        .join(
+            customer.select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            "o_custkey",
+        )
+    )
+    width = derive_band_width(gaps, "gap_days")
+    ranked = with_grouped_rank(
+        gaps, ["c_mktsegment"], ["gap_days", "o_custkey", "o_orderkey"],
+        bucket=F.floor(F.col("gap_days") / F.lit(width)),
+        rank_col="rn", count_col="n",
+    )
+    return (
+        ranked.where(
+            (F.col("rn") == F.expr("(n + 1) DIV 2"))
+            | (F.col("rn") == F.expr("(n + 2) DIV 2"))
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.max("n").alias("n_gaps"),
+            F.when(F.count("*") == 1, F.sum("gap_days") * 2)
+            .otherwise(F.sum("gap_days"))
+            .cast("long")
+            .alias("median_gap_x2_days"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_gaps",
+            "median_gap_x2_days",
+            (F.col("median_gap_x2_days") / F.lit(2.0))
+            .alias("median_gap_days"),
+        )
+    )
+
+
+_INTERPURCHASE_ORACLE = """
+    WITH o AS (
+      SELECT o_custkey, o_orderkey,
+             datediff('day', DATE '1970-01-01',
+                      CAST(o_orderdate AS DATE)) AS d
+      FROM orders
+    ),
+    gaps AS (
+      SELECT o_custkey, o_orderkey,
+             d - LAG(d) OVER (
+               PARTITION BY o_custkey ORDER BY d, o_orderkey
+             ) AS gap_days
+      FROM o
+    ),
+    lab AS (
+      SELECT g.o_custkey, g.o_orderkey,
+             CAST(g.gap_days AS BIGINT) AS gap_days, c.c_mktsegment
+      FROM gaps g JOIN customer c ON c.c_custkey = g.o_custkey
+      WHERE g.gap_days IS NOT NULL
+    ),
+    ranked AS (
+      SELECT *,
+        ROW_NUMBER() OVER (
+          PARTITION BY c_mktsegment
+          ORDER BY gap_days, o_custkey, o_orderkey
+        ) AS rn,
+        COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM lab
+    )
+    SELECT c_mktsegment,
+      CAST(MAX(n) AS BIGINT) AS n_gaps,
+      CAST(CASE WHEN COUNT(*) = 1 THEN 2 * SUM(gap_days)
+           ELSE SUM(gap_days) END AS BIGINT) AS median_gap_x2_days,
+      CAST(CASE WHEN COUNT(*) = 1 THEN 2 * SUM(gap_days)
+           ELSE SUM(gap_days) END AS BIGINT) / 2.0 AS median_gap_days
+    FROM ranked
+    WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+    GROUP BY c_mktsegment
+"""
+
+
 TEMPORAL_QUERIES = {
     "daily_event_acf": daily_event_acf,
     "monthly_revenue_stl": monthly_revenue_stl,
     "revenue_anomalies_stl": revenue_anomalies_stl,
     "revenue_forecast_backtest": revenue_forecast_backtest,
+    "customer_interpurchase_time": customer_interpurchase_time,
     "view_purchase_lead_lag": view_purchase_lead_lag,
     "session_daily_load": session_daily_load,
     "session_concurrency_peak": session_concurrency_peak,
@@ -1810,6 +1922,7 @@ TEMPORAL_ORACLES = {
     "monthly_revenue_stl": _STL_ORACLE,
     "revenue_anomalies_stl": _STL_ANOM_ORACLE,
     "revenue_forecast_backtest": _BACKTEST_ORACLE,
+    "customer_interpurchase_time": _INTERPURCHASE_ORACLE,
     "view_purchase_lead_lag": LEADLAG_ORACLE,
     "session_daily_load": DAILY_LOAD_ORACLE,
     "session_concurrency_peak": CONCURRENCY_ORACLE,

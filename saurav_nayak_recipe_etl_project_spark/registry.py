@@ -210,6 +210,8 @@ _DRIVER_PRIORITY = [
     "embedding_outliers_mad",
     "simhash_radius_audit",
     "event_value_percentiles_exact",
+    "customer_interpurchase_time",
+    "orders_backlog_aging",
 ]
 
 

@@ -772,3 +772,79 @@ def test_event_percentiles_match_python(spark, sf_dir):
             k = (n * q + 99) // 100
             assert r[f"p{q}_cents"] == v[k - 1], (t, q)
         assert r["p50_cents"] <= r["p90_cents"] <= r["p99_cents"]
+
+
+def test_interpurchase_matches_python(spark, sf_dir):
+    """Recompute per-segment gap medians in Python from the raw
+    orders — gap set and x2-median must match exactly."""
+    from collections import defaultdict
+
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    assert_matches_oracle(
+        QUERIES["customer_interpurchase_time"](spark, sf_dir),
+        ORACLES["customer_interpurchase_time"], sf_dir,
+    )
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .selectExpr(
+            "o_custkey",
+            "o_orderkey",
+            "datediff(cast(o_orderdate as date), date '1970-01-01') d",
+        )
+        .collect()
+    )
+    seg = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in load_table(spark, "customer", sf_dir)
+        .select("c_custkey", "c_mktsegment").collect()
+    }
+    per_cust = defaultdict(list)
+    for r in orders:
+        per_cust[r["o_custkey"]].append((r["d"], r["o_orderkey"]))
+    gaps = defaultdict(list)
+    for ck, ds in per_cust.items():
+        ds.sort()
+        for (a, _), (b, _) in zip(ds, ds[1:]):
+            gaps[seg[ck]].append(b - a)
+    rows = {r["c_mktsegment"]: r for r in
+            QUERIES["customer_interpurchase_time"](spark, sf_dir).collect()}
+    assert set(rows) == set(gaps)
+    for s, g in gaps.items():
+        g.sort()
+        n = len(g)
+        med_x2 = g[(n - 1) // 2] + g[n // 2]
+        assert rows[s]["n_gaps"] == n
+        assert rows[s]["median_gap_x2_days"] == med_x2
+
+
+def test_backlog_aging_conservation(spark, sf_dir):
+    """Band cells must partition the open-order set exactly: counts
+    and cents sum to the raw open totals, bands are non-negative, and
+    band_start_days = 90 * band."""
+    from pyspark.sql import functions as F
+
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    assert_matches_oracle(QUERIES["orders_backlog_aging"](spark, sf_dir),
+                          ORACLES["orders_backlog_aging"], sf_dir)
+    rows = QUERIES["orders_backlog_aging"](spark, sf_dir).collect()
+    raw = (
+        load_table(spark, "orders", sf_dir)
+        .where("o_orderstatus = 'O'")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .alias("cents"),
+        )
+        .collect()[0]
+    )
+    assert sum(r["n_orders"] for r in rows) == raw["n"]
+    assert sum(r["backlog_cents"] for r in rows) == raw["cents"]
+    for r in rows:
+        assert r["age_band"] >= 0
+        assert r["band_start_days"] == 90 * r["age_band"]
