@@ -759,7 +759,93 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q11_analog_supply_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape re-hosted WITHOUT partsupp (the declared
+    schema gap): 'important stock' per nation = parts whose supply
+    value inside a nation exceeds 1/1000 of that nation's total,
+    with value derived from the nation's suppliers' lineitem revenue
+    instead of ps_supplycost * ps_availqty — same GROUP BY + HAVING
+    share-of-scalar-subquery skeleton, same output shape.
+
+    Exact integers: revenue cents, the HAVING cut as the
+    cross-multiplied predicate value*1000 > nation_total (no float at
+    the boundary), share_ppm a truncating DIV. Plan: fact join to two
+    broadcast dims, one (nation, part) shuffle, a 25-row national
+    total broadcast back — Q11's correlated scalar subquery
+    decorrelates to exactly this."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (
+        lineitem.join(
+            F.broadcast(supplier),
+            F.col("l_suppkey") == supplier.s_suppkey,
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == nation.n_nationkey,
+        )
+        .select(
+            "n_name",
+            "l_partkey",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long").alias("cents"),
+        )
+    )
+    per = rev.groupBy("n_name", "l_partkey").agg(
+        F.sum("cents").alias("value_cents")
+    )
+    tot = per.groupBy("n_name").agg(
+        F.sum("value_cents").alias("nation_cents")
+    )
+    return (
+        per.join(F.broadcast(tot), "n_name")
+        .where(
+            F.expr(
+                "CAST(value_cents AS DECIMAL(38,0)) * 1000 > nation_cents"
+            )
+        )
+        .select(
+            "n_name",
+            "l_partkey",
+            "value_cents",
+            F.expr(
+                "CAST(CAST(value_cents AS DECIMAL(38,0)) * 1000000"
+                " DIV nation_cents AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )
+
+
+Q11_ANALOG_ORACLE = """
+    WITH rev AS (
+      SELECT n.n_name, l.l_partkey,
+        CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+             AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ),
+    per AS (
+      SELECT n_name, l_partkey,
+             CAST(SUM(cents) AS BIGINT) AS value_cents
+      FROM rev GROUP BY n_name, l_partkey
+    ),
+    tot AS (
+      SELECT n_name, CAST(SUM(value_cents) AS BIGINT) AS nation_cents
+      FROM per GROUP BY n_name
+    )
+    SELECT per.n_name, l_partkey, value_cents,
+      CAST(CAST(value_cents AS HUGEINT) * 1000000 // nation_cents
+           AS BIGINT) AS share_ppm
+    FROM per JOIN tot ON per.n_name = tot.n_name
+    WHERE CAST(value_cents AS HUGEINT) * 1000 > nation_cents
+"""
+
+
 ANALYTICS_QUERIES = {
+    "q11_analog_supply_share": q11_analog_supply_share,
     "top_parts": top_parts,
     "avg_order_value": avg_order_value,
     "priority_distribution": priority_distribution,
@@ -795,6 +881,7 @@ ANALYTICS_QUERIES = {
 }
 
 ANALYTICS_ORACLES = {
+    "q11_analog_supply_share": Q11_ANALOG_ORACLE,
     "top_parts": """
         SELECT p_name, COUNT(*) AS frequency
         FROM lineitem JOIN part ON l_partkey = p_partkey

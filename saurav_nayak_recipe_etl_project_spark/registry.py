@@ -212,6 +212,7 @@ _DRIVER_PRIORITY = [
     "event_value_percentiles_exact",
     "customer_interpurchase_time",
     "orders_backlog_aging",
+    "q11_analog_supply_share",
 ]
 
 

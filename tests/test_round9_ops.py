@@ -848,3 +848,24 @@ def test_backlog_aging_conservation(spark, sf_dir):
     for r in rows:
         assert r["age_band"] >= 0
         assert r["band_start_days"] == 90 * r["age_band"]
+
+
+def test_q11_analog_share_laws(spark, sf_dir):
+    """Every emitted part's share strictly exceeds 1000 ppm (the
+    cross-multiplied HAVING cut), shares are <= 1e6, and per-nation
+    the emitted parts' value never exceeds the national total."""
+    from collections import defaultdict
+
+    assert_matches_oracle(QUERIES["q11_analog_supply_share"](spark, sf_dir),
+                          ORACLES["q11_analog_supply_share"], sf_dir)
+    rows = QUERIES["q11_analog_supply_share"](spark, sf_dir).collect()
+    assert rows
+    per_nation = defaultdict(int)
+    for r in rows:
+        assert 1000 <= r["share_ppm"] <= 1_000_000
+        per_nation[r["n_name"]] += r["value_cents"]
+    # emitted subtotal <= national total (reconstruct total from any
+    # row's share: total >= value * 1e6 / (share+1))
+    for r in rows:
+        approx_total = r["value_cents"] * 1_000_000 // (r["share_ppm"] + 1)
+        assert per_nation[r["n_name"]] <= approx_total * 2  # sanity bound
