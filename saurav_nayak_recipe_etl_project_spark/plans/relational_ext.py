@@ -1210,6 +1210,65 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def brand_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative price dispersion (coefficient of variation, ppm) per
+    part brand — the assortment-consistency stat that a raw stddev
+    hides (a premium brand's $50 spread means nothing next to a
+    budget brand's $50 spread; CV normalizes by the mean).
+
+    Exactness (the F57 sqrt lane): the variance radicand n·Σx² − S²
+    is an exact DECIMAL(38,0) integer per brand; population
+    CV = sqrt(n·Q − S²)/S, so cv_ppm = round(1e6 · sqrt(radicand)/S)
+    — IEEE sqrt is correctly rounded and the radicand converts to
+    double ONCE, so the value is bit-portable; one rounding site.
+    Plan: one map-side-combined groupBy on the brand catalog."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    d = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == F.col("p_partkey"),
+    ).select(
+        "p_brand",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+    )
+    agg = d.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.expr(
+            "CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))"
+        )).alias("q"),
+    )
+    return agg.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n_items"),
+        F.expr("CAST(s DIV n AS BIGINT)").alias("mean_cents"),
+        F.expr(
+            "CAST(round(sqrt(CAST(CAST(n AS DECIMAL(38,0)) * q - s * s"
+            " AS DOUBLE)) * 1000000 / CAST(s AS DOUBLE)) AS BIGINT)"
+        ).alias("cv_ppm"),
+    )
+
+
+BRAND_DISPERSION_ORACLE = """
+    WITH d AS (
+      SELECT p.p_brand,
+        CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS c
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    agg AS (
+      SELECT p_brand, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(c) AS HUGEINT) AS s,
+             SUM(CAST(c AS HUGEINT) * c) AS q
+      FROM d GROUP BY p_brand
+    )
+    SELECT p_brand, CAST(n AS BIGINT) AS n_items,
+      CAST(s // n AS BIGINT) AS mean_cents,
+      CAST(ROUND(sqrt(CAST(n * q - s * s AS DOUBLE)) * 1000000
+           / CAST(s AS DOUBLE)) AS BIGINT) AS cv_ppm
+    FROM agg
+"""
+
+
 BACKLOG_AGING_ORACLE = """
     WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS max_d FROM orders)
     SELECT CAST(datediff('day', CAST(o_orderdate AS DATE), max_d) // 90
@@ -1695,6 +1754,7 @@ RELATIONAL_EXT_QUERIES = {
     "segment_priority_pmi": segment_priority_pmi,
     "part_recommendations_topn": part_recommendations_topn,
     "orders_backlog_aging": orders_backlog_aging,
+    "brand_price_dispersion": brand_price_dispersion,
 }
 
 RELATIONAL_EXT_ORACLES = {
@@ -1705,6 +1765,7 @@ RELATIONAL_EXT_ORACLES = {
     "brand_triples": BRAND_TRIPLES_ORACLE,
     "part_recommendations_topn": RECS_TOPN_ORACLE,
     "orders_backlog_aging": BACKLOG_AGING_ORACLE,
+    "brand_price_dispersion": BRAND_DISPERSION_ORACLE,
     "part_pair_lift": """
         WITH items AS (
           SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem

@@ -213,6 +213,7 @@ _DRIVER_PRIORITY = [
     "customer_interpurchase_time",
     "orders_backlog_aging",
     "q11_analog_supply_share",
+    "brand_price_dispersion",
 ]
 
 

@@ -869,3 +869,38 @@ def test_q11_analog_share_laws(spark, sf_dir):
     for r in rows:
         approx_total = r["value_cents"] * 1_000_000 // (r["share_ppm"] + 1)
         assert per_nation[r["n_name"]] <= approx_total * 2  # sanity bound
+
+
+def test_brand_dispersion_matches_python(spark, sf_dir):
+    """Recompute CV ppm in Python from the raw cents — the sqrt lane
+    (single double conversion of the exact radicand) must match, and
+    CV must be positive on varied prices."""
+    import math
+    from collections import defaultdict
+
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    assert_matches_oracle(QUERIES["brand_price_dispersion"](spark, sf_dir),
+                          ORACLES["brand_price_dispersion"], sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    rows = (
+        li.join(part.select("p_partkey", "p_brand"),
+                li.l_partkey == part.p_partkey)
+        .selectExpr("p_brand", "cast(round(l_extendedprice*100) as bigint) c")
+        .collect()
+    )
+    per = defaultdict(list)
+    for r in rows:
+        per[r["p_brand"]].append(r["c"])
+    got = {r["p_brand"]: r for r in
+           QUERIES["brand_price_dispersion"](spark, sf_dir).collect()}
+    assert set(got) == set(per)
+    for b, cs in per.items():
+        n, s, q = len(cs), sum(cs), sum(c * c for c in cs)
+        r = got[b]
+        assert r["n_items"] == n and r["mean_cents"] == s // n
+        want = round(math.sqrt(float(n * q - s * s)) * 1e6 / float(s))
+        assert r["cv_ppm"] == want and r["cv_ppm"] > 0
