@@ -1886,7 +1886,83 @@ _INTERPURCHASE_ORACLE = """
 """
 
 
+def daily_error_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day error-event share with Wilson 95% score bounds — the
+    rate monitor done right: a plain k/n with no interval flaps on
+    quiet days (k=3, n=40 looks like a 7.5% spike; the Wilson lower
+    bound says it is indistinguishable from 2%). Wilson beats the
+    normal approximation exactly where monitors need it (small n,
+    extreme p) and never leaves [0, 1].
+
+    Portability: with z^2 = 3.8416 carried as the exact integer
+    38416/1e4, the interval reduces to
+      (1e4*k + 19208 -/+ 196*sqrt(1e4*k*(n-k) + 9604*n)/sqrt(n))
+      / (1e4*n + 38416)
+    — BOTH sqrt radicands are exact integers (DECIMAL products,
+    converted to double once each), sqrt is IEEE-correctly-rounded
+    (the F57 lane), and each bound is micro-rounded once. Everything
+    else is exact integer arithmetic. One day-grain groupBy."""
+    ev = load_table(spark, "events", sf_dir)
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("k"),
+    )
+    root = ("sqrt(CAST(10000 * CAST(k AS DECIMAL(38,0)) * (n - k)"
+            " + 9604 * CAST(n AS DECIMAL(38,0)) AS DOUBLE))"
+            " / sqrt(CAST(n AS DOUBLE))")
+    den = "(10000 * CAST(n AS DECIMAL(38,0)) + 38416)"
+    return d.select(
+        "day",
+        "n",
+        "k",
+        F.expr(
+            "CAST(CAST(k AS DECIMAL(38,0)) * 1000000 DIV n AS BIGINT)"
+        ).alias("rate_ppm"),
+        F.expr(
+            f"CAST(round((CAST(10000 * CAST(k AS DECIMAL(38,0))"
+            f" + 19208 AS DOUBLE) - 196 * {root})"
+            f" * 1000000 / CAST({den} AS DOUBLE)) AS BIGINT)"
+        ).alias("wilson_lo_ppm"),
+        F.expr(
+            f"CAST(round((CAST(10000 * CAST(k AS DECIMAL(38,0))"
+            f" + 19208 AS DOUBLE) + 196 * {root})"
+            f" * 1000000 / CAST({den} AS DOUBLE)) AS BIGINT)"
+        ).alias("wilson_hi_ppm"),
+    )
+
+
+_WILSON_ORACLE = """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM events GROUP BY 1
+    )
+    SELECT day, n, k,
+      CAST(CAST(k AS HUGEINT) * 1000000 // n AS BIGINT) AS rate_ppm,
+      CAST(ROUND((CAST(10000 * CAST(k AS HUGEINT) + 19208 AS DOUBLE)
+           - 196 * sqrt(CAST(10000 * CAST(k AS HUGEINT) * (n - k)
+                             + 9604 * CAST(n AS HUGEINT) AS DOUBLE))
+                 / sqrt(CAST(n AS DOUBLE)))
+           * 1000000
+           / CAST(10000 * CAST(n AS HUGEINT) + 38416 AS DOUBLE))
+        AS BIGINT) AS wilson_lo_ppm,
+      CAST(ROUND((CAST(10000 * CAST(k AS HUGEINT) + 19208 AS DOUBLE)
+           + 196 * sqrt(CAST(10000 * CAST(k AS HUGEINT) * (n - k)
+                             + 9604 * CAST(n AS HUGEINT) AS DOUBLE))
+                 / sqrt(CAST(n AS DOUBLE)))
+           * 1000000
+           / CAST(10000 * CAST(n AS HUGEINT) + 38416 AS DOUBLE))
+        AS BIGINT) AS wilson_hi_ppm
+    FROM d
+"""
+
+
 TEMPORAL_QUERIES = {
+    "daily_error_rate_wilson": daily_error_rate_wilson,
     "daily_event_acf": daily_event_acf,
     "monthly_revenue_stl": monthly_revenue_stl,
     "revenue_anomalies_stl": revenue_anomalies_stl,
@@ -1923,6 +1999,7 @@ TEMPORAL_ORACLES = {
     "revenue_anomalies_stl": _STL_ANOM_ORACLE,
     "revenue_forecast_backtest": _BACKTEST_ORACLE,
     "customer_interpurchase_time": _INTERPURCHASE_ORACLE,
+    "daily_error_rate_wilson": _WILSON_ORACLE,
     "view_purchase_lead_lag": LEADLAG_ORACLE,
     "session_daily_load": DAILY_LOAD_ORACLE,
     "session_concurrency_peak": CONCURRENCY_ORACLE,

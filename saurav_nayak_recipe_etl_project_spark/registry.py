@@ -214,6 +214,7 @@ _DRIVER_PRIORITY = [
     "orders_backlog_aging",
     "q11_analog_supply_share",
     "brand_price_dispersion",
+    "daily_error_rate_wilson",
 ]
 
 

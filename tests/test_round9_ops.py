@@ -904,3 +904,29 @@ def test_brand_dispersion_matches_python(spark, sf_dir):
         assert r["n_items"] == n and r["mean_cents"] == s // n
         want = round(math.sqrt(float(n * q - s * s)) * 1e6 / float(s))
         assert r["cv_ppm"] == want and r["cv_ppm"] > 0
+
+
+def test_wilson_bounds_match_textbook_formula(spark, sf_dir):
+    """Recompute the interval with the plain float textbook Wilson
+    formula — must agree within 1 ppm of the exact-radicand form
+    (same math, different association order), and the interval must
+    contain the point rate and stay inside [0, 1e6]."""
+    import math
+
+    assert_matches_oracle(QUERIES["daily_error_rate_wilson"](spark, sf_dir),
+                          ORACLES["daily_error_rate_wilson"], sf_dir)
+    rows = QUERIES["daily_error_rate_wilson"](spark, sf_dir).collect()
+    assert len(rows) == 30
+    z = 1.96
+    for r in rows:
+        n, k = r["n"], r["k"]
+        p = k / n
+        centre = (p + z * z / (2 * n)) / (1 + z * z / n)
+        half = (z / (1 + z * z / n)) * math.sqrt(
+            p * (1 - p) / n + z * z / (4 * n * n)
+        )
+        lo, hi = round((centre - half) * 1e6), round((centre + half) * 1e6)
+        assert abs(r["wilson_lo_ppm"] - lo) <= 1, (r, lo)
+        assert abs(r["wilson_hi_ppm"] - hi) <= 1, (r, hi)
+        assert 0 <= r["wilson_lo_ppm"] <= r["rate_ppm"] + 1
+        assert r["rate_ppm"] <= r["wilson_hi_ppm"] <= 1_000_000
