@@ -233,6 +233,44 @@ def _matrix_oracle(label_select: str, label_col: str) -> str:
     """
 
 
+def source_dup_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication exposure: how many of a source's
+    documents sit in at least one verified near-dup pair (either
+    endpoint, either side of the source boundary) — the scalar each
+    source's dedup BUDGET starts from (F61's matrix says who mirrors
+    whom; this says how much of each source is mirrored at all).
+    exposure_ppm is a truncating integer share.
+
+    Plan: the shared output-proportional pair set, exploded to
+    distinct endpoint doc_ids (2x pairs, then distinct), joined to
+    the doc->source labels, one source-catalog-bounded rollup."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = lsh_verified_pairs(docs)
+    endpoints = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    lab = docs.select("doc_id", "source").join(endpoints, "doc_id", "left")
+    return (
+        lab.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce("_dup", F.lit(0))).alias("n_dup_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            F.expr(
+                "CAST(CAST(n_dup_docs AS DECIMAL(38,0)) * 1000000"
+                " DIV n_docs AS BIGINT)"
+            ).alias("exposure_ppm"),
+        )
+    )
+
+
 # Transitive-closure extension of the pair CTE (the dedup_clusters
 # oracle's recursive shape spliced onto the shared pair set).
 _CLOSURE = _PAIR_CTE.replace("WITH t AS", "WITH RECURSIVE t AS", 1) + """,
@@ -286,11 +324,30 @@ _KEEP_BEST_ORACLE = f"""{_CLOSURE},
     FROM clab c JOIN sel USING (cluster_id)
     """
 
+_EXPOSURE_ORACLE = f"""{_PAIR_CTE},
+    eps AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL SELECT doc_b FROM pairs
+      )
+    )
+    SELECT d.source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_dup_docs,
+      CAST(SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           * CAST(1000000 AS HUGEINT) // COUNT(*) AS BIGINT)
+        AS exposure_ppm
+    FROM documents d LEFT JOIN eps e ON e.doc_id = d.doc_id
+    GROUP BY d.source
+    """
+
 CORPUS_AUDIT_QUERIES = {
     "dedup_source_matrix": dedup_source_matrix,
     "split_leakage": split_leakage,
     "split_leakage_repair": split_leakage_repair,
     "dedup_keep_best": dedup_keep_best,
+    "source_dup_exposure": source_dup_exposure,
 }
 
 CORPUS_AUDIT_ORACLES = {
@@ -298,4 +355,5 @@ CORPUS_AUDIT_ORACLES = {
     "split_leakage": _matrix_oracle(_SPLIT, "split"),
     "split_leakage_repair": _REPAIR_ORACLE,
     "dedup_keep_best": _KEEP_BEST_ORACLE,
+    "source_dup_exposure": _EXPOSURE_ORACLE,
 }

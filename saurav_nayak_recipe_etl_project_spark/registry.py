@@ -215,6 +215,7 @@ _DRIVER_PRIORITY = [
     "q11_analog_supply_share",
     "brand_price_dispersion",
     "daily_error_rate_wilson",
+    "source_dup_exposure",
 ]
 
 

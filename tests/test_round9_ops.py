@@ -930,3 +930,27 @@ def test_wilson_bounds_match_textbook_formula(spark, sf_dir):
         assert abs(r["wilson_hi_ppm"] - hi) <= 1, (r, hi)
         assert 0 <= r["wilson_lo_ppm"] <= r["rate_ppm"] + 1
         assert r["rate_ppm"] <= r["wilson_hi_ppm"] <= 1_000_000
+
+
+def test_source_exposure_consistent_with_pair_matrix(spark, sf_dir):
+    """Exposure counts must equal the distinct endpoints of the SAME
+    pair set F61 rolls up, and total docs must reconcile with the
+    corpus (partition law across sources)."""
+    from saurav_nayak_recipe_etl_project_spark.operators.dedup import (
+        lsh_verified_pairs,
+    )
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    assert_matches_oracle(QUERIES["source_dup_exposure"](spark, sf_dir),
+                          ORACLES["source_dup_exposure"], sf_dir)
+    rows = QUERIES["source_dup_exposure"](spark, sf_dir).collect()
+    docs = load_table(spark, "documents", sf_dir)
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    pairs = lsh_verified_pairs(docs).collect()
+    eps = {p["doc_a"] for p in pairs} | {p["doc_b"] for p in pairs}
+    assert sum(r["n_dup_docs"] for r in rows) == len(eps)
+    for r in rows:
+        assert 0 <= r["n_dup_docs"] <= r["n_docs"]
+        assert r["exposure_ppm"] == r["n_dup_docs"] * 1_000_000 // r["n_docs"]
