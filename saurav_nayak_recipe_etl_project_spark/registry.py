@@ -155,7 +155,8 @@ _DRIVER_PRIORITY = [
     "customer_part_baskets",
     "docs_by_source",
     "event_anomalies",
-    "event_value_quartiles",
+    # (event_value_quartiles was in this r2 block; it moved up to the
+    # changed-first section with the r9 grouped-lane migration)
     "lineitem_stats",
     "monthly_revenue_growth",
     "multimodal_byte_histogram",
