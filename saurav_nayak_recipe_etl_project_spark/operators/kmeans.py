@@ -117,19 +117,36 @@ def kmeans_integer(emb: DataFrame, k: int = KMEANS_K,
         assign = _assign(dims, cent)
         cent = _update(dims, assign)
     final = _assign(dims, cent)
+    # DECIMAL stays internal; the emitted report is BIGINT so both
+    # lanes share the driver-hash-portable output contract (bounds in
+    # the kmeans_arrow docstring).
     report = final.groupBy("cluster").agg(
         F.count("*").alias("n_vectors"),
-        F.sum(F.col("dist2").cast("decimal(38,0)")).alias("inertia"),
+        F.sum(F.col("dist2").cast("decimal(38,0)")).alias("_inertia_dec"),
     )
     norms = cent.groupBy(F.col("c").alias("cluster")).agg(
         F.sum(F.expr("cast(cx as decimal(38,0)) * cx"))
-        .alias("centroid_norm2"),
+        .alias("_norm2_dec"),
     )
+    int64_max = F.lit(2**63 - 1).cast("decimal(38,0)")
+
+    def _as_int64(col: str, what: str):
+        return (
+            F.when(
+                F.col(col) > int64_max,
+                F.assert_true(
+                    F.lit(False),
+                    F.lit(f"kmeans_integer: {what} exceeds int64"),
+                ).cast("decimal(38,0)"),
+            )
+            .otherwise(F.col(col))
+            .cast("long")
+        )
+
     return report.join(norms, "cluster").select(
         "cluster", "n_vectors",
-        F.col("inertia").cast("decimal(38,0)").alias("inertia"),
-        F.col("centroid_norm2").cast("decimal(38,0)")
-        .alias("centroid_norm2"),
+        _as_int64("_inertia_dec", "inertia").alias("inertia"),
+        _as_int64("_norm2_dec", "centroid_norm2").alias("centroid_norm2"),
     )
 
 
@@ -237,32 +254,62 @@ def kmeans_arrow(emb: DataFrame, k: int = KMEANS_K,
     ``kmeans_integer`` (parity-pinned in tests/test_kmeans.py) with
     the matmul assignment shape instead of the n·K·d explode join.
     Micro-quantization stays IN SPARK (`_vec_micro`), so both lanes
-    and the oracle share one rounding definition."""
-    from decimal import Decimal
+    and the oracle share one rounding definition.
 
+    Output types are driver-hash-portable BIGINT, never DECIMAL (the
+    round-9 lesson: the external driver's value hash normalizes
+    DECIMAL differently between its Spark and DuckDB fetch paths, so
+    a value-correct DECIMAL column still reds the hash check).
+    Bounds: per-cluster ``inertia`` sums int64 dist2 values of at
+    most d·(2·MICRO)² ≈ 2.6e14 each (unit-norm-ish micro vectors at
+    d=64), so the BIGINT sum holds to ~3.5e4 billion vectors per
+    cluster; the in-plan assert_true guard fails LOUDLY (not wraps)
+    if a corpus ever crosses it. ``centroid_norm2`` ≤ d·(2·MICRO)²
+    fits int64 unconditionally for any d < 2e4 — guarded driver-side
+    where the K×d matrix already lives."""
     spark = emb.sparkSession
     v = _vec_micro(emb)
     C, cids = _seed_matrix(v, k)
     for _ in range(iters):
         C, cids = _arrow_iterate(v, C, cids)
     final = _arrow_assign(v, C, cids)
+    # Sum in DECIMAL internally (exact at any scale), emit BIGINT with
+    # a loud in-plan overflow guard — same discipline as the Gram
+    # matmul's int64 batch guard.
     report = final.groupBy("cluster").agg(
         F.count("*").alias("n_vectors"),
-        F.sum(F.col("dist2").cast("decimal(38,0)")).alias("inertia"),
+        F.sum(F.col("dist2").cast("decimal(38,0)")).alias("_inertia_dec"),
     )
     # centroid norms from the driver-side matrix: K Python-int exact
-    # squares — no Spark job for a K-row frame
+    # squares — no Spark job for a K-row frame. Python ints are
+    # arbitrary-precision, so the bound check is exact.
+    norm_rows = []
+    for c, row in zip(cids, C):
+        n2 = int(sum(int(x) * int(x) for x in row))
+        if n2 >= 2**63:
+            raise ValueError(
+                f"kmeans_arrow: centroid_norm2={n2} exceeds int64 for "
+                f"cluster {int(c)}; rescale the vectors (micro "
+                "quantization too wide for this dimensionality)"
+            )
+        norm_rows.append((int(c), n2))
     norms = spark.createDataFrame(
-        [(int(c), Decimal(int(sum(int(x) * int(x) for x in row))))
-         for c, row in zip(cids, C)],
-        schema="cluster long, centroid_norm2 decimal(38,0)",
+        norm_rows, schema="cluster long, centroid_norm2 long"
     )
+    int64_max = F.lit(2**63 - 1).cast("decimal(38,0)")
     return report.join(F.broadcast(norms), "cluster").select(
         F.col("cluster").cast("int").alias("cluster"),
         "n_vectors",
-        F.col("inertia").cast("decimal(38,0)").alias("inertia"),
-        F.col("centroid_norm2").cast("decimal(38,0)")
-        .alias("centroid_norm2"),
+        F.when(
+            F.col("_inertia_dec") > int64_max,
+            F.assert_true(
+                F.lit(False),
+                F.lit("kmeans_arrow: cluster inertia exceeds int64 — "
+                      "split the report by sub-cluster or rescale"),
+            ).cast("decimal(38,0)"),
+        ).otherwise(F.col("_inertia_dec"))
+        .cast("long").alias("inertia"),
+        F.col("centroid_norm2").alias("centroid_norm2"),
     )
 
 
@@ -335,12 +382,12 @@ def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
     ),
     report AS (
       SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors,
-        CAST(SUM(dist2) AS DECIMAL(38,0)) AS inertia
+        CAST(SUM(dist2) AS BIGINT) AS inertia
       FROM final GROUP BY cluster
     ),
     norms AS (
       SELECT c AS cluster,
-        CAST(SUM(CAST(cx AS HUGEINT) * cx) AS DECIMAL(38,0))
+        CAST(SUM(CAST(cx AS HUGEINT) * cx) AS BIGINT)
           AS centroid_norm2
       FROM {prev} GROUP BY c
     )

@@ -87,8 +87,22 @@ def gram_matrix_micro(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered exact Gram matrix of the embeddings table (upper
-    triangle, 64·65/2 = 2080 rows at d=64)."""
-    return gram_matrix_micro(load_table(spark, "embeddings", sf_dir))
+    triangle, 64·65/2 = 2080 rows at d=64).
+
+    ``g`` is emitted as a STRING of the exact integer (DECIMAL stays
+    internal to ``gram_matrix_micro``): a Gram cell genuinely exceeds
+    int64 at ~1e8 unit-scale micro² rows, and DECIMAL output columns
+    break the external driver's value hash (the only two
+    decimal-emitting entries of 255 were the only two r9 hash reds —
+    values bit-identical to the oracle). A plain-digit string is
+    exact at ANY scale and hash-portable; Spark's decimal(38,0) →
+    string and DuckDB's HUGEINT → VARCHAR both print the same
+    canonical form (no exponent, no trailing point — pinned in
+    tests/test_linalg.py)."""
+    g = gram_matrix_micro(load_table(spark, "embeddings", sf_dir))
+    return g.select(
+        "i", "j", "n_rows", F.col("g").cast("string").alias("g")
+    )
 
 
 GRAM_ORACLE = f"""
@@ -108,7 +122,7 @@ GRAM_ORACLE = f"""
     )
     SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
       CAST(COUNT(*) AS BIGINT) AS n_rows,
-      CAST(SUM(p) AS DECIMAL(38,0)) AS g
+      CAST(CAST(SUM(p) AS HUGEINT) AS VARCHAR) AS g
     FROM cells GROUP BY i, j
 """
 

@@ -43,6 +43,16 @@ def test_gram_matrix_matches_oracle_and_numpy(spark, sf_dir):
         assert r["n_rows"] == len(m)
     # diagonal cells are sums of squares: strictly positive
     assert all(int(r["g"]) > 0 for r in cells if r["i"] == r["j"])
+    # g's string form is canonical plain digits on BOTH engines (the
+    # hash-portability contract of the r10 DECIMAL→STRING migration):
+    # no exponent, no '.', no '+', optional leading '-'. DuckDB's side
+    # is covered by assert_matches_oracle value equality above.
+    import re
+
+    assert all(re.fullmatch(r"-?[0-9]+", r["g"]) for r in cells)
+    # off-diagonal negatives exist in this corpus, so the '-' branch
+    # of the format is genuinely exercised
+    assert any(r["g"].startswith("-") for r in cells)
 
 
 def test_pca_projection_properties(spark, sf_dir):

@@ -224,3 +224,42 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
         j = li.join(part.hint(hint), li.l_partkey == part.p_partkey)
         p = _plan(j)
         assert op in p, (hint, p[:800])
+
+
+def test_registry_output_types_are_driver_hash_portable(spark, sf_dir):
+    """Registry-wide output-type CONTRACT: every registered query's
+    output schema uses only types the external driver's value hash has
+    proven portable across its Spark and DuckDB fetch paths. The r9
+    lesson: the ONLY two entries emitting DECIMAL(38,0) were the ONLY
+    two hash-red driver rows in nine rounds whose values were
+    bit-identical to the oracle — the driver normalizes DECIMAL
+    differently per engine, and the local harness cannot see it (both
+    local clients return `Decimal`). DECIMAL stays legal INTERNALLY
+    (exact wide aggregation); it must be cast to BIGINT (with a loud
+    overflow guard) or emitted as a plain-digit STRING before the
+    select boundary. Nested types (array/struct/map) have never been
+    risked on the driver hash and are equally forbidden at the
+    boundary — explode/serialize instead.
+
+    Schema-only: builds each plan (no .collect() of results; bounded
+    driver actions during plan construction — seed rows, band-width
+    quantiles — are the entries' documented cost)."""
+    allowed = {
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+        "string", "boolean", "date", "timestamp", "timestamp_ntz",
+    }
+    violations = []
+    for name, fn in QUERIES.items():
+        try:
+            dtypes = fn(spark, sf_dir).dtypes
+        except Exception as e:  # a build error is its own violation
+            violations.append((name, "<build failed>", str(e)[:120]))
+            continue
+        for col, t in dtypes:
+            if t not in allowed:
+                violations.append((name, col, t))
+    assert not violations, (
+        "registered queries emit non-hash-portable output types "
+        "(cast DECIMAL to BIGINT/STRING at the boundary, flatten "
+        f"nested types): {violations}"
+    )
