@@ -48,8 +48,8 @@ def with_global_rank(
     bucket: Column,
     rank_col: str = "rank",
     materialize: bool = False,
-    cumsum_of: str | None = None,
-    cumsum_col: str = "cum",
+    cumsum_of: str | list | None = None,
+    cumsum_col: str | list = "cum",
 ) -> DataFrame:
     """Add ``rank_col`` = exact 1-based global row_number of each row
     under ascending ``sort_cols``, computed with per-bucket parallel
@@ -176,7 +176,15 @@ def with_grouped_rank(
 
     Same requirements as ``with_global_rank`` (strict total order
     within a group via ``sort_cols``; ``bucket`` monotone w.r.t. the
-    sort). ``count_col`` additionally emits each group's TOTAL row
+    sort). NULL group keys are supported and rank as their own
+    group — identical to ``Window.partitionBy``, which treats NULL as
+    an ordinary partition: every group-key comparison below uses
+    null-safe equality (``<=>``), so NULL-keyed rows neither vanish
+    through the offset joins nor collide with any non-NULL group
+    (the r9 ADVICE finding: plain equi-joins would silently drop
+    them). Null-safe equality remains a hash-join key, so the plan
+    shape (broadcast hash joins, no cartesian) is unchanged.
+    ``count_col`` additionally emits each group's TOTAL row
     count (percentile selectors need n_g; it rides the same count
     aggregation, no extra scan). ``cumsum_of``/``cumsum_col`` mirror
     ``with_global_rank``'s per-row running sums, restarting at each
@@ -217,7 +225,9 @@ def with_grouped_rank(
     lo = cnts.select(*lo_cols)
     same_group = None
     for c in group_cols:
-        eq = F.col(f"_rk_g_{c}") == F.col(c)
+        # null-safe: a NULL group is ITS OWN group (window semantics),
+        # never equal to a non-NULL one, never dropped
+        eq = F.col(f"_rk_g_{c}").eqNullSafe(F.col(c))
         same_group = eq if same_group is None else (same_group & eq)
     off_aggs = [F.coalesce(F.sum("_rk_c_lo"), F.lit(0)).alias(_OFFSET)]
     for i in range(len(cs_cols)):
@@ -234,10 +244,27 @@ def with_grouped_rank(
         .groupBy(*group_cols, _BUCKET)
         .agg(*off_aggs)
     )
+    # the joins back onto the data are null-safe on the group keys for
+    # the same reason as same_group above (a plain list-column join
+    # compiles to EqualTo and silently drops NULL-keyed rows via the
+    # pushed isnotnull key filters)
+    offs_r = offs.select(
+        *[F.col(c).alias(f"_rk_o_{c}") for c in group_cols],
+        F.col(_BUCKET).alias("_rk_o_b"),
+        F.col(_OFFSET),
+        *[F.col(f"{_SUMOFF}{i}") for i in range(len(cs_cols))],
+    )
+    back = F.col(_BUCKET) == F.col("_rk_o_b")
+    for c in group_cols:
+        back = back & F.col(c).eqNullSafe(F.col(f"_rk_o_{c}"))
     w = Window.partitionBy(*group_cols, _BUCKET).orderBy(*sort_cols)
-    out = d.join(F.broadcast(offs), [*group_cols, _BUCKET]).withColumn(
-        rank_col,
-        F.row_number().over(w).cast("long") + F.col(_OFFSET),
+    out = (
+        d.join(F.broadcast(offs_r), back)
+        .drop("_rk_o_b", *[f"_rk_o_{c}" for c in group_cols])
+        .withColumn(
+            rank_col,
+            F.row_number().over(w).cast("long") + F.col(_OFFSET),
+        )
     )
     for i, (c, name) in enumerate(zip(cs_cols, cs_names)):
         out = out.withColumn(
@@ -248,8 +275,16 @@ def with_grouped_rank(
     if count_col is not None:
         totals = cnts.groupBy(*group_cols).agg(
             F.sum("_rk_c").alias(count_col)
+        ).select(
+            *[F.col(c).alias(f"_rk_t_{c}") for c in group_cols],
+            F.col(count_col),
         )
-        out = out.join(F.broadcast(totals), group_cols)
+        tj = F.lit(True)
+        for c in group_cols:
+            tj = tj & F.col(c).eqNullSafe(F.col(f"_rk_t_{c}"))
+        out = out.join(F.broadcast(totals), tj).drop(
+            *[f"_rk_t_{c}" for c in group_cols]
+        )
     return out.drop(_BUCKET, _OFFSET)
 
 

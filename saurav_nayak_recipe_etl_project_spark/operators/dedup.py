@@ -797,7 +797,14 @@ def simhash_banded_pairs(docs: DataFrame,
     inside (block_id, block_value) buckets, never all-pairs, and the
     hamming filter afterwards is exact. Complements minhash banding:
     LSH banding has probabilistic recall; simhash block banding is
-    LOSSLESS for radius < n_blocks."""
+    LOSSLESS for radius < n_blocks.
+
+    The codes frame is persisted for the three reads (blocks, code_a,
+    code_b) and unpersisted BEFORE returning: the returned pair frame
+    is eagerly localCheckpointed first (it is output-proportional —
+    bounded by the near-dup pair count, never corpus-sized), so the
+    cache cannot leak for the session lifetime (the r9 ADVICE
+    finding; same persist/unpersist pairing as dup_clusters)."""
     assert radius < SIMHASH_BAND_BLOCKS, "pigeonhole needs radius < blocks"
     codes = simhash(docs).persist()
     blocks = codes.select(
@@ -831,7 +838,7 @@ def simhash_banded_pairs(docs: DataFrame,
     cb = codes.select(
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("code_b")
     )
-    return (
+    pairs = (
         cand.join(ca, "doc_a")
         .join(cb, "doc_b")
         .select(
@@ -839,7 +846,10 @@ def simhash_banded_pairs(docs: DataFrame,
             F.expr("bit_count(code_a ^ code_b)").alias("hamming"),
         )
         .where(F.col("hamming") <= radius)
+        .localCheckpoint()  # eager: materialize, then release the cache
     )
+    codes.unpersist()
+    return pairs
 
 
 def simhash_radius_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

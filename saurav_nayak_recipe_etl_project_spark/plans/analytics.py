@@ -769,16 +769,21 @@ def q11_analog_supply_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact integers: revenue cents, the HAVING cut as the
     cross-multiplied predicate value*1000 > nation_total (no float at
-    the boundary), share_ppm a truncating DIV. Plan: fact join to two
-    broadcast dims, one (nation, part) shuffle, a 25-row national
-    total broadcast back — Q11's correlated scalar subquery
-    decorrelates to exactly this."""
+    the boundary), share_ppm a truncating DIV. Plan: nation (fixed 25
+    rows) is hint-broadcast; supplier grows LINEARLY with scale
+    factor, so its join strategy is left to the planner/AQE —
+    broadcast at report SFs, shuffle join when a 100 TB supplier
+    outgrows the threshold (the r9 ADVICE fix: a forced broadcast
+    hint contradicted the entry's stated scale claim). Then one
+    (nation, part) shuffle and a 25-row national total broadcast
+    back — Q11's correlated scalar subquery decorrelates to exactly
+    this."""
     lineitem = _t(spark, sf_dir, "lineitem")
     supplier = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     rev = (
         lineitem.join(
-            F.broadcast(supplier),
+            supplier,
             F.col("l_suppkey") == supplier.s_suppkey,
         )
         .join(

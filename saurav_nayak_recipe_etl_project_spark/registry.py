@@ -86,93 +86,73 @@ _load_optional()
 #   (2) the STALEST entries first — ordered by the round each was last
 #       externally verified in (computed from the CORRECTNESS_r*.json
 #       union) — until the window is full.
-# With 228 entries and a 50-entry window, stalest-first re-verifies
-# every entry within ~5 rounds even in an additive round. Round-9
-# window composition, per the round-8 rotation plan and the judge's
-# round-8 directive (staleness computed fresh from the
-# CORRECTNESS_r1..r8 union at round-9 start: 20 entries never
-# driver-windowed, 30 last verified r2, 3 r4, 42 r5, 39 r6, 43 r7,
-# 50 r8):
-#   (1) entries whose implementation or load-bearing internals
-#       changed in round 9 — the Arrow-matmul k-means lane (now the
-#       default), the DECIMAL-widened Theil–Sen slope product, the
-#       banded K-M reverse cumsum, the NULL-preserving
-#       pseudonymize() — plus the one NEW entry (the approx table
-#       profile);
-#   (2) ALL remaining never-driver-windowed r8c entries (17 after
-#       the overlap with (1) — judge pre-verified green at sf0.01 in
-#       the round-8 verdict, so these should be cheap green rows);
-#   (3) stalest-first fill: the r2 block alphabetically. The NINE
-#       late-r9 scale migrations (MAD anomalies, median_mode,
-#       trimmed mean, quartiles, weighted median, OHLC, monthly
-#       percentiles, interarrival — plans changed, values proven
-#       unchanged locally at 2 SFs + NY) join section (1) per
-#       policy, so 19 of 30 r2 entries fit before the window cuts
-#       at 50. Below the cut: the 11 r2 leftovers + the r4 trio lead
-#       round 10's fill, then the r5 block (full rotation closes
-#       ~r12-r13).
+# Round-10 window composition, per the round-9 verdict directive
+# (staleness computed fresh from the CORRECTNESS_r1..r9 union at
+# round-10 start: 27 never driver-windowed — all judge-verified green
+# at sf0.01 in VERDICT r9 — 9 r2, 3 r4, 42 r5, 33 r6, 41 r7, 50 r8,
+# 50 r9):
+#   (1) changed in round 10: the two DECIMAL-output fixes
+#       (embedding_kmeans → BIGINT inertia/norm with loud overflow
+#       guards; embedding_gram_matrix → plain-digit STRING g), the
+#       NINE with_grouped_rank callers (null-safe group-key joins —
+#       the r9 ADVICE fix; values proven unchanged at 2 SFs + plain
+#       NY), simhash_radius_audit (pair-frame checkpoint + codes
+#       unpersist), and q11_analog_supply_share (supplier broadcast
+#       hint dropped — planner/AQE chooses);
+#   (2) the remaining never-driver-windowed r9 entries (23 after the
+#       4-entry overlap with (1));
+#   (3) stalest fill: the 9 r2 + 3 r4 blocks in full, then the r5
+#       block alphabetically — the cut lands after
+#       ann_knn_label_accuracy (2 of 42 r5 fit).
+# ROUND-11 FILL PLAN (computed at r10 close so the window stays
+# mechanical): after r10's changed entries (front), continue the r5
+# block alphabetically from ann_nearest_centroid (40 remaining), then
+# the r6 block (33) — full rotation closes ~r12.
 _DRIVER_PRIORITY = [
-    # -- (1) changed or new in round 9 --
+    # -- (1) changed in round 10 --
     "embedding_kmeans",
-    "segment_trend_theilsen",
-    "km_risk_table",
-    "pseudonymized_segment_report",
-    "table_profile_lineitem_approx",
-    # late-r9 migration: MAD anomaly / median / trimmed-mean /
-    # quartile ranks moved from whole-group windows onto the grouped
-    # banded lane (values proven unchanged locally, but a changed
-    # plan means a fresh external row per policy)
+    "embedding_gram_matrix",
+    # the nine with_grouped_rank callers (null-safe group-key joins)
     "event_anomalies_mad",
     "order_value_median_mode",
     "order_value_trimmed_mean",
     "event_value_quartiles",
     "weighted_median_price",
-    "events_ohlc",
     "monthly_order_value_percentiles",
     "event_interarrival_disc",
-    # -- (2) never driver-windowed (r8c additions, judge-verified
-    #    green at sf0.01 in VERDICT r8) --
-    "brand_audience_overlap",
-    "rrf_hybrid_search",
-    "distinctive_terms_logodds",
-    "part_name_entity_resolution",
-    "part_price_size_skyline",
-    "key_candidate_profile",
-    "embedding_label_separation",
-    "ann_matryoshka_recall",
-    "phrase_bigram_scores",
-    "source_js_divergence",
-    "langid_agreement",
-    "neyman_allocation",
-    "customer_feature_store",
-    "embedding_gram_matrix",
-    "session_daily_load",
-    "view_purchase_lead_lag",
-    "daily_event_acf",
-    # -- (3) stalest fill: last verified round 2, alphabetical (the
-    #    window cuts at 50 inside this block, after top_event_users) --
-    "asof_latest_order",
-    "customer_part_baskets",
-    "docs_by_source",
-    "event_anomalies",
-    # (event_value_quartiles was in this r2 block; it moved up to the
-    # changed-first section with the r9 grouped-lane migration)
-    "lineitem_stats",
-    "monthly_revenue_growth",
-    "multimodal_byte_histogram",
-    "multimodal_frames",
-    "multimodal_meta",
-    "orders_status_pivot",
-    "part_degree_distribution",
-    "parts_bought_together",
-    "price_histogram",
-    "price_quantiles",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q18_large_orders",
-    "redact_numbers",
-    "revenue_rollup",
-    "rolling_weekly_revenue",
+    "event_value_percentiles_exact",
+    "customer_interpurchase_time",
+    # cache-leak fix (pair-frame localCheckpoint + codes unpersist)
+    "simhash_radius_audit",
+    # supplier broadcast hint dropped
+    "q11_analog_supply_share",
+    # -- (2) never driver-windowed (r9 additions, judge-verified
+    #    green at sf0.01 in VERDICT r9) --
+    "brand_price_dispersion",
+    "corpus_release_pipeline",
+    "daily_error_rate_wilson",
+    "daily_type_mix_drift",
+    "dedup_keep_best",
+    "dedup_source_matrix",
+    "embedding_outliers_mad",
+    "k_anonymity_audit",
+    "monthly_revenue_stl",
+    "order_value_ks_test",
+    "orders_backlog_aging",
+    "orders_pipe_summary",
+    "part_recommendations_topn",
+    "priority_value_anova",
+    "priority_value_mannwhitney",
+    "quality_threshold_sweep",
+    "quantity_discount_kendall",
+    "revenue_anomalies_stl",
+    "revenue_forecast_backtest",
+    "segment_priority_pmi",
+    "source_dup_exposure",
+    "split_leakage",
+    "split_leakage_repair",
+    # -- (3) stalest fill: the full r2 block (last verified round 2,
+    #    alphabetical) --
     "sample_documents",
     "severity_by_status",
     "split_assignment",
@@ -180,43 +160,58 @@ _DRIVER_PRIORITY = [
     "text_langid",
     "tfidf_top_terms",
     "top_event_users",
-    # -- below the 50-cut: the r2 leftovers, then the r4 trio —
-    #    round 10's fill leads here, then the r5 block. New round-9
-    #    entries born AFTER the window was composed sit below the cut
-    #    too (the r8c precedent: verified at 3 SFs + NY locally at
-    #    birth; the stale entries carry more drift exposure) --
     "view_purchase_attribution",
     "view_purchase_funnel",
+    # -- the full r4 trio --
     "text_langid_ngram",
     "text_quality",
     "text_token_count",
-    "dedup_source_matrix",
-    "split_leakage",
-    "order_value_ks_test",
-    "priority_value_mannwhitney",
-    "segment_priority_pmi",
-    "split_leakage_repair",
-    "dedup_keep_best",
-    "monthly_revenue_stl",
-    "quality_threshold_sweep",
-    "corpus_release_pipeline",
-    "quantity_discount_kendall",
-    "daily_type_mix_drift",
-    "priority_value_anova",
-    "k_anonymity_audit",
-    "revenue_anomalies_stl",
-    "orders_pipe_summary",
-    "revenue_forecast_backtest",
-    "part_recommendations_topn",
-    "embedding_outliers_mad",
-    "simhash_radius_audit",
-    "event_value_percentiles_exact",
-    "customer_interpurchase_time",
-    "orders_backlog_aging",
-    "q11_analog_supply_share",
-    "brand_price_dispersion",
-    "daily_error_rate_wilson",
-    "source_dup_exposure",
+    # -- r5 block alphabetically; the 50-cut lands after
+    #    ann_knn_label_accuracy --
+    "ann_cosine_topk",
+    "ann_knn_label_accuracy",
+    # -- below the 50-cut: the r5 leftovers continue alphabetically
+    #    (round 11's fill leads here), then the r6 block --
+    "ann_nearest_centroid",
+    "approx_distinct_bounds",
+    "cdc_apply",
+    "cohort_retention",
+    "dedup_clusters",
+    "dedup_contamination",
+    "dedup_embedding_exact",
+    "dedup_exact",
+    "dedup_lsh_verified",
+    "dedup_ngram_jaccard",
+    "documents_deduped",
+    "event_transitions",
+    "gapfill_daily_revenue",
+    "orders_grouping_sets",
+    "pack_sequences",
+    "price_quantiles_approx",
+    "q12_priority_by_linestatus",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q21_returned_alone_suppliers",
+    "q22_idle_customers",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "quality_filter_pipeline",
+    "range_join_windows",
+    "rebalance_sources",
+    "sessionize_events",
+    "skew_diagnostics",
+    "snapshot_diff",
+    "stream_events_window",
+    "topk_parts_per_brand",
+    "validation_report",
+    "weekly_active_breakdown",
 ]
 
 

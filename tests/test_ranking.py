@@ -270,3 +270,47 @@ def test_grouped_rank_cumsum_matches_per_group_window(spark):
     j = got.join(want, ["g", "v", "id", "q"])
     assert j.where(F.col("cq") != F.col("wq")).count() == 0
     assert j.count() == len(rows)
+
+
+def test_grouped_rank_null_group_matches_window_semantics(spark):
+    """NULL group keys must behave exactly like Window.partitionBy:
+    an ordinary partition of their own — not silently dropped through
+    the offset equi-joins (the r9 ADVICE finding; plain equi-joins
+    plus Catalyst's pushed isnotnull key filters would remove the
+    rows without a trace). Covers the rank, count_col, and cumsum
+    riders across multiple bands so the NULL group exercises the
+    offset join, not just the window."""
+    from saurav_nayak_recipe_etl_project_spark.functions.ranking import (
+        with_grouped_rank,
+    )
+
+    rows = [
+        ((v * 7) % 3 if v % 5 else None, (v * 13) % 37, v, (v * 3) % 11)
+        for v in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g long, v long, id long, x long")
+    got = with_grouped_rank(
+        df, ["g"], ["v", "id"], bucket=F.floor(F.col("v") / F.lit(6)),
+        count_col="n_g", cumsum_of="x", cumsum_col="cx",
+    )
+    assert got.count() == len(rows)  # nothing dropped
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = df.select(
+        "g", "v", "id",
+        F.row_number().over(w).cast("long").alias("want_rank"),
+        F.count("*").over(
+            Window.partitionBy("g").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("want_n"),
+        F.sum("x").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("want_cx"),
+    )
+    j = got.join(want, ["v", "id"])  # (v, id) unique; avoids NULL g keys
+    assert j.count() == len(rows)
+    assert j.where(
+        (F.col("rank") != F.col("want_rank"))
+        | (F.col("n_g") != F.col("want_n"))
+        | (F.col("cx") != F.col("want_cx"))
+    ).count() == 0
