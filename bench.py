@@ -302,6 +302,14 @@ HEADLINE = [
     # near-dedup -> split -> manifest in one plan).
     "order_value_ks_test",
     "corpus_release_pipeline",
+    # round-10 additions: the two new corpus-shaping scans (tempered
+    # mixing weights, per-dim clip calibration on the grouped banded
+    # lane) and the Arrow-assigned balanced coreset — the three new
+    # shapes heavy enough to time (fertility shares the token-count
+    # scan shape already benched via text_token_count).
+    "source_mixture_weights",
+    "embedding_dim_clip_stats",
+    "diversity_sample_balanced",
 ]
 
 # ann_recall_at_k runs FIVE ANN paths + the exact oracle inside one
@@ -546,10 +554,16 @@ def main() -> None:
         line = json.dumps(compact, separators=(",", ":"))
     while len(line) > 1900 and len(compact["queries"]) > 40:
         # fourth stage: the stdout map keeps the SLOWEST queries (the
-        # ones a regression reader cares about) and records how many
-        # fast ones moved wholly to bench_detail.json
+        # ones a regression reader cares about); the fast tail is
+        # AGGREGATED, not dropped — queries_other_sec carries the sum
+        # of the trimmed timings and queries_truncated their count, so
+        # the headline total stays reconstructible from stdout alone
+        # (per-query values live in bench_detail.json / the trend row)
         q = compact["queries"]
         fastest = min(q, key=q.get)
+        compact["queries_other_sec"] = round(
+            compact.get("queries_other_sec", 0.0) + q[fastest], 2
+        )
         del q[fastest]
         compact["queries_truncated"] = (
             compact.get("queries_truncated", 0) + 1

@@ -397,10 +397,114 @@ def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
     return head + body + tail
 
 
+DIVERSITY_K = 8      # seed centroids = sample strata
+DIVERSITY_M = 25     # picks per stratum
+
+
+def diversity_sample_balanced(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """F72 — cluster-balanced coreset sample: partition the embedding
+    space by nearest-of-K seed centroids (the kmeans seed rule —
+    smallest md5(vec_id), zero Lloyd iterations, so the quantizer is
+    content-keyed and engine-exact) and keep M deterministic picks
+    per cluster by md5(vec_id) order — the diversity-sampling pass a
+    training pipeline runs when a uniform random sample would
+    over-represent the dense regions of embedding space (per-cluster
+    quotas force coverage of sparse modes).
+
+    Scale shape: assignment is the Arrow int64 matmul lane (one
+    mapInPandas pass, n rows out, no n·K·d explode); the per-cluster
+    top-M runs two_phase_group_top_k — salted two-phase ranking, so
+    no cluster-sized window even when one cluster holds most of the
+    corpus. Output is K·M rows regardless of corpus size."""
+    from saurav_nayak_recipe_etl_project_spark.functions.ranking import (
+        two_phase_group_top_k,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    v = _vec_micro(emb)
+    C, cids = _seed_matrix(v, DIVERSITY_K)
+    assigned = _arrow_assign(v, C, cids)
+    picked = two_phase_group_top_k(
+        assigned.withColumn(
+            "mk", F.md5(F.col("vec_id").cast("string"))
+        ),
+        keys=["cluster"],
+        sort_cols=["mk"],
+        k=DIVERSITY_M,
+        rank_col="pick_rank",
+    )
+    return (
+        picked.join(emb.select("vec_id", "label"), "vec_id")
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            "pick_rank",
+            "vec_id",
+            F.col("label").cast("int").alias("label"),
+            "dist2",
+        )
+    )
+
+
+def _diversity_oracle(k: int = DIVERSITY_K, m: int = DIVERSITY_M) -> str:
+    """Nearest-seed assignment + per-cluster md5-order top-m replay
+    (the kmeans oracle's seed/distance CTEs with zero iterations)."""
+    return f"""
+    WITH v AS (
+      SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * {MICRO}) AS BIGINT)) AS m
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT vec_id, i.i AS dim, m[i.i + 1] AS x
+      FROM v, UNNEST(range(0, len(m))) AS i(i)
+    ),
+    seeds AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
+                  - 1 AS INTEGER) AS c, m
+      FROM v QUALIFY ROW_NUMBER()
+        OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= {k}
+    ),
+    cent AS (
+      SELECT c, i.i AS dim, m[i.i + 1] AS cx
+      FROM seeds, UNNEST(range(0, len(m))) AS i(i)
+    ),
+    d2 AS (
+      SELECT vec_id, c, SUM((x - cx) * (x - cx)) AS dist2
+      FROM dims JOIN cent USING (dim)
+      GROUP BY vec_id, c
+    ),
+    assigned AS (
+      SELECT vec_id, c AS cluster, dist2 FROM (
+        SELECT vec_id, c, dist2,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, c)
+            AS rn
+        FROM d2
+      ) WHERE rn = 1
+    ),
+    picked AS (
+      SELECT cluster, vec_id, dist2,
+        ROW_NUMBER() OVER (
+          PARTITION BY cluster
+          ORDER BY md5(CAST(vec_id AS VARCHAR))
+        ) AS pick_rank
+      FROM assigned
+    )
+    SELECT CAST(p.cluster AS INTEGER) AS cluster,
+      CAST(pick_rank AS BIGINT) AS pick_rank, p.vec_id,
+      CAST(e.label AS INTEGER) AS label, CAST(dist2 AS BIGINT) AS dist2
+    FROM picked p JOIN embeddings e ON e.vec_id = p.vec_id
+    WHERE pick_rank <= {m}
+    """
+
+
 KMEANS_QUERIES = {
     "embedding_kmeans": embedding_kmeans,
+    "diversity_sample_balanced": diversity_sample_balanced,
 }
 
 KMEANS_ORACLES = {
     "embedding_kmeans": _kmeans_oracle(),
+    "diversity_sample_balanced": _diversity_oracle(),
 }

@@ -389,6 +389,120 @@ def embedding_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_dim_clip_stats(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """F71 — per-DIMENSION exact calibration percentiles (P1/P50/P99
+    in micros) plus the mass clipped outside [P1, P99] — the readout
+    an int8/fp8 embedding-quantization pass runs before choosing
+    per-dim clip bounds (activation-clipping calibration: clip at a
+    percentile, count what saturates).
+
+    Scale shape: each dimension's value list is CORPUS-sized (n rows
+    per dim), so a ``Window.partitionBy(dim)`` rank would funnel the
+    whole corpus through d tasks; this runs the with_grouped_rank
+    (dim, value-band) banded lane — the same migration lane as
+    event_value_percentiles_exact — then one broadcast join of the
+    d-row percentile frame back onto the (vec_id, dim) explode for
+    the exact clip counts. Two n·d passes total, no K factor,
+    bounded windows everywhere.
+
+    Quantiles are inverse-CDF (type-1): value at rank
+    ceil(q·n) = (n·q + 99) DIV 100 — integer-exact, no
+    interpolation float."""
+    from saurav_nayak_recipe_etl_project_spark.functions.ranking import (
+        derive_band_width,
+        with_grouped_rank,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    dims = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * MICRO).cast("long"),
+            )
+        ).alias("dim", "v"),
+    )
+    width = derive_band_width(dims, "v")
+    ranked = with_grouped_rank(
+        dims,
+        ["dim"],
+        ["v", "vec_id"],
+        bucket=F.floor(F.col("v") / F.lit(width)),
+        count_col="n_g",
+    )
+    sel = None
+    aggs = [F.max("n_g").alias("n")]
+    for q in (1, 50, 99):
+        k = F.expr(f"(n_g * {q} + 99) DIV 100")
+        aggs.append(
+            F.min(F.when(F.col("rank") == k, F.col("v")))
+            .alias(f"p{q:02d}_micro")
+        )
+        cond = F.col("rank") == k
+        sel = cond if sel is None else (sel | cond)
+    pct = ranked.where(sel).groupBy("dim").agg(*aggs)
+    return (
+        dims.join(F.broadcast(pct), "dim")
+        .groupBy("dim")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("p01_micro").alias("p01_micro"),
+            F.max("p50_micro").alias("p50_micro"),
+            F.max("p99_micro").alias("p99_micro"),
+            F.sum(
+                (F.col("v") < F.col("p01_micro")).cast("long")
+            ).alias("n_below"),
+            F.sum(
+                (F.col("v") > F.col("p99_micro")).cast("long")
+            ).alias("n_above"),
+        )
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            "n", "p01_micro", "p50_micro", "p99_micro",
+            "n_below", "n_above",
+        )
+    )
+
+
+DIM_CLIP_ORACLE = f"""
+    WITH dims AS (
+      SELECT vec_id, i.i AS dim,
+        CAST(round(CAST(embedding[i.i + 1] AS DOUBLE) * {MICRO})
+             AS BIGINT) AS v
+      FROM embeddings,
+        UNNEST(range(0, len(embedding))) AS i(i)
+    ),
+    ranked AS (
+      SELECT dim, v,
+        ROW_NUMBER() OVER (PARTITION BY dim ORDER BY v, vec_id)
+          AS rank,
+        COUNT(*) OVER (PARTITION BY dim) AS n_g
+      FROM dims
+    ),
+    pct AS (
+      SELECT dim, MAX(n_g) AS n,
+        MIN(CASE WHEN rank = (n_g * 1 + 99) // 100 THEN v END)
+          AS p01_micro,
+        MIN(CASE WHEN rank = (n_g * 50 + 99) // 100 THEN v END)
+          AS p50_micro,
+        MIN(CASE WHEN rank = (n_g * 99 + 99) // 100 THEN v END)
+          AS p99_micro
+      FROM ranked GROUP BY dim
+    )
+    SELECT CAST(d.dim AS INTEGER) AS dim, CAST(MAX(n) AS BIGINT) AS n,
+      MAX(p01_micro) AS p01_micro, MAX(p50_micro) AS p50_micro,
+      MAX(p99_micro) AS p99_micro,
+      CAST(SUM(CASE WHEN v < p01_micro THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_below,
+      CAST(SUM(CASE WHEN v > p99_micro THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_above
+    FROM dims d JOIN pct ON d.dim = pct.dim
+    GROUP BY d.dim
+"""
+
+
 OUTLIERS_ORACLE = f"""
     WITH q AS (
       SELECT vec_id, label,
@@ -444,9 +558,11 @@ OUTLIERS_ORACLE = f"""
 LINALG_QUERIES = {
     "embedding_gram_matrix": embedding_gram_matrix,
     "embedding_outliers_mad": embedding_outliers_mad,
+    "embedding_dim_clip_stats": embedding_dim_clip_stats,
 }
 
 LINALG_ORACLES = {
     "embedding_gram_matrix": GRAM_ORACLE,
     "embedding_outliers_mad": OUTLIERS_ORACLE,
+    "embedding_dim_clip_stats": DIM_CLIP_ORACLE,
 }

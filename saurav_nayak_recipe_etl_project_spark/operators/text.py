@@ -1001,7 +1001,180 @@ NEYMAN_ORACLE = f"""
 """
 
 
+MIXTURE_TAU = 0.7           # sampling temperature (mT5/PaLM-style)
+MIXTURE_BUDGET = 1_000_000_000  # training-token budget for the epochs view
+
+
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F69 — temperature-scaled source mixing weights: the sampling
+    distribution a multi-source training run draws from, p_s ∝
+    (token_share_s)^τ with τ = 0.7 — flattening toward uniform so
+    small sources are upsampled (the mT5/PaLM mixing rule; τ = 1 is
+    proportional, τ = 0 uniform). Per source: docs, BPE-ish tokens,
+    raw share_ppm, temperature weight_ppm, and epochs_ppm — how many
+    times the source is traversed at a 1e9-token budget (> 1e6 means
+    the source repeats; the over-sampling early-warning the mixing
+    literature caps at a few epochs).
+
+    Exactness: the ONE transcendental (pow(share, τ)) is rounded to
+    an integer nano-weight immediately (the Theil–Sen/JS-divergence
+    discipline for non-correctly-rounded libm calls); everything
+    after — normalization to ppm summing EXACTLY to 1e6 via
+    largest-remainder, the epochs DIV — is integer. The stats frame
+    is source-catalog-sized, so its windows are bounded; the corpus
+    is touched by exactly one token-count scan."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    stats = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.size(F.regexp_extract_all("text", F.lit(BPE_PIECE), 0))
+            .cast("long")
+        ).alias("tokens"),
+    )
+    tot = stats.agg(F.sum("tokens").alias("tok_tot"))
+    w = stats.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "tokens",
+        F.expr(
+            "CAST(CAST(tokens AS DECIMAL(38,0)) * 1000000 DIV tok_tot"
+            " AS BIGINT)"
+        ).alias("share_ppm"),
+        F.expr(
+            f"CAST(round(pow(CAST(tokens AS DOUBLE) / tok_tot,"
+            f" {MIXTURE_TAU}) * 1e9) AS BIGINT)"
+        ).alias("w_nano"),
+    )
+    wtot = w.agg(F.sum("w_nano").alias("w_tot"))
+    j = w.crossJoin(F.broadcast(wtot)).select(
+        "source", "n_docs", "tokens", "share_ppm",
+        F.expr(
+            "CAST((1000000 * CAST(w_nano AS DECIMAL(38,0))) DIV w_tot"
+            " AS BIGINT)"
+        ).alias("base"),
+        F.expr(
+            "CAST((1000000 * CAST(w_nano AS DECIMAL(38,0))) % w_tot"
+            " AS DECIMAL(38,0))"
+        ).alias("rem"),
+    )
+    w_all = Window.partitionBy()
+    w_bump = Window.orderBy(F.desc("rem"), F.asc("source"))
+    return (
+        j.withColumn(
+            "shortfall", F.lit(1_000_000) - F.sum("base").over(w_all)
+        )
+        .withColumn("bump_rank", F.row_number().over(w_bump))
+        .withColumn(
+            "weight_ppm",
+            F.col("base")
+            + F.when(F.col("bump_rank") <= F.col("shortfall"), 1)
+            .otherwise(0),
+        )
+        .select(
+            "source", "n_docs", "tokens", "share_ppm", "weight_ppm",
+            F.expr(
+                f"CAST(({MIXTURE_BUDGET} * CAST(weight_ppm AS"
+                " DECIMAL(38,0))) DIV tokens AS BIGINT)"
+            ).alias("epochs_ppm"),
+        )
+    )
+
+
+MIXTURE_ORACLE = f"""
+    WITH stats AS (
+      SELECT source, COUNT(*) AS n_docs,
+        SUM(len(regexp_extract_all(text,
+            '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))) AS tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(CAST(tokens AS HUGEINT)) AS tok_tot FROM stats),
+    w AS (
+      SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        CAST(tokens AS BIGINT) AS tokens,
+        CAST(CAST(tokens AS HUGEINT) * 1000000 // tok_tot AS BIGINT)
+          AS share_ppm,
+        CAST(round(pow(CAST(tokens AS DOUBLE) / tok_tot,
+             {MIXTURE_TAU}) * 1e9) AS BIGINT) AS w_nano
+      FROM stats CROSS JOIN tot
+    ),
+    wtot AS (SELECT SUM(CAST(w_nano AS HUGEINT)) AS w_tot FROM w),
+    j AS (
+      SELECT source, n_docs, tokens, share_ppm,
+        (1000000 * CAST(w_nano AS HUGEINT)) // w_tot AS base,
+        (1000000 * CAST(w_nano AS HUGEINT)) % w_tot AS rem
+      FROM w CROSS JOIN wtot
+    ),
+    r AS (
+      SELECT *, 1000000 - SUM(base) OVER () AS shortfall,
+        ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS bump_rank
+      FROM j
+    )
+    SELECT source, n_docs, tokens, share_ppm,
+      CAST(base + CASE WHEN bump_rank <= shortfall THEN 1 ELSE 0 END
+           AS BIGINT) AS weight_ppm,
+      CAST(({MIXTURE_BUDGET} * (base + CASE WHEN bump_rank <= shortfall
+           THEN 1 ELSE 0 END)) // tokens AS BIGINT) AS epochs_ppm
+    FROM r
+"""
+
+
+def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F70 — tokenizer fertility per language: BPE-ish pieces per
+    whitespace word (fertility_ppm) and characters per piece
+    (chars_per_bpe_ppm) by the corpus `lang` column — the
+    multilingual-tokenizer health report (high fertility = the
+    tokenizer fragments that language, inflating its effective cost
+    per word; the standard readout when sizing per-language budgets).
+
+    Pure integer counts per document summed per language, ratios as
+    truncating DIVs in DECIMAL — bit-identical across engines. One
+    scan; the language frame is catalog-bounded."""
+    docs = load_table(spark, "documents", sf_dir)
+    per = docs.select(
+        "lang",
+        F.size(tokens(F.col("text"))).cast("long").alias("ws"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PIECE), 0))
+        .cast("long").alias("bpe"),
+        F.length("text").cast("long").alias("chars"),
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws").alias("ws_tokens"),
+        F.sum("bpe").alias("bpe_tokens"),
+        F.expr(
+            "CAST(sum(CAST(bpe AS DECIMAL(38,0))) * 1000000"
+            " DIV sum(ws) AS BIGINT)"
+        ).alias("fertility_ppm"),
+        F.expr(
+            "CAST(sum(CAST(chars AS DECIMAL(38,0))) * 1000000"
+            " DIV sum(bpe) AS BIGINT)"
+        ).alias("chars_per_bpe_ppm"),
+    )
+
+
+FERTILITY_ORACLE = f"""
+    WITH per AS (
+      SELECT lang,
+        len(regexp_split_to_array(trim(text), '\\s+')) AS ws,
+        len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+          AS bpe,
+        length(text) AS chars
+      FROM documents
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+      CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+      CAST(SUM(CAST(bpe AS HUGEINT)) * 1000000 // SUM(ws) AS BIGINT)
+        AS fertility_ppm,
+      CAST(SUM(CAST(chars AS HUGEINT)) * 1000000 // SUM(bpe) AS BIGINT)
+        AS chars_per_bpe_ppm
+    FROM per GROUP BY lang
+"""
+
+
 TEXT_QUERIES = {
+    "source_mixture_weights": source_mixture_weights,
+    "token_fertility_by_lang": token_fertility_by_lang,
     "neyman_allocation": neyman_allocation,
     "langid_agreement": langid_agreement,
     "source_js_divergence": source_js_divergence,
@@ -1030,6 +1203,8 @@ _STOP_SQL = {
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 
 TEXT_ORACLES = {
+    "source_mixture_weights": MIXTURE_ORACLE,
+    "token_fertility_by_lang": FERTILITY_ORACLE,
     "neyman_allocation": NEYMAN_ORACLE,
     "source_js_divergence": SOURCE_JS_ORACLE,
     "phrase_bigram_scores": PHRASE_BIGRAM_ORACLE,
