@@ -1022,9 +1022,14 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     after — normalization to ppm summing EXACTLY to 1e6 via
     largest-remainder, the epochs DIV — is integer. The stats frame
     is source-catalog-sized, so its windows are bounded; the corpus
-    is touched by exactly one token-count scan."""
-    from pyspark.sql.window import Window
+    is touched by exactly one token-count scan.
 
+    The weight rollup is split out as ``mixture_from_counts`` so the
+    STREAMED token-accounting MV (streaming/token_mv.py maintains the
+    same per-source additive counts continuously) feeds the identical
+    arithmetic — the drift_from_counts split-of-labor pattern: stream
+    and batch cannot diverge on the mixing math, only on the counts,
+    and the twin test pins those."""
     docs = load_table(spark, "documents", sf_dir)
     stats = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -1033,6 +1038,15 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
         ).alias("tokens"),
     )
+    return mixture_from_counts(stats)
+
+
+def mixture_from_counts(stats: DataFrame) -> DataFrame:
+    """Tempered mixing weights from ANY (source, n_docs, tokens)
+    counts frame — shared verbatim by the batch entry above and the
+    streamed MV twin (see source_mixture_weights docstring)."""
+    from pyspark.sql.window import Window
+
     tot = stats.agg(F.sum("tokens").alias("tok_tot"))
     w = stats.crossJoin(F.broadcast(tot)).select(
         "source", "n_docs", "tokens",
