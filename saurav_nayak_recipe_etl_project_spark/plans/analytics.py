@@ -849,7 +849,205 @@ Q11_ANALOG_ORACLE = """
 """
 
 
+def q2_analog_min_cost_supplier(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape re-hosted WITHOUT partsupp (the last declared
+    schema-gap shape after r9's q11 analog): cheapest supplier per
+    qualifying part within one region — Q2's correlated MIN subquery
+    over ps_supplycost, with realized unit cost from lineitem
+    (Σ extendedprice / Σ quantity per (part, supplier)) standing in
+    for the missing ps_supplycost. Same skeleton: part filter
+    (type + size), region-restricted supplier set, per-part argmin,
+    dim columns of the winner.
+
+    Exactness: unit cost as an exact integer — decicents per unit,
+    (Σ cents · 10) DIV Σ qty in DECIMAL — ties broken on s_suppkey.
+    Scale: the per-part argmin is an associative min(struct(...))
+    AGGREGATION, not a window — a part shipped by every supplier
+    still reduces map-side (the dedup_keep_best discipline); nation/
+    region are fixed-size broadcast hints, supplier/part joins stay
+    planner-chosen (the q11 lesson: both grow with SF)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    pk = part.where(
+        (F.col("p_type") == "PROMO") & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_name")
+    geo = (
+        supplier.join(
+            F.broadcast(nation),
+            supplier.s_nationkey == nation.n_nationkey,
+        )
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == region.r_regionkey,
+        )
+        .where(F.col("r_name") == "AFRICA")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        lineitem.join(pk, F.col("l_partkey") == pk.p_partkey)
+        .join(geo, F.col("l_suppkey") == geo.s_suppkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("cents"),
+            F.sum(F.round("l_quantity").cast("long")).alias("qty"),
+        )
+        .select(
+            "l_partkey", "l_suppkey",
+            F.expr(
+                "CAST(CAST(cents AS DECIMAL(38,0)) * 10 DIV qty"
+                " AS BIGINT)"
+            ).alias("cost_decicents"),
+        )
+    )
+    best = cost.groupBy("l_partkey").agg(
+        F.min(F.struct("cost_decicents", "l_suppkey")).alias("b")
+    ).select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.col("b.cost_decicents").alias("cost_decicents"),
+        F.col("b.l_suppkey").alias("s_suppkey"),
+    )
+    return (
+        best.join(pk, "p_partkey")
+        .join(geo, "s_suppkey")
+        .select(
+            "p_partkey", "p_name", "cost_decicents",
+            "s_suppkey", "s_name",
+            "s_acctbal",  # raw parquet double: bit-identical both engines
+            "n_name",
+        )
+    )
+
+
+Q2_ANALOG_ORACLE = """
+    WITH pk AS (
+      SELECT p_partkey, p_name FROM part
+      WHERE p_type = 'PROMO' AND p_size <= 15
+    ),
+    geo AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'AFRICA'
+    ),
+    cost AS (
+      SELECT l_partkey, l_suppkey,
+        CAST(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+             AS HUGEINT) * 10
+             // SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+          AS cost_decicents
+      FROM lineitem
+      JOIN pk ON p_partkey = l_partkey
+      JOIN geo ON s_suppkey = l_suppkey
+      GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+      SELECT l_partkey AS p_partkey, cost_decicents,
+             l_suppkey AS s_suppkey
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY l_partkey ORDER BY cost_decicents, l_suppkey
+        ) AS rn FROM cost
+      ) WHERE rn = 1
+    )
+    SELECT p_partkey, p_name, cost_decicents, s_suppkey, s_name,
+      s_acctbal, n_name
+    FROM best JOIN pk USING (p_partkey) JOIN geo USING (s_suppkey)
+"""
+
+
+def q20_analog_dominant_shippers(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape re-hosted WITHOUT partsupp: suppliers holding
+    a dominant position in a name-filtered part family over one year
+    — Q20's 'availqty > half the year's shipments' excess-stock
+    predicate, with realized shipment share standing in for
+    ps_availqty: a supplier DOMINATES a part when its 1996 shipped
+    quantity exceeds half the part's total across all suppliers.
+    Same skeleton: LIKE-prefixed part semi-join, per-(part, supplier)
+    year aggregate, correlated per-part total, the half-share cut as
+    the cross-multiplied integer predicate qty·2 > total (no float),
+    then the supplier rollup with dim names.
+
+    Scale: two shuffles ((part, supplier) agg, then per-part totals
+    re-joined on the already-reduced frame), planner-chosen fact
+    joins, nation broadcast-hinted (fixed 25 rows)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    pk = part.where(F.col("p_name").like("small%")).select("p_partkey")
+    q = (
+        lineitem.where(
+            (F.col("l_shipdate")
+             >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate")
+               < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .join(pk, F.col("l_partkey") == pk.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("qty"))
+    )
+    tot = q.groupBy("l_partkey").agg(F.sum("qty").alias("part_total"))
+    dom = q.join(tot, "l_partkey").where(
+        F.col("qty") * 2 > F.col("part_total")
+    )
+    return (
+        dom.groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n_dominant_parts"),
+            F.sum("qty").alias("qty_dominated"),
+        )
+        .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == nation.n_nationkey,
+        )
+        .select(
+            "s_suppkey", "s_name", "n_name",
+            "n_dominant_parts", "qty_dominated",
+        )
+    )
+
+
+Q20_ANALOG_ORACLE = """
+    WITH pk AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+    ),
+    q AS (
+      SELECT l_partkey, l_suppkey,
+        CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem JOIN pk ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (
+      SELECT l_partkey, SUM(qty) AS part_total FROM q GROUP BY 1
+    ),
+    dom AS (
+      SELECT q.* FROM q JOIN tot USING (l_partkey)
+      WHERE qty * 2 > part_total
+    )
+    SELECT s_suppkey, s_name, n_name,
+      CAST(COUNT(*) AS BIGINT) AS n_dominant_parts,
+      CAST(SUM(qty) AS BIGINT) AS qty_dominated
+    FROM dom
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY s_suppkey, s_name, n_name
+"""
+
+
 ANALYTICS_QUERIES = {
+    "q2_analog_min_cost_supplier": q2_analog_min_cost_supplier,
+    "q20_analog_dominant_shippers": q20_analog_dominant_shippers,
     "q11_analog_supply_share": q11_analog_supply_share,
     "top_parts": top_parts,
     "avg_order_value": avg_order_value,
@@ -886,6 +1084,8 @@ ANALYTICS_QUERIES = {
 }
 
 ANALYTICS_ORACLES = {
+    "q2_analog_min_cost_supplier": Q2_ANALOG_ORACLE,
+    "q20_analog_dominant_shippers": Q20_ANALOG_ORACLE,
     "q11_analog_supply_share": Q11_ANALOG_ORACLE,
     "top_parts": """
         SELECT p_name, COUNT(*) AS frequency

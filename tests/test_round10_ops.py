@@ -139,3 +139,98 @@ def test_diversity_sample_no_explode_join(spark, sf_dir):
     p = buf.getvalue()
     assert "Generate posexplode" not in p
     assert "CartesianProduct" not in p
+
+
+def test_q2_analog_matches_oracle_and_is_argmin(spark, sf_dir):
+    assert_matches_oracle(
+        QUERIES["q2_analog_min_cost_supplier"](spark, sf_dir),
+        ORACLES["q2_analog_min_cost_supplier"], sf_dir,
+    )
+    rows = QUERIES["q2_analog_min_cost_supplier"](spark, sf_dir).collect()
+    # one winner per part
+    parts = [r["p_partkey"] for r in rows]
+    assert len(parts) == len(set(parts)) and parts
+    # the winner is the true per-part argmin (cost, then suppkey):
+    # recompute the full cost frame brute-force in Python
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    sup = load_table(spark, "supplier", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    reg = load_table(spark, "region", sf_dir)
+    pk = {
+        r["p_partkey"]
+        for r in part.where(
+            (F.col("p_type") == "PROMO") & (F.col("p_size") <= 15)
+        ).collect()
+    }
+    geo = {
+        r["s_suppkey"]
+        for r in sup.join(nat, sup.s_nationkey == nat.n_nationkey)
+        .join(reg, F.col("n_regionkey") == reg.r_regionkey)
+        .where(F.col("r_name") == "AFRICA").collect()
+    }
+    acc = {}
+    for r in li.select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    ).collect():
+        if r["l_partkey"] in pk and r["l_suppkey"] in geo:
+            c, q = acc.get((r["l_partkey"], r["l_suppkey"]), (0, 0))
+            acc[(r["l_partkey"], r["l_suppkey"])] = (
+                c + round(r["l_extendedprice"] * 100),
+                q + round(r["l_quantity"]),
+            )
+    best = {}
+    for (p, s), (c, q) in acc.items():
+        key = (c * 10 // q, s)
+        if p not in best or key < best[p]:
+            best[p] = key
+    assert {
+        (r["p_partkey"], r["cost_decicents"], r["s_suppkey"])
+        for r in rows
+    } == {(p, k[0], k[1]) for p, k in best.items()}
+
+
+def test_q20_analog_matches_oracle_and_dominance(spark, sf_dir):
+    assert_matches_oracle(
+        QUERIES["q20_analog_dominant_shippers"](spark, sf_dir),
+        ORACLES["q20_analog_dominant_shippers"], sf_dir,
+    )
+    rows = QUERIES["q20_analog_dominant_shippers"](
+        spark, sf_dir
+    ).collect()
+    assert rows and all(r["n_dominant_parts"] >= 1 for r in rows)
+    # brute-force the dominance sets from the raw tables
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    pk = {
+        r["p_partkey"]
+        for r in part.where(F.col("p_name").like("small%")).collect()
+    }
+    q = {}
+    for r in li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    ).select("l_partkey", "l_suppkey", "l_quantity").collect():
+        if r["l_partkey"] in pk:
+            k = (r["l_partkey"], r["l_suppkey"])
+            q[k] = q.get(k, 0) + round(r["l_quantity"])
+    tot = {}
+    for (p, _s), v in q.items():
+        tot[p] = tot.get(p, 0) + v
+    want = {}
+    for (p, s), v in q.items():
+        if v * 2 > tot[p]:
+            n, qd = want.get(s, (0, 0))
+            want[s] = (n + 1, qd + v)
+    assert {
+        (r["s_suppkey"], r["n_dominant_parts"], r["qty_dominated"])
+        for r in rows
+    } == {(s, n, qd) for s, (n, qd) in want.items()}
