@@ -963,7 +963,60 @@ def dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dup_pairs(load_table(spark, "embeddings", sf_dir))
 
 
+def shingle_df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F73 — document-frequency spectrum of the dedup shingles: how
+    many distinct 3-gram shingles appear in exactly-1 / 2 / 3–10 /
+    11–100 / >100 documents, with each band's share of total
+    (shingle, doc) mass — the histogram every shingle-based dedup
+    parameter is chosen from (the hot-shingle prune threshold in
+    ngram_jaccard_pairs, LSH band sizing, stop-shingle lists: all cut
+    this spectrum somewhere; run the spectrum BEFORE picking the
+    cut).
+
+    Shape: the (doc, shingle) explode reduces immediately to a
+    per-shingle df count (map-side combined), then to a FIVE-row
+    band rollup — the only corpus-sized frame is the one scan every
+    shingle consumer already pays. Shares are truncating ppm DIVs in
+    DECIMAL; band edges are integer comparisons."""
+    docs = load_table(spark, "documents", sf_dir)
+    df_counts = (
+        shingle_rows(docs)
+        .groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+    )
+    band = (
+        F.when(F.col("df") == 1, "1")
+        .when(F.col("df") == 2, "2")
+        .when(F.col("df") <= 10, "3-10")
+        .when(F.col("df") <= 100, "11-100")
+        .otherwise(">100")
+    )
+    bands = (
+        df_counts.select(band.alias("df_band"), "df")
+        .groupBy("df_band")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum("df").alias("mass"),
+        )
+    )
+    tot = bands.agg(
+        F.sum("n_shingles").alias("t_sh"), F.sum("mass").alias("t_mass")
+    )
+    return bands.crossJoin(F.broadcast(tot)).select(
+        "df_band", "n_shingles", "mass",
+        F.expr(
+            "CAST(CAST(n_shingles AS DECIMAL(38,0)) * 1000000 DIV t_sh"
+            " AS BIGINT)"
+        ).alias("shingle_share_ppm"),
+        F.expr(
+            "CAST(CAST(mass AS DECIMAL(38,0)) * 1000000 DIV t_mass"
+            " AS BIGINT)"
+        ).alias("mass_share_ppm"),
+    )
+
+
 DEDUP_QUERIES = {
+    "shingle_df_spectrum": shingle_df_spectrum,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -998,6 +1051,44 @@ _SIMHASH_PACK = "\n            + ".join(
 )
 
 DEDUP_ORACLES = {
+    "shingle_df_spectrum": """
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id, unnest(
+            CASE WHEN len(toks) >= 3 THEN list_distinct(
+              list_transform(generate_series(1, len(toks) - 2),
+                             i -> toks[i] || ' ' || toks[i+1] || ' '
+                                  || toks[i+2]))
+            ELSE [] END) AS shingle
+          FROM t
+        ),
+        dfc AS (
+          SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
+        ),
+        bands AS (
+          SELECT CASE WHEN df = 1 THEN '1' WHEN df = 2 THEN '2'
+                      WHEN df <= 10 THEN '3-10'
+                      WHEN df <= 100 THEN '11-100'
+                      ELSE '>100' END AS df_band,
+                 CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                 CAST(SUM(df) AS BIGINT) AS mass
+          FROM dfc GROUP BY 1
+        ),
+        tot AS (
+          SELECT SUM(CAST(n_shingles AS HUGEINT)) AS t_sh,
+                 SUM(CAST(mass AS HUGEINT)) AS t_mass
+          FROM bands
+        )
+        SELECT df_band, n_shingles, mass,
+          CAST(CAST(n_shingles AS HUGEINT) * 1000000 // t_sh AS BIGINT)
+            AS shingle_share_ppm,
+          CAST(CAST(mass AS HUGEINT) * 1000000 // t_mass AS BIGINT)
+            AS mass_share_ppm
+        FROM bands CROSS JOIN tot
+    """,
     "dedup_exact": """
         SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id,
                COUNT(*) AS n_copies

@@ -234,3 +234,30 @@ def test_q20_analog_matches_oracle_and_dominance(spark, sf_dir):
         (r["s_suppkey"], r["n_dominant_parts"], r["qty_dominated"])
         for r in rows
     } == {(s, n, qd) for s, (n, qd) in want.items()}
+
+
+def test_shingle_df_spectrum_matches_oracle_and_conserves(spark, sf_dir):
+    assert_matches_oracle(
+        QUERIES["shingle_df_spectrum"](spark, sf_dir),
+        ORACLES["shingle_df_spectrum"], sf_dir,
+    )
+    rows = QUERIES["shingle_df_spectrum"](spark, sf_dir).collect()
+    # conservation: band masses sum to the raw (doc, shingle) row
+    # count; distinct shingles sum to the distinct-shingle count
+    from saurav_nayak_recipe_etl_project_spark.operators.dedup import (
+        shingle_rows,
+    )
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    sh = shingle_rows(load_table(spark, "documents", sf_dir))
+    assert sum(r["mass"] for r in rows) == sh.count()
+    assert sum(r["n_shingles"] for r in rows) == (
+        sh.select("shingle").distinct().count()
+    )
+    # shares are ppm, within rounding of 1e6 total (truncating DIV
+    # loses < #bands ppm)
+    for col in ("shingle_share_ppm", "mass_share_ppm"):
+        s = sum(r[col] for r in rows)
+        assert 1_000_000 - len(rows) < s <= 1_000_000
