@@ -305,12 +305,17 @@ def embedding_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     unlike the k-means assignment this runs ONCE); the Arrow-matmul
     lane (operators/similarity.py) is the drop-in if d grows past
     a few hundred."""
+    return outlier_flags(load_table(spark, "embeddings", sf_dir))
+
+
+def outlier_flags(emb: DataFrame) -> DataFrame:
+    """The MAD outlier frame for ANY (vec_id, embedding, label) input
+    — shared by the registered entry above and the P6 QC pipeline."""
     from saurav_nayak_recipe_etl_project_spark.functions.ranking import (
         derive_band_width,
         with_global_rank,
     )
 
-    emb = load_table(spark, "embeddings", sf_dir)
     q = emb.select(
         "vec_id", "label",
         F.transform(
@@ -409,12 +414,18 @@ def embedding_dim_clip_stats(spark: SparkSession,
     Quantiles are inverse-CDF (type-1): value at rank
     ceil(q·n) = (n·q + 99) DIV 100 — integer-exact, no
     interpolation float."""
+    return dim_clip_stats(load_table(spark, "embeddings", sf_dir))
+
+
+def dim_clip_stats(emb: DataFrame) -> DataFrame:
+    """The clip-calibration frame for ANY (vec_id, embedding) input —
+    shared by the registered full-corpus entry above and the P6
+    QC pipeline (which feeds it the outlier-filtered survivors)."""
     from saurav_nayak_recipe_etl_project_spark.functions.ranking import (
         derive_band_width,
         with_grouped_rank,
     )
 
-    emb = load_table(spark, "embeddings", sf_dir)
     dims = emb.select(
         "vec_id",
         F.posexplode(

@@ -216,7 +216,39 @@ def customer_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_qc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — embedding QC capstone: MAD outlier filter → per-dim clip
+    calibration on the SURVIVORS, one declarative plan — the pass a
+    vector pipeline runs between encode and int8-quantized ANN
+    indexing (calibrating clip bounds on a corpus still containing
+    its corrupt encodes is how a quantizer loses a bit of range to
+    garbage; filter first, then calibrate).
+
+    Stage REUSE is the point: the filter is the F66 entry's own
+    `outlier_flags` frame, the calibration the F71 entry's
+    `dim_clip_stats` — both already hash-verified standalone; this
+    composition re-verifies them CHAINED through one composed oracle
+    (the P1–P5 discipline: semantics drift in either stage reds both
+    its own entry and this one). Output: the F71 schema over
+    survivors + the constant n_dropped rider."""
+    from saurav_nayak_recipe_etl_project_spark.operators.linalg import (
+        dim_clip_stats,
+        outlier_flags,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    flags = outlier_flags(emb)
+    surv = emb.join(
+        flags.where(~F.col("is_outlier")).select("vec_id"), "vec_id"
+    )
+    dropped = flags.agg(
+        F.sum(F.col("is_outlier").cast("long")).alias("n_dropped")
+    )
+    return dim_clip_stats(surv).crossJoin(F.broadcast(dropped))
+
+
 PIPELINE_QUERIES = {
+    "embedding_qc_pipeline": embedding_qc_pipeline,
     "customer_feature_store": customer_feature_store,
     "training_data_pipeline": training_data_pipeline,
     "analytics_mart_pipeline": analytics_mart_pipeline,
@@ -433,3 +465,58 @@ PIPELINE_ORACLES["customer_feature_store"] = """
     LEFT JOIN lines ON c_custkey = lines.o_custkey
     CROSS JOIN maxd
 """
+
+# P6 composed oracle: the F66 outlier chain verbatim as a nested CTE,
+# survivors filtered, then the F71 clip chain restricted to them.
+def _qc_oracle() -> str:
+    from saurav_nayak_recipe_etl_project_spark.operators.linalg import (
+        MICRO,
+        OUTLIERS_ORACLE,
+    )
+
+    return f"""
+    WITH outl AS ({OUTLIERS_ORACLE}),
+    surv AS (SELECT vec_id FROM outl WHERE NOT is_outlier),
+    nd AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_dropped
+      FROM outl WHERE is_outlier
+    ),
+    dims_s AS (
+      SELECT e.vec_id, i.i AS dim,
+        CAST(round(CAST(e.embedding[i.i + 1] AS DOUBLE) * {MICRO})
+             AS BIGINT) AS v
+      FROM embeddings e
+      JOIN surv ON surv.vec_id = e.vec_id,
+        UNNEST(range(0, len(e.embedding))) AS i(i)
+    ),
+    ranked AS (
+      SELECT dim, v,
+        ROW_NUMBER() OVER (PARTITION BY dim ORDER BY v, vec_id)
+          AS rank,
+        COUNT(*) OVER (PARTITION BY dim) AS n_g
+      FROM dims_s
+    ),
+    pct AS (
+      SELECT dim, MAX(n_g) AS n,
+        MIN(CASE WHEN rank = (n_g * 1 + 99) // 100 THEN v END)
+          AS p01_micro,
+        MIN(CASE WHEN rank = (n_g * 50 + 99) // 100 THEN v END)
+          AS p50_micro,
+        MIN(CASE WHEN rank = (n_g * 99 + 99) // 100 THEN v END)
+          AS p99_micro
+      FROM ranked GROUP BY dim
+    )
+    SELECT CAST(d.dim AS INTEGER) AS dim, CAST(MAX(n) AS BIGINT) AS n,
+      MAX(p01_micro) AS p01_micro, MAX(p50_micro) AS p50_micro,
+      MAX(p99_micro) AS p99_micro,
+      CAST(SUM(CASE WHEN v < p01_micro THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_below,
+      CAST(SUM(CASE WHEN v > p99_micro THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_above,
+      MAX(n_dropped) AS n_dropped
+    FROM dims_s d JOIN pct ON d.dim = pct.dim CROSS JOIN nd
+    GROUP BY d.dim
+    """
+
+
+PIPELINE_ORACLES["embedding_qc_pipeline"] = _qc_oracle()

@@ -261,3 +261,38 @@ def test_shingle_df_spectrum_matches_oracle_and_conserves(spark, sf_dir):
     for col in ("shingle_share_ppm", "mass_share_ppm"):
         s = sum(r[col] for r in rows)
         assert 1_000_000 - len(rows) < s <= 1_000_000
+
+
+def test_embedding_qc_pipeline_matches_oracle_and_stages(spark, sf_dir):
+    """P6: composed oracle match, plus stage-consistency — the
+    pipeline's clip frame must equal dim_clip_stats run manually on
+    the outlier survivors, and n_dropped must equal the F66 entry's
+    outlier count."""
+    assert_matches_oracle(
+        QUERIES["embedding_qc_pipeline"](spark, sf_dir),
+        ORACLES["embedding_qc_pipeline"], sf_dir,
+    )
+    from saurav_nayak_recipe_etl_project_spark.operators.linalg import (
+        dim_clip_stats,
+    )
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = QUERIES["embedding_qc_pipeline"](spark, sf_dir).collect()
+    flags = QUERIES["embedding_outliers_mad"](spark, sf_dir).collect()
+    n_out = sum(1 for r in flags if r["is_outlier"])
+    assert rows and all(r["n_dropped"] == n_out for r in rows)
+    keep = {r["vec_id"] for r in flags if not r["is_outlier"]}
+    emb = load_table(spark, "embeddings", sf_dir)
+    surv = emb.where(F.col("vec_id").isin(list(keep)))
+    manual = {
+        tuple(r) for r in dim_clip_stats(surv).collect()
+    }
+    assert {
+        (r["dim"], r["n"], r["p01_micro"], r["p50_micro"],
+         r["p99_micro"], r["n_below"], r["n_above"]) for r in rows
+    } == manual
+    # survivors only: every per-dim n equals corpus minus dropped
+    n_total = emb.count()
+    assert all(r["n"] == n_total - n_out for r in rows)
