@@ -470,6 +470,75 @@ def weighted_sample_norep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F74 — per-document character-level Shannon entropy (micro-nats)
+    plus char counts — the gibberish/encoding-damage detector feature
+    (mojibake, base64 blobs, and key-mash text sit far from a
+    language's ~2.5–4.2 nat/char band; the CCNet-class filters cut on
+    exactly this).
+
+    Exactness: entropy = Σ c_i·(ln n − ln c_i) / n over per-char
+    counts; each ln of an INTEGER is micro-rounded once (the
+    JS-divergence discipline), the weighted sum and the final DIV are
+    integer/DECIMAL — bit-identical across engines. Group sizes are
+    per-document (bounded by doc length), one explode scan."""
+    docs = load_table(spark, "documents", sf_dir)
+    chars = docs.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).where(F.col("ch") != "")
+    per_char = chars.groupBy("doc_id", "ch").agg(
+        F.count("*").alias("c")
+    )
+    lnmu = "cast(round(ln(cast({} as double)) * 1000000) as bigint)"
+    return (
+        per_char.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_chars"),
+            F.count("*").alias("n_distinct_chars"),
+            F.sum(F.expr(
+                "cast(c as decimal(38,0)) * "
+                f"(0 - {lnmu.format('c')})"
+            )).alias("_wsum"),
+        )
+        .select(
+            "doc_id", "n_chars", "n_distinct_chars",
+            F.expr(
+                "CAST((cast(n_chars as decimal(38,0)) * "
+                + lnmu.format("n_chars")
+                + " + _wsum) DIV n_chars AS BIGINT)"
+            ).alias("entropy_micro"),
+        )
+    )
+
+
+CHAR_ENTROPY_ORACLE = """
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch
+      FROM documents
+    ),
+    per_char AS (
+      SELECT doc_id, ch, COUNT(*) AS c
+      FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+    ),
+    agg AS (
+      SELECT doc_id,
+        SUM(c) AS n_chars,
+        CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+        SUM(CAST(c AS HUGEINT) * (0 -
+          CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)))
+          AS wsum
+      FROM per_char GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+      n_distinct_chars,
+      CAST((CAST(n_chars AS HUGEINT)
+            * CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1000000)
+                   AS BIGINT)
+            + wsum) // n_chars AS BIGINT) AS entropy_micro
+    FROM agg
+"""
+
+
 def text_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source lexical-diversity profile: token occurrences, distinct
     word types, hapax legomena (types seen once), type-token ratio and
@@ -1187,6 +1256,7 @@ FERTILITY_ORACLE = f"""
 
 
 TEXT_QUERIES = {
+    "text_char_entropy": text_char_entropy,
     "source_mixture_weights": source_mixture_weights,
     "token_fertility_by_lang": token_fertility_by_lang,
     "neyman_allocation": neyman_allocation,
@@ -1217,6 +1287,7 @@ _STOP_SQL = {
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 
 TEXT_ORACLES = {
+    "text_char_entropy": CHAR_ENTROPY_ORACLE,
     "source_mixture_weights": MIXTURE_ORACLE,
     "token_fertility_by_lang": FERTILITY_ORACLE,
     "neyman_allocation": NEYMAN_ORACLE,

@@ -296,3 +296,33 @@ def test_embedding_qc_pipeline_matches_oracle_and_stages(spark, sf_dir):
     # survivors only: every per-dim n equals corpus minus dropped
     n_total = emb.count()
     assert all(r["n"] == n_total - n_out for r in rows)
+
+
+def test_text_char_entropy_matches_oracle_and_bounds(spark, sf_dir):
+    assert_matches_oracle(
+        QUERIES["text_char_entropy"](spark, sf_dir),
+        ORACLES["text_char_entropy"], sf_dir,
+    )
+    import math
+
+    rows = QUERIES["text_char_entropy"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert len(rows) == docs.where("length(text) > 0").count()
+    for r in rows:
+        # Shannon bounds: 0 <= H <= ln(alphabet size); micro-rounding
+        # of each ln adds at most ~1 micro-nat of slack per term
+        assert 0 <= r["entropy_micro"] <= (
+            round(math.log(r["n_distinct_chars"]) * 1e6) + 2
+        )
+        assert r["n_distinct_chars"] <= r["n_chars"]
+    # brute-force one document end-to-end in Python integers
+    row = min(rows, key=lambda r: r["doc_id"])
+    text = docs.where(F.col("doc_id") == row["doc_id"]).first()["text"]
+    from collections import Counter
+
+    c = Counter(text)
+    n = sum(c.values())
+    lnmu = lambda x: round(math.log(x) * 1e6)  # noqa: E731
+    want = (n * lnmu(n) - sum(v * lnmu(v) for v in c.values())) // n
+    assert row["entropy_micro"] == want
+    assert row["n_chars"] == n and row["n_distinct_chars"] == len(c)
