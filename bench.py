@@ -353,6 +353,11 @@ def bench_ann_methods(spark, sf_dir: str, n_iter: int = 2) -> dict:
 
 
 def main() -> None:
+    # Ambient load BEFORE any Spark work: the artifact's idle-box
+    # evidence. Sampling after warmup (the pre-r10 behavior) reported
+    # the bench's OWN 32-thread warmup as "load", so a genuinely idle
+    # box still printed 6-8 (the r9 verdict's idle-box complaint).
+    load_ambient = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark(app_name="bench")
@@ -420,7 +425,11 @@ def main() -> None:
             "stat": "min (queries) + median (queries_median)",
             "master": spark.sparkContext.master,
             "cpus": os.cpu_count(),
-            "load_avg_start": round(os.getloadavg()[0], 2),
+            # ambient (pre-Spark) load — the idle-box evidence
+            "load_avg_start": load_ambient,
+            # 1-min load at measurement time (includes the bench's
+            # own warmup; what pre-r10 artifacts reported as "start")
+            "load_avg_at_measure": round(os.getloadavg()[0], 2),
         },
     }
 

@@ -105,9 +105,15 @@ _load_optional()
 #       block alphabetically — the cut lands after
 #       ann_knn_label_accuracy (2 of 42 r5 fit).
 # ROUND-11 FILL PLAN (computed at r10 close so the window stays
-# mechanical): after r10's changed entries (front), continue the r5
-# block alphabetically from ann_nearest_centroid (40 remaining), then
-# the r6 block (33) — full rotation closes ~r12.
+# mechanical): after r11's changed entries (front), the NINE r10-born
+# entries (below the cut this round per the r8c precedent — verified
+# at 2 SFs + plain NY + hostile local[3]/AQE-off/Tokyo at birth:
+# source_mixture_weights, token_fertility_by_lang,
+# embedding_dim_clip_stats, diversity_sample_balanced,
+# q2_analog_min_cost_supplier, q20_analog_dominant_shippers,
+# shingle_df_spectrum, embedding_qc_pipeline, text_char_entropy),
+# then the r5 block alphabetically from ann_nearest_centroid (40
+# remaining), then the r6 block (33) — full rotation closes ~r12-r13.
 _DRIVER_PRIORITY = [
     # -- (1) changed in round 10 --
     "embedding_kmeans",
