@@ -248,6 +248,54 @@ def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_quality_scorecard(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """F75 — per-source rejection-reason breakdown: for every source,
+    how many documents each Gopher-style rule flags (reasons are
+    non-exclusive) plus the `_kept` row — the "WHY is src7 losing 40%
+    of its docs" report a pipeline owner reads before renegotiating a
+    source or retuning a rule. Shares are truncating ppm of the
+    SOURCE's docs, so rows are comparable across differently-sized
+    sources.
+
+    One scan: quality_reasons() is a pure Column on the same pass,
+    the reason explode is bounded by 5 rules/doc, and the rollup
+    frame is (source × ≤6 reasons). Exact integers throughout."""
+    docs = load_table(spark, "documents", sf_dir)
+    flagged = docs.select("source", quality_reasons().alias("reasons"))
+    per_src = flagged.groupBy("source").agg(
+        F.count("*").alias("source_docs"),
+        F.sum((F.col("reasons") == "").cast("long")).alias("n_kept"),
+    )
+    reason_rows = (
+        flagged.where(F.col("reasons") != "")
+        .select(
+            "source",
+            F.explode(F.split("reasons", ",")).alias("reason"),
+        )
+        .groupBy("source", "reason")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    kept_rows = per_src.select(
+        "source", F.lit("_kept").alias("reason"),
+        F.col("n_kept").alias("n_docs"),
+    )
+    return (
+        reason_rows.unionByName(kept_rows)
+        .join(
+            F.broadcast(per_src.select("source", "source_docs")),
+            "source",
+        )
+        .select(
+            "source", "reason", "n_docs", "source_docs",
+            F.expr(
+                "CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000"
+                " DIV source_docs AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )
+
+
 def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention curve over quality-score cutoffs: for each candidate
     threshold (0.1 .. 0.9), how many documents and how many tokens
@@ -1256,6 +1304,7 @@ FERTILITY_ORACLE = f"""
 
 
 TEXT_QUERIES = {
+    "source_quality_scorecard": source_quality_scorecard,
     "text_char_entropy": text_char_entropy,
     "source_mixture_weights": source_mixture_weights,
     "token_fertility_by_lang": token_fertility_by_lang,
@@ -1286,7 +1335,54 @@ _STOP_SQL = {
 
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 
+SCORECARD_ORACLE = f"""
+    WITH r AS (
+      SELECT source, concat_ws(',',
+        CASE WHEN digits / n_chars > 0.2 THEN 'digit_heavy' END,
+        CASE WHEN n_tokens >= 5 AND distinct_toks / n_tokens < 0.3
+             THEN 'repetitive' END,
+        CASE WHEN spaces / n_chars > 0.5 THEN 'space_heavy' END,
+        CASE WHEN n_chars > 20000 THEN 'too_long' END,
+        CASE WHEN n_chars < 20 THEN 'too_short' END
+      ) AS reasons FROM (
+        SELECT source,
+          length(text) AS n_chars,
+          len({_TOKS}) AS n_tokens,
+          len(list_distinct({_TOKS})) AS distinct_toks,
+          length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+            AS digits,
+          length(text) - length(regexp_replace(text, '\\s', '', 'g'))
+            AS spaces
+        FROM documents
+      )
+    ),
+    per_src AS (
+      SELECT source, COUNT(*) AS source_docs,
+        SUM(CASE WHEN reasons = '' THEN 1 ELSE 0 END) AS n_kept
+      FROM r GROUP BY source
+    ),
+    reason_rows AS (
+      SELECT source, unnest(string_split(reasons, ',')) AS reason,
+        1 AS one
+      FROM r WHERE reasons <> ''
+    ),
+    counted AS (
+      SELECT source, reason, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM reason_rows GROUP BY source, reason
+      UNION ALL
+      SELECT source, '_kept' AS reason, CAST(n_kept AS BIGINT)
+      FROM per_src
+    )
+    SELECT c.source, reason, n_docs,
+      CAST(source_docs AS BIGINT) AS source_docs,
+      CAST(CAST(n_docs AS HUGEINT) * 1000000 // source_docs AS BIGINT)
+        AS share_ppm
+    FROM counted c JOIN per_src p ON c.source = p.source
+"""
+
+
 TEXT_ORACLES = {
+    "source_quality_scorecard": SCORECARD_ORACLE,
     "text_char_entropy": CHAR_ENTROPY_ORACLE,
     "source_mixture_weights": MIXTURE_ORACLE,
     "token_fertility_by_lang": FERTILITY_ORACLE,

@@ -467,6 +467,149 @@ def order_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_length_psi_by_source(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """F76 — per-SOURCE Population Stability Index of the doc-length
+    distribution vs the corpus: which sources' length profiles
+    deviate from the blend (truncation damage, boilerplate floods,
+    format drift) — the per-source drift scorecard companion to
+    order_value_psi's time-split drift (same rule of thumb: < 0.1
+    stable, > 0.25 investigate).
+
+    Same determinism discipline as E118: corpus decile edges are
+    exact rank picks (with_global_rank banded lane — no global
+    window), bin assignment a pure comparison against the broadcast
+    9-edge array, shares integer ppm with add-one smoothing, ln(p/q)
+    micro-rounded ONCE per (source, bin) cell of a (sources × 10)
+    frame. Output: per source — docs and psi_micro (PSI·1e6)."""
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select("source", "doc_id",
+                    F.col("n_chars").cast("long").alias("len"))
+    width = derive_band_width(d, "len")
+    ranked = with_global_rank(
+        d.select("len", "doc_id"), ["len", "doc_id"],
+        bucket=F.floor(F.col("len") / F.lit(width)),
+    )
+    n_f = d.agg(F.count("*").alias("n_total"))
+    is_edge = F.expr(
+        " or ".join(
+            f"rank = cast(ceil(n_total * {k} / {PSI_BINS}) as bigint)"
+            for k in range(1, PSI_BINS)
+        )
+    )
+    edges = (
+        ranked.crossJoin(F.broadcast(n_f))
+        .where(is_edge)
+        .groupBy()
+        .agg(F.sort_array(F.collect_list("len")).alias("edges"))
+    )
+    binned = (
+        d.crossJoin(F.broadcast(edges))
+        .select(
+            "source",
+            (
+                F.size(F.filter("edges", lambda e: e < F.col("len")))
+                + 1
+            ).cast("long").alias("bin"),
+        )
+        .groupBy("source", "bin")
+        .agg(F.count("*").alias("n_sb"))
+    )
+    corpus_bins = binned.groupBy("bin").agg(
+        F.sum("n_sb").alias("n_cb")
+    )
+    src_tot = binned.groupBy("source").agg(F.sum("n_sb").alias("n_s"))
+    # dense (source x bin) grid so empty source-bins still contribute
+    # their smoothed term (a source missing a decile IS drift)
+    grid = (
+        src_tot.crossJoin(F.broadcast(corpus_bins))
+        .join(binned, ["source", "bin"], "left")
+        .crossJoin(F.broadcast(n_f))
+        .select(
+            "source", "bin", "n_s", "n_total",
+            F.coalesce("n_sb", F.lit(0)).alias("n_sb"),
+            "n_cb",
+        )
+    )
+    terms = grid.select(
+        "source", "n_s",
+        F.greatest(F.expr("n_sb * 1000000 DIV n_s"), F.lit(1))
+        .alias("p_ppm"),
+        F.greatest(F.expr("n_cb * 1000000 DIV n_total"), F.lit(1))
+        .alias("q_ppm"),
+    ).withColumn(
+        "term_pico",
+        (F.col("p_ppm") - F.col("q_ppm"))
+        * F.expr(
+            "cast(round(ln(cast(p_ppm as double) / cast(q_ppm as double))"
+            " * 1000000) as bigint)"
+        ),
+    )
+    return terms.groupBy("source").agg(
+        F.max("n_s").alias("n_docs"),
+        F.expr("CAST(sum(term_pico) DIV 1000000 AS BIGINT)")
+        .alias("psi_micro"),
+    )
+
+
+def _doc_psi_oracle() -> str:
+    edge_ranks = " OR ".join(
+        f"rank = CAST(ceil(n_total * {k} / {PSI_BINS}) AS BIGINT)"
+        for k in range(1, PSI_BINS)
+    )
+    return f"""
+    WITH d AS (
+      SELECT source, doc_id, CAST(n_chars AS BIGINT) AS len
+      FROM documents
+    ),
+    nf AS (SELECT COUNT(*) AS n_total FROM d),
+    ranked AS (
+      SELECT len, ROW_NUMBER() OVER (ORDER BY len, doc_id) AS rank
+      FROM d
+    ),
+    edges AS (
+      SELECT list_sort(list(len)) AS edges
+      FROM ranked, nf WHERE {edge_ranks}
+    ),
+    binned AS (
+      SELECT source,
+        CAST(len(list_filter(edges, e -> e < d.len)) + 1 AS BIGINT)
+          AS bin,
+        COUNT(*) AS n_sb
+      FROM d, edges GROUP BY 1, 2
+    ),
+    corpus_bins AS (
+      SELECT bin, SUM(n_sb) AS n_cb FROM binned GROUP BY bin
+    ),
+    src_tot AS (
+      SELECT source, SUM(n_sb) AS n_s FROM binned GROUP BY source
+    ),
+    grid AS (
+      SELECT s.source, c.bin, s.n_s, nf.n_total,
+        COALESCE(b.n_sb, 0) AS n_sb, c.n_cb
+      FROM src_tot s
+      CROSS JOIN corpus_bins c
+      LEFT JOIN binned b ON b.source = s.source AND b.bin = c.bin
+      CROSS JOIN nf
+    ),
+    terms AS (
+      SELECT source, n_s,
+        GREATEST(n_sb * 1000000 // n_s, 1) AS p_ppm,
+        GREATEST(n_cb * 1000000 // n_total, 1) AS q_ppm
+      FROM grid
+    ),
+    scored AS (
+      SELECT source, n_s,
+        (p_ppm - q_ppm) * CAST(round(ln(CAST(p_ppm AS DOUBLE)
+          / CAST(q_ppm AS DOUBLE)) * 1000000) AS BIGINT) AS term_pico
+      FROM terms
+    )
+    SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_docs,
+      CAST(SUM(term_pico) // 1000000 AS BIGINT) AS psi_micro
+    FROM scored GROUP BY source
+    """
+
+
 def _psi_oracle() -> str:
     edge_ranks = " OR ".join(
         f"rank = CAST(ceil(n_a_total * {k} / {PSI_BINS}) AS BIGINT)"
@@ -992,6 +1135,7 @@ PROFILING_QUERIES = {
     "kmv_distinct_users": kmv_distinct_users,
     "kmv_user_overlap": kmv_user_overlap,
     "order_value_psi": order_value_psi,
+    "doc_length_psi_by_source": doc_length_psi_by_source,
     "lineitem_hist2d": lineitem_hist2d,
     "lineitem_corr_matrix": lineitem_corr_matrix,
     "stratified_sample": stratified_sample,
@@ -1056,6 +1200,7 @@ PROFILING_ORACLES = {
     """,
     "kmv_user_overlap": KMV_OVERLAP_ORACLE,
     "order_value_psi": _psi_oracle(),
+    "doc_length_psi_by_source": _doc_psi_oracle(),
     "kmv_distinct_users": f"""
         WITH hashes AS (
           SELECT DISTINCT event_type,

@@ -326,3 +326,52 @@ def test_text_char_entropy_matches_oracle_and_bounds(spark, sf_dir):
     want = (n * lnmu(n) - sum(v * lnmu(v) for v in c.values())) // n
     assert row["entropy_micro"] == want
     assert row["n_chars"] == n and row["n_distinct_chars"] == len(c)
+
+
+def test_source_quality_scorecard_matches_oracle_and_reconciles(
+    spark, sf_dir
+):
+    assert_matches_oracle(
+        QUERIES["source_quality_scorecard"](spark, sf_dir),
+        ORACLES["source_quality_scorecard"], sf_dir,
+    )
+    rows = QUERIES["source_quality_scorecard"](spark, sf_dir).collect()
+    kept = {r["source"]: r for r in rows if r["reason"] == "_kept"}
+    # every source has a _kept row; per-source doc totals reconcile
+    # with the quality_filter_pipeline entry
+    qf = QUERIES["quality_filter_pipeline"](spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    truth = (
+        qf.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("keep").cast("long")).alias("k"),
+        )
+        .collect()
+    )
+    for t in truth:
+        r = kept[t["source"]]
+        assert (r["n_docs"], r["source_docs"]) == (t["k"], t["n"])
+        assert r["share_ppm"] == t["k"] * 1_000_000 // t["n"]
+    # flagged reasons never exceed source size
+    for r in rows:
+        assert 0 <= r["n_docs"] <= r["source_docs"]
+
+
+def test_doc_length_psi_by_source_matches_oracle_and_bounds(
+    spark, sf_dir
+):
+    assert_matches_oracle(
+        QUERIES["doc_length_psi_by_source"](spark, sf_dir),
+        ORACLES["doc_length_psi_by_source"], sf_dir,
+    )
+    rows = QUERIES["doc_length_psi_by_source"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert len(rows) == docs.select("source").distinct().count()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    # PSI is nonnegative: (p-q) and ln(p/q) always share sign, and
+    # micro-rounding preserves sign-or-zero per cell
+    assert all(r["psi_micro"] >= 0 for r in rows)
