@@ -342,7 +342,56 @@ _EXPOSURE_ORACLE = f"""{_PAIR_CTE},
     GROUP BY d.source
     """
 
+def dup_exposure_by_quality(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """F77 — duplication exposure by quality band: the share of docs
+    in each fifth of the quality-score scale that sit in ≥1 verified
+    near-dup pair — the "are the dups concentrated in junk?" question
+    that decides whether dedup should run before or after the quality
+    filter (dups concentrated in low bands ⇒ filter-first removes
+    most of them for free, the P5 stage-order argument quantified).
+
+    Plan: the shared output-proportional pair set (never all-pairs),
+    2× endpoints distinct, left-joined onto the per-doc banded score
+    (quality_score_micro — the F8 integer score, so band edges are
+    INTEGER comparisons), one ≤5-row rollup."""
+    from saurav_nayak_recipe_etl_project_spark.operators.text import (
+        quality_score_micro,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = lsh_verified_pairs(docs)
+    endpoints = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    banded = docs.select(
+        "doc_id",
+        F.least(
+            F.floor(quality_score_micro() / F.lit(200000)), F.lit(4)
+        ).cast("int").alias("quality_band"),
+    )
+    return (
+        banded.join(endpoints, "doc_id", "left")
+        .groupBy("quality_band")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce("_dup", F.lit(0))).alias("n_dup_docs"),
+        )
+        .select(
+            "quality_band", "n_docs", "n_dup_docs",
+            F.expr(
+                "CAST(CAST(n_dup_docs AS DECIMAL(38,0)) * 1000000"
+                " DIV n_docs AS BIGINT)"
+            ).alias("exposure_ppm"),
+        )
+    )
+
+
 CORPUS_AUDIT_QUERIES = {
+    "dup_exposure_by_quality": dup_exposure_by_quality,
     "dedup_source_matrix": dedup_source_matrix,
     "split_leakage": split_leakage,
     "split_leakage_repair": split_leakage_repair,
@@ -350,7 +399,50 @@ CORPUS_AUDIT_QUERIES = {
     "source_dup_exposure": source_dup_exposure,
 }
 
+_TOKS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+
+_QUALITY_EXPOSURE_ORACLE = f"""{_PAIR_CTE},
+    eps AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL SELECT doc_b FROM pairs
+      )
+    ),
+    banded AS (
+      SELECT doc_id, CAST(LEAST(s // 200000, 4) AS INTEGER)
+        AS quality_band
+      FROM (
+        SELECT doc_id, CAST(ROUND((
+            LEAST(1.0, n_tokens / 50.0) * 0.5
+            + (1 - punct_chars / n_chars) * 0.3
+            + LEAST(1.0, (stop_hits / n_tokens) * 5) * 0.2
+          ) * 1000000) AS BIGINT) AS s
+        FROM (
+          SELECT doc_id,
+            length(text) AS n_chars,
+            len({_TOKS_SQL}) AS n_tokens,
+            length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+              AS punct_chars,
+            len(list_filter({_TOKS_SQL},
+              t -> t IN ('the','a','and','of','to','in','is','it')))
+              AS stop_hits
+          FROM documents
+        )
+      )
+    )
+    SELECT b.quality_band,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_dup_docs,
+      CAST(SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           * CAST(1000000 AS HUGEINT) // COUNT(*) AS BIGINT)
+        AS exposure_ppm
+    FROM banded b LEFT JOIN eps e ON e.doc_id = b.doc_id
+    GROUP BY b.quality_band
+    """
+
 CORPUS_AUDIT_ORACLES = {
+    "dup_exposure_by_quality": _QUALITY_EXPOSURE_ORACLE,
     "dedup_source_matrix": _matrix_oracle("source", "source"),
     "split_leakage": _matrix_oracle(_SPLIT, "split"),
     "split_leakage_repair": _REPAIR_ORACLE,

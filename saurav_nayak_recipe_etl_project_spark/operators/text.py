@@ -296,6 +296,26 @@ def source_quality_scorecard(spark: SparkSession,
     )
 
 
+def quality_score_micro(text_col: F.Column | None = None) -> F.Column:
+    """The F8 blended quality score micro-rounded ONCE — the shared
+    integer score every downstream consumer (threshold sweep, dup
+    exposure by quality) compares/bands on, so no float ever sits at
+    a cutoff boundary. Same double expression the oracled F8 entry
+    proves cross-engine."""
+    text = text_col if text_col is not None else F.col("text")
+    toks = tokens(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    punct = F.length(F.regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+    stop_hits = _hits(toks, QUALITY_STOPWORDS)
+    score = (
+        F.least(F.lit(1.0), n_tokens / F.lit(50.0)) * 0.5
+        + (1 - punct / n_chars) * 0.3
+        + F.least(F.lit(1.0), (stop_hits / n_tokens) * 5) * 0.2
+    )
+    return F.round(score * 1000000).cast("long")
+
+
 def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention curve over quality-score cutoffs: for each candidate
     threshold (0.1 .. 0.9), how many documents and how many tokens
@@ -315,19 +335,9 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins THAT, not the corpus text — 9x a two-column frame, one
     map-side-combined groupBy(threshold)."""
     docs = load_table(spark, "documents", sf_dir)
-    toks = tokens(F.col("text"))
-    n_chars = F.length("text")
-    n_tokens = F.size(toks)
-    punct_chars = F.length(F.regexp_replace("text", "[A-Za-z0-9\\s]", ""))
-    stop_hits = _hits(toks, QUALITY_STOPWORDS)
-    score = (
-        F.least(F.lit(1.0), n_tokens / F.lit(50.0)) * 0.5
-        + (1 - punct_chars / n_chars) * 0.3
-        + F.least(F.lit(1.0), (stop_hits / n_tokens) * 5) * 0.2
-    )
     per = docs.select(
-        F.round(score * 1000000).cast("long").alias("s"),
-        n_tokens.cast("long").alias("nt"),
+        quality_score_micro().alias("s"),
+        F.size(tokens(F.col("text"))).cast("long").alias("nt"),
     )
     grid = spark.range(1, 10).select(
         (F.col("id") * 100000).alias("thr_micro")

@@ -375,3 +375,28 @@ def test_doc_length_psi_by_source_matches_oracle_and_bounds(
     # PSI is nonnegative: (p-q) and ln(p/q) always share sign, and
     # micro-rounding preserves sign-or-zero per cell
     assert all(r["psi_micro"] >= 0 for r in rows)
+
+
+def test_dup_exposure_by_quality_matches_oracle_and_reconciles(
+    spark, sf_dir
+):
+    assert_matches_oracle(
+        QUERIES["dup_exposure_by_quality"](spark, sf_dir),
+        ORACLES["dup_exposure_by_quality"], sf_dir,
+    )
+    rows = QUERIES["dup_exposure_by_quality"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # partition law: bands cover the corpus exactly once
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert all(0 <= r["quality_band"] <= 4 for r in rows)
+    # endpoint conservation: dup docs across bands == distinct
+    # endpoints of the verified pair set (the F68 reconciliation)
+    exposure = {
+        r["source"]: r
+        for r in QUERIES["source_dup_exposure"](spark, sf_dir).collect()
+    }
+    assert sum(r["n_dup_docs"] for r in rows) == sum(
+        e["n_dup_docs"] for e in exposure.values()
+    )
+    for r in rows:
+        assert r["exposure_ppm"] == r["n_dup_docs"] * 1_000_000 // r["n_docs"]
