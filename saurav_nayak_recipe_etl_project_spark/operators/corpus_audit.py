@@ -390,8 +390,59 @@ def dup_exposure_by_quality(spark: SparkSession,
     )
 
 
+def leakage_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F78 — cross-split leakage attributed to sources: for each
+    source, how many of its docs sit in a verified near-dup pair
+    whose endpoints land in DIFFERENT content-hash splits — the
+    "which source is contaminating eval" attribution that turns
+    F62's split×split matrix into an actionable per-source list
+    (the F63 repair fixes the split; this tells you which FEED to
+    dedup harder upstream).
+
+    Plan: the shared output-proportional pair set labeled with both
+    endpoints' splits, cross-split pairs only, 2× endpoints
+    distinct, doc→source join, source-catalog rollup — the
+    source_dup_exposure shape restricted to boundary-crossing
+    pairs."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = lsh_verified_pairs(docs)
+    lab = docs.select("doc_id", F.expr(_SPLIT).alias("split"))
+    cross = (
+        pairs.join(
+            lab.select(F.col("doc_id").alias("doc_a"),
+                       F.col("split").alias("_sa")), "doc_a")
+        .join(
+            lab.select(F.col("doc_id").alias("doc_b"),
+                       F.col("split").alias("_sb")), "doc_b")
+        .where(F.col("_sa") != F.col("_sb"))
+    )
+    endpoints = (
+        cross.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cross.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_leak", F.lit(1))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(endpoints, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce("_leak", F.lit(0))).alias("n_leak_docs"),
+        )
+        .select(
+            "source", "n_docs", "n_leak_docs",
+            F.expr(
+                "CAST(CAST(n_leak_docs AS DECIMAL(38,0)) * 1000000"
+                " DIV n_docs AS BIGINT)"
+            ).alias("leak_ppm"),
+        )
+    )
+
+
 CORPUS_AUDIT_QUERIES = {
     "dup_exposure_by_quality": dup_exposure_by_quality,
+    "leakage_by_source": leakage_by_source,
     "dedup_source_matrix": dedup_source_matrix,
     "split_leakage": split_leakage,
     "split_leakage_repair": split_leakage_repair,
@@ -441,8 +492,34 @@ _QUALITY_EXPOSURE_ORACLE = f"""{_PAIR_CTE},
     GROUP BY b.quality_band
     """
 
+_LEAKAGE_BY_SOURCE_ORACLE = f"""{_PAIR_CTE},
+    lab AS (SELECT doc_id, {_SPLIT} AS split FROM documents),
+    cross_pairs AS (
+      SELECT doc_a, doc_b FROM pairs
+      JOIN lab la ON la.doc_id = doc_a
+      JOIN lab lb ON lb.doc_id = doc_b
+      WHERE la.split <> lb.split
+    ),
+    eps AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM cross_pairs
+        UNION ALL SELECT doc_b FROM cross_pairs
+      )
+    )
+    SELECT d.source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_leak_docs,
+      CAST(SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           * CAST(1000000 AS HUGEINT) // COUNT(*) AS BIGINT)
+        AS leak_ppm
+    FROM documents d LEFT JOIN eps e ON e.doc_id = d.doc_id
+    GROUP BY d.source
+    """
+
 CORPUS_AUDIT_ORACLES = {
     "dup_exposure_by_quality": _QUALITY_EXPOSURE_ORACLE,
+    "leakage_by_source": _LEAKAGE_BY_SOURCE_ORACLE,
     "dedup_source_matrix": _matrix_oracle("source", "source"),
     "split_leakage": _matrix_oracle(_SPLIT, "split"),
     "split_leakage_repair": _REPAIR_ORACLE,

@@ -400,3 +400,28 @@ def test_dup_exposure_by_quality_matches_oracle_and_reconciles(
     )
     for r in rows:
         assert r["exposure_ppm"] == r["n_dup_docs"] * 1_000_000 // r["n_docs"]
+
+
+def test_leakage_by_source_matches_oracle_and_reconciles(spark, sf_dir):
+    assert_matches_oracle(
+        QUERIES["leakage_by_source"](spark, sf_dir),
+        ORACLES["leakage_by_source"], sf_dir,
+    )
+    rows = QUERIES["leakage_by_source"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    # F62 reconciliation: total leak-doc endpoints must be bounded by
+    # 2x the off-diagonal pair count of the split_leakage matrix,
+    # and positive iff off-diagonal pairs exist
+    mat = QUERIES["split_leakage"](spark, sf_dir).collect()
+    off = sum(r["n_pairs"] for r in mat if r["split_a"] != r["split_b"])
+    leak = sum(r["n_leak_docs"] for r in rows)
+    assert leak <= 2 * off
+    assert (leak > 0) == (off > 0)
+    # leakage is a subset of overall dup exposure per source
+    exposure = {
+        r["source"]: r["n_dup_docs"]
+        for r in QUERIES["source_dup_exposure"](spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert r["n_leak_docs"] <= exposure[r["source"]]
