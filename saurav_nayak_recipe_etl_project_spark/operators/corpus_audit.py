@@ -354,7 +354,15 @@ def dup_exposure_by_quality(spark: SparkSession,
     Plan: the shared output-proportional pair set (never all-pairs),
     2× endpoints distinct, left-joined onto the per-doc banded score
     (quality_score_micro — the F8 integer score, so band edges are
-    INTEGER comparisons), one ≤5-row rollup."""
+    INTEGER comparisons), one ≤5-row rollup.
+
+    Degenerate-doc contract (r10 ADVICE): an empty/tokenless doc has
+    a NULL score (divide-by-zero inside the F8 blend), and both
+    engines' LEAST() skips NULLs — which would silently file the doc
+    in TOP band 4. The score is coalesced to 0 first, so degenerate
+    docs land deliberately in band 0 (worst quality), consistent
+    with quality_threshold_sweep where the same NULL score fails
+    every `score >= t` cutoff."""
     from saurav_nayak_recipe_etl_project_spark.operators.text import (
         quality_score_micro,
     )
@@ -370,7 +378,11 @@ def dup_exposure_by_quality(spark: SparkSession,
     banded = docs.select(
         "doc_id",
         F.least(
-            F.floor(quality_score_micro() / F.lit(200000)), F.lit(4)
+            F.floor(
+                F.coalesce(quality_score_micro(), F.lit(0))
+                / F.lit(200000)
+            ),
+            F.lit(4),
         ).cast("int").alias("quality_band"),
     )
     return (
@@ -460,14 +472,15 @@ _QUALITY_EXPOSURE_ORACLE = f"""{_PAIR_CTE},
       )
     ),
     banded AS (
-      SELECT doc_id, CAST(LEAST(s // 200000, 4) AS INTEGER)
-        AS quality_band
+      SELECT doc_id, CAST(LEAST(COALESCE(s, 0) // 200000, 4)
+        AS INTEGER) AS quality_band
       FROM (
-        SELECT doc_id, CAST(ROUND((
+        SELECT doc_id, CASE WHEN n_chars = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(ROUND((
             LEAST(1.0, n_tokens / 50.0) * 0.5
             + (1 - punct_chars / n_chars) * 0.3
             + LEAST(1.0, (stop_hits / n_tokens) * 5) * 0.2
-          ) * 1000000) AS BIGINT) AS s
+          ) * 1000000) AS BIGINT) END AS s
         FROM (
           SELECT doc_id,
             length(text) AS n_chars,

@@ -789,7 +789,8 @@ SIMHASH_BAND_RADIUS = 3   # pigeonhole: hamming <= blocks-1 => >=1 shared block
 
 
 def simhash_banded_pairs(docs: DataFrame,
-                         radius: int = SIMHASH_BAND_RADIUS) -> DataFrame:
+                         radius: int = SIMHASH_BAND_RADIUS,
+                         materialize: bool = True) -> DataFrame:
     """SimHash near-pair generator with EXACT recall at the banded
     radius: split the 60-bit code into 4 disjoint 15-bit blocks; any
     pair within hamming distance <= 3 differs in at most 3 blocks, so
@@ -799,14 +800,25 @@ def simhash_banded_pairs(docs: DataFrame,
     LSH banding has probabilistic recall; simhash block banding is
     LOSSLESS for radius < n_blocks.
 
-    The codes frame is persisted for the three reads (blocks, code_a,
-    code_b) and unpersisted BEFORE returning: the returned pair frame
-    is eagerly localCheckpointed first (it is output-proportional —
-    bounded by the near-dup pair count, never corpus-sized), so the
-    cache cannot leak for the session lifetime (the r9 ADVICE
-    finding; same persist/unpersist pairing as dup_clusters)."""
+    Materialization contract (r9 + r10 ADVICE): with the default
+    ``materialize=True`` the codes frame is persisted for its three
+    reads (blocks, code_a, code_b), the output-proportional pair
+    frame is EAGERLY localCheckpointed, and codes is unpersisted
+    before returning — the cache cannot leak for the session
+    lifetime, at two documented costs: (a) building the frame runs a
+    Spark job immediately (the builder is not lazy), and (b)
+    localCheckpoint storage is NON-RELIABLE — if an executor holding
+    checkpointed blocks is lost, the pairs are unrecoverable rather
+    than recomputable (acceptable for the registered single-session
+    audit; a multi-tenant job should use reliable checkpointing or
+    the lazy form). Pass ``materialize=False`` for a fully LAZY,
+    fault-recomputable plan: no persist, no checkpoint — the simhash
+    scan is recomputed per read, the plan builds instantly, and
+    executor loss only triggers recompute."""
     assert radius < SIMHASH_BAND_BLOCKS, "pigeonhole needs radius < blocks"
-    codes = simhash(docs).persist()
+    codes = simhash(docs)
+    if materialize:
+        codes = codes.persist()
     blocks = codes.select(
         "doc_id",
         F.posexplode(
@@ -846,9 +858,12 @@ def simhash_banded_pairs(docs: DataFrame,
             F.expr("bit_count(code_a ^ code_b)").alias("hamming"),
         )
         .where(F.col("hamming") <= radius)
-        .localCheckpoint()  # eager: materialize, then release the cache
     )
-    codes.unpersist()
+    if materialize:
+        # eager: materialize the output-proportional pair frame,
+        # then release the codes cache (see docstring contract)
+        pairs = pairs.localCheckpoint()
+        codes.unpersist()
     return pairs
 
 

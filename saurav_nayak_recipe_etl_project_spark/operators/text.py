@@ -301,7 +301,18 @@ def quality_score_micro(text_col: F.Column | None = None) -> F.Column:
     integer score every downstream consumer (threshold sweep, dup
     exposure by quality) compares/bands on, so no float ever sits at
     a cutoff boundary. Same double expression the oracled F8 entry
-    proves cross-engine."""
+    proves cross-engine.
+
+    TOTAL on degenerate docs (r10 ADVICE): an empty text would zero
+    the punct-ratio divisor — ANSI Spark raises, non-ANSI Spark
+    yields NULL, and DuckDB raises/NULLs depending on the operator:
+    three different behaviors for the same doc. The score is instead
+    DEFINED as 0 (worst quality) when n_chars = 0, via a lazy CASE
+    so the division never evaluates — every F8-score consumer then
+    classifies degenerate docs deliberately and identically: the
+    threshold sweep drops them at every cutoff, the dup-exposure
+    banding files them in band 0. (NULL text still propagates NULL;
+    consumers coalesce or drop it explicitly.)"""
     text = text_col if text_col is not None else F.col("text")
     toks = tokens(text)
     n_chars = F.length(text)
@@ -313,7 +324,10 @@ def quality_score_micro(text_col: F.Column | None = None) -> F.Column:
         + (1 - punct / n_chars) * 0.3
         + F.least(F.lit(1.0), (stop_hits / n_tokens) * 5) * 0.2
     )
-    return F.round(score * 1000000).cast("long")
+    return (
+        F.when(n_chars == 0, F.lit(0).cast("long"))
+        .otherwise(F.round(score * 1000000).cast("long"))
+    )
 
 
 def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1171,15 +1185,38 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mixture_from_counts(stats: DataFrame) -> DataFrame:
     """Tempered mixing weights from ANY (source, n_docs, tokens)
     counts frame — shared verbatim by the batch entry above and the
-    streamed MV twin (see source_mixture_weights docstring)."""
+    streamed MV twin (see source_mixture_weights docstring).
+
+    Degenerate-corpus contract (r10 ADVICE): a source with tokens = 0
+    (or an all-empty corpus, tok_tot = 0) would zero a DIV divisor —
+    Spark non-ANSI DIV returns NULL where DuckDB `//` raises. Both
+    divisors are guarded with a lazy CASE→raise_error so engine and
+    oracle fail loudly and identically.
+
+    Residual cross-engine risk (documented per the r10 ADVICE): the
+    ONE transcendental, pow(share, 0.7), is a platform libm call
+    (JVM Math.pow vs DuckDB's C libm) rounded ONCE to an integer
+    nano-weight. pow is not correctly rounded on either platform, so
+    a 1-ulp disagreement that lands within ~1e-7 of a *.5e-9 rounding
+    boundary could flip w_nano by 1 and cascade through the
+    largest-remainder normalization — the single-rounding discipline
+    narrows the exposure to that boundary sliver (~1e-7 of parameter
+    space per source) but cannot structurally eliminate it the way
+    the pure-integer entries do. An exact integer-only tempering
+    (share^{7/10} via integer 10th roots) needs intermediates near
+    share_scaled^7 > 1e38 that overflow HUGEINT, so the documented
+    trade is: keep the libm call, round once, accept the sliver."""
     from pyspark.sql.window import Window
 
     tot = stats.agg(F.sum("tokens").alias("tok_tot"))
     w = stats.crossJoin(F.broadcast(tot)).select(
         "source", "n_docs", "tokens",
         F.expr(
-            "CAST(CAST(tokens AS DECIMAL(38,0)) * 1000000 DIV tok_tot"
+            "CASE WHEN tok_tot = 0 THEN CAST(raise_error("
+            "'mixture_from_counts: corpus with zero tokens')"
             " AS BIGINT)"
+            " ELSE CAST(CAST(tokens AS DECIMAL(38,0)) * 1000000"
+            " DIV tok_tot AS BIGINT) END"
         ).alias("share_ppm"),
         F.expr(
             f"CAST(round(pow(CAST(tokens AS DOUBLE) / tok_tot,"
@@ -1214,8 +1251,11 @@ def mixture_from_counts(stats: DataFrame) -> DataFrame:
         .select(
             "source", "n_docs", "tokens", "share_ppm", "weight_ppm",
             F.expr(
-                f"CAST(({MIXTURE_BUDGET} * CAST(weight_ppm AS"
-                " DECIMAL(38,0))) DIV tokens AS BIGINT)"
+                "CASE WHEN tokens = 0 THEN CAST(raise_error("
+                "'mixture_from_counts: source with zero tokens')"
+                " AS BIGINT)"
+                f" ELSE CAST(({MIXTURE_BUDGET} * CAST(weight_ppm AS"
+                " DECIMAL(38,0))) DIV tokens AS BIGINT) END"
             ).alias("epochs_ppm"),
         )
     )
@@ -1269,7 +1309,15 @@ def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pure integer counts per document summed per language, ratios as
     truncating DIVs in DECIMAL — bit-identical across engines. One
-    scan; the language frame is catalog-bounded."""
+    scan; the language frame is catalog-bounded.
+
+    Degenerate-corpus contract (r10 ADVICE): a lang whose documents
+    have zero whitespace words / zero BPE pieces would make the DIV
+    divisor 0 — DuckDB `//` raises, but Spark non-ANSI DIV returns
+    NULL, silently diverging from the oracle. Both ratio columns
+    therefore guard the divisor with a lazy CASE→raise_error so BOTH
+    lanes fail loudly and identically instead of one emitting a NULL
+    row."""
     docs = load_table(spark, "documents", sf_dir)
     per = docs.select(
         "lang",
@@ -1283,12 +1331,18 @@ def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ws").alias("ws_tokens"),
         F.sum("bpe").alias("bpe_tokens"),
         F.expr(
-            "CAST(sum(CAST(bpe AS DECIMAL(38,0))) * 1000000"
-            " DIV sum(ws) AS BIGINT)"
+            "CASE WHEN sum(ws) = 0 THEN CAST(raise_error("
+            "'token_fertility_by_lang: lang with zero whitespace"
+            " tokens') AS BIGINT)"
+            " ELSE CAST(sum(CAST(bpe AS DECIMAL(38,0))) * 1000000"
+            " DIV sum(ws) AS BIGINT) END"
         ).alias("fertility_ppm"),
         F.expr(
-            "CAST(sum(CAST(chars AS DECIMAL(38,0))) * 1000000"
-            " DIV sum(bpe) AS BIGINT)"
+            "CASE WHEN sum(bpe) = 0 THEN CAST(raise_error("
+            "'token_fertility_by_lang: lang with zero BPE pieces')"
+            " AS BIGINT)"
+            " ELSE CAST(sum(CAST(chars AS DECIMAL(38,0))) * 1000000"
+            " DIV sum(bpe) AS BIGINT) END"
         ).alias("chars_per_bpe_ppm"),
     )
 
@@ -1486,11 +1540,12 @@ TEXT_ORACLES = {
     """,
     "quality_threshold_sweep": f"""
         WITH q AS (
-          SELECT CAST(ROUND((
+          SELECT CASE WHEN n_chars = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(ROUND((
                    LEAST(1.0, n_tokens / 50.0) * 0.5
                    + (1 - punct_chars / n_chars) * 0.3
                    + LEAST(1.0, (stop_hits / n_tokens) * 5) * 0.2
-                 ) * 1000000) AS BIGINT) AS s,
+                 ) * 1000000) AS BIGINT) END AS s,
                  CAST(n_tokens AS BIGINT) AS nt
           FROM (
             SELECT length(text) AS n_chars,

@@ -1,0 +1,91 @@
+"""Pins for the incrementally-maintained verified-pair MV
+(streaming/pair_mv.py): stream == batch twin, replay idempotency,
+cross-batch pair discovery, and the bucket-partitioned state layout.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from saurav_nayak_recipe_etl_project_spark.operators.dedup import (
+    lsh_verified_pairs,
+)
+from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+from saurav_nayak_recipe_etl_project_spark.streaming.pair_mv import (
+    pair_mv_process_batch,
+    read_pair_mv,
+)
+
+
+def _pairs_set(df):
+    return sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"]) for r in df.collect()
+    )
+
+
+def test_stream_equals_batch_twin_three_batches(spark, sf_dir, tmp_path):
+    docs = load_table(spark, "documents", sf_dir)
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    third = (hi - lo) // 3
+    state = str(tmp_path / "state")
+    cuts = [lo + third, lo + 2 * third, hi]
+    prev = lo - 1
+    for i, c in enumerate(cuts):
+        pair_mv_process_batch(
+            docs.filter((F.col("doc_id") > prev) & (F.col("doc_id") <= c)),
+            i, state,
+        )
+        prev = c
+    assert _pairs_set(read_pair_mv(spark, state)) == _pairs_set(
+        lsh_verified_pairs(docs)
+    )
+
+
+def test_replay_is_idempotent(spark, sf_dir, tmp_path):
+    docs = load_table(spark, "documents", sf_dir)
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    mid = (lo + hi) // 2
+    state = str(tmp_path / "state")
+    b0 = docs.filter(F.col("doc_id") <= mid)
+    b1 = docs.filter(F.col("doc_id") > mid)
+    pair_mv_process_batch(b0, 0, state)
+    pair_mv_process_batch(b1, 1, state)
+    once = _pairs_set(read_pair_mv(spark, state))
+    # replay BOTH batches out of order — every write must reproduce
+    # byte-identical partitions, never duplicate a pair
+    pair_mv_process_batch(b1, 1, state)
+    pair_mv_process_batch(b0, 0, state)
+    assert _pairs_set(read_pair_mv(spark, state)) == once
+
+
+def test_cross_batch_planted_dup_found(spark, tmp_path):
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lambda mu nu xi omicron pi rho sigma tau")
+    rows0 = [Row(doc_id=1, text=base), Row(doc_id=2, text="totally " * 10)]
+    # doc 11 is a near-dup of doc 1 but arrives TWO batches later
+    rows1 = [Row(doc_id=5, text="unrelated words here " * 5)]
+    rows2 = [Row(doc_id=11, text=base + " upsilon")]
+    state = str(tmp_path / "state")
+    for i, rows in enumerate([rows0, rows1, rows2]):
+        pair_mv_process_batch(spark.createDataFrame(rows), i, state)
+    got = _pairs_set(read_pair_mv(spark, state))
+    assert any(a == 1 and b == 11 for a, b, _ in got), got
+    # and it was discovered in the LATER endpoint's batch partition
+    import glob
+
+    files = glob.glob(os.path.join(state, "pairs", "batch_id=2", "*.parquet"))
+    assert files, "pair not written to batch 2's partition"
+
+
+def test_state_layout_is_bucket_partitioned(spark, sf_dir, tmp_path):
+    docs = load_table(spark, "documents", sf_dir).limit(50)
+    state = str(tmp_path / "state")
+    pair_mv_process_batch(docs, 0, state)
+    buckets = [
+        d for d in os.listdir(os.path.join(state, "shingles", "batch_id=0"))
+        if d.startswith("bucket=")
+    ]
+    assert buckets, "shingle state not hive-partitioned by bucket"
