@@ -187,18 +187,20 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_image_real(blobs: DataFrame) -> DataFrame:
-    """COMPRESSED image decode (JPEG/PNG/...) — requires an imaging
+    """Lossy-codec image decode (JPEG/WebP/...) — requires an imaging
     library not present in this container. STUB: clearly-marked
-    unimplemented scale slot. UNCOMPRESSED formats don't need the
-    gate: `decode_media_native` below really decodes 24-bit BMP and
-    16-bit PCM WAV with numpy + struct alone."""
+    unimplemented scale slot. The gate has narrowed each round:
+    `decode_media_native` below really decodes 24-bit BMP, 16-bit PCM
+    WAV, and (round 11) 8-bit RGB/RGBA PNG — stdlib zlib inflate +
+    numpy scanline unfiltering, no imaging library — so only
+    DCT/entropy-coded codecs still need PIL."""
     try:
         import PIL.Image  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "compressed-image decode requires Pillow/opencv, absent "
-            "in this environment; decode_media_native handles BMP/WAV "
-            "natively, blob_features covers the plumbing path"
+            "lossy-codec decode (JPEG/WebP) requires Pillow/opencv, "
+            "absent in this environment; decode_media_native handles "
+            "BMP/PNG/WAV natively, blob_features covers the plumbing"
         ) from exc
     raise NotImplementedError("wire PIL decode into _feature_batches")
 
@@ -262,6 +264,143 @@ def decode_bmp(blob: bytes):
                          count=stride * h, offset=off).reshape(h, stride)
     img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
     return img[::-1] if flip else img
+
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data)))
+
+
+def encode_png(rgb, row_filter: int = 0) -> bytes:
+    """Serialize an (h, w, 3) uint8 RGB array as a standards-conforming
+    8-bit truecolor PNG (stdlib zlib deflate + zlib.crc32 chunk CRCs).
+    `row_filter` picks the per-row filter type (0 none, 1 sub, 2 up,
+    3 average, 4 paeth) — all five are valid PNG; the round-trip test
+    encodes with EVERY filter so the decoder's unfiltering of the real
+    format is proven, not just the trivial filter-0 path."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    raw = bytearray()
+    prev = np.zeros(w * 3, dtype=np.int32)
+    for y in range(h):
+        line = rgb[y].reshape(-1).astype(np.int32)
+        if row_filter == 0:
+            filt = line
+        elif row_filter == 1:   # sub
+            left = np.concatenate((np.zeros(3, np.int32), line[:-3]))
+            filt = (line - left) % 256
+        elif row_filter == 2:   # up
+            filt = (line - prev) % 256
+        elif row_filter == 3:   # average
+            left = np.concatenate((np.zeros(3, np.int32), line[:-3]))
+            filt = (line - (left + prev) // 2) % 256
+        elif row_filter == 4:   # paeth
+            left = np.concatenate((np.zeros(3, np.int32), line[:-3]))
+            ul = np.concatenate((np.zeros(3, np.int32), prev[:-3]))
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, ul))
+            filt = (line - pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {row_filter}")
+        raw.append(row_filter)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(blob: bytes):
+    """Parse an 8-bit truecolor (RGB / RGBA) non-interlaced PNG →
+    (h, w, 3) uint8 RGB array, with NO imaging library: chunk walk +
+    stdlib zlib inflate + numpy scanline unfiltering (none/sub/up/
+    average/paeth — sub via per-channel cumulative sum, average and
+    paeth via the spec's sequential recurrence). Validates signature,
+    CRC, bit depth, color type, and interlace loudly — palette,
+    16-bit, or Adam7 payloads raise, they never produce silent
+    garbage. RGBA alpha is dropped after unfiltering (the stats lane
+    consumes RGB)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if blob[:8] != PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(blob):
+        size, ctype = struct.unpack_from(">I4s", blob, pos)
+        body = blob[pos + 8: pos + 8 + size]
+        crc = struct.unpack_from(">I", blob, pos + 8 + size)[0]
+        if zlib.crc32(ctype + body) != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, ctype_n, comp, filt, interlace = ihdr
+    if depth != 8 or ctype_n not in (2, 6) or comp != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color_type={ctype_n}, "
+            f"interlace={interlace}); only 8-bit RGB/RGBA non-interlaced"
+        )
+    bpp = 3 if ctype_n == 2 else 4
+    raw = zlib.decompress(bytes(idat))
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data has wrong length")
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype, row = lines[y, 0], lines[y, 1:].astype(np.int32)
+        if ftype == 0:
+            rec = row
+        elif ftype == 1:    # sub: per-channel prefix sum mod 256
+            rec = np.cumsum(row.reshape(w, bpp), axis=0).reshape(-1) % 256
+        elif ftype == 2:    # up
+            rec = (row + prev) % 256
+        elif ftype in (3, 4):   # average / paeth: sequential in x
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(w):
+                s = x * bpp
+                left = rec[s - bpp:s] if x else np.zeros(bpp, np.int32)
+                up = prev[s:s + bpp]
+                if ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    ul = (prev[s - bpp:s] if x
+                          else np.zeros(bpp, np.int32))
+                    p = left + up - ul
+                    pa, pb, pc = (np.abs(p - left), np.abs(p - up),
+                                  np.abs(p - ul))
+                    pred = np.where((pa <= pb) & (pa <= pc), left,
+                                    np.where(pb <= pc, up, ul))
+                rec[s:s + bpp] = (row[s:s + bpp] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out.reshape(h, w, bpp)[:, :, :3]
 
 
 def encode_wav_pcm16(samples, sample_rate: int = 16000) -> bytes:
@@ -335,8 +474,9 @@ def decode_media_native(blobs: DataFrame) -> DataFrame:
             ):
                 row = dict.fromkeys(out, None)
                 row["doc_id"], row["mime"] = doc_id, mime
-                if mime == "image/bmp":
-                    img = decode_bmp(bytes(blob))
+                if mime in ("image/bmp", "image/png"):
+                    img = (decode_bmp(bytes(blob)) if mime == "image/bmp"
+                           else decode_png(bytes(blob)))
                     row["height"], row["width"] = img.shape[:2]
                     m = img.reshape(-1, 3).mean(axis=0)
                     row["mean_r"], row["mean_g"], row["mean_b"] = (

@@ -87,98 +87,58 @@ _load_optional()
 #   (2) the STALEST entries first — ordered by the round each was last
 #       externally verified in (computed from the CORRECTNESS_r*.json
 #       union) — until the window is full.
-# Round-10 window composition, per the round-9 verdict directive
-# (staleness computed fresh from the CORRECTNESS_r1..r9 union at
-# round-10 start: 27 never driver-windowed — all judge-verified green
-# at sf0.01 in VERDICT r9 — 9 r2, 3 r4, 42 r5, 33 r6, 41 r7, 50 r8,
-# 50 r9):
-#   (1) changed in round 10: the two DECIMAL-output fixes
-#       (embedding_kmeans → BIGINT inertia/norm with loud overflow
-#       guards; embedding_gram_matrix → plain-digit STRING g), the
-#       NINE with_grouped_rank callers (null-safe group-key joins —
-#       the r9 ADVICE fix; values proven unchanged at 2 SFs + plain
-#       NY), simhash_radius_audit (pair-frame checkpoint + codes
-#       unpersist), and q11_analog_supply_share (supplier broadcast
-#       hint dropped — planner/AQE chooses);
-#   (2) the remaining never-driver-windowed r9 entries (23 after the
-#       4-entry overlap with (1));
-#   (3) stalest fill: the 9 r2 + 3 r4 blocks in full, then the r5
-#       block alphabetically — the cut lands after
-#       ann_knn_label_accuracy (2 of 42 r5 fit).
-# ROUND-11 FILL PLAN (computed at r10 close so the window stays
-# mechanical): after r11's changed entries (front), the NINE r10-born
-# entries (below the cut this round per the r8c precedent — verified
-# at 2 SFs + plain NY + hostile local[3]/AQE-off/Tokyo at birth:
-# source_mixture_weights, token_fertility_by_lang,
-# embedding_dim_clip_stats, diversity_sample_balanced,
-# q2_analog_min_cost_supplier, q20_analog_dominant_shippers,
-# shingle_df_spectrum, embedding_qc_pipeline, text_char_entropy),
-# then the r5 block alphabetically from ann_nearest_centroid (40
-# remaining), then the r6 block (33) — full rotation closes ~r12-r13.
+# Round-11 window composition, per the round-10 verdict directive
+# (staleness computed fresh from the CORRECTNESS_r1..r10 union at
+# round-11 start: 13 never driver-windowed — ALL judge-verified green
+# at sf0.01 in VERDICT r10 — 40 r5, 33 r6, 41 r7, 50 r8, 41 r9,
+# 50 r10):
+#   (1) changed in round 11: stream_dup_pairs (NEW — the
+#       foreachBatch-maintained verified-pair MV, strict
+#       exact-pair-set oracle), the four r10-ADVICE fixes
+#       (token_fertility_by_lang + source_mixture_weights divisor
+#       guards, quality_threshold_sweep + dup_exposure_by_quality via
+#       the now-total quality_score_micro, simhash_radius_audit via
+#       the materialize-gated simhash_banded_pairs) — values proven
+#       unchanged at 2 SFs + plain NY + hostile local[3]/AQE-off/
+#       Tokyo;
+#   (2) ALL remaining never-driver-windowed r10-born entries (10
+#       after the 3-entry overlap with (1); the r10 verdict's "13
+#       late borns" corrected here — the prior plan comment named
+#       only 9, missing F75-F78);
+#   (3) stalest fill: the r5 block alphabetically from
+#       ann_nearest_centroid — the 50-cut lands after
+#       sessionize_events (34 of 40 r5 fit).
+# ROUND-12 FILL PLAN (computed at r11 close so the window stays
+# mechanical): after r12's changed entries (front), the 6 r5
+# leftovers (skew_diagnostics, snapshot_diff, stream_events_window,
+# topk_parts_per_brand, validation_report, weekly_active_breakdown),
+# then the r6 block alphabetically from ab_experiment_report (33) —
+# ~44 slots absorbs both blocks, closing the full rotation in r12 as
+# planned (oldest staleness becomes r7).
 _DRIVER_PRIORITY = [
-    # -- (1) changed in round 10 --
-    "embedding_kmeans",
-    "embedding_gram_matrix",
-    # the nine with_grouped_rank callers (null-safe group-key joins)
-    "event_anomalies_mad",
-    "order_value_median_mode",
-    "order_value_trimmed_mean",
-    "event_value_quartiles",
-    "weighted_median_price",
-    "monthly_order_value_percentiles",
-    "event_interarrival_disc",
-    "event_value_percentiles_exact",
-    "customer_interpurchase_time",
-    # cache-leak fix (pair-frame localCheckpoint + codes unpersist)
-    "simhash_radius_audit",
-    # supplier broadcast hint dropped
-    "q11_analog_supply_share",
-    # -- (2) never driver-windowed (r9 additions, judge-verified
-    #    green at sf0.01 in VERDICT r9) --
-    "brand_price_dispersion",
-    "corpus_release_pipeline",
-    "daily_error_rate_wilson",
-    "daily_type_mix_drift",
-    "dedup_keep_best",
-    "dedup_source_matrix",
-    "embedding_outliers_mad",
-    "k_anonymity_audit",
-    "monthly_revenue_stl",
-    "order_value_ks_test",
-    "orders_backlog_aging",
-    "orders_pipe_summary",
-    "part_recommendations_topn",
-    "priority_value_anova",
-    "priority_value_mannwhitney",
+    # -- (1) changed in round 11 --
+    "stream_dup_pairs",
+    "token_fertility_by_lang",
+    "source_mixture_weights",
     "quality_threshold_sweep",
-    "quantity_discount_kendall",
-    "revenue_anomalies_stl",
-    "revenue_forecast_backtest",
-    "segment_priority_pmi",
-    "source_dup_exposure",
-    "split_leakage",
-    "split_leakage_repair",
-    # -- (3) stalest fill: the full r2 block (last verified round 2,
-    #    alphabetical) --
-    "sample_documents",
-    "severity_by_status",
-    "split_assignment",
-    "text_fingerprint",
-    "text_langid",
-    "tfidf_top_terms",
-    "top_event_users",
-    "view_purchase_attribution",
-    "view_purchase_funnel",
-    # -- the full r4 trio --
-    "text_langid_ngram",
-    "text_quality",
-    "text_token_count",
-    # -- r5 block alphabetically; the 50-cut lands after
-    #    ann_knn_label_accuracy --
-    "ann_cosine_topk",
-    "ann_knn_label_accuracy",
-    # -- below the 50-cut: the r5 leftovers continue alphabetically
-    #    (round 11's fill leads here), then the r6 block --
+    "dup_exposure_by_quality",
+    "simhash_radius_audit",
+    # -- (2) ALL remaining never-driver-windowed r10-born
+    #    entries (judge-verified 13/13 green at sf0.01 in
+    #    VERDICT r10; 3 of the 13 are already in (1)) --
+    "diversity_sample_balanced",
+    "doc_length_psi_by_source",
+    "embedding_dim_clip_stats",
+    "embedding_qc_pipeline",
+    "leakage_by_source",
+    "q20_analog_dominant_shippers",
+    "q2_analog_min_cost_supplier",
+    "shingle_df_spectrum",
+    "source_quality_scorecard",
+    "text_char_entropy",
+    # -- (3) stalest fill: the r5 block alphabetically from
+    #    ann_nearest_centroid; the 50-cut lands after
+    #    sessionize_events --
     "ann_nearest_centroid",
     "approx_distinct_bounds",
     "cdc_apply",
@@ -213,12 +173,47 @@ _DRIVER_PRIORITY = [
     "range_join_windows",
     "rebalance_sources",
     "sessionize_events",
+    # -- below the 50-cut: the 6 r5 leftovers (round 12 leads
+    #    here), then the r6 block --
     "skew_diagnostics",
     "snapshot_diff",
     "stream_events_window",
     "topk_parts_per_brand",
     "validation_report",
     "weekly_active_breakdown",
+    "ab_experiment_report",
+    "ann_hnsw_topk",
+    "ann_index_partitioned_search",
+    "ann_index_stream_batch",
+    "ann_ivf_topk",
+    "ann_lsh_bucketed",
+    "ann_recall_at_k",
+    "cms_user_counts",
+    "decontaminate_5gram",
+    "dedup_clusters_star",
+    "dedup_embedding",
+    "dedup_minhash_lsh",
+    "dedup_segments",
+    "dedup_semantic",
+    "dedup_simhash",
+    "dedup_stream_lsh_batch",
+    "events_sliding_window",
+    "kfold_assignment",
+    "length_bucketing",
+    "lineitem_corr_matrix",
+    "lineitem_hist2d",
+    "lineitem_metrics_unpivot",
+    "nation_account_setops",
+    "order_reconciliation",
+    "orders_cube",
+    "part_pagerank",
+    "priority_status_chi2",
+    "quality_weighted_sample",
+    "revenue_cusum",
+    "revenue_growth_decomposition",
+    "session_top_paths",
+    "stream_mv_user_stats",
+    "training_data_pipeline",
 ]
 
 
