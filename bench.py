@@ -106,6 +106,9 @@ _10X_EXCLUDED = {
 # whose duplicate structure is the artifact. NOTES.md 10x section has
 # the measurements. corpus_release_pipeline (r9) belongs to the same
 # class: its keep-longest stage rolls up that same ~45x pair set.
+# stream_dup_pairs (r11) inherits the class too: it maintains that
+# same verified pair set incrementally, so its 10x wall tracks
+# dedup_lsh_verified's plus the two-batch state IO.
 
 
 def prepare_10x(spark, sf_dir: str, n_copies: int = 10) -> str:
@@ -310,6 +313,12 @@ HEADLINE = [
     "source_mixture_weights",
     "embedding_dim_clip_stats",
     "diversity_sample_balanced",
+    # round-11 addition: the incrementally-maintained verified-pair MV
+    # (two-batch replay + state reads + exact verify in one entry) —
+    # the heaviest new shape this round; its batch twin is already
+    # benched via dedup_lsh_verified, so the delta between the two IS
+    # the incremental-maintenance overhead.
+    "stream_dup_pairs",
 ]
 
 # ann_recall_at_k runs FIVE ANN paths + the exact oracle inside one

@@ -167,13 +167,27 @@ def _seed_matrix(v: DataFrame, k: int):
     return C, cids
 
 
-def _dist2_matrix(X, C):
-    """Exact int64 squared distances, (batch, K): block matmul
+def _make_dist2():
+    """Exact int64 squared-distance kernel, (batch, K): block matmul
     decomposition ‖x‖² − 2·x·c + ‖c‖² — every term ≪ 2⁶³ for
-    micro-quantized unit-scale embeddings (module docstring bound)."""
-    x2 = (X * X).sum(axis=1)
-    c2 = (C * C).sum(axis=1)
-    return x2[:, None] - 2 * (X @ C.T) + c2[None, :]
+    micro-quantized unit-scale embeddings (module docstring bound).
+
+    Built by a factory so the returned function's qualname is NOT
+    importable by module path: cloudpickle then serializes it BY
+    VALUE inside the mapInPandas closures, and the Python workers
+    never need this package on their sys.path. (A plain module-level
+    def is pickled by reference — the r11 finding that made
+    embedding_kmeans/diversity_sample_balanced the only two entries
+    to fail under an external harness whose workers lack the repo
+    dir; every other Arrow operator was already closure-contained.)"""
+    def dist2(X, C):
+        x2 = (X * X).sum(axis=1)
+        c2 = (C * C).sum(axis=1)
+        return x2[:, None] - 2 * (X @ C.T) + c2[None, :]
+    return dist2
+
+
+_dist2_matrix = _make_dist2()
 
 
 def _arrow_iterate(v: DataFrame, C, cids):

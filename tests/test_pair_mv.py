@@ -80,6 +80,37 @@ def test_cross_batch_planted_dup_found(spark, tmp_path):
     assert files, "pair not written to batch 2's partition"
 
 
+def test_mv_feeds_audit_dashboards(spark, sf_dir, tmp_path):
+    """The always-current story end-to-end: the corpus-audit rollups
+    (F61 source matrix, F62 split leakage) fed from the maintained MV
+    equal the registered entries that recompute the pair set."""
+    from saurav_nayak_recipe_etl_project_spark.operators.corpus_audit import (
+        _SPLIT,
+        dedup_source_matrix,
+        pair_label_matrix,
+        split_leakage,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    mid = (lo + hi) // 2
+    state = str(tmp_path / "state")
+    pair_mv_process_batch(docs.filter(F.col("doc_id") <= mid), 0, state)
+    pair_mv_process_batch(docs.filter(F.col("doc_id") > mid), 1, state)
+    mv = read_pair_mv(spark, state)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(
+        pair_label_matrix(mv, docs.select("doc_id", "source"), "source")
+    ) == rows(dedup_source_matrix(spark, sf_dir))
+    labels = docs.select("doc_id", F.expr(_SPLIT).alias("split"))
+    assert rows(pair_label_matrix(mv, labels, "split")) == rows(
+        split_leakage(spark, sf_dir)
+    )
+
+
 def test_state_layout_is_bucket_partitioned(spark, sf_dir, tmp_path):
     docs = load_table(spark, "documents", sf_dir).limit(50)
     state = str(tmp_path / "state")
