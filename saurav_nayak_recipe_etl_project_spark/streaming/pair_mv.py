@@ -202,6 +202,48 @@ def read_pair_mv(spark: SparkSession, state_path: str) -> DataFrame:
     )
 
 
+def compact_pair_mv_state(spark: SparkSession, state_path: str) -> int:
+    """Fold every pairs/bands/shingles batch partition into the newest
+    batch_id dir and delete the rest (out-of-band, like parquet
+    compaction — the compact_mv_state discipline from streaming/mv.py).
+    Bounds the merge-on-read partition count after many micro-batches;
+    `read_pair_mv` and the NEXT batch's state reads are unchanged by
+    construction: pairs are disjoint across partitions (each pair
+    lives in exactly one), and band/shingle rows are per-doc facts
+    whose batch_id only matters as "strictly earlier than the next
+    batch", which compaction to the newest id preserves. Run it at a
+    QUIESCED boundary only (stream stopped, all batches committed):
+    folding erases the per-batch history, so a replay of an
+    already-committed batch after compaction would see the wrong
+    earlier-state — the same contract compact_mv_state carries.
+    Returns the number of partition dirs removed."""
+    removed = 0
+    for sub in ("pairs", "bands", "shingles"):
+        path = f"{state_path}/{sub}"
+        fs, jvm_path = _fs(spark, path)
+        if not fs.exists(jvm_path):
+            continue
+        names = [s.getPath().getName() for s in fs.listStatus(jvm_path)
+                 if s.getPath().getName().startswith("batch_id=")]
+        if len(names) <= 1:
+            continue
+        max_id = max(int(n.split("=", 1)[1]) for n in names)
+        df = spark.read.option("basePath", path).parquet(path)
+        cols = [c for c in df.columns if c != "batch_id"]
+        part_cols = ["bucket"] if sub == "shingles" else []
+        merged = df.select(*cols).localCheckpoint()
+        w = merged.write.mode("overwrite")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(f"{path}/batch_id={max_id}")
+        for s in fs.listStatus(jvm_path):
+            name = s.getPath().getName()
+            if name.startswith("batch_id=") and name != f"batch_id={max_id}":
+                fs.delete(s.getPath(), True)
+                removed += 1
+    return removed
+
+
 def run_pair_mv_stream(spark: SparkSession, source_dir: str,
                        checkpoint_dir: str, state_path: str,
                        schema: str | None = None,

@@ -15,6 +15,7 @@ from saurav_nayak_recipe_etl_project_spark.operators.dedup import (
 )
 from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
 from saurav_nayak_recipe_etl_project_spark.streaming.pair_mv import (
+    compact_pair_mv_state,
     pair_mv_process_batch,
     read_pair_mv,
 )
@@ -120,3 +121,27 @@ def test_state_layout_is_bucket_partitioned(spark, sf_dir, tmp_path):
         if d.startswith("bucket=")
     ]
     assert buckets, "shingle state not hive-partitioned by bucket"
+
+
+def test_compaction_preserves_view_and_next_batch(spark, sf_dir, tmp_path):
+    docs = load_table(spark, "documents", sf_dir)
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    third = (hi - lo) // 3
+    state = str(tmp_path / "state")
+    b0 = docs.filter(F.col("doc_id") <= lo + third)
+    b1 = docs.filter(
+        (F.col("doc_id") > lo + third) & (F.col("doc_id") <= lo + 2 * third)
+    )
+    b2 = docs.filter(F.col("doc_id") > lo + 2 * third)
+    pair_mv_process_batch(b0, 0, state)
+    pair_mv_process_batch(b1, 1, state)
+    before = _pairs_set(read_pair_mv(spark, state))
+    removed = compact_pair_mv_state(spark, state)
+    assert removed > 0
+    assert _pairs_set(read_pair_mv(spark, state)) == before
+    # a batch processed AFTER compaction still sees the full earlier
+    # state: the final MV equals the one-shot batch twin
+    pair_mv_process_batch(b2, 2, state)
+    assert _pairs_set(read_pair_mv(spark, state)) == _pairs_set(
+        lsh_verified_pairs(docs)
+    )
