@@ -319,6 +319,12 @@ HEADLINE = [
     # benched via dedup_lsh_verified, so the delta between the two IS
     # the incremental-maintenance overhead.
     "stream_dup_pairs",
+    # round-11 addition: the incrementally-maintained IVF index MV
+    # (quantizer train + two-batch maintenance + replay + MV-served
+    # top-k in one entry) — the strict-value ANN serving shape; its
+    # float throughput twin is benched via ann_index_partitioned
+    # lanes inside ann_recall_at_k's detail split.
+    "stream_ann_index",
 ]
 
 # ann_recall_at_k runs FIVE ANN paths + the exact oracle inside one

@@ -1,0 +1,419 @@
+"""Incrementally-maintained IVF ANN index (G25): the similarity-search
+counterpart of the pair MV (streaming/pair_mv.py) — embedding drops
+keep a coarse-quantized posting-list index current by foreachBatch
+maintenance, and nearest-neighbor queries are SERVED from the index
+state instead of re-scanning the corpus.
+
+Re-hosts the reference's event-driven refresh trigger
+(cloud_function/main.py — new data lands, the derived table refreshes)
+at the vector-index layer, in the G9/G24 IVM idiom.
+
+Relation to operators/vector_index.py (the float IVF index): that
+module is the throughput path — float centroids trained on a hash
+sample, recall-floor verification gates (float math is not
+cross-engine hash-verifiable). THIS module is its strict-value twin,
+the operators/kmeans.py treatment applied to index maintenance:
+micro-quantized int64 vectors, a content-keyed deterministic
+quantizer, and exact integer distances make the ENTIRE
+maintain-then-serve path value-verifiable against a DuckDB replay —
+the same floor-vs-hash relationship ann_ivf_topk has to
+embedding_kmeans. A production deployment runs the float index for
+recall tuning and THIS discipline wherever an audit needs the index
+provably equal to its specification (e.g. dedup/leakage dashboards
+keyed on neighbor sets).
+
+Why the index is incrementally maintainable EXACTLY: the coarse
+quantizer is FROZEN after the seed batch — batch 0 trains it with the
+content-keyed seed rule (the `k_lists` vectors with the smallest
+md5(vec_id) among batch-0 rows, zero Lloyd iterations — the
+operators/kmeans.py discipline, so training is deterministic and
+SQL-replayable), and every later batch's assignment is a pure per-row
+function of (vector, frozen centroids). Batching therefore cannot
+change any posting row, each vector is indexed exactly once in its
+own micro-batch, and the streamed index equals the one-shot batch
+assignment row-for-row — which is why the registered entry carries a
+STRICT full-replay oracle (quantizer train + assignment + probe +
+exact re-rank, all in integer arithmetic), not an agreement gate.
+
+State layout (the doc_dedup.py discipline):
+- `centroids/` — written ONCE by batch 0; immutable afterwards.
+  Replay-stable: retraining on a batch-0 replay reproduces the
+  identical matrix (deterministic seed rule on the same rows).
+- `postings/batch_id=N/list_id=K/` — the batch's (vec_id, dist2,
+  micro vector) rows, hive-partitioned by assigned list: a search
+  that probes `nprobe` lists reads ONLY those list_id dirs
+  (directory pruning — the pair MV's bucket-prune idea, applied to
+  the IVF probe). O(batch) written bytes, never rewritten.
+All writes OVERWRITE replay-stable batch_id dirs, so an at-least-once
+replay reproduces byte-identical state — exercised on every run of
+the registered entry by a deliberate batch-0 replay.
+
+100 TB posture: per-batch maintenance is one Arrow int64 matmul pass
+over the batch (K×d broadcast in the closure, n_batch rows out — no
+n·K·d explode); index growth is append-only and O(new vectors);
+serving cost is O(Σ probed-list sizes · Q) with the probed lists
+directory-pruned at the scan, so a 10-list probe over a billion-vector
+index reads ~nprobe/K of the posting bytes. The quantizer is K×d —
+driver-resident at any corpus size. Retraining (a new quantizer
+generation) is a rebuild, not an increment — the honest IVF contract
+(FAISS's add-vs-train split, re-expressed as streaming state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from saurav_nayak_recipe_etl_project_spark.operators.kmeans import (
+    _dist2_matrix,
+    _seed_matrix,
+    _vec_micro,
+)
+from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+
+ANN_MV_LISTS = 8     # coarse quantizer size (IVF nlist)
+ANN_MV_NPROBE = 2    # lists probed per query
+ANN_MV_TOPK = 5      # neighbors returned per query
+ANN_MV_QUERIES = 10  # vec_id < 10 are the demo query vectors
+                     # (operators/similarity.py N_QUERIES convention)
+
+
+def _read_centroids(spark: SparkSession, cent_path: str):
+    """The frozen K×d quantizer, driver-side. Loud when batch 0 never
+    ran — serving or indexing against an untrained quantizer is a
+    pipeline-order bug, not a condition to paper over."""
+    import numpy as np
+
+    try:
+        rows = spark.read.parquet(cent_path).orderBy("c").collect()
+    except Exception as exc:  # AnalysisException: path missing
+        raise ValueError(
+            "ann_mv: quantizer not trained — no centroid state at "
+            f"{cent_path}; process the seed batch (batch_id=0) first"
+        ) from exc
+    cids = np.array([r["c"] for r in rows], dtype=np.int64)
+    C = np.stack([np.array(r["v"], dtype=np.int64) for r in rows])
+    return C, cids
+
+
+def ann_mv_process_batch(batch_emb: DataFrame, batch_id: int,
+                         state_path: str,
+                         k_lists: int = ANN_MV_LISTS) -> None:
+    """One maintenance micro-batch: batch 0 trains + freezes the
+    quantizer, every batch appends its rows' posting entries.
+    Idempotent under replay (module docstring)."""
+    spark = batch_emb.sparkSession
+    # no localCheckpoint: the batch is read at most twice (seed
+    # collect on batch 0, then the assignment pass), and pinning a
+    # 100 TB-scale batch in executor memory is worse than one recompute
+    v = _vec_micro(batch_emb)
+    cent_path = f"{state_path}/centroids"
+    if batch_id == 0:
+        C, cids = _seed_matrix(v, k_lists)
+        if C.shape[0] < k_lists:
+            raise ValueError(
+                f"ann_mv: seed batch has {C.shape[0]} vectors, "
+                f"needs >= k_lists={k_lists} to train the quantizer"
+            )
+        rows = [(int(c), [int(x) for x in row])
+                for c, row in zip(cids, C)]
+        spark.createDataFrame(
+            rows, schema="c long, v array<long>"
+        ).coalesce(1).write.mode("overwrite").parquet(cent_path)
+    else:
+        C, cids = _read_centroids(spark, cent_path)
+
+    # assignment kernel with the vector passed THROUGH (kmeans.py's
+    # _arrow_assign plus the v column) — the maintenance path is one
+    # map pass + a partitioned write, ZERO shuffles: at 100 TB the
+    # batch never re-keys, it just lands in its list_id dirs.
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+            d2 = _dist2_matrix(X, C)
+            a = np.argmin(d2, axis=1)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "list_id": cids[a],
+                "dist2": d2[np.arange(len(a)), a],
+                "v": pdf["v"],
+            })
+
+    postings = v.select("vec_id", "v").mapInPandas(
+        gen, schema="vec_id long, list_id long, dist2 long, v array<long>"
+    )
+    postings.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{state_path}/postings/batch_id={batch_id}"
+    )
+
+
+def read_ann_mv(spark: SparkSession, state_path: str,
+                lists: list[int] | None = None) -> DataFrame:
+    """The current index: plain union of posting partitions (each
+    vector lives in exactly one batch dir — no merge, no dedup).
+    `lists` restricts the scan to those list_id partitions — the
+    filter lands on the RAW inferred partition column, before any
+    cast, so it prunes at the directory listing."""
+    post = (
+        spark.read.option("basePath", f"{state_path}/postings")
+        .parquet(f"{state_path}/postings")
+    )
+    if lists is not None:
+        post = post.filter(F.col("list_id").isin(lists))
+    return post.select(
+        "vec_id", F.col("list_id").cast("long").alias("list_id"),
+        "dist2", "v",
+    )
+
+
+def ann_search_mv(spark: SparkSession, state_path: str,
+                  queries: DataFrame, k: int = ANN_MV_TOPK,
+                  nprobe: int = ANN_MV_NPROBE) -> DataFrame:
+    """Serve top-k nearest neighbors from the index state.
+
+    Probe selection is driver-side against the K×d quantizer (exact
+    int64 matmul, ties by list id — the kmeans argmin discipline);
+    the candidate scan reads ONLY the probed list_id partitions; the
+    exact re-rank is one Arrow int64 pass (Q×d query matrix in the
+    closure); the per-query top-k is a q-partitioned window over
+    candidate rows (never a whole-group window). Self-matches are
+    excluded. All arithmetic is integer-exact, so the result is
+    hash-portable against the SQL replay oracle."""
+    import numpy as np
+
+    C, cids = _read_centroids(spark, f"{state_path}/centroids")
+    q_rows = _vec_micro(queries).collect()  # Q rows — caller-bounded
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "q_vec_id long, knn_rank int, neighbor_id long, "
+                "dist2 long")
+    Q = np.stack([np.array(r["v"], dtype=np.int64) for r in q_rows])
+    q_ids = [int(r["vec_id"]) for r in q_rows]
+    qd2 = _dist2_matrix(Q, C)
+    probe = []
+    for i, qid in enumerate(q_ids):
+        order = sorted(range(len(cids)),
+                       key=lambda j: (int(qd2[i, j]), int(cids[j])))
+        probe.extend((qid, int(cids[j])) for j in order[:nprobe])
+    probed_lists = sorted({lst for _, lst in probe})
+
+    post = read_ann_mv(spark, state_path, lists=probed_lists)
+    pairs = spark.createDataFrame(
+        probe, schema="q_vec_id long, list_id long")
+    cand = post.join(F.broadcast(pairs), "list_id").filter(
+        F.col("vec_id") != F.col("q_vec_id")
+    )
+
+    qidx = {qid: i for i, qid in enumerate(q_ids)}
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+            qi = pdf["q_vec_id"].map(qidx).to_numpy(dtype=np.int64)
+            diff = X - Q[qi]
+            yield pd.DataFrame({
+                "q_vec_id": pdf["q_vec_id"].to_numpy(),
+                "neighbor_id": pdf["vec_id"].to_numpy(),
+                "dist2": (diff * diff).sum(axis=1),
+            })
+
+    scored = cand.select("q_vec_id", "vec_id", "v").mapInPandas(
+        gen, schema="q_vec_id long, neighbor_id long, dist2 long"
+    )
+    w = Window.partitionBy("q_vec_id").orderBy("dist2", "neighbor_id")
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select("q_vec_id", F.col("knn_rank").cast("int").alias("knn_rank"),
+                "neighbor_id", "dist2")
+    )
+
+
+def compact_ann_mv_state(spark: SparkSession, state_path: str) -> int:
+    """Fold every postings batch partition into the newest batch_id
+    dir (keeping the list_id hive layout) and delete the rest — the
+    compact_pair_mv_state discipline. `read_ann_mv` and later batches
+    are unchanged by construction: each vector lives in exactly one
+    batch dir, and a posting row's batch_id carries no meaning beyond
+    provenance (assignment depends only on the frozen centroids).
+    Run at a QUIESCED boundary only (stream stopped, all batches
+    committed): folding erases per-batch history, so replaying an
+    already-committed batch afterwards would duplicate its vectors.
+    Returns the number of partition dirs removed."""
+    path = f"{state_path}/postings"
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jvm_path):
+        return 0
+    names = [s.getPath().getName() for s in fs.listStatus(jvm_path)
+             if s.getPath().getName().startswith("batch_id=")]
+    if len(names) <= 1:
+        return 0
+    max_id = max(int(n.split("=", 1)[1]) for n in names)
+    df = spark.read.option("basePath", path).parquet(path)
+    merged = df.select("vec_id", "dist2", "v", "list_id").localCheckpoint()
+    merged.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{path}/batch_id={max_id}"
+    )
+    removed = 0
+    for s in fs.listStatus(jvm_path):
+        name = s.getPath().getName()
+        if name.startswith("batch_id=") and name != f"batch_id={max_id}":
+            fs.delete(s.getPath(), True)
+            removed += 1
+    return removed
+
+
+def run_ann_index_stream(spark: SparkSession, source_dir: str,
+                         checkpoint_dir: str, state_path: str,
+                         schema: str | None = None,
+                         max_files_per_trigger: int | None = None) -> None:
+    """Embedding drops → incrementally-maintained IVF index."""
+    reader = spark.readStream.schema(
+        schema or "vec_id long, embedding array<float>, label int"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    emb = reader.parquet(source_dir)
+
+    from saurav_nayak_recipe_etl_project_spark.streaming import (
+        await_or_raise,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        ann_mv_process_batch(batch_df, batch_id, state_path)
+
+    await_or_raise(
+        emb.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered IVM entry, STRICT VALUE oracle: replays the
+    embeddings table through `ann_mv_process_batch` as two
+    vec_id-split batches with a real state dir — batch 0 deliberately
+    replayed (the at-least-once idempotency contract, exercised every
+    run) — then serves the demo queries (vec_id < 10) from the MV.
+    The oracle replays the ENTIRE path in SQL — quantizer training on
+    the seed half, full-corpus assignment, per-query probe selection,
+    candidate generation restricted to probed lists, exact integer
+    re-rank — so one hash proves quantizer determinism, streamed-
+    index/batch-assignment equality, replay idempotency, directory-
+    pruned candidate completeness, and re-rank arithmetic."""
+    import tempfile
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
+    mid = (lo + hi) // 2 if lo is not None else 0
+    tmp = tempfile.mkdtemp(prefix="stream_ann_mv_")
+    state = f"{tmp}/state"
+    first = emb.filter(F.col("vec_id") <= mid)
+    ann_mv_process_batch(first, 0, state)
+    ann_mv_process_batch(first, 0, state)  # deliberate replay
+    ann_mv_process_batch(emb.filter(F.col("vec_id") > mid), 1, state)
+    queries = emb.filter(F.col("vec_id") < ANN_MV_QUERIES)
+    return ann_search_mv(spark, state, queries)
+
+
+def _ann_mv_oracle(k_lists: int = ANN_MV_LISTS,
+                   nprobe: int = ANN_MV_NPROBE,
+                   k: int = ANN_MV_TOPK,
+                   n_queries: int = ANN_MV_QUERIES) -> str:
+    """Full-path DuckDB replay: seed-half quantizer train (the kmeans
+    oracle's seed rule restricted to vec_id <= mid), exact integer
+    assignment of every vector, per-query nprobe probe (smallest
+    (dist2, list)), candidates = probed posting lists minus self,
+    exact integer re-rank, per-query top-k by (dist2, neighbor_id)."""
+    from saurav_nayak_recipe_etl_project_spark.operators.kmeans import (
+        MICRO,
+    )
+
+    return f"""
+    WITH v AS (
+      SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * {MICRO}) AS BIGINT)) AS m
+      FROM embeddings
+    ),
+    midpoint AS (
+      SELECT (MIN(vec_id) + MAX(vec_id)) // 2 AS mid FROM embeddings
+    ),
+    seeds AS (
+      SELECT CAST(ROW_NUMBER() OVER (
+                    ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+                  AS BIGINT) AS c, m
+      FROM v, midpoint WHERE vec_id <= mid
+      QUALIFY ROW_NUMBER()
+        OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= {k_lists}
+    ),
+    cent AS (
+      SELECT c, i.i AS dim, m[i.i + 1] AS cx
+      FROM seeds, UNNEST(range(0, len(m))) AS i(i)
+    ),
+    dims AS (
+      SELECT vec_id, i.i AS dim, m[i.i + 1] AS x
+      FROM v, UNNEST(range(0, len(m))) AS i(i)
+    ),
+    d2 AS (
+      SELECT vec_id, c, SUM((x - cx) * (x - cx)) AS dist2
+      FROM dims JOIN cent USING (dim)
+      GROUP BY vec_id, c
+    ),
+    posting AS (
+      SELECT vec_id, c AS list_id FROM (
+        SELECT vec_id, c,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, c)
+            AS rn
+        FROM d2
+      ) WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT vec_id AS q_vec_id, c AS list_id FROM (
+        SELECT vec_id, c,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, c)
+            AS rn
+        FROM d2 WHERE vec_id < {n_queries}
+      ) WHERE rn <= {nprobe}
+    ),
+    cand AS (
+      SELECT q.q_vec_id, p.vec_id AS neighbor_id
+      FROM qprobe q JOIN posting p USING (list_id)
+      WHERE p.vec_id <> q.q_vec_id
+    ),
+    scores AS (
+      SELECT c.q_vec_id, c.neighbor_id,
+        CAST(SUM((qd.x - nd.x) * (qd.x - nd.x)) AS BIGINT) AS dist2
+      FROM cand c
+      JOIN dims qd ON qd.vec_id = c.q_vec_id
+      JOIN dims nd ON nd.vec_id = c.neighbor_id AND nd.dim = qd.dim
+      GROUP BY c.q_vec_id, c.neighbor_id
+    )
+    SELECT q_vec_id, CAST(knn_rank AS INTEGER) AS knn_rank,
+           neighbor_id, dist2
+    FROM (
+      SELECT q_vec_id, neighbor_id, dist2,
+        ROW_NUMBER() OVER (
+          PARTITION BY q_vec_id ORDER BY dist2, neighbor_id
+        ) AS knn_rank
+      FROM scores
+    ) WHERE knn_rank <= {k}
+    """
+
+
+ANN_MV_QUERY_FNS = {"stream_ann_index": stream_ann_index}
+
+ANN_MV_ORACLES = {"stream_ann_index": _ann_mv_oracle()}

@@ -1,0 +1,214 @@
+"""Pins for the incrementally-maintained IVF index MV
+(streaming/ann_mv.py): streamed index == one-shot batch assignment,
+replay idempotency, an INDEPENDENT pure-python re-derivation of the
+served search, directory pruning on the probed lists, loudness on an
+untrained / undersized quantizer, and the real readStream path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from saurav_nayak_recipe_etl_project_spark.operators.kmeans import (
+    _arrow_assign,
+    _seed_matrix,
+    _vec_micro,
+)
+from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+from saurav_nayak_recipe_etl_project_spark.streaming.ann_mv import (
+    ANN_MV_LISTS,
+    ANN_MV_NPROBE,
+    ANN_MV_QUERIES,
+    ANN_MV_TOPK,
+    ann_mv_process_batch,
+    ann_search_mv,
+    read_ann_mv,
+    run_ann_index_stream,
+)
+
+
+def _split(emb):
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
+    mid = (lo + hi) // 2
+    return (emb.filter(F.col("vec_id") <= mid),
+            emb.filter(F.col("vec_id") > mid))
+
+
+def _postings_set(df):
+    return sorted(
+        (r["vec_id"], r["list_id"], r["dist2"]) for r in df.collect()
+    )
+
+
+def _search_set(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_streamed_index_equals_batch_assignment(spark, sf_dir, tmp_path):
+    emb = load_table(spark, "embeddings", sf_dir)
+    b0, b1 = _split(emb)
+    state = str(tmp_path / "state")
+    ann_mv_process_batch(b0, 0, state)
+    ann_mv_process_batch(b1, 1, state)
+    # one-shot twin: quantizer from the seed half, assign the corpus
+    C, cids = _seed_matrix(_vec_micro(b0), ANN_MV_LISTS)
+    twin = _arrow_assign(_vec_micro(emb), C, cids).select(
+        "vec_id", F.col("cluster").cast("long").alias("list_id"), "dist2"
+    )
+    got = read_ann_mv(spark, state).select("vec_id", "list_id", "dist2")
+    assert _postings_set(got) == _postings_set(twin)
+
+
+def test_replay_is_idempotent_and_search_stable(spark, sf_dir, tmp_path):
+    emb = load_table(spark, "embeddings", sf_dir)
+    b0, b1 = _split(emb)
+    state = str(tmp_path / "state")
+    ann_mv_process_batch(b0, 0, state)
+    ann_mv_process_batch(b1, 1, state)
+    queries = emb.filter(F.col("vec_id") < ANN_MV_QUERIES)
+    once_post = _postings_set(
+        read_ann_mv(spark, state).select("vec_id", "list_id", "dist2"))
+    once_search = _search_set(ann_search_mv(spark, state, queries))
+    # replay BOTH batches out of order: batch 0's replay retrains the
+    # quantizer on the same rows (deterministic) and every partition
+    # overwrite reproduces identical content
+    ann_mv_process_batch(b1, 1, state)
+    ann_mv_process_batch(b0, 0, state)
+    assert _postings_set(
+        read_ann_mv(spark, state).select("vec_id", "list_id", "dist2")
+    ) == once_post
+    assert _search_set(ann_search_mv(spark, state, queries)) == once_search
+
+
+def test_search_matches_pure_python_rederivation(spark, sf_dir, tmp_path):
+    """Independent oracle: the whole train/assign/probe/rerank path
+    recomputed driver-side with hashlib + plain ints — no shared code
+    with the module under test except `_vec_micro` (quantization is
+    the input contract, not the path under test)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    b0, _ = _split(emb)
+    state = str(tmp_path / "state")
+    ann_mv_process_batch(b0, 0, state)
+    ann_mv_process_batch(
+        emb.join(b0.select("vec_id"), "vec_id", "left_anti"), 1, state)
+    queries = emb.filter(F.col("vec_id") < ANN_MV_QUERIES)
+    got = _search_set(ann_search_mv(spark, state, queries))
+
+    vecs = {r["vec_id"]: r["v"] for r in _vec_micro(emb).collect()}
+    b0_ids = [r["vec_id"] for r in b0.select("vec_id").collect()]
+    seeds = sorted(
+        b0_ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest()
+    )[:ANN_MV_LISTS]
+    cent = [vecs[i] for i in seeds]  # list c = md5-rank order
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    posting = {
+        vid: min(range(ANN_MV_LISTS), key=lambda c: (d2(v, cent[c]), c))
+        for vid, v in vecs.items()
+    }
+    expected = []
+    for qid in sorted(vecs):
+        if qid >= ANN_MV_QUERIES:
+            continue
+        probed = sorted(
+            range(ANN_MV_LISTS), key=lambda c: (d2(vecs[qid], cent[c]), c)
+        )[:ANN_MV_NPROBE]
+        cand = [v for v in vecs if posting[v] in probed and v != qid]
+        ranked = sorted(cand, key=lambda v: (d2(vecs[qid], vecs[v]), v))
+        for rank, nid in enumerate(ranked[:ANN_MV_TOPK], start=1):
+            expected.append((qid, rank, nid, d2(vecs[qid], vecs[nid])))
+    assert got == sorted(expected)
+
+
+def test_search_scan_prunes_to_probed_dirs(spark, sf_dir, tmp_path):
+    emb = load_table(spark, "embeddings", sf_dir)
+    b0, b1 = _split(emb)
+    state = str(tmp_path / "state")
+    ann_mv_process_batch(b0, 0, state)
+    ann_mv_process_batch(b1, 1, state)
+    probed = [0, 3]
+    files = [
+        r["f"] for r in
+        read_ann_mv(spark, state, lists=probed)
+        .select(F.input_file_name().alias("f")).distinct().collect()
+    ]
+    assert files, "pruned read returned no files"
+    assert all(
+        any(f"/list_id={p}/" in f for p in probed) for f in files
+    ), files
+
+
+def test_untrained_quantizer_is_loud(spark, sf_dir, tmp_path):
+    emb = load_table(spark, "embeddings", sf_dir)
+    state = str(tmp_path / "state")
+    with pytest.raises(ValueError, match="quantizer not trained"):
+        ann_mv_process_batch(emb, 1, state)  # no batch 0 ever ran
+
+
+def test_seed_batch_too_small_is_loud(spark, sf_dir, tmp_path):
+    emb = load_table(spark, "embeddings", sf_dir).limit(ANN_MV_LISTS - 2)
+    state = str(tmp_path / "state")
+    with pytest.raises(ValueError, match="needs >= k_lists"):
+        ann_mv_process_batch(emb, 0, state)
+
+
+def test_compaction_preserves_view_and_search(spark, sf_dir, tmp_path):
+    emb = load_table(spark, "embeddings", sf_dir)
+    b0, b1 = _split(emb)
+    state = str(tmp_path / "state")
+    ann_mv_process_batch(b0, 0, state)
+    ann_mv_process_batch(b1, 1, state)
+    queries = emb.filter(F.col("vec_id") < ANN_MV_QUERIES)
+    before_post = _postings_set(
+        read_ann_mv(spark, state).select("vec_id", "list_id", "dist2"))
+    before_search = _search_set(ann_search_mv(spark, state, queries))
+    from saurav_nayak_recipe_etl_project_spark.streaming.ann_mv import (
+        compact_ann_mv_state,
+    )
+
+    removed = compact_ann_mv_state(spark, state)
+    assert removed > 0
+    assert _postings_set(
+        read_ann_mv(spark, state).select("vec_id", "list_id", "dist2")
+    ) == before_post
+    assert _search_set(ann_search_mv(spark, state, queries)) == before_search
+    # the list_id hive layout survives compaction (pruning still works)
+    dirs = os.listdir(os.path.join(state, "postings", "batch_id=1"))
+    assert any(d.startswith("list_id=") for d in dirs), dirs
+
+
+def test_real_stream_matches_batch_twin(spark, sf_dir, tmp_path):
+    emb = load_table(spark, "embeddings", sf_dir)
+    b0, b1 = _split(emb)
+    src = str(tmp_path / "drops")
+    os.makedirs(src)
+    # two flat files, one per micro-batch (maxFilesPerTrigger=1),
+    # copied in order so the seed half is batch 0 (the token-MV test's
+    # drop-file pattern — FileStreamSource orders by mtime)
+    import glob
+    import shutil
+
+    for i, part_df in enumerate([b0, b1]):
+        d = str(tmp_path / f"stage_{i}")
+        part_df.coalesce(1).write.parquet(d)
+        shutil.copy(glob.glob(f"{d}/part-*.parquet")[0],
+                    f"{src}/{i}.parquet")
+    state = str(tmp_path / "state")
+    run_ann_index_stream(
+        spark, src, str(tmp_path / "ckpt"), state,
+        max_files_per_trigger=1,
+    )
+    batch_state = str(tmp_path / "batch_state")
+    ann_mv_process_batch(b0, 0, batch_state)
+    ann_mv_process_batch(b1, 1, batch_state)
+    assert _postings_set(
+        read_ann_mv(spark, state).select("vec_id", "list_id", "dist2")
+    ) == _postings_set(
+        read_ann_mv(spark, batch_state).select("vec_id", "list_id", "dist2")
+    )
