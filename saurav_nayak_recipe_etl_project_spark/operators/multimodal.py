@@ -187,20 +187,24 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_image_real(blobs: DataFrame) -> DataFrame:
-    """Lossy-codec image decode (JPEG/WebP/...) — requires an imaging
-    library not present in this container. STUB: clearly-marked
-    unimplemented scale slot. The gate has narrowed each round:
-    `decode_media_native` below really decodes 24-bit BMP, 16-bit PCM
-    WAV, and (round 11) 8-bit RGB/RGBA PNG — stdlib zlib inflate +
-    numpy scanline unfiltering, no imaging library — so only
-    DCT/entropy-coded codecs still need PIL."""
+    """Residual lossy-codec image decode (WebP, progressive JPEG,
+    ...) — requires an imaging library not present in this container.
+    STUB: clearly-marked unimplemented scale slot. The gate has
+    narrowed each round and is now codec-shaped, not format-shaped:
+    `decode_media_native` really decodes 24-bit BMP, 16-bit PCM WAV,
+    8-bit RGB/RGBA PNG (r11: stdlib zlib + numpy unfiltering), and
+    BASELINE JPEG (r11: operators/jpeg_native.py — numpy DCT +
+    Annex-K Huffman, 4:4:4/4:2:0/grayscale/restarts). Only WebP,
+    progressive/arithmetic/12-bit JPEG, and video codecs still need
+    PIL/av."""
     try:
         import PIL.Image  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "lossy-codec decode (JPEG/WebP) requires Pillow/opencv, "
+            "WebP / progressive-JPEG decode requires Pillow/opencv, "
             "absent in this environment; decode_media_native handles "
-            "BMP/PNG/WAV natively, blob_features covers the plumbing"
+            "BMP/PNG/baseline-JPEG/WAV natively, blob_features covers "
+            "the plumbing"
         ) from exc
     raise NotImplementedError("wire PIL decode into _feature_batches")
 
@@ -457,10 +461,11 @@ NATIVE_DECODE_SCHEMA = (
 def decode_media_native(blobs: DataFrame) -> DataFrame:
     """REAL media decode for the library-free formats, in the same
     Arrow-batched mapInPandas slot decode_image_real would occupy:
-    image/bmp → dimensions + per-channel means; audio/wav → sample
-    rate, length, RMS. Unknown mimes raise loudly (route them to the
-    PIL-gated lane) — a decode pipeline must never silently emit
-    nulls for rows it did not decode. Input: (doc_id, blob, mime)."""
+    image/bmp, image/png, image/jpeg (baseline, jpeg_native.py) →
+    dimensions + per-channel means; audio/wav → sample rate, length,
+    RMS. Unknown mimes raise loudly (route them to the PIL-gated
+    lane) — a decode pipeline must never silently emit nulls for rows
+    it did not decode. Input: (doc_id, blob, mime)."""
     import numpy as np
 
     def gen(batches):
@@ -474,9 +479,15 @@ def decode_media_native(blobs: DataFrame) -> DataFrame:
             ):
                 row = dict.fromkeys(out, None)
                 row["doc_id"], row["mime"] = doc_id, mime
-                if mime in ("image/bmp", "image/png"):
-                    img = (decode_bmp(bytes(blob)) if mime == "image/bmp"
-                           else decode_png(bytes(blob)))
+                if mime in ("image/bmp", "image/png", "image/jpeg"):
+                    from saurav_nayak_recipe_etl_project_spark.operators \
+                        .jpeg_native import decode_jpeg
+
+                    img = {
+                        "image/bmp": decode_bmp,
+                        "image/png": decode_png,
+                        "image/jpeg": decode_jpeg,
+                    }[mime](bytes(blob))
                     row["height"], row["width"] = img.shape[:2]
                     m = img.reshape(-1, 3).mean(axis=0)
                     row["mean_r"], row["mean_g"], row["mean_b"] = (

@@ -187,10 +187,19 @@ def test_decoders_fail_loudly():
 
 
 def test_decode_media_native_rejects_unknown_mime(spark):
-    # JPEG is entropy-coded — still the PIL-gated lane, never silent
+    # WebP is still the PIL-gated lane (baseline JPEG went native in
+    # r11 — tests/test_jpeg_native.py), never silent
     df = spark.createDataFrame(
-        [(1, bytearray(b"\xff\xd8\xff\xe0"), "image/jpeg")],
+        [(1, bytearray(b"RIFF\x00\x00\x00\x00WEBP"), "image/webp")],
         "doc_id long, blob binary, mime string",
     )
     with pytest.raises(Exception, match="no native decoder"):
         decode_media_native(df).collect()
+    # a truncated JPEG routes to the NATIVE decoder now and still
+    # fails loudly there
+    trunc = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8\xff\xe0"), "image/jpeg")],
+        "doc_id long, blob binary, mime string",
+    )
+    with pytest.raises(Exception, match="truncated"):
+        decode_media_native(trunc).collect()
