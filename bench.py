@@ -325,6 +325,11 @@ HEADLINE = [
     # float throughput twin is benched via ann_index_partitioned
     # lanes inside ann_recall_at_k's detail split.
     "stream_ann_index",
+    # round-11 addition: the log-structured ACID table's 4-commit
+    # ledger (append/append/stats-pruned-delete/compact + 4
+    # time-travel reads) — the warehouse write path, measured
+    # end-to-end through the transaction log.
+    "acid_orders_ledger",
 ]
 
 # ann_recall_at_k runs FIVE ANN paths + the exact oracle inside one

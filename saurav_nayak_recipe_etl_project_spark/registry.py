@@ -68,6 +68,7 @@ def _load_optional() -> None:
         ("saurav_nayak_recipe_etl_project_spark.streaming.mv", "STREAM_MV_QUERIES", "STREAM_MV_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.streaming.pair_mv", "STREAM_PAIR_MV_QUERIES", "STREAM_PAIR_MV_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.streaming.ann_mv", "ANN_MV_QUERY_FNS", "ANN_MV_ORACLES"),
+        ("saurav_nayak_recipe_etl_project_spark.sources.txlog", "TXLOG_QUERIES", "TXLOG_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.streaming.drift", "STREAM_DRIFT_QUERIES", "STREAM_DRIFT_ORACLES"),
     ]:
         try:
@@ -93,7 +94,9 @@ _load_optional()
 # round-11 start: 13 never driver-windowed — ALL judge-verified green
 # at sf0.01 in VERDICT r10 — 40 r5, 33 r6, 41 r7, 50 r8, 41 r9,
 # 50 r10):
-#   (1) changed in round 11: stream_ann_index (NEW — the
+#   (1) changed in round 11: acid_orders_ledger (NEW — the
+#       log-structured ACID table's 4-commit life, strict
+#       per-version snapshot oracle), stream_ann_index (NEW — the
 #       incrementally-maintained IVF index MV, strict full-replay
 #       train/assign/probe/rerank oracle), stream_dup_pairs (NEW —
 #       the foreachBatch-maintained verified-pair MV, strict
@@ -110,16 +113,18 @@ _load_optional()
 #       only 9, missing F75-F78);
 #   (3) stalest fill: the r5 block alphabetically from
 #       ann_nearest_centroid — the 50-cut lands after
-#       rebalance_sources (33 of 40 r5 fit).
+#       range_join_windows (32 of 40 r5 fit).
 # ROUND-12 FILL PLAN (computed at r11 close so the window stays
-# mechanical): after r12's changed entries (front), the 7 r5
-# leftovers (sessionize_events, skew_diagnostics, snapshot_diff,
-# stream_events_window, topk_parts_per_brand, validation_report,
-# weekly_active_breakdown), then the r6 block alphabetically from
-# ab_experiment_report (33) — ~43 slots absorbs both blocks, closing
-# the full rotation in r12 as planned (oldest staleness becomes r7).
+# mechanical): after r12's changed entries (front), the 8 r5
+# leftovers (rebalance_sources, sessionize_events, skew_diagnostics,
+# snapshot_diff, stream_events_window, topk_parts_per_brand,
+# validation_report, weekly_active_breakdown), then the r6 block
+# alphabetically from ab_experiment_report (33) — ~41 slots absorbs
+# both blocks, closing the full rotation in r12 as planned (oldest
+# staleness becomes r7).
 _DRIVER_PRIORITY = [
     # -- (1) changed in round 11 --
+    "acid_orders_ledger",
     "stream_ann_index",
     "stream_dup_pairs",
     "token_fertility_by_lang",
@@ -175,9 +180,9 @@ _DRIVER_PRIORITY = [
     "q9_profit_by_nation_year",
     "quality_filter_pipeline",
     "range_join_windows",
-    "rebalance_sources",
-    # -- below the 50-cut: the 7 r5 leftovers (round 12 leads
+    # -- below the 50-cut: the 8 r5 leftovers (round 12 leads
     #    here), then the r6 block --
+    "rebalance_sources",
     "sessionize_events",
     "skew_diagnostics",
     "snapshot_diff",

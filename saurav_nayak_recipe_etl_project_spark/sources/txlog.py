@@ -1,0 +1,414 @@
+"""Log-structured ACID table on plain parquet — the Delta/Iceberg
+core re-built from first principles, because the warehouse side of
+this engine needs O(delta) appends, not snapshot rewrites.
+
+The reference reloads its warehouse with WRITE_TRUNCATE on every
+refresh (bigquery_loader_function/main.py:20-40); maintenance.py's
+publish_with_audit upgraded that to audited, versioned SNAPSHOTS (each
+publish rewrites the table). This module is the next rung — the one
+its own docstring points at ("on a table format with row-level merge
+the plans are the same, only the sink changes"): a transaction LOG of
+add/remove FILE actions, so
+
+- APPEND writes only the new files + one log entry — O(delta) at any
+  table size (a year of nightly drops never rewrites January);
+- DELETE rewrites only the files whose min/max stats can contain
+  matching rows — file-granular, stats-pruned;
+- READ resolves the live file set by log replay; `version=` gives
+  time travel; a simple-predicate `where=` prunes files by stats
+  BEFORE Spark ever lists them (the log is the coarse index);
+- COMPACT folds small files remove+add in one atomic commit, a
+  no-op to every reader;
+- CONCURRENT writers race on the next version file with
+  O_CREAT|O_EXCL — the loser gets TxConflict and must re-derive from
+  the new latest version (optimistic concurrency, the Delta
+  protocol's mutual-exclusion primitive);
+- STREAMING appends carry a (app_id, batch_id) txn action; a
+  replayed micro-batch is detected and skipped — the idempotent-sink
+  recipe every foreachBatch writer in streaming/ hand-rolls,
+  provided by the table itself (Delta's txn/SetTransaction);
+- VACUUM deletes data files unreferenced by the last K versions and
+  records the horizon; time travel past it fails LOUDLY, not with a
+  missing-file stack trace.
+
+100 TB posture: the log is O(commits) driver-side JSON (production
+formats checkpoint it into parquet; same layout, one more fold); data
+stays distributed parquet; stats pruning means a key-ranged read
+opens the log, not the object store listing. Single-filesystem
+O_EXCL is the commit primitive here; on an object store it becomes
+put-if-absent — the swap every table format performs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_LOG_DIR = "_txlog"
+_HORIZON = "_vacuum_horizon"
+
+
+class TxConflict(Exception):
+    """Another writer committed this version first — re-read the
+    latest snapshot and retry the whole read-modify-write."""
+
+
+def _log_path(table: str) -> str:
+    return os.path.join(table, _LOG_DIR)
+
+
+def _versions(table: str) -> list[int]:
+    d = _log_path(table)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f[:-5]) for f in os.listdir(d)
+        if f.endswith(".json") and f[:-5].isdigit()
+    )
+
+
+def latest_version(table: str) -> int:
+    """-1 when the table has no commits yet."""
+    vs = _versions(table)
+    return vs[-1] if vs else -1
+
+
+def _commit(table: str, version: int, actions: list[dict],
+            txn: dict | None = None) -> None:
+    """Atomically create version file `version` — O_CREAT|O_EXCL is
+    the mutual exclusion: exactly one writer wins a version number."""
+    os.makedirs(_log_path(table), exist_ok=True)
+    path = os.path.join(_log_path(table), f"{version:011d}.json")
+    payload = json.dumps({"actions": actions, "txn": txn}) + "\n"
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise TxConflict(
+            f"version {version} of {table} was committed by another "
+            "writer; re-read the latest snapshot and retry"
+        ) from None
+    with os.fdopen(fd, "w") as f:
+        f.write(payload)
+
+
+def _read_log(table: str, version: int | None = None) -> list[dict]:
+    vs = _versions(table)
+    if not vs:
+        raise ValueError(f"{table} has no transaction log")
+    if version is None:
+        version = vs[-1]
+    if version not in vs:
+        raise ValueError(f"version {version} does not exist "
+                         f"(have {vs[0]}..{vs[-1]})")
+    horizon = vacuum_horizon(table)
+    if version < horizon:
+        raise ValueError(
+            f"version {version} of {table} was vacuumed (horizon "
+            f"{horizon}) — its data files no longer exist")
+    entries = []
+    for v in vs:
+        if v > version:
+            break
+        with open(os.path.join(_log_path(table), f"{v:011d}.json")) as f:
+            entries.append(json.loads(f.read()))
+    return entries
+
+
+def snapshot_files(table: str, version: int | None = None) -> dict:
+    """Replay the log: {relative file path: stats dict} live at
+    `version` (latest when None)."""
+    live: dict = {}
+    for entry in _read_log(table, version):
+        for a in entry["actions"]:
+            if a["op"] == "add":
+                live[a["file"]] = a.get("stats") or {}
+            elif a["op"] == "remove":
+                live.pop(a["file"], None)
+    return live
+
+
+def vacuum_horizon(table: str) -> int:
+    p = os.path.join(_log_path(table), _HORIZON)
+    if not os.path.exists(p):
+        return 0
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def _write_files(df: DataFrame, table: str,
+                 stats_cols: list[str] | None) -> list[dict]:
+    """Write the dataframe as new data files under data/tx-<uuid>/ and
+    return their add-actions with per-file min/max stats (one read of
+    the delta grouped by input_file_name — production formats take
+    these from parquet footers; same numbers)."""
+    spark = df.sparkSession
+    sub = os.path.join("data", f"tx-{uuid.uuid4().hex[:12]}")
+    dest = os.path.join(table, sub)
+    df.write.parquet(dest)
+    back = spark.read.parquet(dest)
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in stats_cols or []:
+        aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+    rows = (
+        back.groupBy(F.input_file_name().alias("_f")).agg(*aggs).collect()
+    )
+    actions = []
+    for r in rows:
+        name = os.path.basename(r["_f"])
+        stats = {"rows": r["_rows"]}
+        for c in stats_cols or []:
+            stats[c] = [r[f"_min_{c}"], r[f"_max_{c}"]]
+        actions.append({"op": "add", "file": os.path.join(sub, name),
+                        "stats": stats})
+    return actions
+
+
+def tx_append(df: DataFrame, table: str,
+              stats_cols: list[str] | None = None,
+              txn: dict | None = None) -> int:
+    """Append-only commit: new files + one log entry, O(delta).
+    Returns the committed version."""
+    if txn is not None:
+        last = last_txn_batch(table, txn["app"])
+        if last is not None and txn["batch"] <= last:
+            return latest_version(table)  # idempotent replay: no-op
+    actions = _write_files(df, table, stats_cols)
+    # blind appends COMMUTE, so a lost race is retried at the next
+    # version number automatically (the Delta protocol's append
+    # auto-resolution); read-modify-write ops (delete/compact) do NOT
+    # retry — their base may be stale, so TxConflict surfaces there.
+    for _ in range(20):
+        try:
+            v = latest_version(table) + 1
+            _commit(table, v, actions, txn)
+            return v
+        except TxConflict:
+            continue
+    raise TxConflict(
+        f"append to {table} lost 20 straight version races — "
+        "writer storm, back off")
+
+
+def _overlaps(stats: dict, col: str, op: str, value) -> bool:
+    """Can a file with these stats contain a row matching
+    `col op value`? Missing stats → must read (never skip blindly)."""
+    rng = stats.get(col)
+    if not rng or rng[0] is None:
+        return True
+    lo, hi = rng
+    if op == "=":
+        return lo <= value <= hi
+    if op == "<=":
+        return lo <= value
+    if op == "<":
+        return lo < value
+    if op == ">=":
+        return hi >= value
+    if op == ">":
+        return hi > value
+    raise ValueError(f"unsupported predicate op {op!r}")
+
+
+_OPS = {
+    "=": lambda c, v: c == v,
+    "<=": lambda c, v: c <= v,
+    "<": lambda c, v: c < v,
+    ">=": lambda c, v: c >= v,
+    ">": lambda c, v: c > v,
+}
+
+
+def read_table(spark: SparkSession, table: str,
+               version: int | None = None,
+               where: tuple | None = None) -> DataFrame:
+    """Snapshot read (time travel with `version=`). `where` is a
+    simple predicate tuple (col, op, literal): files whose stats
+    cannot contain a match are pruned BEFORE the scan, and the
+    residual filter is applied to the survivors — log-level data
+    skipping. Empty snapshots need the schema from somewhere, so an
+    empty live set raises (a table with zero commits is a bug at this
+    layer, not an empty DataFrame)."""
+    live = snapshot_files(table, version)
+    if not live:
+        raise ValueError(f"{table} snapshot is empty")
+    files = sorted(live)
+    if where is not None:
+        col, op, value = where
+        files = [f for f in files if _overlaps(live[f], col, op, value)]
+        if not files:
+            # preserve schema: scan one file, filter to nothing
+            files = sorted(live)[:1]
+    df = spark.read.parquet(*[os.path.join(table, f) for f in files])
+    if where is not None:
+        col, op, value = where
+        df = df.filter(_OPS[op](F.col(col), F.lit(value)))
+    return df
+
+
+def tx_delete_where(spark: SparkSession, table: str, where: tuple,
+                    stats_cols: list[str] | None = None) -> int:
+    """File-granular delete: only files whose stats can contain a
+    matching row are rewritten (survivor rows re-added); every other
+    file is untouched. One atomic remove+add commit."""
+    col, op, value = where
+    base = latest_version(table)
+    live = snapshot_files(table, base)
+    touched = [f for f in sorted(live)
+               if _overlaps(live[f], col, op, value)]
+    actions: list[dict] = [{"op": "remove", "file": f} for f in touched]
+    if touched:
+        survivors = spark.read.parquet(
+            *[os.path.join(table, f) for f in touched]
+        ).filter(~_OPS[op](F.col(col), F.lit(value)))
+        actions += _write_files(survivors, table, stats_cols)
+    _commit(table, base + 1, actions)
+    return base + 1
+
+
+def tx_compact(spark: SparkSession, table: str, target_files: int = 1,
+               stats_cols: list[str] | None = None) -> int:
+    """Fold the live file set into `target_files` files — remove+add
+    in ONE commit, so every reader sees either the old layout or the
+    new one, never both or neither."""
+    base = latest_version(table)
+    live = snapshot_files(table, base)
+    df = spark.read.parquet(*[os.path.join(table, f) for f in sorted(live)])
+    actions = _write_files(df.repartition(target_files), table, stats_cols)
+    actions += [{"op": "remove", "file": f} for f in sorted(live)]
+    _commit(table, base + 1, actions)
+    return base + 1
+
+
+def last_txn_batch(table: str, app: str) -> int | None:
+    """Highest committed batch id for `app` (Delta's SetTransaction
+    replay) — None when the app never committed."""
+    if latest_version(table) < 0:
+        return None
+    best = None
+    for entry in _read_log(table):
+        txn = entry.get("txn")
+        if txn and txn.get("app") == app:
+            b = txn["batch"]
+            best = b if best is None or b > best else best
+    return best
+
+
+def tx_sink_batch(batch_df: DataFrame, batch_id: int, table: str,
+                  app: str, stats_cols: list[str] | None = None) -> None:
+    """foreachBatch sink with table-enforced exactly-once: the commit
+    carries (app, batch_id); a replayed batch is detected from the log
+    and skipped — idempotence lives in the TABLE, not in every
+    writer's discipline."""
+    tx_append(batch_df, table, stats_cols,
+              txn={"app": app, "batch": batch_id})
+
+
+def vacuum(table: str, keep_versions: int = 1) -> int:
+    """Delete data files unreferenced by the last `keep_versions`
+    snapshots and advance the vacuum horizon; reads at versions below
+    the horizon fail loudly. Returns the number of files deleted.
+    Run at a quiesced boundary (no in-flight read of an old version —
+    the retention contract every table format carries)."""
+    vs = _versions(table)
+    if not vs:
+        return 0
+    keep = vs[-keep_versions:]
+    referenced: set = set()
+    for v in keep:
+        referenced.update(snapshot_files(table, v))
+    removed = 0
+    data_root = os.path.join(table, "data")
+    for sub in sorted(os.listdir(data_root)) if os.path.isdir(
+            data_root) else []:
+        subdir = os.path.join(data_root, sub)
+        for f in sorted(os.listdir(subdir)):
+            rel = os.path.join("data", sub, f)
+            if f.endswith(".parquet") and rel not in referenced:
+                os.remove(os.path.join(subdir, f))
+                removed += 1
+    with open(os.path.join(_log_path(table), _HORIZON), "w") as f:
+        f.write(str(keep[0]))
+    return removed
+
+
+def history(table: str) -> list[dict]:
+    """One dict per version: counts of add/remove actions + txn."""
+    out = []
+    for v in _versions(table):
+        with open(os.path.join(_log_path(table), f"{v:011d}.json")) as f:
+            e = json.loads(f.read())
+        ops = [a["op"] for a in e["actions"]]
+        out.append({"version": v, "adds": ops.count("add"),
+                    "removes": ops.count("remove"), "txn": e.get("txn")})
+    return out
+
+
+# --- registered verification gate -------------------------------------
+
+def acid_orders_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered entry, STRICT VALUE oracle: scripts a 4-commit life
+    of an orders table — append lower half, append upper half,
+    stats-pruned DELETE of filled orders, compact — then time-travels
+    to EVERY version and emits (version, n_orders, total_cents). The
+    oracle recomputes each snapshot straight from the orders table, so
+    one hash proves log replay, O(delta) append, file-granular delete
+    (including that stats pruning never drops a matching file),
+    compaction invariance, and time travel."""
+    import tempfile
+
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    mid = (lo + hi) // 2 if lo is not None else 0
+    table = tempfile.mkdtemp(prefix="txlog_orders_")
+    stats = ["o_orderkey", "o_orderstatus"]
+    tx_append(orders.filter(F.col("o_orderkey") <= mid)
+              .repartition(4), table, stats)
+    tx_append(orders.filter(F.col("o_orderkey") > mid)
+              .repartition(4), table, stats)
+    tx_delete_where(spark, table, ("o_orderstatus", "=", "F"), stats)
+    tx_compact(spark, table, 1, stats)
+    out = None
+    for v in range(latest_version(table) + 1):
+        snap = read_table(spark, table, version=v).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .alias("total_cents"),
+        ).select(F.lit(v).cast("long").alias("version"),
+                 "n_orders", "total_cents")
+        out = snap if out is None else out.unionByName(snap)
+    return out
+
+
+_ACID_ORACLE = """
+WITH m AS (
+  SELECT (MIN(o_orderkey) + MAX(o_orderkey)) // 2 AS mid FROM orders
+),
+c AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT CAST(0 AS BIGINT) AS version,
+       COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM c, m WHERE o_orderkey <= mid
+UNION ALL
+SELECT 1, COUNT(*), CAST(SUM(cents) AS BIGINT) FROM c
+UNION ALL
+SELECT 2, COUNT(*), CAST(SUM(cents) AS BIGINT)
+FROM c WHERE o_orderstatus <> 'F'
+UNION ALL
+SELECT 3, COUNT(*), CAST(SUM(cents) AS BIGINT)
+FROM c WHERE o_orderstatus <> 'F'
+"""
+
+TXLOG_QUERIES = {"acid_orders_ledger": acid_orders_ledger}
+TXLOG_ORACLES = {"acid_orders_ledger": _ACID_ORACLE}

@@ -1,0 +1,199 @@
+"""Log-structured ACID table (sources/txlog.py): snapshot/time-travel
+correctness, O(delta) append (old files untouched), stats-based file
+skipping pinned on the actual scanned file set, file-granular delete,
+atomic compaction, optimistic-concurrency conflict, txn-idempotent
+streaming sink (real readStream), vacuum retention + loud horizon.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from saurav_nayak_recipe_etl_project_spark.sources.txlog import (
+    TxConflict,
+    history,
+    last_txn_batch,
+    latest_version,
+    read_table,
+    snapshot_files,
+    tx_append,
+    tx_compact,
+    tx_delete_where,
+    tx_sink_batch,
+    vacuum,
+)
+
+
+def _orders(spark, sf_dir):
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    return load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_append_read_time_travel(spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir)
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    mid = (lo + hi) // 2
+    t = str(tmp_path / "t")
+    a = orders.filter(F.col("o_orderkey") <= mid)
+    b = orders.filter(F.col("o_orderkey") > mid)
+    assert tx_append(a, t, ["o_orderkey"]) == 0
+    assert tx_append(b, t, ["o_orderkey"]) == 1
+    assert _rows(read_table(spark, t)) == _rows(orders)
+    assert _rows(read_table(spark, t, version=0)) == _rows(a)
+    h = history(t)
+    assert [e["version"] for e in h] == [0, 1]
+    assert all(e["removes"] == 0 for e in h)  # appends never rewrite
+
+
+def test_append_leaves_old_files_untouched(spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir)
+    t = str(tmp_path / "t")
+    tx_append(orders.limit(50), t)
+    before = set(snapshot_files(t, 0))
+    tx_append(orders.limit(10), t)
+    after = snapshot_files(t, 1)
+    assert before <= set(after)  # O(delta): v0's files live on as-is
+
+
+def test_stats_skipping_prunes_scanned_files(spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir)
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    t = str(tmp_path / "t")
+    # range-partitioned write -> disjoint per-file key ranges
+    tx_append(orders.repartitionByRange(8, "o_orderkey"), t,
+              ["o_orderkey"])
+    n_live = len(snapshot_files(t))
+    assert n_live >= 4
+    pred = ("o_orderkey", "<=", lo + (hi - lo) // 8)
+    df = read_table(spark, t, where=pred)
+    scanned = df.select(F.input_file_name().alias("f")).distinct().count()
+    assert scanned < n_live, (scanned, n_live)  # files really skipped
+    expected = orders.filter(F.col("o_orderkey") <= pred[2])
+    assert _rows(df) == _rows(expected)  # and none wrongly skipped
+
+
+def test_delete_where_is_file_granular(spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir)
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    t = str(tmp_path / "t")
+    tx_append(orders.repartitionByRange(8, "o_orderkey"), t,
+              ["o_orderkey"])
+    before = snapshot_files(t)
+    cut = lo + (hi - lo) // 8
+    tx_delete_where(spark, t, ("o_orderkey", "<=", cut), ["o_orderkey"])
+    after = snapshot_files(t)
+    survived = set(before) & set(after)
+    assert survived, "delete rewrote every file despite disjoint ranges"
+    assert set(after) != set(before)
+    assert _rows(read_table(spark, t)) == _rows(
+        orders.filter(F.col("o_orderkey") > cut))
+    # time travel still sees the pre-delete table
+    assert _rows(read_table(spark, t, version=0)) == _rows(orders)
+
+
+def test_compact_is_invariant_and_atomic(spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir)
+    t = str(tmp_path / "t")
+    tx_append(orders.repartition(6), t)
+    tx_append(orders.limit(20).repartition(3), t)
+    before = _rows(read_table(spark, t))
+    v = tx_compact(spark, t, 1)
+    assert len(snapshot_files(t)) == 1
+    assert _rows(read_table(spark, t)) == before
+    assert _rows(read_table(spark, t, version=v - 1)) == before
+
+
+def test_concurrent_commit_semantics(spark, sf_dir, tmp_path):
+    from saurav_nayak_recipe_etl_project_spark.sources.txlog import _commit
+
+    orders = _orders(spark, sf_dir)
+    t = str(tmp_path / "t")
+    tx_append(orders.limit(10), t)
+    # the commit primitive: a taken version number conflicts — this is
+    # what a read-modify-write (delete/compact) surfaces when its base
+    # went stale under it
+    rival = os.path.join(t, "_txlog", f"{1:011d}.json")
+    with open(rival, "w") as f:
+        f.write('{"actions": [], "txn": null}\n')
+    with pytest.raises(TxConflict, match="another"):
+        _commit(t, 1, [])
+    # blind appends COMMUTE: the losing appender auto-advances past
+    # the rival instead of failing
+    v = tx_append(orders.limit(5), t)
+    assert v == 2
+    assert read_table(spark, t).count() == 15
+
+
+def test_txn_sink_is_idempotent(spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir).limit(40)
+    t = str(tmp_path / "t")
+    tx_sink_batch(orders, 0, t, app="loader")
+    n0 = read_table(spark, t).count()
+    tx_sink_batch(orders, 0, t, app="loader")  # replayed micro-batch
+    assert read_table(spark, t).count() == n0  # no duplicate rows
+    assert latest_version(t) == 0              # and no empty commit
+    tx_sink_batch(orders, 1, t, app="loader")
+    assert read_table(spark, t).count() == 2 * n0
+    assert last_txn_batch(t, "loader") == 1
+    assert last_txn_batch(t, "other") is None
+
+
+def test_real_stream_through_txn_sink(spark, sf_dir, tmp_path):
+    """availableNow stream -> tx_sink_batch: the table's row set must
+    equal the source exactly (exactly-once through the log)."""
+    import glob
+    import shutil
+
+    from saurav_nayak_recipe_etl_project_spark.streaming import (
+        await_or_raise,
+    )
+
+    orders = _orders(spark, sf_dir)
+    src = tmp_path / "drops"
+    src.mkdir()
+    a = orders.filter(F.col("o_orderkey") % 2 == 0).coalesce(1)
+    b = orders.filter(F.col("o_orderkey") % 2 == 1).coalesce(1)
+    for i, part in enumerate([a, b]):
+        d = str(tmp_path / f"stage_{i}")
+        part.write.parquet(d)
+        shutil.copy(glob.glob(f"{d}/part-*.parquet")[0],
+                    str(src / f"{i}.parquet"))
+    t = str(tmp_path / "t")
+    stream = (
+        spark.readStream.schema(
+            "o_orderkey long, o_orderstatus string, o_totalprice double")
+        .option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    await_or_raise(
+        stream.writeStream.foreachBatch(
+            lambda df, bid: tx_sink_batch(df, bid, t, app="stream"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    assert _rows(read_table(spark, t)) == _rows(orders)
+    assert last_txn_batch(t, "stream") == 1
+
+
+def test_vacuum_retention_and_loud_horizon(spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir)
+    t = str(tmp_path / "t")
+    tx_append(orders.limit(30).repartition(3), t)
+    tx_delete_where(spark, t, ("o_orderstatus", "=", "F"))
+    tx_compact(spark, t, 1)
+    latest = _rows(read_table(spark, t))
+    removed = vacuum(t, keep_versions=1)
+    assert removed > 0
+    assert _rows(read_table(spark, t)) == latest  # live snapshot intact
+    with pytest.raises(ValueError, match="vacuumed"):
+        read_table(spark, t, version=0)           # loud, not FileNotFound
