@@ -94,9 +94,10 @@ _load_optional()
 # round-11 start: 13 never driver-windowed — ALL judge-verified green
 # at sf0.01 in VERDICT r10 — 40 r5, 33 r6, 41 r7, 50 r8, 41 r9,
 # 50 r10):
-#   (1) changed in round 11: acid_orders_ledger (NEW — the
-#       log-structured ACID table's 4-commit life, strict
-#       per-version snapshot oracle), stream_ann_index (NEW — the
+#   (1) changed in round 11: acid_orders_ledger + acid_orders_merge
+#       (NEW — the log-structured ACID table's 4-commit life and its
+#       row-level MERGE, strict snapshot oracles), stream_ann_index
+#       (NEW — the
 #       incrementally-maintained IVF index MV, strict full-replay
 #       train/assign/probe/rerank oracle), stream_dup_pairs (NEW —
 #       the foreachBatch-maintained verified-pair MV, strict
@@ -113,18 +114,19 @@ _load_optional()
 #       only 9, missing F75-F78);
 #   (3) stalest fill: the r5 block alphabetically from
 #       ann_nearest_centroid — the 50-cut lands after
-#       range_join_windows (32 of 40 r5 fit).
+#       quality_filter_pipeline (31 of 40 r5 fit).
 # ROUND-12 FILL PLAN (computed at r11 close so the window stays
-# mechanical): after r12's changed entries (front), the 8 r5
-# leftovers (rebalance_sources, sessionize_events, skew_diagnostics,
-# snapshot_diff, stream_events_window, topk_parts_per_brand,
-# validation_report, weekly_active_breakdown), then the r6 block
-# alphabetically from ab_experiment_report (33) — ~41 slots absorbs
-# both blocks, closing the full rotation in r12 as planned (oldest
-# staleness becomes r7).
+# mechanical): after r12's changed entries (front), the 9 r5
+# leftovers (range_join_windows, rebalance_sources,
+# sessionize_events, skew_diagnostics, snapshot_diff,
+# stream_events_window, topk_parts_per_brand, validation_report,
+# weekly_active_breakdown), then the r6 block alphabetically from
+# ab_experiment_report (33) — ~42 slots absorbs both blocks, closing
+# the full rotation in r12 as planned (oldest staleness becomes r7).
 _DRIVER_PRIORITY = [
     # -- (1) changed in round 11 --
     "acid_orders_ledger",
+    "acid_orders_merge",
     "stream_ann_index",
     "stream_dup_pairs",
     "token_fertility_by_lang",
@@ -179,9 +181,9 @@ _DRIVER_PRIORITY = [
     "q8_market_share",
     "q9_profit_by_nation_year",
     "quality_filter_pipeline",
-    "range_join_windows",
-    # -- below the 50-cut: the 8 r5 leftovers (round 12 leads
+    # -- below the 50-cut: the 9 r5 leftovers (round 12 leads
     #    here), then the r6 block --
+    "range_join_windows",
     "rebalance_sources",
     "sessionize_events",
     "skew_diagnostics",

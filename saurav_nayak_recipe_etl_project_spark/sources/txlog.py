@@ -270,15 +270,66 @@ def tx_delete_where(spark: SparkSession, table: str, where: tuple,
 
 
 def tx_compact(spark: SparkSession, table: str, target_files: int = 1,
-               stats_cols: list[str] | None = None) -> int:
+               stats_cols: list[str] | None = None,
+               cluster_by: str | None = None) -> int:
     """Fold the live file set into `target_files` files — remove+add
     in ONE commit, so every reader sees either the old layout or the
-    new one, never both or neither."""
+    new one, never both or neither. `cluster_by` range-partitions +
+    sorts the rewrite on that column, so post-compact files carry
+    TIGHT DISJOINT min/max ranges and stats skipping stays effective
+    after compaction (the Z-order/OPTIMIZE idea, 1-D)."""
     base = latest_version(table)
     live = snapshot_files(table, base)
     df = spark.read.parquet(*[os.path.join(table, f) for f in sorted(live)])
-    actions = _write_files(df.repartition(target_files), table, stats_cols)
+    if cluster_by is not None:
+        df = df.repartitionByRange(
+            target_files, cluster_by).sortWithinPartitions(cluster_by)
+    else:
+        df = df.repartition(target_files)
+    actions = _write_files(df, table, stats_cols)
     actions += [{"op": "remove", "file": f} for f in sorted(live)]
+    _commit(table, base + 1, actions)
+    return base + 1
+
+
+def tx_merge(spark: SparkSession, table: str, source: DataFrame,
+             key: str, stats_cols: list[str] | None = None) -> int:
+    """Row-level MERGE (upsert): source rows REPLACE table rows with
+    the same `key`; unmatched source rows are INSERTED — the
+    maintenance.py docstring's "table format with row-level merge",
+    delivered. File-granular: only live files whose `key` stats
+    overlap the source's key range are rewritten (coarse range prune
+    driver-side; the anti-join below is what guarantees correctness —
+    production formats refine the prune with a bloom or an inner join
+    on file ranges, same contract). A source with duplicate keys
+    raises (the Delta MERGE multiple-match rule) — an upsert that
+    applies "one of" two updates silently is a corruption, not a
+    convenience."""
+    ndup = (source.groupBy(key).count().filter(F.col("count") > 1)
+            .limit(1).count())
+    if ndup:
+        raise ValueError(
+            f"tx_merge: source has duplicate {key} values — an upsert "
+            "must be key-unique (dedupe upstream, deliberately)")
+    lo, hi = source.agg(F.min(key), F.max(key)).first()
+    base = latest_version(table)
+    live = snapshot_files(table, base)
+    if lo is None:
+        return base  # empty source: no-op, no empty commit
+    touched = [
+        f for f in sorted(live)
+        if _overlaps(live[f], key, ">=", lo)
+        and _overlaps(live[f], key, "<=", hi)
+    ]
+    survivors = None
+    if touched:
+        survivors = spark.read.parquet(
+            *[os.path.join(table, f) for f in touched]
+        ).join(source.select(key), key, "left_anti")
+    merged = (source if survivors is None
+              else survivors.unionByName(source))
+    actions: list[dict] = [{"op": "remove", "file": f} for f in touched]
+    actions += _write_files(merged, table, stats_cols)
     _commit(table, base + 1, actions)
     return base + 1
 
@@ -410,5 +461,73 @@ SELECT 3, COUNT(*), CAST(SUM(cents) AS BIGINT)
 FROM c WHERE o_orderstatus <> 'F'
 """
 
-TXLOG_QUERIES = {"acid_orders_ledger": acid_orders_ledger}
-TXLOG_ORACLES = {"acid_orders_ledger": _ACID_ORACLE}
+def acid_orders_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered MERGE entry, STRICT VALUE oracle: load orders into
+    the tx table (range-clustered files, key stats), MERGE an upsert
+    batch — every 7th key's totalprice doubled with status 'U', every
+    13th key re-inserted beyond the key space with status 'N' — then
+    report the merged snapshot per status. The oracle rebuilds the
+    merged table as base-anti-source ∪ source in SQL, so one hash
+    proves replace-not-duplicate semantics, insert placement, the
+    file-granular rewrite's survivor arithmetic, and that the coarse
+    stats prune never skipped a matched file."""
+    import tempfile
+
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    hi = orders.agg(F.max("o_orderkey")).first()[0] or 0
+    table = tempfile.mkdtemp(prefix="txlog_merge_")
+    tx_append(orders.repartitionByRange(8, "o_orderkey")
+              .sortWithinPartitions("o_orderkey"), table, ["o_orderkey"])
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"))
+    inserts = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + hi + 1).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"), "o_totalprice")
+    tx_merge(spark, table, updates.unionByName(inserts), "o_orderkey",
+             ["o_orderkey"])
+    return read_table(spark, table).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .alias("total_cents"),
+    )
+
+
+_MERGE_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+mx AS (SELECT MAX(o_orderkey) AS hi FROM orders),
+src AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus,
+         o_totalprice * 2 AS o_totalprice
+  FROM base WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + hi + 1, 'N', o_totalprice
+  FROM base, mx WHERE o_orderkey % 13 = 0
+),
+merged AS (
+  SELECT * FROM base
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+  UNION ALL
+  SELECT * FROM src
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM merged GROUP BY o_orderstatus
+"""
+
+TXLOG_QUERIES = {
+    "acid_orders_ledger": acid_orders_ledger,
+    "acid_orders_merge": acid_orders_merge,
+}
+TXLOG_ORACLES = {
+    "acid_orders_ledger": _ACID_ORACLE,
+    "acid_orders_merge": _MERGE_ORACLE,
+}

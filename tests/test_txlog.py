@@ -185,6 +185,82 @@ def test_real_stream_through_txn_sink(spark, sf_dir, tmp_path):
     assert last_txn_batch(t, "stream") == 1
 
 
+def test_merge_replaces_and_inserts(spark, sf_dir, tmp_path):
+    from saurav_nayak_recipe_etl_project_spark.sources.txlog import (
+        tx_merge,
+    )
+
+    orders = _orders(spark, sf_dir)
+    hi = orders.agg(F.max("o_orderkey")).first()[0]
+    t = str(tmp_path / "t")
+    tx_append(orders.repartitionByRange(6, "o_orderkey"), t,
+              ["o_orderkey"])
+    src = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+    ).unionByName(orders.limit(3).select(
+        (F.col("o_orderkey") + hi + 1).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"), "o_totalprice"))
+    tx_merge(spark, t, src, "o_orderkey", ["o_orderkey"])
+    got = read_table(spark, t)
+    expected = orders.join(
+        src.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).unionByName(src)
+    assert _rows(got) == _rows(expected)   # replaced once, never dup'd
+    # time travel still sees the pre-merge table
+    assert _rows(read_table(spark, t, version=0)) == _rows(orders)
+
+
+def test_merge_prunes_files_outside_source_range(spark, sf_dir,
+                                                 tmp_path):
+    from saurav_nayak_recipe_etl_project_spark.sources.txlog import (
+        tx_merge,
+    )
+
+    orders = _orders(spark, sf_dir)
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    t = str(tmp_path / "t")
+    tx_append(orders.repartitionByRange(8, "o_orderkey"), t,
+              ["o_orderkey"])
+    before = set(snapshot_files(t))
+    cut = lo + (hi - lo) // 8
+    src = orders.filter(F.col("o_orderkey") <= cut).select(
+        "o_orderkey", F.lit("U").alias("o_orderstatus"), "o_totalprice")
+    tx_merge(spark, t, src, "o_orderkey", ["o_orderkey"])
+    survived = before & set(snapshot_files(t))
+    assert survived, "merge rewrote files whose key range it never hit"
+
+
+def test_merge_duplicate_source_is_loud(spark, sf_dir, tmp_path):
+    from saurav_nayak_recipe_etl_project_spark.sources.txlog import (
+        tx_merge,
+    )
+
+    orders = _orders(spark, sf_dir)
+    t = str(tmp_path / "t")
+    tx_append(orders.limit(20), t, ["o_orderkey"])
+    dup = orders.limit(5).unionByName(orders.limit(5))
+    with pytest.raises(ValueError, match="duplicate"):
+        tx_merge(spark, t, dup, "o_orderkey")
+
+
+def test_clustered_compaction_keeps_skipping(spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir)
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    t = str(tmp_path / "t")
+    # many unclustered appends -> every file spans the key space
+    for i in range(4):
+        tx_append(orders.filter(F.col("o_orderkey") % 4 == i), t,
+                  ["o_orderkey"])
+    tx_compact(spark, t, 4, ["o_orderkey"], cluster_by="o_orderkey")
+    pred = ("o_orderkey", "<=", lo + (hi - lo) // 8)
+    df = read_table(spark, t, where=pred)
+    scanned = df.select(F.input_file_name().alias("f")).distinct().count()
+    assert scanned < len(snapshot_files(t)), "clustering didn't tighten stats"
+    assert _rows(df) == _rows(
+        orders.filter(F.col("o_orderkey") <= pred[2]))
+
+
 def test_vacuum_retention_and_loud_horizon(spark, sf_dir, tmp_path):
     orders = _orders(spark, sf_dir)
     t = str(tmp_path / "t")
