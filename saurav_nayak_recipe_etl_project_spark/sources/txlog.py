@@ -78,12 +78,21 @@ def latest_version(table: str) -> int:
 
 
 def _commit(table: str, version: int, actions: list[dict],
-            txn: dict | None = None) -> None:
+            txn: dict | None = None,
+            schema: dict | None = None) -> None:
     """Atomically create version file `version` — O_CREAT|O_EXCL is
-    the mutual exclusion: exactly one writer wins a version number."""
+    the mutual exclusion: exactly one writer wins a version number.
+    Each commit records the table schema; a commit that adds no files
+    carries the prior version's schema forward."""
+    if schema is None and version > 0:
+        prev = os.path.join(_log_path(table), f"{version - 1:011d}.json")
+        if os.path.exists(prev):
+            with open(prev) as f:
+                schema = json.loads(f.read()).get("schema")
     os.makedirs(_log_path(table), exist_ok=True)
     path = os.path.join(_log_path(table), f"{version:011d}.json")
-    payload = json.dumps({"actions": actions, "txn": txn}) + "\n"
+    payload = json.dumps(
+        {"actions": actions, "txn": txn, "schema": schema}) + "\n"
     try:
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
@@ -139,6 +148,42 @@ def vacuum_horizon(table: str) -> int:
         return int(f.read().strip())
 
 
+def _schema_fields(df: DataFrame) -> dict:
+    return {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+
+def _check_schema(df: DataFrame, table: str, evolve: bool) -> None:
+    """Schema enforcement (the Delta contract): an append whose
+    columns drift from the table raises unless `evolve=True`, and
+    evolution is ADDITIVE-ONLY — a changed column type or a dropped
+    column is always an error (silent widening/narrowing corrupts
+    every reader downstream; rewrite the table deliberately
+    instead)."""
+    v = latest_version(table)
+    if v < 0:
+        return
+    path = os.path.join(_log_path(table), f"{v:011d}.json")
+    with open(path) as f:
+        prior = json.loads(f.read()).get("schema")
+    if prior is None:
+        return
+    now = _schema_fields(df)
+    changed = {c: (prior[c], now[c]) for c in prior
+               if c in now and now[c] != prior[c]}
+    dropped = [c for c in prior if c not in now]
+    added = [c for c in now if c not in prior]
+    if changed or dropped:
+        raise ValueError(
+            f"tx schema change rejected for {table}: "
+            f"type changes {changed}, dropped columns {dropped} — "
+            "evolution is additive-only; rewrite the table to "
+            "restructure it")
+    if added and not evolve:
+        raise ValueError(
+            f"tx schema drift for {table}: new columns {added} — pass "
+            "allow_schema_evolution=True to add them deliberately")
+
+
 def _write_files(df: DataFrame, table: str,
                  stats_cols: list[str] | None) -> list[dict]:
     """Write the dataframe as new data files under data/tx-<uuid>/ and
@@ -169,13 +214,15 @@ def _write_files(df: DataFrame, table: str,
 
 def tx_append(df: DataFrame, table: str,
               stats_cols: list[str] | None = None,
-              txn: dict | None = None) -> int:
+              txn: dict | None = None,
+              allow_schema_evolution: bool = False) -> int:
     """Append-only commit: new files + one log entry, O(delta).
     Returns the committed version."""
     if txn is not None:
         last = last_txn_batch(table, txn["app"])
         if last is not None and txn["batch"] <= last:
             return latest_version(table)  # idempotent replay: no-op
+    _check_schema(df, table, allow_schema_evolution)
     actions = _write_files(df, table, stats_cols)
     # blind appends COMMUTE, so a lost race is retried at the next
     # version number automatically (the Delta protocol's append
@@ -184,7 +231,7 @@ def tx_append(df: DataFrame, table: str,
     for _ in range(20):
         try:
             v = latest_version(table) + 1
-            _commit(table, v, actions, txn)
+            _commit(table, v, actions, txn, _schema_fields(df))
             return v
         except TxConflict:
             continue
@@ -242,7 +289,8 @@ def read_table(spark: SparkSession, table: str,
         if not files:
             # preserve schema: scan one file, filter to nothing
             files = sorted(live)[:1]
-    df = spark.read.parquet(*[os.path.join(table, f) for f in files])
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(table, f) for f in files])
     if where is not None:
         col, op, value = where
         df = df.filter(_OPS[op](F.col(col), F.lit(value)))
@@ -261,11 +309,11 @@ def tx_delete_where(spark: SparkSession, table: str, where: tuple,
                if _overlaps(live[f], col, op, value)]
     actions: list[dict] = [{"op": "remove", "file": f} for f in touched]
     if touched:
-        survivors = spark.read.parquet(
+        survivors = spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(table, f) for f in touched]
         ).filter(~_OPS[op](F.col(col), F.lit(value)))
         actions += _write_files(survivors, table, stats_cols)
-    _commit(table, base + 1, actions)
+    _commit(table, base + 1, actions)  # schema carried forward
     return base + 1
 
 
@@ -280,7 +328,8 @@ def tx_compact(spark: SparkSession, table: str, target_files: int = 1,
     after compaction (the Z-order/OPTIMIZE idea, 1-D)."""
     base = latest_version(table)
     live = snapshot_files(table, base)
-    df = spark.read.parquet(*[os.path.join(table, f) for f in sorted(live)])
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(table, f) for f in sorted(live)])
     if cluster_by is not None:
         df = df.repartitionByRange(
             target_files, cluster_by).sortWithinPartitions(cluster_by)
@@ -293,7 +342,8 @@ def tx_compact(spark: SparkSession, table: str, target_files: int = 1,
 
 
 def tx_merge(spark: SparkSession, table: str, source: DataFrame,
-             key: str, stats_cols: list[str] | None = None) -> int:
+             key: str, stats_cols: list[str] | None = None,
+             allow_schema_evolution: bool = False) -> int:
     """Row-level MERGE (upsert): source rows REPLACE table rows with
     the same `key`; unmatched source rows are INSERTED — the
     maintenance.py docstring's "table format with row-level merge",
@@ -311,6 +361,7 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
         raise ValueError(
             f"tx_merge: source has duplicate {key} values — an upsert "
             "must be key-unique (dedupe upstream, deliberately)")
+    _check_schema(source, table, allow_schema_evolution)
     lo, hi = source.agg(F.min(key), F.max(key)).first()
     base = latest_version(table)
     live = snapshot_files(table, base)
@@ -323,14 +374,17 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
     ]
     survivors = None
     if touched:
-        survivors = spark.read.parquet(
+        survivors = spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(table, f) for f in touched]
         ).join(source.select(key), key, "left_anti")
+    # allowMissingColumns: under additive evolution the survivors lack
+    # the source's new columns — they fill as NULL, the mergeSchema
+    # read contract
     merged = (source if survivors is None
-              else survivors.unionByName(source))
+              else survivors.unionByName(source, allowMissingColumns=True))
     actions: list[dict] = [{"op": "remove", "file": f} for f in touched]
     actions += _write_files(merged, table, stats_cols)
-    _commit(table, base + 1, actions)
+    _commit(table, base + 1, actions, schema=_schema_fields(merged))
     return base + 1
 
 

@@ -261,6 +261,50 @@ def test_clustered_compaction_keeps_skipping(spark, sf_dir, tmp_path):
         orders.filter(F.col("o_orderkey") <= pred[2]))
 
 
+def test_schema_evolution_additive_only(spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir)
+    t = str(tmp_path / "t")
+    tx_append(orders.limit(20), t)
+    evolved = orders.limit(10).withColumn("o_channel", F.lit("web"))
+    # silent drift is rejected...
+    with pytest.raises(ValueError, match="schema drift"):
+        tx_append(evolved, t)
+    # ...deliberate additive evolution is allowed
+    tx_append(evolved, t, allow_schema_evolution=True)
+    df = read_table(spark, t)
+    assert "o_channel" in df.columns
+    assert df.count() == 30
+    # pre-evolution rows surface NULL for the new column
+    assert df.filter(F.col("o_channel").isNull()).count() == 20
+    # type changes and dropped columns are NEVER evolution
+    retyped = orders.limit(5).withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("string"))
+    with pytest.raises(ValueError, match="additive-only"):
+        tx_append(retyped, t, allow_schema_evolution=True)
+    with pytest.raises(ValueError, match="additive-only"):
+        tx_append(orders.limit(5).drop("o_orderstatus"), t,
+                  allow_schema_evolution=True)
+
+
+def test_merge_with_schema_evolution(spark, sf_dir, tmp_path):
+    from saurav_nayak_recipe_etl_project_spark.sources.txlog import (
+        tx_merge,
+    )
+
+    orders = _orders(spark, sf_dir)
+    t = str(tmp_path / "t")
+    tx_append(orders.limit(30), t, ["o_orderkey"])
+    src = orders.limit(5).withColumn("o_flag", F.lit(1))
+    with pytest.raises(ValueError, match="schema drift"):
+        tx_merge(spark, t, src, "o_orderkey")
+    tx_merge(spark, t, src, "o_orderkey", ["o_orderkey"],
+             allow_schema_evolution=True)
+    df = read_table(spark, t)
+    assert df.count() == 30
+    assert df.filter(F.col("o_flag") == 1).count() == 5
+    assert df.filter(F.col("o_flag").isNull()).count() == 25
+
+
 def test_vacuum_retention_and_loud_horizon(spark, sf_dir, tmp_path):
     orders = _orders(spark, sf_dir)
     t = str(tmp_path / "t")
