@@ -95,8 +95,9 @@ _load_optional()
 # at sf0.01 in VERDICT r10 — 40 r5, 33 r6, 41 r7, 50 r8, 41 r9,
 # 50 r10):
 #   (1) changed in round 11: acid_orders_ledger + acid_orders_merge
-#       (NEW — the log-structured ACID table's 4-commit life and its
-#       row-level MERGE, strict snapshot oracles), stream_ann_index
+#       + acid_orders_cdf (NEW — the log-structured ACID table's
+#       4-commit life, row-level MERGE, and touched-file change data
+#       feed, strict snapshot oracles), stream_ann_index
 #       (NEW — the
 #       incrementally-maintained IVF index MV, strict full-replay
 #       train/assign/probe/rerank oracle), stream_dup_pairs (NEW —
@@ -114,19 +115,21 @@ _load_optional()
 #       only 9, missing F75-F78);
 #   (3) stalest fill: the r5 block alphabetically from
 #       ann_nearest_centroid — the 50-cut lands after
-#       quality_filter_pipeline (31 of 40 r5 fit).
+#       q9_profit_by_nation_year (30 of 40 r5 fit).
 # ROUND-12 FILL PLAN (computed at r11 close so the window stays
-# mechanical): after r12's changed entries (front), the 9 r5
-# leftovers (range_join_windows, rebalance_sources,
-# sessionize_events, skew_diagnostics, snapshot_diff,
-# stream_events_window, topk_parts_per_brand, validation_report,
-# weekly_active_breakdown), then the r6 block alphabetically from
-# ab_experiment_report (33) — ~42 slots absorbs both blocks, closing
-# the full rotation in r12 as planned (oldest staleness becomes r7).
+# mechanical): after r12's changed entries (front), the 10 r5
+# leftovers (quality_filter_pipeline, range_join_windows,
+# rebalance_sources, sessionize_events, skew_diagnostics,
+# snapshot_diff, stream_events_window, topk_parts_per_brand,
+# validation_report, weekly_active_breakdown), then the r6 block
+# alphabetically from ab_experiment_report (33) — ~43 slots absorbs
+# both blocks, closing the full rotation in r12 as planned (oldest
+# staleness becomes r7).
 _DRIVER_PRIORITY = [
     # -- (1) changed in round 11 --
     "acid_orders_ledger",
     "acid_orders_merge",
+    "acid_orders_cdf",
     "stream_ann_index",
     "stream_dup_pairs",
     "token_fertility_by_lang",
@@ -180,9 +183,9 @@ _DRIVER_PRIORITY = [
     "q6_forecast_revenue",
     "q8_market_share",
     "q9_profit_by_nation_year",
-    "quality_filter_pipeline",
-    # -- below the 50-cut: the 9 r5 leftovers (round 12 leads
+    # -- below the 50-cut: the 10 r5 leftovers (round 12 leads
     #    here), then the r6 block --
+    "quality_filter_pipeline",
     "range_join_windows",
     "rebalance_sources",
     "sessionize_events",

@@ -388,6 +388,38 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
     return base + 1
 
 
+def tx_changes(spark: SparkSession, table: str, from_version: int,
+               to_version: int, key: str,
+               cols: list[str]) -> DataFrame:
+    """Change data feed: row-level changes between two versions,
+    computed from ONLY the files the intervening commits touched —
+    a row in a file neither removed nor added between the versions
+    CANNOT have changed, so the diff reads O(churn) bytes at any
+    table size (the Delta CDF idea, recovered from add/remove
+    actions instead of stored change files). Rewrite-only churn
+    (compaction) hashes out as unchanged. Returns delta.table_diff's
+    vocabulary: (key, change_type ∈ added/removed/changed). Vacuumed
+    `from_version`s raise loudly via the snapshot replay."""
+    from saurav_nayak_recipe_etl_project_spark.operators.delta import (
+        table_diff,
+    )
+
+    if from_version >= to_version:
+        raise ValueError("tx_changes needs from_version < to_version")
+    before = snapshot_files(table, from_version)
+    after = snapshot_files(table, to_version)
+    removed = sorted(f for f in before if f not in after)
+    added = sorted(f for f in after if f not in before)
+
+    def _read(files):
+        if files:
+            return spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(table, f) for f in files])
+        return read_table(spark, table, to_version).limit(0)
+
+    return table_diff(_read(added), _read(removed), key, cols)
+
+
 def last_txn_batch(table: str, app: str) -> int | None:
     """Highest committed batch id for `app` (Delta's SetTransaction
     replay) — None when the app never committed."""
@@ -577,11 +609,64 @@ SELECT o_orderstatus, COUNT(*) AS n_orders,
 FROM merged GROUP BY o_orderstatus
 """
 
+def acid_orders_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered CDF entry, STRICT VALUE oracle: append orders, MERGE
+    the acid_orders_merge upsert batch, DELETE the remaining open
+    ('O') orders, then ask `tx_changes` what happened between version
+    0 and version 2. The oracle classifies every key analytically —
+    %7 keys were updated (changed), non-%7 'O' rows were deleted
+    (removed), %13 re-keyed rows were inserted (added), everything
+    else must be ABSENT — so one hash proves the touched-file diff
+    reads exactly the churn: any unchanged row leaking in (or a
+    changed one hashing out) reds the driver."""
+    import tempfile
+
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    hi = orders.agg(F.max("o_orderkey")).first()[0] or 0
+    table = tempfile.mkdtemp(prefix="txlog_cdf_")
+    tx_append(orders.repartitionByRange(8, "o_orderkey")
+              .sortWithinPartitions("o_orderkey"), table, ["o_orderkey"])
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"))
+    inserts = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + hi + 1).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"), "o_totalprice")
+    tx_merge(spark, table, updates.unionByName(inserts), "o_orderkey",
+             ["o_orderkey"])
+    tx_delete_where(spark, table, ("o_orderstatus", "=", "O"),
+                    ["o_orderkey"])
+    return tx_changes(spark, table, 0, 2, "o_orderkey",
+                      ["o_orderstatus", "o_totalprice"])
+
+
+_CDF_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus FROM orders
+),
+mx AS (SELECT MAX(o_orderkey) AS hi FROM orders)
+SELECT o_orderkey, 'changed' AS change_type
+FROM base WHERE o_orderkey % 7 = 0
+UNION ALL
+SELECT o_orderkey, 'removed'
+FROM base WHERE o_orderkey % 7 <> 0 AND o_orderstatus = 'O'
+UNION ALL
+SELECT o_orderkey + hi + 1, 'added'
+FROM base, mx WHERE o_orderkey % 13 = 0
+"""
+
 TXLOG_QUERIES = {
     "acid_orders_ledger": acid_orders_ledger,
     "acid_orders_merge": acid_orders_merge,
+    "acid_orders_cdf": acid_orders_cdf,
 }
 TXLOG_ORACLES = {
     "acid_orders_ledger": _ACID_ORACLE,
     "acid_orders_merge": _MERGE_ORACLE,
+    "acid_orders_cdf": _CDF_ORACLE,
 }

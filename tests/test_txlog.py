@@ -305,6 +305,38 @@ def test_merge_with_schema_evolution(spark, sf_dir, tmp_path):
     assert df.filter(F.col("o_flag").isNull()).count() == 25
 
 
+def test_changes_reads_only_churn(spark, sf_dir, tmp_path):
+    from saurav_nayak_recipe_etl_project_spark.sources.txlog import (
+        tx_changes, tx_merge,
+    )
+
+    orders = _orders(spark, sf_dir)
+    t = str(tmp_path / "t")
+    tx_append(orders.repartitionByRange(6, "o_orderkey"), t,
+              ["o_orderkey"])
+    src = orders.limit(10).select(
+        "o_orderkey", F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1).alias("o_totalprice"))
+    tx_merge(spark, t, src, "o_orderkey", ["o_orderkey"])
+    changes = tx_changes(spark, t, 0, 1, "o_orderkey",
+                         ["o_orderstatus", "o_totalprice"])
+    got = {r["o_orderkey"]: r["change_type"] for r in changes.collect()}
+    expected_keys = {r["o_orderkey"] for r in src.select(
+        "o_orderkey").collect()}
+    assert set(got) == expected_keys          # ONLY the churn surfaces
+    assert set(got.values()) == {"changed"}
+    # compaction-only churn hashes out to an EMPTY feed
+    tx_compact(spark, t, 2, ["o_orderkey"], cluster_by="o_orderkey")
+    assert tx_changes(spark, t, 1, 2, "o_orderkey",
+                      ["o_orderstatus", "o_totalprice"]).count() == 0
+    # delete shows up as removed
+    tx_delete_where(spark, t, ("o_orderstatus", "=", "U"))
+    dels = tx_changes(spark, t, 2, 3, "o_orderkey",
+                      ["o_orderstatus", "o_totalprice"])
+    assert {r["change_type"] for r in dels.collect()} == {"removed"}
+    assert dels.count() == len(expected_keys)
+
+
 def test_vacuum_retention_and_loud_horizon(spark, sf_dir, tmp_path):
     orders = _orders(spark, sf_dir)
     t = str(tmp_path / "t")
