@@ -420,6 +420,39 @@ def tx_changes(spark: SparkSession, table: str, from_version: int,
     return table_diff(_read(added), _read(removed), key, cols)
 
 
+def tx_read_incremental(spark: SparkSession, table: str,
+                        after_version: int):
+    """Incremental consumption of an append-mostly table: the rows
+    ADDED by commits in (after_version, latest], plus the new cursor —
+    the poll loop of a streaming source over the tx log (Delta's
+    streaming source reads exactly this; callers checkpoint the
+    returned version and pass it back next poll). Raises if any
+    intervening commit REMOVED files (a delete/merge/compact is not
+    representable as an append feed — consume `tx_changes` instead;
+    silently skipping removals would replay ghosts). Returns
+    (DataFrame | None, latest_version) — None when nothing new."""
+    latest = latest_version(table)
+    if latest <= after_version:
+        return None, latest
+    added: list[str] = []
+    vs = [v for v in _versions(table)
+          if after_version < v <= latest]
+    log = {e_v: e for e_v, e in zip(_versions(table), _read_log(table))}
+    for v in vs:
+        for a in log[v]["actions"]:
+            if a["op"] == "remove":
+                raise ValueError(
+                    f"tx_read_incremental: version {v} removed files "
+                    "(delete/merge/compact) — an append feed cannot "
+                    "represent it; switch this consumer to tx_changes")
+            added.append(a["file"])
+    if not added:
+        return None, latest
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(table, f) for f in added])
+    return df, latest
+
+
 def last_txn_batch(table: str, app: str) -> int | None:
     """Highest committed batch id for `app` (Delta's SetTransaction
     replay) — None when the app never committed."""

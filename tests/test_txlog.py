@@ -337,6 +337,48 @@ def test_changes_reads_only_churn(spark, sf_dir, tmp_path):
     assert dels.count() == len(expected_keys)
 
 
+def test_incremental_reader_and_append_feed_contract(spark, sf_dir,
+                                                     tmp_path):
+    from saurav_nayak_recipe_etl_project_spark.sources.txlog import (
+        tx_read_incremental,
+    )
+
+    orders = _orders(spark, sf_dir)
+    t = str(tmp_path / "t")
+    tx_append(orders.limit(30), t)
+    df, cur = tx_read_incremental(spark, t, -1)
+    assert cur == 0 and df.count() == 30
+    # nothing new -> None, same cursor
+    df2, cur2 = tx_read_incremental(spark, t, cur)
+    assert df2 is None and cur2 == cur
+    tx_append(orders.limit(50), t)  # overlapping rows, new files
+    df3, cur3 = tx_read_incremental(spark, t, cur)
+    assert cur3 == 1 and df3.count() == 50  # only the NEW commit's rows
+    # a removal in the range is not an append feed — loud, not ghosts
+    tx_delete_where(spark, t, ("o_orderstatus", "=", "F"))
+    with pytest.raises(ValueError, match="tx_changes"):
+        tx_read_incremental(spark, t, cur3)
+
+
+def test_crashed_writer_orphans_invisible_then_vacuumed(spark, sf_dir,
+                                                        tmp_path):
+    from saurav_nayak_recipe_etl_project_spark.sources.txlog import (
+        _write_files,
+    )
+
+    orders = _orders(spark, sf_dir)
+    t = str(tmp_path / "t")
+    tx_append(orders.limit(30), t)
+    before = _rows(read_table(spark, t))
+    # a writer crashes AFTER writing data files, BEFORE committing
+    orphan_actions = _write_files(orders.limit(10), t, None)
+    assert orphan_actions  # files exist on disk...
+    assert _rows(read_table(spark, t)) == before  # ...readers never see them
+    removed = vacuum(t, keep_versions=1)
+    assert removed >= len(orphan_actions)  # and vacuum reclaims them
+    assert _rows(read_table(spark, t)) == before
+
+
 def test_vacuum_retention_and_loud_horizon(spark, sf_dir, tmp_path):
     orders = _orders(spark, sf_dir)
     t = str(tmp_path / "t")
