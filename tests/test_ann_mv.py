@@ -183,6 +183,45 @@ def test_compaction_preserves_view_and_search(spark, sf_dir, tmp_path):
     assert any(d.startswith("list_id=") for d in dirs), dirs
 
 
+def test_stream_restart_recovers_from_checkpoint(spark, sf_dir,
+                                                 tmp_path):
+    """Two query LIFETIMES over one checkpoint: the first drains drop
+    0 (trains the quantizer), the query stops, drop 1 lands, a fresh
+    query with the SAME checkpoint resumes — it must process ONLY the
+    new file (as batch 1, against the frozen centroids) and land the
+    same index as the batch twin."""
+    import glob
+    import shutil
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    b0, b1 = _split(emb)
+    src = str(tmp_path / "drops")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+
+    def land(i, df):
+        d = str(tmp_path / f"stage_{i}")
+        df.coalesce(1).write.parquet(d)
+        shutil.copy(glob.glob(f"{d}/part-*.parquet")[0],
+                    f"{src}/{i}.parquet")
+
+    land(0, b0)
+    run_ann_index_stream(spark, src, ckpt, state)   # lifetime 1
+    n0 = read_ann_mv(spark, state).count()
+    assert n0 == b0.count()
+    land(1, b1)
+    run_ann_index_stream(spark, src, ckpt, state)   # lifetime 2
+    batch_state = str(tmp_path / "batch_state")
+    ann_mv_process_batch(b0, 0, batch_state)
+    ann_mv_process_batch(b1, 1, batch_state)
+    assert _postings_set(
+        read_ann_mv(spark, state).select("vec_id", "list_id", "dist2")
+    ) == _postings_set(
+        read_ann_mv(spark, batch_state).select("vec_id", "list_id",
+                                               "dist2"))
+
+
 def test_real_stream_matches_batch_twin(spark, sf_dir, tmp_path):
     emb = load_table(spark, "embeddings", sf_dir)
     b0, b1 = _split(emb)

@@ -112,6 +112,52 @@ def test_mv_feeds_audit_dashboards(spark, sf_dir, tmp_path):
     )
 
 
+def test_real_stream_with_restart_finds_cross_lifetime_dup(spark,
+                                                           tmp_path):
+    """The real readStream path (run_pair_mv_stream) across TWO query
+    lifetimes sharing a checkpoint: drop 0 lands, the query drains and
+    stops; a near-dup of a drop-0 doc lands in drop 1; a fresh query
+    on the same checkpoint resumes and must discover the CROSS-
+    LIFETIME pair from state, in the later batch's partition."""
+    import glob
+    import os as _os
+    import shutil
+
+    from pyspark.sql import Row
+
+    from saurav_nayak_recipe_etl_project_spark.streaming.pair_mv import (
+        run_pair_mv_stream,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lambda mu nu xi omicron pi rho sigma tau")
+    src = str(tmp_path / "drops")
+    _os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+
+    def land(i, rows):
+        df = spark.createDataFrame([
+            Row(doc_id=d, text=t, lang="en", source="s", n_chars=len(t))
+            for d, t in rows
+        ]).coalesce(1)
+        d = str(tmp_path / f"stage_{i}")
+        df.write.parquet(d)
+        shutil.copy(glob.glob(f"{d}/part-*.parquet")[0],
+                    f"{src}/{i}.parquet")
+
+    land(0, [(1, base), (2, "totally different words " * 5)])
+    run_pair_mv_stream(spark, src, ckpt, state)      # lifetime 1
+    assert read_pair_mv(spark, state).count() == 0
+    land(1, [(11, base + " upsilon")])
+    run_pair_mv_stream(spark, src, ckpt, state)      # lifetime 2
+    got = _pairs_set(read_pair_mv(spark, state))
+    assert any(a == 1 and b == 11 for a, b, _ in got), got
+    files = glob.glob(_os.path.join(state, "pairs", "batch_id=1",
+                                    "*.parquet"))
+    assert files, "cross-lifetime pair not in the resumed batch's dir"
+
+
 def test_state_layout_is_bucket_partitioned(spark, sf_dir, tmp_path):
     docs = load_table(spark, "documents", sf_dir).limit(50)
     state = str(tmp_path / "state")
