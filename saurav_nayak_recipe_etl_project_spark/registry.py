@@ -69,6 +69,7 @@ def _load_optional() -> None:
         ("saurav_nayak_recipe_etl_project_spark.streaming.pair_mv", "STREAM_PAIR_MV_QUERIES", "STREAM_PAIR_MV_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.streaming.ann_mv", "ANN_MV_QUERY_FNS", "ANN_MV_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.sources.txlog", "TXLOG_QUERIES", "TXLOG_ORACLES"),
+        ("saurav_nayak_recipe_etl_project_spark.streaming.scorecard_mv", "SCORECARD_MV_QUERIES", "SCORECARD_MV_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.streaming.drift", "STREAM_DRIFT_QUERIES", "STREAM_DRIFT_ORACLES"),
     ]:
         try:
@@ -102,7 +103,9 @@ _load_optional()
 #       incrementally-maintained IVF index MV, strict full-replay
 #       train/assign/probe/rerank oracle), stream_dup_pairs (NEW —
 #       the foreachBatch-maintained verified-pair MV, strict
-#       exact-pair-set oracle), the four r10-ADVICE fixes
+#       exact-pair-set oracle), stream_quality_scorecard (NEW — the
+#       F75 dashboard as an additive-counts MV, F75 oracle verbatim),
+#       the four r10-ADVICE fixes
 #       (token_fertility_by_lang + source_mixture_weights divisor
 #       guards, quality_threshold_sweep + dup_exposure_by_quality via
 #       the now-total quality_score_micro, simhash_radius_audit via
@@ -115,16 +118,16 @@ _load_optional()
 #       only 9, missing F75-F78);
 #   (3) stalest fill: the r5 block alphabetically from
 #       ann_nearest_centroid — the 50-cut lands after
-#       q9_profit_by_nation_year (30 of 40 r5 fit).
+#       q8_market_share (29 of 40 r5 fit).
 # ROUND-12 FILL PLAN (computed at r11 close so the window stays
-# mechanical): after r12's changed entries (front), the 10 r5
-# leftovers (quality_filter_pipeline, range_join_windows,
-# rebalance_sources, sessionize_events, skew_diagnostics,
-# snapshot_diff, stream_events_window, topk_parts_per_brand,
-# validation_report, weekly_active_breakdown), then the r6 block
-# alphabetically from ab_experiment_report (33) — ~43 slots absorbs
-# both blocks, closing the full rotation in r12 as planned (oldest
-# staleness becomes r7).
+# mechanical): after r12's changed entries (front), the 11 r5
+# leftovers (q9_profit_by_nation_year, quality_filter_pipeline,
+# range_join_windows, rebalance_sources, sessionize_events,
+# skew_diagnostics, snapshot_diff, stream_events_window,
+# topk_parts_per_brand, validation_report,
+# weekly_active_breakdown), then the r6 block alphabetically from
+# ab_experiment_report (33) — ~44 slots absorbs both blocks, closing
+# the full rotation in r12 as planned (oldest staleness becomes r7).
 _DRIVER_PRIORITY = [
     # -- (1) changed in round 11 --
     "acid_orders_ledger",
@@ -132,6 +135,7 @@ _DRIVER_PRIORITY = [
     "acid_orders_cdf",
     "stream_ann_index",
     "stream_dup_pairs",
+    "stream_quality_scorecard",
     "token_fertility_by_lang",
     "source_mixture_weights",
     "quality_threshold_sweep",
@@ -182,9 +186,9 @@ _DRIVER_PRIORITY = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q8_market_share",
-    "q9_profit_by_nation_year",
-    # -- below the 50-cut: the 10 r5 leftovers (round 12 leads
+    # -- below the 50-cut: the 11 r5 leftovers (round 12 leads
     #    here), then the r6 block --
+    "q9_profit_by_nation_year",
     "quality_filter_pipeline",
     "range_join_windows",
     "rebalance_sources",
