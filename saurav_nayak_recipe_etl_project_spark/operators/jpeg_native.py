@@ -469,6 +469,11 @@ def decode_jpeg(blob: bytes):
             raise ValueError("JPEG truncated before SOS")
         if data[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at byte {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before
+        # a marker — skip them (a conforming third-party encoder may
+        # emit them; 0xFFFF is padding, not a marker)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:

@@ -156,7 +156,7 @@ _DRIVER_PRIORITY = [
     "text_char_entropy",
     # -- (3) stalest fill: the r5 block alphabetically from
     #    ann_nearest_centroid; the 50-cut lands after
-    #    sessionize_events --
+    #    q8_market_share --
     "ann_nearest_centroid",
     "approx_distinct_bounds",
     "cdc_apply",

@@ -93,15 +93,24 @@ def _commit(table: str, version: int, actions: list[dict],
     path = os.path.join(_log_path(table), f"{version:011d}.json")
     payload = json.dumps(
         {"actions": actions, "txn": txn, "schema": schema}) + "\n"
+    # publish the FULL payload atomically: write a private temp file,
+    # then hard-link it to the version name (link fails if the name is
+    # taken — same mutual exclusion as O_EXCL, but no window where a
+    # reader or a crash can observe a half-written/empty version file)
+    tmp = path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.link(tmp, path)
     except FileExistsError:
         raise TxConflict(
             f"version {version} of {table} was committed by another "
             "writer; re-read the latest snapshot and retry"
         ) from None
-    with os.fdopen(fd, "w") as f:
-        f.write(payload)
+    finally:
+        os.unlink(tmp)
 
 
 def _read_log(table: str, version: int | None = None) -> list[dict]:
@@ -218,17 +227,25 @@ def tx_append(df: DataFrame, table: str,
               allow_schema_evolution: bool = False) -> int:
     """Append-only commit: new files + one log entry, O(delta).
     Returns the committed version."""
-    if txn is not None:
-        last = last_txn_batch(table, txn["app"])
-        if last is not None and txn["batch"] <= last:
-            return latest_version(table)  # idempotent replay: no-op
     _check_schema(df, table, allow_schema_evolution)
-    actions = _write_files(df, table, stats_cols)
+    actions = None
     # blind appends COMMUTE, so a lost race is retried at the next
     # version number automatically (the Delta protocol's append
     # auto-resolution); read-modify-write ops (delete/compact) do NOT
     # retry — their base may be stale, so TxConflict surfaces there.
+    # The txn-replay and schema checks re-run EVERY attempt against
+    # the new latest version: a rival replay of the same (app, batch)
+    # must turn this attempt into a no-op, and a rival schema
+    # evolution must fail this append loudly, not be silently
+    # regressed by a stale schema recommit.
     for _ in range(20):
+        if txn is not None:
+            last = last_txn_batch(table, txn["app"])
+            if last is not None and txn["batch"] <= last:
+                return latest_version(table)  # idempotent replay: no-op
+        _check_schema(df, table, allow_schema_evolution)
+        if actions is None:
+            actions = _write_files(df, table, stats_cols)
         try:
             v = latest_version(table) + 1
             _commit(table, v, actions, txn, _schema_fields(df))
@@ -287,8 +304,12 @@ def read_table(spark: SparkSession, table: str,
         col, op, value = where
         files = [f for f in files if _overlaps(live[f], col, op, value)]
         if not files:
-            # preserve schema: scan one file, filter to nothing
-            files = sorted(live)[:1]
+            # preserve the FULL (merged) schema: fall back to the
+            # whole file list — a single arbitrary file could predate
+            # an additive evolution and silently lack new columns.
+            # The predicate matches nothing, parquet row-group stats
+            # skip the data pages, and zero-match reads are rare.
+            files = sorted(live)
     df = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(table, f) for f in files])
     if where is not None:
@@ -309,9 +330,15 @@ def tx_delete_where(spark: SparkSession, table: str, where: tuple,
                if _overlaps(live[f], col, op, value)]
     actions: list[dict] = [{"op": "remove", "file": f} for f in touched]
     if touched:
+        # NULL-safe survivor filter: ~(col op value) is NULL (not
+        # false) when the column is NULL, and a plain filter drops
+        # NULL rows — silently deleting rows the predicate never
+        # matched. A delete keeps every row whose predicate is not
+        # TRUE, so coalesce the negation to TRUE for NULLs.
+        pred = _OPS[op](F.col(col), F.lit(value))
         survivors = spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(table, f) for f in touched]
-        ).filter(~_OPS[op](F.col(col), F.lit(value)))
+        ).filter(F.coalesce(~pred, F.lit(True)))
         actions += _write_files(survivors, table, stats_cols)
     _commit(table, base + 1, actions)  # schema carried forward
     return base + 1
@@ -410,12 +437,19 @@ def tx_changes(spark: SparkSession, table: str, from_version: int,
     after = snapshot_files(table, to_version)
     removed = sorted(f for f in before if f not in after)
     added = sorted(f for f in after if f not in before)
+    # schema donor for an empty side: the other side's churn, else any
+    # live file of either snapshot (a delete-everything commit leaves
+    # `after` empty — the feed must report the removals, not crash)
+    donor = added or removed or sorted(after or before)
+    if not donor:
+        raise ValueError(
+            f"tx_changes: {table} has no files at either version")
 
     def _read(files):
-        if files:
-            return spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(table, f) for f in files])
-        return read_table(spark, table, to_version).limit(0)
+        src = files or donor
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(table, f) for f in src])
+        return df if files else df.limit(0)
 
     return table_diff(_read(added), _read(removed), key, cols)
 
@@ -456,15 +490,20 @@ def tx_read_incremental(spark: SparkSession, table: str,
 def last_txn_batch(table: str, app: str) -> int | None:
     """Highest committed batch id for `app` (Delta's SetTransaction
     replay) — None when the app never committed."""
-    if latest_version(table) < 0:
+    vs = _versions(table)
+    if not vs:
         return None
-    best = None
-    for entry in _read_log(table):
-        txn = entry.get("txn")
+    # scan NEWEST-first and stop at the app's first txn: per app,
+    # batch ids commit in order (the Structured Streaming contract),
+    # so the latest matching commit holds the max batch — O(gap)
+    # per micro-batch instead of re-parsing the whole log (which
+    # made a long-lived tx_sink_batch stream O(commits^2)).
+    for v in reversed(vs):
+        with open(os.path.join(_log_path(table), f"{v:011d}.json")) as f:
+            txn = json.loads(f.read()).get("txn")
         if txn and txn.get("app") == app:
-            b = txn["batch"]
-            best = b if best is None or b > best else best
-    return best
+            return txn["batch"]
+    return None
 
 
 def tx_sink_batch(batch_df: DataFrame, batch_id: int, table: str,

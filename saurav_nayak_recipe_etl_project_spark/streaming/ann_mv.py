@@ -85,13 +85,17 @@ def _read_centroids(spark: SparkSession, cent_path: str):
     pipeline-order bug, not a condition to paper over."""
     import numpy as np
 
-    try:
-        rows = spark.read.parquet(cent_path).orderBy("c").collect()
-    except Exception as exc:  # AnalysisException: path missing
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(cent_path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jvm_path):
+        # ONLY the missing-path case maps to "untrained" — a corrupt
+        # or unreadable centroid file must surface as the storage
+        # fault it is, not as advice to retrain over possibly-good
+        # state
         raise ValueError(
             "ann_mv: quantizer not trained — no centroid state at "
-            f"{cent_path}; process the seed batch (batch_id=0) first"
-        ) from exc
+            f"{cent_path}; process the seed batch (batch_id=0) first")
+    rows = spark.read.parquet(cent_path).orderBy("c").collect()
     cids = np.array([r["c"] for r in rows], dtype=np.int64)
     C = np.stack([np.array(r["v"], dtype=np.int64) for r in rows])
     return C, cids

@@ -79,12 +79,27 @@ def scorecard_from_counts(counts: DataFrame) -> DataFrame:
     """Stateless rollup from (source, reason, n_docs) counts —
     including `_all` rows — to the F75 report shape: truncating ppm
     of the source's docs, exact integers throughout (the same
-    DECIMAL DIV expression as the batch entry)."""
+    DECIMAL DIV expression as the batch entry).
+
+    The `_kept` row is synthesized per source from the totals side
+    (count coalesced to 0): a source whose EVERY document is flagged
+    has no `_kept` count row in the MV, but the batch F75 entry (and
+    its oracle) still reports (source, '_kept', 0) — without the
+    synthesis the streamed scorecard would silently drop that row on
+    a fully-rejected source."""
     totals = counts.where(F.col("reason") == _ALL).select(
         "source", F.col("n_docs").alias("source_docs"))
+    kept = totals.select("source").join(
+        counts.where(F.col("reason") == _KEPT), "source", "left"
+    ).select(
+        "source", F.lit(_KEPT).alias("reason"),
+        F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+    )
+    rows = counts.where(
+        ~F.col("reason").isin(_ALL, _KEPT)
+    ).unionByName(kept)
     return (
-        counts.where(F.col("reason") != _ALL)
-        .join(F.broadcast(totals), "source")
+        rows.join(F.broadcast(totals), "source")
         .select(
             "source", "reason", "n_docs", "source_docs",
             F.expr(

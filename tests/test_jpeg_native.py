@@ -128,6 +128,18 @@ def test_hand_built_single_block_fixture():
     assert np.all(out == 128), out[:, :, 0]
 
 
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: 0xFF fill bytes may pad before any marker — a
+    conforming third-party stream with padding must decode identically
+    (r11 review finding: the parser raised 'marker 0xFFFF')."""
+    img = _gradient(16, 16)
+    blob = encode_jpeg(img, quality=90)
+    # inject fill bytes before the SOF0 marker
+    i = blob.find(b"\xff\xc0")
+    padded = blob[:i] + b"\xff\xff\xff" + blob[i:]
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(blob))
+
+
 def test_decode_fails_loudly():
     img = _gradient(16, 16)
     blob = bytearray(encode_jpeg(img, quality=90))

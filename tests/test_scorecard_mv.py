@@ -47,6 +47,32 @@ def test_replay_is_idempotent(spark, sf_dir, tmp_path):
     assert _rows(read_scorecard_counts(spark, state)) == once
 
 
+def test_fully_rejected_source_keeps_zero_kept_row(spark, tmp_path):
+    """r11 review finding: a source whose EVERY document is flagged
+    has no `_kept` count in the MV state, but the F75 report (and the
+    verbatim oracle) still carries (source, '_kept', 0) — the rollup
+    must synthesize it."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame([
+        # 'bad' docs: too short -> flagged by the length rule
+        Row(doc_id=1, text="x", lang="en", source="bad", n_chars=1),
+        Row(doc_id=2, text="y", lang="en", source="bad", n_chars=1),
+        Row(doc_id=3,
+            text=("many various distinct english words compose this "
+                  "entirely unremarkable yet sufficiently long sample "
+                  "paragraph about nothing in particular"),
+            lang="en", source="ok", n_chars=135),
+    ])
+    state = str(tmp_path / "state")
+    scorecard_process_batch(docs, 0, state)
+    got = scorecard_from_counts(read_scorecard_counts(spark, state))
+    kept = {r["source"]: (r["n_docs"], r["share_ppm"])
+            for r in got.where(F.col("reason") == "_kept").collect()}
+    assert kept["bad"] == (0, 0), kept
+    assert kept["ok"][0] == 1
+
+
 def test_real_stream_with_restart(spark, sf_dir, tmp_path):
     docs = load_table(spark, "documents", sf_dir)
     src = str(tmp_path / "drops")

@@ -102,6 +102,51 @@ def test_delete_where_is_file_granular(spark, sf_dir, tmp_path):
     assert _rows(read_table(spark, t, version=0)) == _rows(orders)
 
 
+def test_delete_preserves_null_predicate_rows(spark, tmp_path):
+    """r11 review finding: ~(col op value) is NULL for NULL columns
+    and a plain filter drops those rows — a delete must keep every
+    row whose predicate is not TRUE, including NULLs."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "F"), (2, None), (3, "O")], "k long, status string")
+    tx_append(df, t)
+    tx_delete_where(spark, t, ("status", "=", "F"))
+    got = sorted((r["k"], r["status"])
+                 for r in read_table(spark, t).collect())
+    assert got == [(2, None), (3, "O")], got
+
+
+def test_pruned_to_empty_read_keeps_evolved_schema(spark, tmp_path):
+    """r11 review finding: the zero-match fallback must carry the
+    FULL merged schema, not an arbitrary pre-evolution file's."""
+    t = str(tmp_path / "t")
+    tx_append(spark.createDataFrame([(1, "a")], "k long, s string"),
+              t, ["k"])
+    tx_append(
+        spark.createDataFrame([(100, "b", 7)],
+                              "k long, s string, extra long"),
+        t, ["k"], allow_schema_evolution=True)
+    df = read_table(spark, t, where=("k", "=", -5))  # matches nothing
+    assert df.count() == 0
+    assert "extra" in df.columns  # evolved column present even empty
+
+
+def test_changes_after_delete_everything(spark, tmp_path):
+    """r11 review finding: a delete-everything commit empties the
+    to-snapshot; the CDF must report the removals, not crash."""
+    from saurav_nayak_recipe_etl_project_spark.sources.txlog import (
+        tx_changes,
+    )
+
+    t = str(tmp_path / "t")
+    tx_append(spark.createDataFrame(
+        [(1, "F"), (2, "F")], "k long, status string"), t)
+    tx_delete_where(spark, t, ("status", "=", "F"))
+    got = {r["k"]: r["change_type"]
+           for r in tx_changes(spark, t, 0, 1, "k", ["status"]).collect()}
+    assert got == {1: "removed", 2: "removed"}
+
+
 def test_compact_is_invariant_and_atomic(spark, sf_dir, tmp_path):
     orders = _orders(spark, sf_dir)
     t = str(tmp_path / "t")
