@@ -478,7 +478,14 @@ def decode_jpeg(blob: bytes):
         pos += 2
         if marker == 0xD9:
             raise ValueError("EOI before any scan data")
+        if pos + 2 > len(data):
+            raise ValueError(
+                f"JPEG truncated in segment header (marker 0xFF{marker:02X})")
         length = struct.unpack_from(">H", data, pos)[0]
+        if pos + length > len(data):
+            raise ValueError(
+                f"JPEG truncated inside segment 0xFF{marker:02X} "
+                f"(declares {length} bytes, {len(data) - pos} remain)")
         seg = data[pos + 2:pos + length]
         if marker == 0xDB:                                     # DQT
             s = 0
@@ -529,6 +536,18 @@ def decode_jpeg(blob: bytes):
             for i in range(ns):
                 cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
                 sel[cid] = (tabs >> 4, tabs & 0x0F)
+            # a legal baseline stream MAY split components across
+            # several sequential scans (T.81 allows it); this decoder
+            # handles the single-interleaved-scan form only — reject
+            # the rest LOUDLY instead of KeyError-ing below
+            missing = [c["id"] for c in frame["comps"]
+                       if c["id"] not in sel]
+            if missing:
+                raise ValueError(
+                    "multi-scan baseline JPEG unsupported (SOS covers "
+                    f"{sorted(sel)} of frame components "
+                    f"{[c['id'] for c in frame['comps']]}) — route to "
+                    "decode_image_real")
             scan = sel
         elif 0xE0 <= marker <= 0xEF or marker == 0xFE:
             pass                                               # APPn/COM

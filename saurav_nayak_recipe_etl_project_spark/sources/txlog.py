@@ -31,12 +31,14 @@ add/remove FILE actions, so
   records the horizon; time travel past it fails LOUDLY, not with a
   missing-file stack trace.
 
-100 TB posture: the log is O(commits) driver-side JSON (production
-formats checkpoint it into parquet; same layout, one more fold); data
-stays distributed parquet; stats pruning means a key-ranged read
-opens the log, not the object store listing. Single-filesystem
-O_EXCL is the commit primitive here; on an object store it becomes
-put-if-absent — the swap every table format performs.
+100 TB posture: the log is checkpointed — `tx_checkpoint` folds the
+action log into a parquet snapshot published via a `_last_checkpoint`
+pointer (the Delta checkpoint protocol), so reads replay O(tail)
+commits instead of O(commits) JSON; data stays distributed parquet;
+stats pruning means a key-ranged read opens the log, not the object
+store listing. Single-filesystem O_EXCL is the commit primitive here;
+on an object store it becomes put-if-absent — the swap every table
+format performs.
 """
 
 from __future__ import annotations
@@ -50,6 +52,8 @@ from pyspark.sql import functions as F
 
 _LOG_DIR = "_txlog"
 _HORIZON = "_vacuum_horizon"
+_CKPT_SUFFIX = ".checkpoint.parquet"
+_CKPT_PTR = "_last_checkpoint"
 
 
 class TxConflict(Exception):
@@ -61,7 +65,8 @@ def _log_path(table: str) -> str:
     return os.path.join(table, _LOG_DIR)
 
 
-def _versions(table: str) -> list[int]:
+def _json_versions(table: str) -> list[int]:
+    """Versions with a raw JSON commit file still present."""
     d = _log_path(table)
     if not os.path.isdir(d):
         return []
@@ -69,6 +74,23 @@ def _versions(table: str) -> list[int]:
         int(f[:-5]) for f in os.listdir(d)
         if f.endswith(".json") and f[:-5].isdigit()
     )
+
+
+def _checkpoint_versions(table: str) -> list[int]:
+    d = _log_path(table)
+    if not os.path.isdir(d):
+        return []
+    n = len(_CKPT_SUFFIX)
+    return sorted(
+        int(f[:-n]) for f in os.listdir(d)
+        if f.endswith(_CKPT_SUFFIX) and f[:-n].isdigit()
+    )
+
+
+def _versions(table: str) -> list[int]:
+    """All readable versions: JSON commits plus checkpoint-only
+    versions (a cleaned log keeps the checkpointed snapshot live)."""
+    return sorted(set(_json_versions(table)) | set(_checkpoint_versions(table)))
 
 
 def latest_version(table: str) -> int:
@@ -85,10 +107,7 @@ def _commit(table: str, version: int, actions: list[dict],
     Each commit records the table schema; a commit that adds no files
     carries the prior version's schema forward."""
     if schema is None and version > 0:
-        prev = os.path.join(_log_path(table), f"{version - 1:011d}.json")
-        if os.path.exists(prev):
-            with open(prev) as f:
-                schema = json.loads(f.read()).get("schema")
+        schema = _schema_at(table, version - 1)
     os.makedirs(_log_path(table), exist_ok=True)
     path = os.path.join(_log_path(table), f"{version:011d}.json")
     payload = json.dumps(
@@ -113,7 +132,38 @@ def _commit(table: str, version: int, actions: list[dict],
         os.unlink(tmp)
 
 
-def _read_log(table: str, version: int | None = None) -> list[dict]:
+def _read_json_commit(table: str, v: int) -> dict:
+    with open(os.path.join(_log_path(table), f"{v:011d}.json")) as f:
+        return json.loads(f.read())
+
+
+def _load_checkpoint(table: str, v: int) -> tuple[dict, dict | None, dict]:
+    """(live files, schema, txn high-water marks) from the parquet
+    checkpoint at version v."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(_log_path(table), f"{v:011d}{_CKPT_SUFFIX}")
+    t = pq.read_table(path)
+    live = {
+        f: json.loads(s) for f, s in
+        zip(t.column("file").to_pylist(), t.column("stats_json").to_pylist())
+    }
+    meta = t.schema.metadata or {}
+    schema = (json.loads(meta[b"schema_json"].decode())
+              if b"schema_json" in meta else None)
+    txns = (json.loads(meta[b"txns_json"].decode())
+            if b"txns_json" in meta else {})
+    return live, schema, txns
+
+
+def _resolve_snapshot(table: str,
+                      version: int | None = None) -> tuple[dict, int, int]:
+    """Replay to `version` through the best checkpoint at or below it:
+    (live files, json commits replayed, checkpoint version used or -1).
+    The replay cost is O(tail-past-checkpoint), not O(commits) — the
+    Delta `_last_checkpoint` read path. Versions are dense by
+    construction (every commit is latest+1), so a missing tail file
+    means the log was cleaned past its checkpoint — loud error."""
     vs = _versions(table)
     if not vs:
         raise ValueError(f"{table} has no transaction log")
@@ -121,32 +171,38 @@ def _read_log(table: str, version: int | None = None) -> list[dict]:
         version = vs[-1]
     if version not in vs:
         raise ValueError(f"version {version} does not exist "
-                         f"(have {vs[0]}..{vs[-1]})")
+                         f"(have {vs[0]}..{vs[-1]}; commits below a "
+                         "checkpoint may have been cleaned)")
     horizon = vacuum_horizon(table)
     if version < horizon:
         raise ValueError(
             f"version {version} of {table} was vacuumed (horizon "
             f"{horizon}) — its data files no longer exist")
-    entries = []
-    for v in vs:
-        if v > version:
-            break
-        with open(os.path.join(_log_path(table), f"{v:011d}.json")) as f:
-            entries.append(json.loads(f.read()))
-    return entries
-
-
-def snapshot_files(table: str, version: int | None = None) -> dict:
-    """Replay the log: {relative file path: stats dict} live at
-    `version` (latest when None)."""
+    base = max((c for c in _checkpoint_versions(table) if c <= version),
+               default=-1)
     live: dict = {}
-    for entry in _read_log(table, version):
-        for a in entry["actions"]:
+    if base >= 0:
+        live, _, _ = _load_checkpoint(table, base)
+    tail = [v for v in _json_versions(table) if base < v <= version]
+    expected = list(range(base + 1, version + 1))
+    if tail != expected:
+        raise ValueError(
+            f"{table} log is missing commits {sorted(set(expected) - set(tail))} "
+            f"between checkpoint {base} and version {version} — cannot replay")
+    for v in tail:
+        for a in _read_json_commit(table, v)["actions"]:
             if a["op"] == "add":
                 live[a["file"]] = a.get("stats") or {}
             elif a["op"] == "remove":
                 live.pop(a["file"], None)
-    return live
+    return live, len(tail), base
+
+
+def snapshot_files(table: str, version: int | None = None) -> dict:
+    """Replay the log: {relative file path: stats dict} live at
+    `version` (latest when None). Resolves through the latest
+    checkpoint at or below `version` when one exists."""
+    return _resolve_snapshot(table, version)[0]
 
 
 def vacuum_horizon(table: str) -> int:
@@ -161,19 +217,32 @@ def _schema_fields(df: DataFrame) -> dict:
     return {f.name: f.dataType.simpleString() for f in df.schema.fields}
 
 
-def _check_schema(df: DataFrame, table: str, evolve: bool) -> None:
+def _schema_at(table: str, version: int) -> dict | None:
+    """The committed table schema at `version` — from the JSON commit
+    when present, else from the checkpoint that replaced it."""
+    if version < 0:
+        return None
+    if version in _json_versions(table):
+        return _read_json_commit(table, version).get("schema")
+    if version in _checkpoint_versions(table):
+        return _load_checkpoint(table, version)[1]
+    return None
+
+
+def _check_schema(df: DataFrame, table: str, evolve: bool,
+                  at_version: int | None = None) -> None:
     """Schema enforcement (the Delta contract): an append whose
     columns drift from the table raises unless `evolve=True`, and
     evolution is ADDITIVE-ONLY — a changed column type or a dropped
     column is always an error (silent widening/narrowing corrupts
     every reader downstream; rewrite the table deliberately
-    instead)."""
-    v = latest_version(table)
+    instead). `at_version` pins the check to a captured base version
+    so callers can make check-then-commit atomic (a rival commit in
+    between bumps the version and the commit raises TxConflict)."""
+    v = latest_version(table) if at_version is None else at_version
     if v < 0:
         return
-    path = os.path.join(_log_path(table), f"{v:011d}.json")
-    with open(path) as f:
-        prior = json.loads(f.read()).get("schema")
+    prior = _schema_at(table, v)
     if prior is None:
         return
     now = _schema_fields(df)
@@ -227,29 +296,32 @@ def tx_append(df: DataFrame, table: str,
               allow_schema_evolution: bool = False) -> int:
     """Append-only commit: new files + one log entry, O(delta).
     Returns the committed version."""
-    _check_schema(df, table, allow_schema_evolution)
     actions = None
     # blind appends COMMUTE, so a lost race is retried at the next
     # version number automatically (the Delta protocol's append
     # auto-resolution); read-modify-write ops (delete/compact) do NOT
     # retry — their base may be stale, so TxConflict surfaces there.
-    # The txn-replay and schema checks re-run EVERY attempt against
-    # the new latest version: a rival replay of the same (app, batch)
-    # must turn this attempt into a no-op, and a rival schema
-    # evolution must fail this append loudly, not be silently
-    # regressed by a stale schema recommit.
+    # Each attempt captures base = latest_version FIRST and runs the
+    # txn-replay and schema checks AGAINST THAT BASE, then commits at
+    # base+1: a rival commit landing anywhere in the window (including
+    # during the multi-second _write_files) bumps the version, the
+    # commit raises TxConflict, and the checks re-run against the new
+    # state — no stale-check/fresh-commit TOCTOU. A rival replay of
+    # the same (app, batch) therefore turns the retry into a no-op,
+    # and a rival schema evolution fails the retry loudly instead of
+    # being silently regressed by a stale schema recommit.
     for _ in range(20):
+        base = latest_version(table)
         if txn is not None:
-            last = last_txn_batch(table, txn["app"])
+            last = last_txn_batch(table, txn["app"], at_version=base)
             if last is not None and txn["batch"] <= last:
-                return latest_version(table)  # idempotent replay: no-op
-        _check_schema(df, table, allow_schema_evolution)
+                return base  # idempotent replay: no-op
+        _check_schema(df, table, allow_schema_evolution, at_version=base)
         if actions is None:
             actions = _write_files(df, table, stats_cols)
         try:
-            v = latest_version(table) + 1
-            _commit(table, v, actions, txn, _schema_fields(df))
-            return v
+            _commit(table, base + 1, actions, txn, _schema_fields(df))
+            return base + 1
         except TxConflict:
             continue
     raise TxConflict(
@@ -328,18 +400,22 @@ def tx_delete_where(spark: SparkSession, table: str, where: tuple,
     live = snapshot_files(table, base)
     touched = [f for f in sorted(live)
                if _overlaps(live[f], col, op, value)]
+    if not touched:
+        # no file's stats can contain a match: a no-op delete commits
+        # NOTHING — an empty version would pollute history and the CDF
+        # version sequence for zero state change
+        return base
+    # NULL-safe survivor filter: ~(col op value) is NULL (not
+    # false) when the column is NULL, and a plain filter drops
+    # NULL rows — silently deleting rows the predicate never
+    # matched. A delete keeps every row whose predicate is not
+    # TRUE, so coalesce the negation to TRUE for NULLs.
+    pred = _OPS[op](F.col(col), F.lit(value))
+    survivors = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(table, f) for f in touched]
+    ).filter(F.coalesce(~pred, F.lit(True)))
     actions: list[dict] = [{"op": "remove", "file": f} for f in touched]
-    if touched:
-        # NULL-safe survivor filter: ~(col op value) is NULL (not
-        # false) when the column is NULL, and a plain filter drops
-        # NULL rows — silently deleting rows the predicate never
-        # matched. A delete keeps every row whose predicate is not
-        # TRUE, so coalesce the negation to TRUE for NULLs.
-        pred = _OPS[op](F.col(col), F.lit(value))
-        survivors = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(table, f) for f in touched]
-        ).filter(F.coalesce(~pred, F.lit(True)))
-        actions += _write_files(survivors, table, stats_cols)
+    actions += _write_files(survivors, table, stats_cols)
     _commit(table, base + 1, actions)  # schema carried forward
     return base + 1
 
@@ -370,18 +446,35 @@ def tx_compact(spark: SparkSession, table: str, target_files: int = 1,
 
 def tx_merge(spark: SparkSession, table: str, source: DataFrame,
              key: str, stats_cols: list[str] | None = None,
-             allow_schema_evolution: bool = False) -> int:
-    """Row-level MERGE (upsert): source rows REPLACE table rows with
-    the same `key`; unmatched source rows are INSERTED — the
-    maintenance.py docstring's "table format with row-level merge",
-    delivered. File-granular: only live files whose `key` stats
-    overlap the source's key range are rewritten (coarse range prune
-    driver-side; the anti-join below is what guarantees correctness —
-    production formats refine the prune with a bloom or an inner join
-    on file ranges, same contract). A source with duplicate keys
-    raises (the Delta MERGE multiple-match rule) — an upsert that
-    applies "one of" two updates silently is a corruption, not a
-    convenience."""
+             allow_schema_evolution: bool = False,
+             matched_delete: tuple | None = None,
+             matched_update_condition: tuple | None = None) -> int:
+    """Row-level MERGE: source rows REPLACE table rows with the same
+    `key`; unmatched source rows are INSERTED — the maintenance.py
+    docstring's "table format with row-level merge", delivered.
+
+    Full Delta-style clause set, evaluated in order per matched row:
+    - `matched_delete=(col, op, literal)` — WHEN MATCHED AND <cond>
+      THEN DELETE: matched target rows whose SOURCE row satisfies the
+      condition are dropped (neither kept nor replaced; the source row
+      is not written).
+    - `matched_update_condition=(col, op, literal)` — WHEN MATCHED AND
+      <cond> THEN UPDATE: matched rows are replaced only when the
+      source row satisfies the condition; otherwise the TARGET row is
+      retained. Omitted = unconditional update (upsert).
+    Both conditions reference the SOURCE row and are NULL-SAFE: a
+    condition evaluating to NULL does NOT fire the clause (standard
+    SQL WHEN MATCHED AND semantics — the tx_delete_where lesson,
+    applied via IS TRUE, never a bare filter). Unmatched source rows
+    insert unconditionally regardless of either clause.
+
+    File-granular: only live files whose `key` stats overlap the
+    source's key range are rewritten (coarse range prune driver-side;
+    the key joins below are what guarantee correctness — production
+    formats refine the prune with a bloom or an inner join on file
+    ranges, same contract). A source with duplicate keys raises (the
+    Delta MERGE multiple-match rule) — an upsert that applies "one of"
+    two updates silently is a corruption, not a convenience."""
     ndup = (source.groupBy(key).count().filter(F.col("count") > 1)
             .limit(1).count())
     if ndup:
@@ -399,16 +492,54 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
         if _overlaps(live[f], key, ">=", lo)
         and _overlaps(live[f], key, "<=", hi)
     ]
-    survivors = None
+
+    def _cond_true(cond: tuple):
+        c, op, v = cond
+        # IS TRUE: NULL never fires a clause
+        return _OPS[op](F.col(c), F.lit(v)).eqNullSafe(F.lit(True))
+
+    tgt = None
     if touched:
-        survivors = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(table, f) for f in touched]
-        ).join(source.select(key), key, "left_anti")
+        tgt = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(table, f) for f in touched])
+    if matched_delete is None and matched_update_condition is None:
+        # plain upsert: survivors = unmatched targets, write-all source
+        survivors = (None if tgt is None
+                     else tgt.join(source.select(key), key, "left_anti"))
+        to_write = source
+    else:
+        del_f = (_cond_true(matched_delete) if matched_delete is not None
+                 else F.lit(False))
+        upd_f = (_cond_true(matched_update_condition)
+                 if matched_update_condition is not None else F.lit(True))
+        flags = source.select(
+            F.col(key), del_f.alias("__tx_del"), upd_f.alias("__tx_upd"))
+        if tgt is None:
+            survivors = None
+            to_write = source  # nothing can match: all-insert
+        else:
+            # target rows kept: unmatched, or matched with neither
+            # clause firing (delete wins over update, Delta clause
+            # order)
+            survivors = (
+                tgt.join(flags.withColumn("__tx_m", F.lit(True)), key, "left")
+                .filter(F.col("__tx_m").isNull()
+                        | (~F.col("__tx_del") & ~F.col("__tx_upd")))
+                .drop("__tx_del", "__tx_upd", "__tx_m"))
+            # source rows written: unmatched inserts + matched updates
+            # that fire and are not deletes
+            tkeys = tgt.select(key)
+            src_f = (source
+                     .withColumn("__tx_del", del_f).withColumn("__tx_upd", upd_f))
+            ins = src_f.join(tkeys, key, "left_anti")
+            upd = (src_f.join(tkeys, key, "left_semi")
+                   .filter(~F.col("__tx_del") & F.col("__tx_upd")))
+            to_write = ins.unionByName(upd).drop("__tx_del", "__tx_upd")
     # allowMissingColumns: under additive evolution the survivors lack
     # the source's new columns — they fill as NULL, the mergeSchema
     # read contract
-    merged = (source if survivors is None
-              else survivors.unionByName(source, allowMissingColumns=True))
+    merged = (to_write if survivors is None
+              else survivors.unionByName(to_write, allowMissingColumns=True))
     actions: list[dict] = [{"op": "remove", "file": f} for f in touched]
     actions += _write_files(merged, table, stats_cols)
     _commit(table, base + 1, actions, schema=_schema_fields(merged))
@@ -469,11 +600,15 @@ def tx_read_incremental(spark: SparkSession, table: str,
     if latest <= after_version:
         return None, latest
     added: list[str] = []
-    vs = [v for v in _versions(table)
+    vs = [v for v in _json_versions(table)
           if after_version < v <= latest]
-    log = {e_v: e for e_v, e in zip(_versions(table), _read_log(table))}
+    if vs != list(range(after_version + 1, latest + 1)):
+        raise ValueError(
+            f"tx_read_incremental: commits in ({after_version}, {latest}] "
+            "are no longer individually replayable (log cleaned past a "
+            "checkpoint) — re-bootstrap this consumer from a snapshot")
     for v in vs:
-        for a in log[v]["actions"]:
+        for a in _read_json_commit(table, v)["actions"]:
             if a["op"] == "remove":
                 raise ValueError(
                     f"tx_read_incremental: version {v} removed files "
@@ -487,22 +622,31 @@ def tx_read_incremental(spark: SparkSession, table: str,
     return df, latest
 
 
-def last_txn_batch(table: str, app: str) -> int | None:
-    """Highest committed batch id for `app` (Delta's SetTransaction
-    replay) — None when the app never committed."""
-    vs = _versions(table)
-    if not vs:
+def last_txn_batch(table: str, app: str,
+                   at_version: int | None = None) -> int | None:
+    """Highest committed batch id for `app` as of `at_version`
+    (latest when None) — None when the app never committed (Delta's
+    SetTransaction replay). `at_version` lets tx_append pin the check
+    to its captured base so check-then-commit is conflict-atomic."""
+    limit = latest_version(table) if at_version is None else at_version
+    if limit < 0:
         return None
     # scan NEWEST-first and stop at the app's first txn: per app,
     # batch ids commit in order (the Structured Streaming contract),
     # so the latest matching commit holds the max batch — O(gap)
     # per micro-batch instead of re-parsing the whole log (which
-    # made a long-lived tx_sink_batch stream O(commits^2)).
-    for v in reversed(vs):
-        with open(os.path.join(_log_path(table), f"{v:011d}.json")) as f:
-            txn = json.loads(f.read()).get("txn")
+    # made a long-lived tx_sink_batch stream O(commits^2)). A
+    # checkpoint at or below `limit` bounds the scan further: its
+    # metadata folds every older commit's txn high-water marks.
+    base = max((c for c in _checkpoint_versions(table) if c <= limit),
+               default=-1)
+    for v in reversed([v for v in _json_versions(table)
+                       if base < v <= limit]):
+        txn = _read_json_commit(table, v).get("txn")
         if txn and txn.get("app") == app:
             return txn["batch"]
+    if base >= 0:
+        return _load_checkpoint(table, base)[2].get(app)
     return None
 
 
@@ -529,6 +673,18 @@ def vacuum(table: str, keep_versions: int = 1) -> int:
     referenced: set = set()
     for v in keep:
         referenced.update(snapshot_files(table, v))
+    # publish the horizon BEFORE deleting anything, via temp+rename
+    # like _commit: if deletion is interrupted by a crash, time travel
+    # past the horizon fails with the loud horizon error (conservative
+    # — some vacuumed-version reads that would still work are refused),
+    # never with a missing-parquet scan error mid-plan.
+    hp = os.path.join(_log_path(table), _HORIZON)
+    tmp = hp + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(str(keep[0]))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, hp)
     removed = 0
     data_root = os.path.join(table, "data")
     for sub in sorted(os.listdir(data_root)) if os.path.isdir(
@@ -539,21 +695,100 @@ def vacuum(table: str, keep_versions: int = 1) -> int:
             if f.endswith(".parquet") and rel not in referenced:
                 os.remove(os.path.join(subdir, f))
                 removed += 1
-    with open(os.path.join(_log_path(table), _HORIZON), "w") as f:
-        f.write(str(keep[0]))
     return removed
 
 
 def history(table: str) -> list[dict]:
-    """One dict per version: counts of add/remove actions + txn."""
+    """One dict per version with a surviving JSON commit: counts of
+    add/remove actions + txn (commits folded away by tx_clean_log no
+    longer have per-commit history — the log-retention contract)."""
     out = []
-    for v in _versions(table):
-        with open(os.path.join(_log_path(table), f"{v:011d}.json")) as f:
-            e = json.loads(f.read())
+    for v in _json_versions(table):
+        e = _read_json_commit(table, v)
         ops = [a["op"] for a in e["actions"]]
         out.append({"version": v, "adds": ops.count("add"),
                     "removes": ops.count("remove"), "txn": e.get("txn")})
     return out
+
+
+def tx_checkpoint(table: str) -> int:
+    """Fold the transaction log into a parquet checkpoint at the
+    current latest version and publish it via the `_last_checkpoint`
+    pointer (temp+rename, like _commit) — the Delta checkpoint
+    protocol. After this, ANY read at or past the checkpoint replays
+    only the checkpoint plus the JSON tail — O(tail), not O(commits) —
+    and `tx_clean_log` may delete the folded JSON commits entirely.
+    The checkpoint carries the live file set with stats, the table
+    schema, and every app's txn high-water mark (so streaming replay
+    detection survives log cleaning). Returns the checkpointed
+    version. Idempotent: re-checkpointing the same version rewrites
+    an identical file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    v = latest_version(table)
+    if v < 0:
+        raise ValueError(f"{table} has no commits to checkpoint")
+    live, _, base = _resolve_snapshot(table, v)
+    schema = _schema_at(table, v)
+    txns: dict = {}
+    if base >= 0:
+        txns = dict(_load_checkpoint(table, base)[2])
+    for jv in [x for x in _json_versions(table) if base < x <= v]:
+        txn = _read_json_commit(table, jv).get("txn")
+        if txn and "app" in txn:
+            prev = txns.get(txn["app"])
+            if prev is None or txn["batch"] > prev:
+                txns[txn["app"]] = txn["batch"]
+    files = sorted(live)
+    t = pa.table(
+        {"file": pa.array(files, pa.string()),
+         "stats_json": pa.array([json.dumps(live[f]) for f in files],
+                                pa.string())},
+    ).replace_schema_metadata({
+        b"schema_json": json.dumps(schema).encode(),
+        b"txns_json": json.dumps(txns).encode(),
+        b"version": str(v).encode(),
+    })
+    path = os.path.join(_log_path(table), f"{v:011d}{_CKPT_SUFFIX}")
+    tmp = path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+    ptr = os.path.join(_log_path(table), _CKPT_PTR)
+    tmp = ptr + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(json.dumps({"version": v}))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, ptr)
+    return v
+
+
+def last_checkpoint_version(table: str) -> int | None:
+    """The `_last_checkpoint` pointer — None when never checkpointed."""
+    p = os.path.join(_log_path(table), _CKPT_PTR)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(json.loads(f.read())["version"])
+
+
+def tx_clean_log(table: str) -> int:
+    """Log retention: delete JSON commit files at or below the latest
+    checkpoint (their state lives in the checkpoint now). Time travel
+    to cleaned versions and incremental reads across them raise
+    loudly; the checkpoint version itself stays readable. Returns the
+    number of commit files removed."""
+    cvs = _checkpoint_versions(table)
+    if not cvs:
+        return 0
+    c = max(cvs)
+    removed = 0
+    for v in _json_versions(table):
+        if v <= c:
+            os.remove(os.path.join(_log_path(table), f"{v:011d}.json"))
+            removed += 1
+    return removed
 
 
 # --- registered verification gate -------------------------------------
@@ -732,13 +967,115 @@ SELECT o_orderkey + hi + 1, 'added'
 FROM base, mx WHERE o_orderkey % 13 = 0
 """
 
+MERGE_DELETE_UPDATE_BELOW = 150000.0  # conditional-update price gate
+
+
+def acid_orders_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered MERGE-with-clauses entry, STRICT VALUE oracle: load
+    orders into the tx table through a CHECKPOINTED log (append,
+    tx_checkpoint, tx_clean_log — so the read path under the merge is
+    the checkpoint+tail form), then MERGE a source with the full Delta
+    clause set: every 5th key arrives status 'D' (WHEN MATCHED AND
+    status='D' THEN DELETE), every 7th key (not %5) arrives 'U' at
+    double price (conditional UPDATE: only when the source price is
+    below MERGE_DELETE_UPDATE_BELOW — the rest retain the TARGET row),
+    every 11th key (not %5/%7) arrives with NULL status at triple
+    price (the delete condition evaluates NULL → must NOT fire — the
+    tx_delete_where NULL lesson, pinned at the driver), and every 13th
+    key re-inserts beyond the key space as 'N'. The oracle rebuilds
+    the merged table clause-by-clause in SQL; the NULL-status group in
+    the output hashes the NULL-safety, and the kept-target rows hash
+    the conditional-update fall-through."""
+    import tempfile
+
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    hi = orders.agg(F.max("o_orderkey")).first()[0] or 0
+    table = tempfile.mkdtemp(prefix="txlog_mergedel_")
+    tx_append(orders.repartitionByRange(8, "o_orderkey")
+              .sortWithinPartitions("o_orderkey"), table, ["o_orderkey"])
+    tx_checkpoint(table)
+    tx_clean_log(table)  # merge must read through the checkpoint
+    k = F.col("o_orderkey")
+    src = orders.filter((k % 5 == 0) | (k % 7 == 0) | (k % 11 == 0)).select(
+        "o_orderkey",
+        F.when(k % 5 == 0, F.lit("D"))
+        .when(k % 7 == 0, F.lit("U"))
+        .otherwise(F.lit(None).cast("string")).alias("o_orderstatus"),
+        F.when(k % 5 == 0, F.col("o_totalprice"))
+        .when(k % 7 == 0, F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice") * 3).alias("o_totalprice"),
+    ).unionByName(
+        orders.filter(k % 13 == 0).select(
+            (k + hi + 1).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"), "o_totalprice")
+    )
+    tx_merge(
+        spark, table, src, "o_orderkey", ["o_orderkey"],
+        matched_delete=("o_orderstatus", "=", "D"),
+        matched_update_condition=(
+            "o_totalprice", "<", MERGE_DELETE_UPDATE_BELOW),
+    )
+    return read_table(spark, table).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .alias("total_cents"),
+    )
+
+
+_MERGE_DELETE_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+mx AS (SELECT MAX(o_orderkey) AS hi FROM orders),
+src AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'D'
+              WHEN o_orderkey % 7 = 0 THEN 'U'
+              ELSE NULL END AS s_status,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice
+              WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice * 3 END AS s_price
+  FROM base
+  WHERE o_orderkey % 5 = 0 OR o_orderkey % 7 = 0 OR o_orderkey % 11 = 0
+  UNION ALL
+  SELECT o_orderkey + hi + 1, 'N', o_totalprice
+  FROM base, mx WHERE o_orderkey % 13 = 0
+),
+flags AS (
+  SELECT s.o_orderkey, s.s_status, s.s_price,
+         (b.o_orderkey IS NOT NULL) AS matched,
+         COALESCE(s.s_status = 'D', FALSE) AS del_f,
+         COALESCE(s.s_price < {MERGE_DELETE_UPDATE_BELOW}, FALSE) AS upd_f
+  FROM src s LEFT JOIN base b ON b.o_orderkey = s.o_orderkey
+),
+merged AS (
+  SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice
+  FROM base b LEFT JOIN flags f ON f.o_orderkey = b.o_orderkey
+  WHERE f.o_orderkey IS NULL OR (NOT f.del_f AND NOT f.upd_f)
+  UNION ALL
+  SELECT o_orderkey, s_status, s_price FROM flags
+  WHERE (NOT matched) OR (NOT del_f AND upd_f)
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM merged GROUP BY o_orderstatus
+"""
+
 TXLOG_QUERIES = {
     "acid_orders_ledger": acid_orders_ledger,
     "acid_orders_merge": acid_orders_merge,
     "acid_orders_cdf": acid_orders_cdf,
+    "acid_orders_merge_delete": acid_orders_merge_delete,
 }
 TXLOG_ORACLES = {
     "acid_orders_ledger": _ACID_ORACLE,
     "acid_orders_merge": _MERGE_ORACLE,
     "acid_orders_cdf": _CDF_ORACLE,
+    "acid_orders_merge_delete": _MERGE_DELETE_ORACLE,
 }

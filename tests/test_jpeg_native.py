@@ -181,3 +181,43 @@ def test_decode_media_native_jpeg_lane(spark):
     assert abs(got[1]["mean_b"] - m[2]) <= 3
     # grayscale jpeg decodes with replicated channels
     assert abs(got[2]["mean_r"] - got[2]["mean_b"]) < 1e-9
+
+
+def test_multi_scan_sos_rejected_loudly():
+    """ADVICE r11: a baseline JPEG whose SOS lists FEWER components
+    than the SOF (legal multi-scan sequential form) must raise the
+    documented ValueError, not KeyError mid-setup."""
+    img = _gradient(16, 16)
+    blob = bytes(encode_jpeg(img, quality=90))
+    i = blob.find(b"\xff\xda")
+    # original SOS payload: len(2) ns(1)=3 then 3×(cid, tabs) + 3 tail
+    # bytes; rebuild it listing only the FIRST component (ns=1)
+    ns = blob[i + 4]
+    assert ns == 3
+    comp0 = blob[i + 5:i + 7]
+    tail = blob[i + 5 + 2 * ns:i + 5 + 2 * ns + 3]
+    new_payload = bytes([1]) + comp0 + tail
+    new_len = struct.pack(">H", 2 + len(new_payload))
+    hacked = (blob[:i + 2] + new_len + new_payload
+              + blob[i + 5 + 2 * ns + 3:])
+    with pytest.raises(ValueError, match="multi-scan"):
+        decode_jpeg(hacked)
+
+
+def test_truncated_segment_header_rejected_loudly():
+    """ADVICE r11: a stream cut mid-segment-header (or a segment whose
+    declared length overruns the buffer) raises ValueError, never
+    struct.error."""
+    img = _gradient(16, 16)
+    blob = bytes(encode_jpeg(img, quality=90))
+    i = blob.find(b"\xff\xc0")
+    # cut right after the SOF0 marker bytes: no room for the length
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(blob[:i + 2])
+    # keep the length field but cut inside the declared payload
+    with pytest.raises(ValueError, match="truncated inside segment"):
+        decode_jpeg(blob[:i + 5])
+    # fill bytes pushing the length field past the buffer end: the
+    # loop-top pos+4 guard can't see it, the header bounds check must
+    with pytest.raises(ValueError, match="truncated in segment header"):
+        decode_jpeg(blob[:i] + b"\xff\xff\xff\xff\xc0")
