@@ -155,6 +155,20 @@ def ann_mv_process_batch(batch_emb: DataFrame, batch_id: int,
     postings.write.mode("overwrite").partitionBy("list_id").parquet(
         f"{state_path}/postings/batch_id={batch_id}"
     )
+    # occupancy side-state for the drift alarm: per-list counts of THIS
+    # batch, K rows, computed from the files just written (one slim
+    # column-pruned pass over the batch — crash-consistent with the
+    # postings) and overwritten replay-stable like everything else.
+    # The frozen quantizer cannot adapt to embedding-distribution
+    # drift; these counts are what lets ann_mv_drift SEE it.
+    occ = (
+        spark.read.parquet(f"{state_path}/postings/batch_id={batch_id}")
+        .groupBy(F.col("list_id").cast("long").alias("list_id"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    occ.coalesce(1).write.mode("overwrite").parquet(
+        f"{state_path}/occupancy/batch_id={batch_id}"
+    )
 
 
 def read_ann_mv(spark: SparkSession, state_path: str,
@@ -241,6 +255,45 @@ def ann_search_mv(spark: SparkSession, state_path: str,
         .filter(F.col("knn_rank") <= k)
         .select("q_vec_id", F.col("knn_rank").cast("int").alias("knn_rank"),
                 "neighbor_id", "dist2")
+    )
+
+
+def ann_mv_occupancy(spark: SparkSession, state_path: str) -> DataFrame:
+    """(batch_id, list_id, c): each batch's posting-list occupancy —
+    the O(K)-per-batch side-state ann_mv_process_batch maintains.
+    Survives compact_ann_mv_state untouched (it is provenance metrics,
+    not serving state — compaction folds postings, not history)."""
+    return (
+        spark.read.parquet(f"{state_path}/occupancy")
+        .select(F.col("batch_id").cast("long").alias("batch_id"),
+                "list_id", "c")
+    )
+
+
+def ann_mv_drift(spark: SparkSession, state_path: str) -> DataFrame:
+    """Quantizer-drift alarm for the FROZEN coarse quantizer: per
+    batch, the JS divergence (micro-nats) of that batch's posting-list
+    occupancy mix from the all-batches corpus mix — `drift_from_counts`
+    (streaming/drift.py, the G22 engine) reused VERBATIM with
+    batch_id as the day key and list_id as the category. A batch drawn
+    from a shifted embedding distribution piles into few lists and its
+    js_micro jumps, surfacing the recall risk BEFORE the recall-floor
+    verification gate would catch it downstream. Integer-exact
+    arithmetic end-to-end, so the scalar is hash-verifiable against
+    the SQL replay."""
+    from saurav_nayak_recipe_etl_project_spark.streaming.drift import (
+        drift_from_counts,
+    )
+
+    cnt = ann_mv_occupancy(spark, state_path).select(
+        F.col("batch_id").alias("d"),
+        F.col("list_id").alias("event_type"),
+        "c",
+    )
+    return drift_from_counts(cnt).select(
+        F.col("d").alias("batch_id"),
+        F.col("n_events").alias("n_vectors"),
+        "js_micro", "js_nats",
     )
 
 
@@ -333,15 +386,12 @@ def stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_search_mv(spark, state, queries)
 
 
-def _ann_mv_oracle(k_lists: int = ANN_MV_LISTS,
-                   nprobe: int = ANN_MV_NPROBE,
-                   k: int = ANN_MV_TOPK,
-                   n_queries: int = ANN_MV_QUERIES) -> str:
-    """Full-path DuckDB replay: seed-half quantizer train (the kmeans
-    oracle's seed rule restricted to vec_id <= mid), exact integer
-    assignment of every vector, per-query nprobe probe (smallest
-    (dist2, list)), candidates = probed posting lists minus self,
-    exact integer re-rank, per-query top-k by (dist2, neighbor_id)."""
+def _ivf_assign_ctes(k_lists: int) -> str:
+    """The shared DuckDB replay prefix: micro-quantized vectors,
+    seed-half quantizer training, exact integer assignment of every
+    vector into its posting list — used by BOTH the index oracle and
+    the drift oracle, so the two replays cannot diverge on the
+    assignment semantics."""
     from saurav_nayak_recipe_etl_project_spark.operators.kmeans import (
         MICRO,
     )
@@ -384,7 +434,19 @@ def _ann_mv_oracle(k_lists: int = ANN_MV_LISTS,
             AS rn
         FROM d2
       ) WHERE rn = 1
-    ),
+    )"""
+
+
+def _ann_mv_oracle(k_lists: int = ANN_MV_LISTS,
+                   nprobe: int = ANN_MV_NPROBE,
+                   k: int = ANN_MV_TOPK,
+                   n_queries: int = ANN_MV_QUERIES) -> str:
+    """Full-path DuckDB replay: seed-half quantizer train (the kmeans
+    oracle's seed rule restricted to vec_id <= mid), exact integer
+    assignment of every vector, per-query nprobe probe (smallest
+    (dist2, list)), candidates = probed posting lists minus self,
+    exact integer re-rank, per-query top-k by (dist2, neighbor_id)."""
+    return _ivf_assign_ctes(k_lists) + f""",
     qprobe AS (
       SELECT vec_id AS q_vec_id, c AS list_id FROM (
         SELECT vec_id, c,
@@ -418,6 +480,91 @@ def _ann_mv_oracle(k_lists: int = ANN_MV_LISTS,
     """
 
 
-ANN_MV_QUERY_FNS = {"stream_ann_index": stream_ann_index}
+def stream_ann_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered drift-alarm entry, STRICT VALUE oracle: builds the
+    same two-batch index state as stream_ann_index (batch 0
+    deliberately replayed — the occupancy side-state must be
+    replay-stable too), then emits each batch's occupancy-mix JS
+    divergence from the corpus mix via ann_mv_drift. The oracle
+    replays quantizer training + full-corpus assignment (the
+    stream_ann_index prefix VERBATIM), rebuilds the per-(batch, list)
+    occupancy analytically from vec_id <= mid, and reruns the G22
+    integer JS arithmetic — one hash proves the side-state counts,
+    their replay idempotency, and the drift scalar."""
+    import tempfile
 
-ANN_MV_ORACLES = {"stream_ann_index": _ann_mv_oracle()}
+    emb = load_table(spark, "embeddings", sf_dir)
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
+    mid = (lo + hi) // 2 if lo is not None else 0
+    tmp = tempfile.mkdtemp(prefix="stream_ann_drift_")
+    state = f"{tmp}/state"
+    first = emb.filter(F.col("vec_id") <= mid)
+    ann_mv_process_batch(first, 0, state)
+    ann_mv_process_batch(first, 0, state)  # deliberate replay
+    ann_mv_process_batch(emb.filter(F.col("vec_id") > mid), 1, state)
+    return ann_mv_drift(spark, state)
+
+
+def _ann_drift_oracle(k_lists: int = ANN_MV_LISTS) -> str:
+    """Assignment prefix shared with _ann_mv_oracle, then the
+    streaming/drift.py DRIFT_ORACLE arithmetic verbatim with batch_id
+    as the day key and list_id as the category."""
+    return _ivf_assign_ctes(k_lists) + """,
+    cnt AS (
+      SELECT CASE WHEN pv.vec_id <= m.mid THEN 0 ELSE 1 END AS d,
+             pv.list_id AS event_type, COUNT(*) AS c
+      FROM posting pv CROSS JOIN midpoint m
+      GROUP BY 1, 2
+    ),
+    per_day AS (SELECT d, SUM(c) AS nd FROM cnt GROUP BY d),
+    per_type AS (
+      SELECT event_type, SUM(c) AS ct FROM cnt GROUP BY event_type
+    ),
+    n_all AS (SELECT SUM(c) AS nn FROM cnt),
+    grid AS (
+      SELECT per_day.d, per_day.nd, per_type.event_type, per_type.ct,
+        n_all.nn, COALESCE(cnt.c, 0) AS c,
+        CAST(COALESCE(cnt.c, 0) AS HUGEINT) * nn
+          + CAST(per_type.ct AS HUGEINT) * nd AS den
+      FROM per_day
+      CROSS JOIN per_type
+      LEFT JOIN cnt ON cnt.d = per_day.d
+        AND cnt.event_type = per_type.event_type
+      CROSS JOIN n_all
+    ),
+    terms AS (
+      SELECT d, c, ct, nd, nn,
+        CASE WHEN c > 0 THEN
+          CAST(round(ln(CAST(2 * CAST(c AS HUGEINT) * nn AS DOUBLE))
+               * 1000000) AS BIGINT)
+          - CAST(round(ln(CAST(den AS DOUBLE)) * 1000000) AS BIGINT)
+        ELSE 0 END AS dp,
+        CAST(round(ln(CAST(2 * CAST(ct AS HUGEINT) * nd AS DOUBLE))
+             * 1000000) AS BIGINT)
+        - CAST(round(ln(CAST(den AS DOUBLE)) * 1000000) AS BIGINT)
+          AS dq
+      FROM grid
+    ),
+    agg AS (
+      SELECT d, MAX(nd) AS nd, MAX(nn) AS nn,
+        SUM(CAST(c AS HUGEINT) * dp) AS sp,
+        SUM(CAST(ct AS HUGEINT) * dq) AS sq
+      FROM terms GROUP BY d
+    )
+    SELECT CAST(d AS BIGINT) AS batch_id, CAST(nd AS BIGINT) AS n_vectors,
+      CAST((sp // nd + sq // nn) // 2 AS BIGINT) AS js_micro,
+      ROUND(CAST((sp // nd + sq // nn) // 2 AS BIGINT) / 1000000.0, 4)
+        AS js_nats
+    FROM agg
+    """
+
+
+ANN_MV_QUERY_FNS = {
+    "stream_ann_index": stream_ann_index,
+    "stream_ann_drift": stream_ann_drift,
+}
+
+ANN_MV_ORACLES = {
+    "stream_ann_index": _ann_mv_oracle(),
+    "stream_ann_drift": _ann_drift_oracle(),
+}
