@@ -330,6 +330,13 @@ HEADLINE = [
     # time-travel reads) — the warehouse write path, measured
     # end-to-end through the transaction log.
     "acid_orders_ledger",
+    # round-12 addition: the full MERGE clause set (delete +
+    # conditional update) executed through a CHECKPOINTED+cleaned log —
+    # the O(tail) read path under a three-way clause merge.
+    # stream_ann_drift is deliberately NOT added: its expensive prefix
+    # (quantizer train + two-batch maintenance) is stream_ann_index's,
+    # already benched; the drift rollup itself is a K×batches-cell agg.
+    "acid_orders_merge_delete",
 ]
 
 # ann_recall_at_k runs FIVE ANN paths + the exact oracle inside one
@@ -509,6 +516,35 @@ def main() -> None:
             os.path.dirname(os.path.abspath(__file__)),
             "bench_trend.jsonl",
         )
+        # The regression SIGNAL (r11 verdict item 7): the single-run
+        # total is dominated by fixed-cost micro-batch harnesses and
+        # host noise (single-run deltas under ~25% are unreadable on
+        # this box), so the recorded instrument is the MEDIAN per-query
+        # ratio of THIS run against the per-query MEDIAN of the last
+        # few trend rows (different ambient loads) — computed BEFORE
+        # appending the current row.
+        prev_rows = []
+        if os.path.exists(trend_path):
+            with open(trend_path) as f:
+                for ln in f:
+                    try:
+                        prev_rows.append(json.loads(ln))
+                    except ValueError:
+                        pass
+        prev_rows = prev_rows[-3:]
+        ratios_prev = []
+        for q, v in timings.items():
+            vals = [r["queries"][q] for r in prev_rows
+                    if q in r.get("queries", {}) and r["queries"][q] > 0]
+            if vals and v > 0:
+                ratios_prev.append(v / statistics.median(vals))
+        if ratios_prev:
+            result["common_median_vs_prev"] = round(
+                statistics.median(ratios_prev), 3)
+            result["common_median_vs_prev_n"] = {
+                "trend_rows": len(prev_rows),
+                "common_queries": len(ratios_prev),
+            }
         with open(trend_path, "a") as f:
             f.write(json.dumps({
                 "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
@@ -538,6 +574,8 @@ def main() -> None:
         "queries": result["queries"],
         "sf": result["sf"],
     }
+    if "common_median_vs_prev" in result:
+        compact["common_median_vs_prev"] = result["common_median_vs_prev"]
     if "value_10x" in result:
         ratios = {
             k: round(v / max(timings.get(k, 0.0), 1e-9), 1)
