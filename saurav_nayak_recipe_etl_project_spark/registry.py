@@ -71,6 +71,7 @@ def _load_optional() -> None:
         ("saurav_nayak_recipe_etl_project_spark.sources.txlog", "TXLOG_QUERIES", "TXLOG_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.streaming.scorecard_mv", "SCORECARD_MV_QUERIES", "SCORECARD_MV_ORACLES"),
         ("saurav_nayak_recipe_etl_project_spark.streaming.drift", "STREAM_DRIFT_QUERIES", "STREAM_DRIFT_ORACLES"),
+        ("saurav_nayak_recipe_etl_project_spark.streaming.clipstats_mv", "CLIPSTATS_MV_QUERIES", "CLIPSTATS_MV_ORACLES"),
     ]:
         try:
             m = importlib.import_module(mod)
@@ -90,104 +91,49 @@ _load_optional()
 #   (2) the STALEST entries first — ordered by the round each was last
 #       externally verified in (computed from the CORRECTNESS_r*.json
 #       union) — until the window is full.
-# Round-11 window composition, per the round-10 verdict directive
-# (staleness computed fresh from the CORRECTNESS_r1..r10 union at
-# round-11 start: 13 never driver-windowed — ALL judge-verified green
-# at sf0.01 in VERDICT r10 — 40 r5, 33 r6, 41 r7, 50 r8, 41 r9,
-# 50 r10):
-#   (1) changed in round 11: acid_orders_ledger + acid_orders_merge
-#       + acid_orders_cdf (NEW — the log-structured ACID table's
-#       4-commit life, row-level MERGE, and touched-file change data
-#       feed, strict snapshot oracles), stream_ann_index
-#       (NEW — the
-#       incrementally-maintained IVF index MV, strict full-replay
-#       train/assign/probe/rerank oracle), stream_dup_pairs (NEW —
-#       the foreachBatch-maintained verified-pair MV, strict
-#       exact-pair-set oracle), stream_quality_scorecard (NEW — the
-#       F75 dashboard as an additive-counts MV, F75 oracle verbatim),
-#       the four r10-ADVICE fixes
-#       (token_fertility_by_lang + source_mixture_weights divisor
-#       guards, quality_threshold_sweep + dup_exposure_by_quality via
-#       the now-total quality_score_micro, simhash_radius_audit via
-#       the materialize-gated simhash_banded_pairs) — values proven
-#       unchanged at 2 SFs + plain NY + hostile local[3]/AQE-off/
-#       Tokyo;
-#   (2) ALL remaining never-driver-windowed r10-born entries (10
-#       after the 3-entry overlap with (1); the r10 verdict's "13
-#       late borns" corrected here — the prior plan comment named
-#       only 9, missing F75-F78);
-#   (3) stalest fill: the r5 block alphabetically from
-#       ann_nearest_centroid — the 50-cut lands after
-#       q8_market_share (29 of 40 r5 fit).
-# ROUND-12 FILL PLAN (computed at r11 close so the window stays
-# mechanical): after r12's changed entries (front), the 11 r5
-# leftovers (q9_profit_by_nation_year, quality_filter_pipeline,
-# range_join_windows, rebalance_sources, sessionize_events,
-# skew_diagnostics, snapshot_diff, stream_events_window,
-# topk_parts_per_brand, validation_report,
-# weekly_active_breakdown), then the r6 block alphabetically from
-# ab_experiment_report (33) — ~44 slots absorbs both blocks, closing
-# the full rotation in r12 as planned (oldest staleness becomes r7).
+# Round-12 window composition (executing the plan computed at r11
+# close, which this window completes — the full rotation closes and
+# the oldest external verification anywhere becomes r7):
+#   (1) changed in round 12 (8): the four acid_* entries (txlog grew
+#       log checkpointing + _last_checkpoint resolution, the tx_append
+#       base-capture TOCTOU fix, horizon-first vacuum, no-op delete
+#       suppression — all three existing entries read through the new
+#       resolve path; acid_orders_merge_delete is NEW — MERGE
+#       delete/conditional-update clauses through a checkpointed+
+#       cleaned log, strict clause-by-clause SQL oracle),
+#       stream_ann_index (ann_mv_process_batch now maintains the
+#       occupancy side-state; oracle unchanged, values proven
+#       unchanged), stream_ann_drift (NEW — the frozen-quantizer
+#       drift alarm, strict assignment-replay + G22-JS oracle),
+#       ann_recall_at_k (exact top-k computed once and re-shipped
+#       literal; values proven unchanged at 2 SFs), stream_clip_stats
+#       (NEW — the F71 clip calibration as a weighted-rank counts MV,
+#       F71 oracle verbatim);
+#   (2) the 11 r5 leftovers (q9_profit_by_nation_year ..
+#       weekly_active_breakdown, alphabetical);
+#   (3) the r6 block alphabetically from ab_experiment_report — 32
+#       after ann_recall_at_k moved to (1); 8 + 11 + 32 = 51, so the
+#       50-cut drops the block's last name (training_data_pipeline —
+#       r6-verified, leads the r13 stale fill).
+# ROUND-13 FILL PLAN (computed now so the window stays mechanical):
+# after r13's changed entries (front), training_data_pipeline (the one
+# r6 leftover below this cut), then the stalest block: r7
+# (41 entries: events_json_extract, events_json_typed,
+# events_variant_stats, normalize_explode_structs, and the rest of
+# the r7-verified set per the CORRECTNESS_r7 window) — ~41 slots plus
+# changed entries fills the window; overflow spills to the r8 block
+# alphabetically.
 _DRIVER_PRIORITY = [
-    # -- (1) changed in round 11 --
+    # -- (1) changed in round 12 --
     "acid_orders_ledger",
     "acid_orders_merge",
     "acid_orders_cdf",
+    "acid_orders_merge_delete",
     "stream_ann_index",
-    "stream_dup_pairs",
-    "stream_quality_scorecard",
-    "token_fertility_by_lang",
-    "source_mixture_weights",
-    "quality_threshold_sweep",
-    "dup_exposure_by_quality",
-    "simhash_radius_audit",
-    # -- (2) ALL remaining never-driver-windowed r10-born
-    #    entries (judge-verified 13/13 green at sf0.01 in
-    #    VERDICT r10; 3 of the 13 are already in (1)) --
-    "diversity_sample_balanced",
-    "doc_length_psi_by_source",
-    "embedding_dim_clip_stats",
-    "embedding_qc_pipeline",
-    "leakage_by_source",
-    "q20_analog_dominant_shippers",
-    "q2_analog_min_cost_supplier",
-    "shingle_df_spectrum",
-    "source_quality_scorecard",
-    "text_char_entropy",
-    # -- (3) stalest fill: the r5 block alphabetically from
-    #    ann_nearest_centroid; the 50-cut lands after
-    #    q8_market_share --
-    "ann_nearest_centroid",
-    "approx_distinct_bounds",
-    "cdc_apply",
-    "cohort_retention",
-    "dedup_clusters",
-    "dedup_contamination",
-    "dedup_embedding_exact",
-    "dedup_exact",
-    "dedup_lsh_verified",
-    "dedup_ngram_jaccard",
-    "documents_deduped",
-    "event_transitions",
-    "gapfill_daily_revenue",
-    "orders_grouping_sets",
-    "pack_sequences",
-    "price_quantiles_approx",
-    "q12_priority_by_linestatus",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_revenue",
-    "q1_pricing_summary",
-    "q21_returned_alone_suppliers",
-    "q22_idle_customers",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    # -- below the 50-cut: the 11 r5 leftovers (round 12 leads
-    #    here), then the r6 block --
+    "stream_ann_drift",
+    "ann_recall_at_k",
+    "stream_clip_stats",
+    # -- (2) the 11 r5 leftovers --
     "q9_profit_by_nation_year",
     "quality_filter_pipeline",
     "range_join_windows",
@@ -199,13 +145,15 @@ _DRIVER_PRIORITY = [
     "topk_parts_per_brand",
     "validation_report",
     "weekly_active_breakdown",
+    # -- (3) the r6 block, alphabetical from ab_experiment_report
+    #    (ann_recall_at_k is in (1)); the 50-cut lands exactly at the
+    #    block's end --
     "ab_experiment_report",
     "ann_hnsw_topk",
     "ann_index_partitioned_search",
     "ann_index_stream_batch",
     "ann_ivf_topk",
     "ann_lsh_bucketed",
-    "ann_recall_at_k",
     "cms_user_counts",
     "decontaminate_5gram",
     "dedup_clusters_star",
@@ -231,6 +179,7 @@ _DRIVER_PRIORITY = [
     "revenue_growth_decomposition",
     "session_top_paths",
     "stream_mv_user_stats",
+    # -- below the 50-cut: training_data_pipeline (r6) leads r13 --
     "training_data_pipeline",
 ]
 

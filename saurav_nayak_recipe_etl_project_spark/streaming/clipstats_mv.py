@@ -1,0 +1,218 @@
+"""Incrementally-maintained clip-calibration stats (G28): the F71
+per-dimension P1/P50/P99 + clipped-mass readout
+(operators/linalg.py dim_clip_stats) kept always-current by
+foreachBatch maintenance — the quantization-calibration dashboard a
+100 TB embedding pipeline refreshes per drop, priced at O(batch·d)
+instead of a corpus rescan.
+
+The G26 split-of-labor: per-dimension EXACT percentiles are not
+additive, but the (dim, micro-value) COUNTS under them are — so the
+stream maintains only per-batch (dim, v, c) count partials (the G9
+idiom: O(batch·d) written rows, replay-stable overwrite,
+merge-on-read sum) and `clip_stats_from_counts` is the stateless
+weighted rollup: the banded `with_grouped_rank` lane with `c` as the
+cumulative weight, percentile = min v whose inclusive cumulative
+count reaches rank ceil(q·n) — the weighted form of the batch entry's
+row-ranked type-1 inverse CDF, provably equal on merged counts
+(value at row-rank k == min v with cumulative value-count >= k).
+State is value-distribution bounded (distinct micro values per dim,
+never corpus-rows-sized after compaction), windows stay banded — no
+corpus-sized window partitions.
+
+The registered entry carries the F71 oracle VERBATIM: the streamed
+stats must equal the one-shot batch readout value-for-value — one
+hash proves per-batch count correctness, replay idempotency,
+cross-batch additivity, and the weighted-rank rollup arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from saurav_nayak_recipe_etl_project_spark.operators.linalg import MICRO
+from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+
+
+def clipstats_process_batch(batch_emb: DataFrame, batch_id: int,
+                            state_path: str) -> None:
+    """One maintenance micro-batch: this batch's (dim, micro-value)
+    counts, overwritten into a replay-stable partial partition.
+    One explode + one partial-aggregated groupBy — O(batch·d)."""
+    dims = batch_emb.select(
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * MICRO).cast("long"),
+            )
+        ).alias("dim", "v"),
+    )
+    counts = dims.groupBy("dim", "v").agg(F.count("*").alias("c"))
+    counts.write.mode("overwrite").parquet(
+        f"{state_path}/counts/batch_id={batch_id}"
+    )
+
+
+def read_clipstats_counts(spark: SparkSession,
+                          state_path: str) -> DataFrame:
+    """Merge-on-read: additive partials sum across batch partitions
+    to one exact (dim, v, c) frame."""
+    return (
+        spark.read.option("basePath", f"{state_path}/counts")
+        .parquet(f"{state_path}/counts")
+        .groupBy("dim", "v")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def clip_stats_from_counts(cnt: DataFrame) -> DataFrame:
+    """Stateless rollup from merged (dim, v, c) counts to the F71
+    readout (dim, n, p01/p50/p99_micro, n_below, n_above). Weighted
+    banded rank: `with_grouped_rank` over the counts frame with the
+    count as the cumulative weight — the window partition is
+    (dim, value-band), never a whole dimension; percentile q = min v
+    whose inclusive cumulative count reaches (n·q + 99) DIV 100,
+    integer-exact like the batch entry."""
+    from saurav_nayak_recipe_etl_project_spark.functions.ranking import (
+        derive_band_width,
+        with_grouped_rank,
+    )
+
+    width = derive_band_width(cnt, "v")
+    ranked = with_grouped_rank(
+        cnt,
+        ["dim"],
+        ["v"],
+        bucket=F.floor(F.col("v") / F.lit(width)),
+        cumsum_of="c",
+        cumsum_col="cum",
+    )
+    n_per = cnt.groupBy("dim").agg(F.sum("c").alias("n"))
+    aggs = [F.max("n").alias("n")]
+    for q in (1, 50, 99):
+        k = F.expr(f"(n * {q} + 99) DIV 100")
+        aggs.append(
+            F.min(F.when(F.col("cum") >= k, F.col("v")))
+            .alias(f"p{q:02d}_micro")
+        )
+    pct = (
+        ranked.join(F.broadcast(n_per), "dim")
+        .groupBy("dim").agg(*aggs)
+    )
+    return (
+        cnt.join(F.broadcast(pct), "dim")
+        .groupBy("dim")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("p01_micro").alias("p01_micro"),
+            F.max("p50_micro").alias("p50_micro"),
+            F.max("p99_micro").alias("p99_micro"),
+            F.sum(
+                F.when(F.col("v") < F.col("p01_micro"), F.col("c"))
+                .otherwise(F.lit(0))
+            ).alias("n_below"),
+            F.sum(
+                F.when(F.col("v") > F.col("p99_micro"), F.col("c"))
+                .otherwise(F.lit(0))
+            ).alias("n_above"),
+        )
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            "n", "p01_micro", "p50_micro", "p99_micro",
+            "n_below", "n_above",
+        )
+    )
+
+
+def compact_clipstats_state(spark: SparkSession, state_path: str) -> int:
+    """Fold every partial-count partition into the newest batch dir
+    with duplicates merged — state shrinks to the distinct (dim, v)
+    support. Same quiesced-boundary contract as the other partial-
+    count MVs (folding erases per-batch history, so a replay of an
+    already-committed batch afterwards would double-count). Returns
+    the number of partition dirs removed."""
+    path = f"{state_path}/counts"
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jvm_path):
+        return 0
+    names = [s.getPath().getName() for s in fs.listStatus(jvm_path)
+             if s.getPath().getName().startswith("batch_id=")]
+    if len(names) <= 1:
+        return 0
+    max_id = max(int(n.split("=", 1)[1]) for n in names)
+    merged = (
+        spark.read.option("basePath", path).parquet(path)
+        .groupBy("dim", "v").agg(F.sum("c").alias("c"))
+        .localCheckpoint()
+    )
+    merged.write.mode("overwrite").parquet(f"{path}/batch_id={max_id}")
+    removed = 0
+    for s in fs.listStatus(jvm_path):
+        name = s.getPath().getName()
+        if name.startswith("batch_id=") and name != f"batch_id={max_id}":
+            fs.delete(s.getPath(), True)
+            removed += 1
+    return removed
+
+
+def run_clipstats_stream(spark: SparkSession, source_dir: str,
+                         checkpoint_dir: str, state_path: str,
+                         schema: str | None = None,
+                         max_files_per_trigger: int | None = None) -> None:
+    """Embedding drops → incrementally-maintained clip calibration."""
+    reader = spark.readStream.schema(
+        schema or "vec_id long, embedding array<float>, label int"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    emb = reader.parquet(source_dir)
+
+    from saurav_nayak_recipe_etl_project_spark.streaming import (
+        await_or_raise,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        clipstats_process_batch(batch_df, batch_id, state_path)
+
+    await_or_raise(
+        emb.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_clip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered IVM entry, STRICT VALUE oracle (the F71 oracle
+    VERBATIM): replays the embeddings table through
+    `clipstats_process_batch` as two vec_id-split batches — batch 0
+    deliberately replayed (the at-least-once idempotency contract,
+    exercised every run) — then rolls the merged counts up to the
+    calibration readout."""
+    import tempfile
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
+    mid = (lo + hi) // 2 if lo is not None else 0
+    tmp = tempfile.mkdtemp(prefix="clipstats_mv_")
+    state = f"{tmp}/state"
+    first = emb.filter(F.col("vec_id") <= mid)
+    clipstats_process_batch(first, 0, state)
+    clipstats_process_batch(first, 0, state)  # deliberate replay
+    clipstats_process_batch(emb.filter(F.col("vec_id") > mid), 1, state)
+    return clip_stats_from_counts(read_clipstats_counts(spark, state))
+
+
+CLIPSTATS_MV_QUERIES = {
+    "stream_clip_stats": stream_clip_stats,
+}
+
+# the F71 oracle reused verbatim: streamed MV == one-shot batch readout
+from saurav_nayak_recipe_etl_project_spark.operators.linalg import (  # noqa: E402
+    LINALG_ORACLES as _LINALG_ORACLES,
+)
+
+CLIPSTATS_MV_ORACLES = {
+    "stream_clip_stats": _LINALG_ORACLES["embedding_dim_clip_stats"],
+}
