@@ -156,6 +156,21 @@ def _load_checkpoint(table: str, v: int) -> tuple[dict, dict | None, dict]:
     return live, schema, txns
 
 
+def _best_checkpoint(table: str, version: int) -> int:
+    """The newest checkpoint at or below `version`, -1 if none. The
+    `_last_checkpoint` pointer is consulted FIRST (one file read — on
+    an object store this is the whole point of the Delta pointer
+    protocol: no log-directory listing on the happy path); the
+    directory listing is only the fallback for reads BELOW the
+    pointer (older-checkpoint time travel) or a missing/racing
+    pointer."""
+    ptr = last_checkpoint_version(table)
+    if ptr is not None and ptr <= version:
+        return ptr
+    return max((c for c in _checkpoint_versions(table) if c <= version),
+               default=-1)
+
+
 def _resolve_snapshot(table: str,
                       version: int | None = None) -> tuple[dict, int, int]:
     """Replay to `version` through the best checkpoint at or below it:
@@ -178,8 +193,7 @@ def _resolve_snapshot(table: str,
         raise ValueError(
             f"version {version} of {table} was vacuumed (horizon "
             f"{horizon}) — its data files no longer exist")
-    base = max((c for c in _checkpoint_versions(table) if c <= version),
-               default=-1)
+    base = _best_checkpoint(table, version)
     live: dict = {}
     if base >= 0:
         live, _, _ = _load_checkpoint(table, base)
@@ -527,7 +541,13 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
                         | (~F.col("__tx_del") & ~F.col("__tx_upd")))
                 .drop("__tx_del", "__tx_upd", "__tx_m"))
             # source rows written: unmatched inserts + matched updates
-            # that fire and are not deletes
+            # that fire and are not deletes. The anti and semi joins
+            # each re-scan the touched files, but pruned to the single
+            # key column (footer + one column chunk — a small fraction
+            # of the survivors' full-width read); materializing the
+            # key set instead would pin an unbounded frame, and a
+            # distinct+join replacement costs a shuffle the pruned
+            # scans avoid.
             tkeys = tgt.select(key)
             src_f = (source
                      .withColumn("__tx_del", del_f).withColumn("__tx_upd", upd_f))
@@ -638,8 +658,7 @@ def last_txn_batch(table: str, app: str,
     # made a long-lived tx_sink_batch stream O(commits^2)). A
     # checkpoint at or below `limit` bounds the scan further: its
     # metadata folds every older commit's txn high-water marks.
-    base = max((c for c in _checkpoint_versions(table) if c <= limit),
-               default=-1)
+    base = _best_checkpoint(table, limit)
     for v in reversed([v for v in _json_versions(table)
                        if base < v <= limit]):
         txn = _read_json_commit(table, v).get("txn")

@@ -161,8 +161,14 @@ def ann_mv_process_batch(batch_emb: DataFrame, batch_id: int,
     # postings) and overwritten replay-stable like everything else.
     # The frozen quantizer cannot adapt to embedding-distribution
     # drift; these counts are what lets ann_mv_drift SEE it.
+    # Explicit schema on the read-back: an EMPTY micro-batch writes a
+    # postings dir with no part files (partitionBy emits none), and a
+    # schema-inferring read would crash the stream on what must stay
+    # a harmless no-op (r12 review finding).
     occ = (
-        spark.read.parquet(f"{state_path}/postings/batch_id={batch_id}")
+        spark.read
+        .schema("vec_id long, dist2 long, v array<long>, list_id long")
+        .parquet(f"{state_path}/postings/batch_id={batch_id}")
         .groupBy(F.col("list_id").cast("long").alias("list_id"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -307,9 +313,17 @@ def compact_ann_mv_state(spark: SparkSession, state_path: str) -> int:
     Run at a QUIESCED boundary only (stream stopped, all batches
     committed): folding erases per-batch history, so replaying an
     already-committed batch afterwards would duplicate its vectors.
-    Returns the number of partition dirs removed."""
+    Returns the number of partition dirs removed.
+
+    Crash posture (r12 review finding): the fold is written to a
+    SIBLING temp dir and swapped in by two renames, so no crash point
+    leaves the folded rows coexisting with the partials they fold
+    (which would silently duplicate postings) — every window is
+    either a no-op (stray temp, cleaned next run) or a LOUD
+    missing-state read between the two renames."""
     path = f"{state_path}/postings"
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    jvm = spark._jvm.org.apache.hadoop.fs.Path
+    jvm_path = jvm(path)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jvm_path):
         return 0
@@ -318,18 +332,24 @@ def compact_ann_mv_state(spark: SparkSession, state_path: str) -> int:
     if len(names) <= 1:
         return 0
     max_id = max(int(n.split("=", 1)[1]) for n in names)
-    df = spark.read.option("basePath", path).parquet(path)
-    merged = df.select("vec_id", "dist2", "v", "list_id").localCheckpoint()
-    merged.write.mode("overwrite").partitionBy("list_id").parquet(
-        f"{path}/batch_id={max_id}"
-    )
-    removed = 0
-    for s in fs.listStatus(jvm_path):
-        name = s.getPath().getName()
-        if name.startswith("batch_id=") and name != f"batch_id={max_id}":
-            fs.delete(s.getPath(), True)
-            removed += 1
-    return removed
+    # writing to the temp dir (never into the dir being read) also
+    # removes the old localCheckpoint pin on the merged frame
+    merged = spark.read.option("basePath", path).parquet(path).select(
+        "vec_id", "dist2", "v", "list_id")
+    tmp, old = jvm(f"{path}.fold.tmp"), jvm(f"{path}.fold.old")
+    fs.delete(tmp, True)
+    fs.delete(old, True)
+    merged.write.partitionBy("list_id").parquet(
+        f"{path}.fold.tmp/batch_id={max_id}")
+    if not fs.rename(jvm_path, old):
+        raise IOError(
+            f"compact_ann_mv_state: rename {path} -> .fold.old failed")
+    if not fs.rename(tmp, jvm_path):
+        raise IOError(
+            f"compact_ann_mv_state: rename .fold.tmp -> {path} failed — "
+            f"state preserved at {path}.fold.old")
+    fs.delete(old, True)
+    return len(names) - 1
 
 
 def run_ann_index_stream(spark: SparkSession, source_dir: str,

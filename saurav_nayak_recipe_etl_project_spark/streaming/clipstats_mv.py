@@ -78,6 +78,15 @@ def clip_stats_from_counts(cnt: DataFrame) -> DataFrame:
         with_grouped_rank,
     )
 
+    # defensively merge (the ranking lane needs a strict total order,
+    # so (dim, v) must be unique) and materialize ONCE: four plan
+    # branches consume this frame (width derivation, the ranked lane,
+    # n_per, and the final clip rollup), and without the pin each
+    # would re-run the partial-partition scan + sum (r12 review
+    # finding). The frame is value-support-sized, not corpus-sized —
+    # safe to pin.
+    cnt = (cnt.groupBy("dim", "v").agg(F.sum("c").alias("c"))
+           .localCheckpoint())
     width = derive_band_width(cnt, "v")
     ranked = with_grouped_rank(
         cnt,
@@ -125,14 +134,22 @@ def clip_stats_from_counts(cnt: DataFrame) -> DataFrame:
 
 
 def compact_clipstats_state(spark: SparkSession, state_path: str) -> int:
-    """Fold every partial-count partition into the newest batch dir
-    with duplicates merged — state shrinks to the distinct (dim, v)
+    """Fold every partial-count partition into one batch dir with
+    duplicates merged — state shrinks to the distinct (dim, v)
     support. Same quiesced-boundary contract as the other partial-
     count MVs (folding erases per-batch history, so a replay of an
     already-committed batch afterwards would double-count). Returns
-    the number of partition dirs removed."""
+    the number of partition dirs removed.
+
+    Crash posture (r12 review finding): the folded TOTALS must never
+    coexist with the partials they fold — a read would silently
+    double-count. The fold is written to a SIBLING temp dir and
+    swapped in by two renames: every crash window is either a no-op
+    (stray temp, cleaned next run) or a LOUD missing-state read
+    between the renames — never silent corruption."""
     path = f"{state_path}/counts"
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    jvm = spark._jvm.org.apache.hadoop.fs.Path
+    jvm_path = jvm(path)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jvm_path):
         return 0
@@ -144,16 +161,20 @@ def compact_clipstats_state(spark: SparkSession, state_path: str) -> int:
     merged = (
         spark.read.option("basePath", path).parquet(path)
         .groupBy("dim", "v").agg(F.sum("c").alias("c"))
-        .localCheckpoint()
     )
-    merged.write.mode("overwrite").parquet(f"{path}/batch_id={max_id}")
-    removed = 0
-    for s in fs.listStatus(jvm_path):
-        name = s.getPath().getName()
-        if name.startswith("batch_id=") and name != f"batch_id={max_id}":
-            fs.delete(s.getPath(), True)
-            removed += 1
-    return removed
+    tmp, old = jvm(f"{path}.fold.tmp"), jvm(f"{path}.fold.old")
+    fs.delete(tmp, True)
+    fs.delete(old, True)
+    merged.write.parquet(f"{path}.fold.tmp/batch_id={max_id}")
+    if not fs.rename(jvm_path, old):
+        raise IOError(
+            f"compact_clipstats_state: rename {path} -> .fold.old failed")
+    if not fs.rename(tmp, jvm_path):
+        raise IOError(
+            f"compact_clipstats_state: rename .fold.tmp -> {path} failed — "
+            f"state preserved at {path}.fold.old")
+    fs.delete(old, True)
+    return len(names) - 1
 
 
 def run_clipstats_stream(spark: SparkSession, source_dir: str,

@@ -306,3 +306,25 @@ def test_drift_alarm_fires_on_shifted_batch(spark, sf_dir, tmp_path):
                  emb.filter(F.col("vec_id") < ANN_MV_QUERIES)
              ).filter(F.col("knn_rank") == 1).collect()}
     assert after == baseline
+
+
+def test_empty_non_seed_batch_is_harmless(spark, sf_dir, tmp_path):
+    """r12 review finding: a zero-row micro-batch (batch_id > 0) must
+    be a no-op — the occupancy read-back now carries an explicit
+    schema, so the empty postings dir can't crash schema inference."""
+    from saurav_nayak_recipe_etl_project_spark.streaming.ann_mv import (
+        ann_mv_drift,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    first, second = _split(emb)
+    state = str(tmp_path / "state")
+    ann_mv_process_batch(first, 0, state)
+    ann_mv_process_batch(second.limit(0), 1, state)  # empty drop
+    ann_mv_process_batch(second, 2, state)
+    # index contents and drift ignore the empty batch entirely
+    n = read_ann_mv(spark, state).count()
+    assert n == emb.count()
+    drift_batches = {r["batch_id"]
+                     for r in ann_mv_drift(spark, state).collect()}
+    assert drift_batches == {0, 2}
