@@ -670,13 +670,21 @@ def last_txn_batch(table: str, app: str,
 
 
 def tx_sink_batch(batch_df: DataFrame, batch_id: int, table: str,
-                  app: str, stats_cols: list[str] | None = None) -> None:
+                  app: str, stats_cols: list[str] | None = None,
+                  checkpoint_every: int | None = None) -> None:
     """foreachBatch sink with table-enforced exactly-once: the commit
     carries (app, batch_id); a replayed batch is detected from the log
     and skipped — idempotence lives in the TABLE, not in every
-    writer's discipline."""
-    tx_append(batch_df, table, stats_cols,
-              txn={"app": app, "batch": batch_id})
+    writer's discipline. `checkpoint_every=K` folds the log into a
+    parquet checkpoint whenever the committed version is a multiple
+    of K (the Delta default-every-10-commits discipline) so a
+    long-lived stream's readers stay O(tail) forever without a
+    separate maintenance job; re-checkpointing after a replayed batch
+    is idempotent."""
+    v = tx_append(batch_df, table, stats_cols,
+                  txn={"app": app, "batch": batch_id})
+    if checkpoint_every and v >= 0 and v % checkpoint_every == 0:
+        tx_checkpoint(table)
 
 
 def vacuum(table: str, keep_versions: int = 1) -> int:

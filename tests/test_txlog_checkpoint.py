@@ -237,3 +237,29 @@ def test_merge_through_checkpointed_cleaned_log(spark, tmp_path):
     tx_merge(spark, t, _df(spark, [(2, "B"), (3, "C")]), "k", ["k"],
              matched_delete=("s", "=", "zzz"))
     assert _rows(read_table(spark, t)) == [(1, "a"), (2, "B"), (3, "C")]
+
+
+def test_sink_auto_checkpoint_every_k(spark, tmp_path):
+    """checkpoint_every=K on the streaming sink: a long-lived stream
+    folds its own log — readers stay O(tail) without a maintenance
+    job, replay detection survives a subsequent log clean."""
+    from saurav_nayak_recipe_etl_project_spark.sources.txlog import (
+        _checkpoint_versions,
+        tx_sink_batch,
+    )
+
+    t = str(tmp_path / "t")
+    for b in range(5):
+        tx_sink_batch(_df(spark, [(b, f"row{b}")]), b, t, "app1",
+                      ["k"], checkpoint_every=2)
+    # versions 0..4 committed; checkpoints at the even ones
+    assert _checkpoint_versions(t) == [0, 2, 4]
+    assert last_checkpoint_version(t) == 4
+    tx_clean_log(t)
+    # replay of an already-committed batch: detected via the
+    # checkpoint's folded txn marks, and its re-checkpoint is a no-op
+    tx_sink_batch(_df(spark, [(1, "row1")]), 1, t, "app1",
+                  ["k"], checkpoint_every=2)
+    assert latest_version(t) == 4
+    assert _rows(read_table(spark, t)) == [
+        (0, "row0"), (1, "row1"), (2, "row2"), (3, "row3"), (4, "row4")]
