@@ -94,7 +94,7 @@ _load_optional()
 # Round-12 window composition (executing the plan computed at r11
 # close, which this window completes — the full rotation closes and
 # the oldest external verification anywhere becomes r7):
-#   (1) changed in round 12 (8): the four acid_* entries (txlog grew
+#   (1) changed in round 12 (10): the five acid_* entries (txlog grew
 #       log checkpointing + _last_checkpoint resolution, the tx_append
 #       base-capture TOCTOU fix, horizon-first vacuum, no-op delete
 #       suppression — all three existing entries read through the new
@@ -108,16 +108,22 @@ _load_optional()
 #       ann_recall_at_k (exact top-k computed once and re-shipped
 #       literal; values proven unchanged at 2 SFs), stream_clip_stats
 #       (NEW — the F71 clip calibration as a weighted-rank counts MV,
-#       F71 oracle verbatim);
+#       F71 oracle verbatim), acid_orders_restore (NEW — metadata-only
+#       RESTORE TO VERSION AS OF, strict 4-commit-ledger oracle),
+#       stream_ann_rebuild (NEW — the drift alarm's response: full
+#       quantizer retrain + single-fold reassignment, strict
+#       full-corpus-seed replay oracle);
 #   (2) the 11 r5 leftovers (q9_profit_by_nation_year ..
 #       weekly_active_breakdown, alphabetical);
 #   (3) the r6 block alphabetically from ab_experiment_report — 32
-#       after ann_recall_at_k moved to (1); 8 + 11 + 32 = 51, so the
-#       50-cut drops the block's last name (training_data_pipeline —
-#       r6-verified, leads the r13 stale fill).
+#       after ann_recall_at_k moved to (1); 10 + 11 + 32 = 53, so the
+#       50-cut drops the block's last three names (session_top_paths,
+#       stream_mv_user_stats, training_data_pipeline — r6-verified,
+#       they lead the r13 stale fill).
 # ROUND-13 FILL PLAN (computed now so the window stays mechanical):
-# after r13's changed entries (front), training_data_pipeline (the one
-# r6 leftover below this cut), then the stalest block: r7
+# after r13's changed entries (front), the three r6 leftovers below
+# this cut (session_top_paths, stream_mv_user_stats,
+# training_data_pipeline), then the stalest block: r7
 # (41 entries: events_json_extract, events_json_typed,
 # events_variant_stats, normalize_explode_structs, and the rest of
 # the r7-verified set per the CORRECTNESS_r7 window) — ~41 slots plus
@@ -133,6 +139,8 @@ _DRIVER_PRIORITY = [
     "stream_ann_drift",
     "ann_recall_at_k",
     "stream_clip_stats",
+    "acid_orders_restore",
+    "stream_ann_rebuild",
     # -- (2) the 11 r5 leftovers --
     "q9_profit_by_nation_year",
     "quality_filter_pipeline",
@@ -177,9 +185,9 @@ _DRIVER_PRIORITY = [
     "quality_weighted_sample",
     "revenue_cusum",
     "revenue_growth_decomposition",
+    # -- below the 50-cut: the three r6 leftovers lead r13 --
     "session_top_paths",
     "stream_mv_user_stats",
-    # -- below the 50-cut: training_data_pipeline (r6) leads r13 --
     "training_data_pipeline",
 ]
 

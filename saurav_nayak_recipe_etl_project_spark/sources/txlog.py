@@ -725,6 +725,34 @@ def vacuum(table: str, keep_versions: int = 1) -> int:
     return removed
 
 
+def tx_restore(table: str, to_version: int) -> int:
+    """RESTORE TABLE TO VERSION AS OF (the Delta RESTORE command):
+    commit a new version whose live set EQUALS the target snapshot —
+    remove files live now but absent then, re-add files live then but
+    absent now. METADATA-ONLY: no data file is written or moved, so a
+    botched deploy rolls back in O(changed-files) log actions at any
+    table size. The restored files must still exist — a target below
+    the vacuum horizon raises loudly via the snapshot replay. The
+    commit records the TARGET version's schema (full state restore,
+    Delta semantics: a post-restore append is checked against the
+    restored schema, not the rolled-back one). Restoring to the
+    current state is a no-op — no empty commit. Returns the committed
+    (or current) version; history/CDF show the restore as remove+add
+    actions, so `tx_changes` across it reports exactly the rows that
+    came back or vanished."""
+    base = latest_version(table)
+    target = snapshot_files(table, to_version)  # loud if vacuumed/cleaned
+    current = snapshot_files(table, base)
+    actions = [{"op": "remove", "file": f}
+               for f in sorted(current) if f not in target]
+    actions += [{"op": "add", "file": f, "stats": target[f]}
+                for f in sorted(target) if f not in current]
+    if not actions:
+        return base
+    _commit(table, base + 1, actions, schema=_schema_at(table, to_version))
+    return base + 1
+
+
 def history(table: str) -> list[dict]:
     """One dict per version with a surviving JSON commit: counts of
     add/remove actions + txn (commits folded away by tx_clean_log no
@@ -1094,15 +1122,77 @@ SELECT o_orderstatus, COUNT(*) AS n_orders,
 FROM merged GROUP BY o_orderstatus
 """
 
+def acid_orders_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered RESTORE entry, STRICT VALUE oracle: append lower
+    half, append upper half, DELETE the filled orders, then RESTORE
+    to the pre-delete version — and time-travel to every version of
+    the 4-commit life. The oracle states the restore's contract
+    analytically (version 3 must equal version 1 exactly), so one
+    hash proves the metadata-only rollback rebuilt the old live set,
+    the restored schema read works, and nothing else moved."""
+    import tempfile
+
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    mid = (lo + hi) // 2 if lo is not None else 0
+    table = tempfile.mkdtemp(prefix="txlog_restore_")
+    stats = ["o_orderkey", "o_orderstatus"]
+    tx_append(orders.filter(F.col("o_orderkey") <= mid)
+              .repartition(4), table, stats)
+    tx_append(orders.filter(F.col("o_orderkey") > mid)
+              .repartition(4), table, stats)
+    tx_delete_where(spark, table, ("o_orderstatus", "=", "F"), stats)
+    v = tx_restore(table, 1)
+    assert v == 3
+    out = None
+    for ver in range(latest_version(table) + 1):
+        snap = read_table(spark, table, version=ver).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .alias("total_cents"),
+        ).select(F.lit(ver).cast("long").alias("version"),
+                 "n_orders", "total_cents")
+        out = snap if out is None else out.unionByName(snap)
+    return out
+
+
+_RESTORE_ORACLE = """
+WITH m AS (
+  SELECT (MIN(o_orderkey) + MAX(o_orderkey)) // 2 AS mid FROM orders
+),
+c AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT CAST(0 AS BIGINT) AS version,
+       COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM c, m WHERE o_orderkey <= mid
+UNION ALL
+SELECT 1, COUNT(*), CAST(SUM(cents) AS BIGINT) FROM c
+UNION ALL
+SELECT 2, COUNT(*), CAST(SUM(cents) AS BIGINT)
+FROM c WHERE o_orderstatus <> 'F'
+UNION ALL
+SELECT 3, COUNT(*), CAST(SUM(cents) AS BIGINT) FROM c
+"""
+
 TXLOG_QUERIES = {
     "acid_orders_ledger": acid_orders_ledger,
     "acid_orders_merge": acid_orders_merge,
     "acid_orders_cdf": acid_orders_cdf,
     "acid_orders_merge_delete": acid_orders_merge_delete,
+    "acid_orders_restore": acid_orders_restore,
 }
 TXLOG_ORACLES = {
     "acid_orders_ledger": _ACID_ORACLE,
     "acid_orders_merge": _MERGE_ORACLE,
     "acid_orders_cdf": _CDF_ORACLE,
     "acid_orders_merge_delete": _MERGE_DELETE_ORACLE,
+    "acid_orders_restore": _RESTORE_ORACLE,
 }

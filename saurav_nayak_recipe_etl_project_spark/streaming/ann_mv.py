@@ -101,6 +101,35 @@ def _read_centroids(spark: SparkSession, cent_path: str):
     return C, cids
 
 
+def _assign_postings(v: DataFrame, C, cids) -> DataFrame:
+    """Assignment kernel with the vector passed THROUGH (kmeans.py's
+    _arrow_assign plus the v column) — one Arrow int64 matmul map
+    pass, ZERO shuffles: at 100 TB the input never re-keys, it just
+    lands in its list_id dirs. Shared by the per-batch maintenance
+    and the full rebuild so the two paths cannot diverge."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+            d2 = _dist2_matrix(X, C)
+            a = np.argmin(d2, axis=1)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "list_id": cids[a],
+                "dist2": d2[np.arange(len(a)), a],
+                "v": pdf["v"],
+            })
+
+    return v.select("vec_id", "v").mapInPandas(
+        gen, schema="vec_id long, list_id long, dist2 long, v array<long>"
+    )
+
+
 def ann_mv_process_batch(batch_emb: DataFrame, batch_id: int,
                          state_path: str,
                          k_lists: int = ANN_MV_LISTS) -> None:
@@ -128,30 +157,7 @@ def ann_mv_process_batch(batch_emb: DataFrame, batch_id: int,
     else:
         C, cids = _read_centroids(spark, cent_path)
 
-    # assignment kernel with the vector passed THROUGH (kmeans.py's
-    # _arrow_assign plus the v column) — the maintenance path is one
-    # map pass + a partitioned write, ZERO shuffles: at 100 TB the
-    # batch never re-keys, it just lands in its list_id dirs.
-    def gen(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.stack(pdf["v"].to_numpy()).astype(np.int64)
-            d2 = _dist2_matrix(X, C)
-            a = np.argmin(d2, axis=1)
-            yield pd.DataFrame({
-                "vec_id": pdf["vec_id"].to_numpy(),
-                "list_id": cids[a],
-                "dist2": d2[np.arange(len(a)), a],
-                "v": pdf["v"],
-            })
-
-    postings = v.select("vec_id", "v").mapInPandas(
-        gen, schema="vec_id long, list_id long, dist2 long, v array<long>"
-    )
+    postings = _assign_postings(v, C, cids)
     postings.write.mode("overwrite").partitionBy("list_id").parquet(
         f"{state_path}/postings/batch_id={batch_id}"
     )
@@ -352,6 +358,65 @@ def compact_ann_mv_state(spark: SparkSession, state_path: str) -> int:
     return len(names) - 1
 
 
+def rebuild_ann_mv(spark: SparkSession, state_path: str,
+                   k_lists: int = ANN_MV_LISTS) -> int:
+    """The drift alarm's RESPONSE (FAISS's train-vs-add split, acted
+    on): retrain the coarse quantizer on the CURRENT corpus — the same
+    content-keyed seed rule batch 0 used, now over every indexed
+    vector — and reassign everything into a fresh single-fold
+    generation (centroids + postings/batch_id=0 + occupancy/
+    batch_id=0), swapped in by the compactor's sibling-dir rename
+    dance (no crash point mixes generations; the between-renames
+    window reads LOUDLY missing, never half-swapped). After the
+    rebuild the occupancy history is one in-distribution batch, so
+    `ann_mv_drift` reads ~0 — the alarm clears by construction.
+
+    Run QUIESCED (stream stopped, all batches committed), like the
+    compactor: a pre-rebuild batch replayed afterwards would assign
+    against the NEW quantizer and duplicate vectors the fold already
+    carries. The stream resumes with fresh batch ids against the new
+    centroids — later drops are increments again. Returns the number
+    of vectors re-indexed."""
+    post = read_ann_mv(spark, state_path)
+    vecs = post.select("vec_id", "v")
+    C, cids = _seed_matrix(vecs, k_lists)
+    if C.shape[0] < k_lists:
+        raise ValueError(
+            f"rebuild_ann_mv: index holds {C.shape[0]} vectors, "
+            f"needs >= k_lists={k_lists} to train the quantizer")
+    tmp = f"{state_path}.rebuild.tmp"
+    jvm = spark._jvm.org.apache.hadoop.fs.Path
+    state_p, tmp_p, old_p = (jvm(state_path), jvm(tmp),
+                             jvm(f"{state_path}.rebuild.old"))
+    fs = state_p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(tmp_p, True)
+    fs.delete(old_p, True)
+    rows = [(int(c), [int(x) for x in row]) for c, row in zip(cids, C)]
+    spark.createDataFrame(
+        rows, schema="c long, v array<long>"
+    ).coalesce(1).write.parquet(f"{tmp}/centroids")
+    _assign_postings(vecs, C, cids).write.partitionBy("list_id").parquet(
+        f"{tmp}/postings/batch_id=0")
+    occ = (
+        spark.read
+        .schema("vec_id long, dist2 long, v array<long>, list_id long")
+        .parquet(f"{tmp}/postings/batch_id=0")
+        .groupBy(F.col("list_id").cast("long").alias("list_id"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    occ.coalesce(1).write.parquet(f"{tmp}/occupancy/batch_id=0")
+    n = occ.agg(F.sum("c")).first()[0] or 0
+    if not fs.rename(state_p, old_p):
+        raise IOError(
+            f"rebuild_ann_mv: rename {state_path} -> .rebuild.old failed")
+    if not fs.rename(tmp_p, state_p):
+        raise IOError(
+            f"rebuild_ann_mv: rename .rebuild.tmp -> {state_path} failed "
+            f"— state preserved at {state_path}.rebuild.old")
+    fs.delete(old_p, True)
+    return int(n)
+
+
 def run_ann_index_stream(spark: SparkSession, source_dir: str,
                          checkpoint_dir: str, state_path: str,
                          schema: str | None = None,
@@ -406,16 +471,18 @@ def stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_search_mv(spark, state, queries)
 
 
-def _ivf_assign_ctes(k_lists: int) -> str:
+def _ivf_assign_ctes(k_lists: int, seed_on_full: bool = False) -> str:
     """The shared DuckDB replay prefix: micro-quantized vectors,
-    seed-half quantizer training, exact integer assignment of every
-    vector into its posting list — used by BOTH the index oracle and
-    the drift oracle, so the two replays cannot diverge on the
-    assignment semantics."""
+    quantizer training (content-keyed seed rule over the seed HALF by
+    default, or the FULL corpus for the post-rebuild oracle), exact
+    integer assignment of every vector into its posting list — used
+    by the index, drift, and rebuild oracles, so the replays cannot
+    diverge on the assignment semantics."""
     from saurav_nayak_recipe_etl_project_spark.operators.kmeans import (
         MICRO,
     )
 
+    seed_filter = "" if seed_on_full else "WHERE vec_id <= mid"
     return f"""
     WITH v AS (
       SELECT vec_id,
@@ -430,7 +497,7 @@ def _ivf_assign_ctes(k_lists: int) -> str:
       SELECT CAST(ROW_NUMBER() OVER (
                     ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
                   AS BIGINT) AS c, m
-      FROM v, midpoint WHERE vec_id <= mid
+      FROM v, midpoint {seed_filter}
       QUALIFY ROW_NUMBER()
         OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= {k_lists}
     ),
@@ -460,13 +527,15 @@ def _ivf_assign_ctes(k_lists: int) -> str:
 def _ann_mv_oracle(k_lists: int = ANN_MV_LISTS,
                    nprobe: int = ANN_MV_NPROBE,
                    k: int = ANN_MV_TOPK,
-                   n_queries: int = ANN_MV_QUERIES) -> str:
-    """Full-path DuckDB replay: seed-half quantizer train (the kmeans
-    oracle's seed rule restricted to vec_id <= mid), exact integer
-    assignment of every vector, per-query nprobe probe (smallest
-    (dist2, list)), candidates = probed posting lists minus self,
-    exact integer re-rank, per-query top-k by (dist2, neighbor_id)."""
-    return _ivf_assign_ctes(k_lists) + f""",
+                   n_queries: int = ANN_MV_QUERIES,
+                   seed_on_full: bool = False) -> str:
+    """Full-path DuckDB replay: quantizer train (the kmeans oracle's
+    seed rule — over the seed half, or the full corpus for the
+    rebuild entry), exact integer assignment of every vector,
+    per-query nprobe probe (smallest (dist2, list)), candidates =
+    probed posting lists minus self, exact integer re-rank, per-query
+    top-k by (dist2, neighbor_id)."""
+    return _ivf_assign_ctes(k_lists, seed_on_full) + f""",
     qprobe AS (
       SELECT vec_id AS q_vec_id, c AS list_id FROM (
         SELECT vec_id, c,
@@ -579,12 +648,39 @@ def _ann_drift_oracle(k_lists: int = ANN_MV_LISTS) -> str:
     """
 
 
+def stream_ann_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered rebuild entry, STRICT VALUE oracle: build the
+    two-batch streamed index (seed-half quantizer), then
+    `rebuild_ann_mv` — the quantizer retrains on the FULL corpus and
+    every vector reassigns into a fresh single-fold generation — and
+    serve the demo queries from the rebuilt state. The oracle is the
+    stream_ann_index replay with the seed rule widened to the full
+    corpus, so one hash proves retraining determinism, the fold's
+    reassignment, the generation swap, and that serving reads only
+    the new generation."""
+    import tempfile
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
+    mid = (lo + hi) // 2 if lo is not None else 0
+    tmp = tempfile.mkdtemp(prefix="stream_ann_rebuild_")
+    state = f"{tmp}/state"
+    first = emb.filter(F.col("vec_id") <= mid)
+    ann_mv_process_batch(first, 0, state)
+    ann_mv_process_batch(emb.filter(F.col("vec_id") > mid), 1, state)
+    rebuild_ann_mv(spark, state)
+    queries = emb.filter(F.col("vec_id") < ANN_MV_QUERIES)
+    return ann_search_mv(spark, state, queries)
+
+
 ANN_MV_QUERY_FNS = {
     "stream_ann_index": stream_ann_index,
     "stream_ann_drift": stream_ann_drift,
+    "stream_ann_rebuild": stream_ann_rebuild,
 }
 
 ANN_MV_ORACLES = {
     "stream_ann_index": _ann_mv_oracle(),
     "stream_ann_drift": _ann_drift_oracle(),
+    "stream_ann_rebuild": _ann_mv_oracle(seed_on_full=True),
 }

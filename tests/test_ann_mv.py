@@ -328,3 +328,54 @@ def test_empty_non_seed_batch_is_harmless(spark, sf_dir, tmp_path):
     drift_batches = {r["batch_id"]
                      for r in ann_mv_drift(spark, state).collect()}
     assert drift_batches == {0, 2}
+
+
+def test_rebuild_clears_drift_and_matches_fresh_build(spark, sf_dir,
+                                                      tmp_path):
+    """The alarm-to-response loop: after a shifted batch fires the
+    drift alarm, rebuild_ann_mv retrains on the current corpus and the
+    rebuilt state (a) equals a FRESH one-shot build whose seed batch is
+    the whole corpus — postings and served neighbors bit-identical —
+    and (b) resets the occupancy history to one batch, clearing the
+    alarm by construction."""
+    from saurav_nayak_recipe_etl_project_spark.streaming.ann_mv import (
+        ann_mv_drift,
+        rebuild_ann_mv,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    first, second = _split(emb)
+    hi = emb.agg(F.max("vec_id")).first()[0]
+    shifted = second.select(
+        (F.col("vec_id") + hi + 1).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(25.0))
+        .alias("embedding"),
+        "label",
+    )
+    union = emb.unionByName(shifted)
+
+    state = str(tmp_path / "state")
+    ann_mv_process_batch(first, 0, state)
+    ann_mv_process_batch(second, 1, state)
+    ann_mv_process_batch(shifted, 2, state)  # fires the alarm (pinned
+    # in test_drift_alarm_fires_on_shifted_batch)
+    n = rebuild_ann_mv(spark, state)
+    assert n == union.count()
+    # the fresh-build twin: one-shot state whose SEED batch is the
+    # whole (drifted) corpus
+    fresh = str(tmp_path / "fresh")
+    ann_mv_process_batch(union, 0, fresh)
+    assert _postings_set(
+        read_ann_mv(spark, state).select("vec_id", "list_id", "dist2")
+    ) == _postings_set(
+        read_ann_mv(spark, fresh).select("vec_id", "list_id", "dist2"))
+    queries = emb.filter(F.col("vec_id") < ANN_MV_QUERIES)
+    assert _search_set(ann_search_mv(spark, state, queries)) == \
+        _search_set(ann_search_mv(spark, fresh, queries))
+    # alarm cleared: occupancy history is the single rebuilt fold
+    drift = ann_mv_drift(spark, state).collect()
+    assert [r["batch_id"] for r in drift] == [0]
+    assert drift[0]["js_micro"] == 0  # one batch == the corpus mix
+    # no leftover generation dirs
+    assert not os.path.exists(f"{state}.rebuild.tmp")
+    assert not os.path.exists(f"{state}.rebuild.old")

@@ -263,3 +263,68 @@ def test_sink_auto_checkpoint_every_k(spark, tmp_path):
     assert latest_version(t) == 4
     assert _rows(read_table(spark, t)) == [
         (0, "row0"), (1, "row1"), (2, "row2"), (3, "row3"), (4, "row4")]
+
+
+def test_restore_metadata_only_rollback(spark, tmp_path):
+    """RESTORE TO VERSION AS OF: the live set equals the target
+    snapshot via log actions only — no data file is written — and the
+    change feed across the restore reports exactly what came back."""
+    from saurav_nayak_recipe_etl_project_spark.sources.txlog import (
+        snapshot_files,
+        tx_changes,
+        tx_restore,
+    )
+    import glob
+
+    t = str(tmp_path / "t")
+    tx_append(_df(spark, [(1, "a"), (2, "b")]), t, ["k"])
+    tx_delete_where(spark, t, ("k", "=", 1), ["k"])
+    n_files_before = len(glob.glob(f"{t}/data/*/*.parquet"))
+    v = tx_restore(t, 0)
+    assert v == 2
+    # metadata-only: zero new data files
+    assert len(glob.glob(f"{t}/data/*/*.parquet")) == n_files_before
+    assert _rows(read_table(spark, t)) == [(1, "a"), (2, "b")]
+    assert snapshot_files(t, 2) == snapshot_files(t, 0)
+    # the feed across the restore shows the row that came back
+    feed = {(r["k"], r["change_type"])
+            for r in tx_changes(spark, t, 1, 2, "k", ["s"]).collect()}
+    assert feed == {(1, "added")}
+    # restoring to the current state commits nothing
+    assert tx_restore(t, 2) == 2
+    assert latest_version(t) == 2
+
+
+def test_restore_to_vacuumed_version_is_loud(spark, tmp_path):
+    from saurav_nayak_recipe_etl_project_spark.sources.txlog import (
+        tx_restore,
+    )
+
+    t = str(tmp_path / "t")
+    tx_append(_df(spark, [(1, "a")]), t, ["k"])
+    tx_delete_where(spark, t, ("k", "=", 1), ["k"])
+    tx_append(_df(spark, [(2, "b")]), t, ["k"])
+    vacuum(t, keep_versions=1)
+    with pytest.raises(ValueError, match="vacuumed"):
+        tx_restore(t, 0)
+
+
+def test_restore_restores_schema_generation(spark, tmp_path):
+    """Full state restore: an append after restoring past an additive
+    evolution is checked against the RESTORED schema — the evolved
+    column is gone from the contract, not silently retained."""
+    from saurav_nayak_recipe_etl_project_spark.sources.txlog import (
+        tx_restore,
+    )
+
+    t = str(tmp_path / "t")
+    tx_append(_df(spark, [(1, "a")]), t, ["k"])
+    tx_append(_df(spark, [(2, "b", 7)], "k long, s string, extra int"),
+              t, ["k"], allow_schema_evolution=True)
+    tx_restore(t, 0)
+    # old-schema appends pass again; evolved-schema appends need the
+    # evolution flag again
+    tx_append(_df(spark, [(3, "c")]), t, ["k"])
+    with pytest.raises(ValueError, match="drift"):
+        tx_append(_df(spark, [(4, "d", 9)],
+                      "k long, s string, extra int"), t, ["k"])
