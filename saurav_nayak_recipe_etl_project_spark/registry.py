@@ -154,8 +154,8 @@ _DRIVER_PRIORITY = [
     "validation_report",
     "weekly_active_breakdown",
     # -- (3) the r6 block, alphabetical from ab_experiment_report
-    #    (ann_recall_at_k is in (1)); the 50-cut lands exactly at the
-    #    block's end --
+    #    (ann_recall_at_k is in (1)); the 50-cut drops the block's
+    #    last three names below --
     "ab_experiment_report",
     "ann_hnsw_topk",
     "ann_index_partitioned_search",

@@ -683,7 +683,7 @@ def tx_sink_batch(batch_df: DataFrame, batch_id: int, table: str,
     is idempotent."""
     v = tx_append(batch_df, table, stats_cols,
                   txn={"app": app, "batch": batch_id})
-    if checkpoint_every and v >= 0 and v % checkpoint_every == 0:
+    if checkpoint_every and v % checkpoint_every == 0:
         tx_checkpoint(table)
 
 

@@ -130,6 +130,52 @@ def _assign_postings(v: DataFrame, C, cids) -> DataFrame:
     )
 
 
+def _write_centroids(spark: SparkSession, C, cids, cent_path: str) -> None:
+    """Materialize the K×d quantizer (shared by batch-0 training and
+    the rebuild — one writer, one layout)."""
+    rows = [(int(c), [int(x) for x in row]) for c, row in zip(cids, C)]
+    spark.createDataFrame(
+        rows, schema="c long, v array<long>"
+    ).coalesce(1).write.mode("overwrite").parquet(cent_path)
+
+
+def _write_occupancy(spark: SparkSession, postings_dir: str,
+                     occupancy_dir: str) -> None:
+    """Occupancy side-state for the drift alarm: per-list counts of
+    the posting dir just written — K rows, one slim column-pruned
+    pass, crash-consistent with the postings, overwritten
+    replay-stable. Explicit schema on the read-back: an EMPTY
+    micro-batch writes a postings dir with no part files (partitionBy
+    emits none), and a schema-inferring read would crash the stream
+    on what must stay a harmless no-op (r12 review finding). Shared
+    by the per-batch maintenance and the rebuild."""
+    occ = (
+        spark.read
+        .schema("vec_id long, dist2 long, v array<long>, list_id long")
+        .parquet(postings_dir)
+        .groupBy(F.col("list_id").cast("long").alias("list_id"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    occ.coalesce(1).write.mode("overwrite").parquet(occupancy_dir)
+
+
+def _swap_dirs(spark: SparkSession, live: str, tmp: str, label: str) -> None:
+    """Publish `tmp` as `live` by two renames (live -> .old, tmp ->
+    live, delete .old): no crash point mixes old and new state —
+    every window is a no-op (stray temp) or a LOUD missing-state read
+    between the renames. Shared by the compactor and the rebuild."""
+    jvm = spark._jvm.org.apache.hadoop.fs.Path
+    live_p, tmp_p, old_p = jvm(live), jvm(tmp), jvm(f"{live}.fold.old")
+    fs = live_p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(old_p, True)
+    if not fs.rename(live_p, old_p):
+        raise IOError(f"{label}: rename {live} -> .fold.old failed")
+    if not fs.rename(tmp_p, live_p):
+        raise IOError(f"{label}: rename {tmp} -> {live} failed — "
+                      f"state preserved at {live}.fold.old")
+    fs.delete(old_p, True)
+
+
 def ann_mv_process_batch(batch_emb: DataFrame, batch_id: int,
                          state_path: str,
                          k_lists: int = ANN_MV_LISTS) -> None:
@@ -149,11 +195,7 @@ def ann_mv_process_batch(batch_emb: DataFrame, batch_id: int,
                 f"ann_mv: seed batch has {C.shape[0]} vectors, "
                 f"needs >= k_lists={k_lists} to train the quantizer"
             )
-        rows = [(int(c), [int(x) for x in row])
-                for c, row in zip(cids, C)]
-        spark.createDataFrame(
-            rows, schema="c long, v array<long>"
-        ).coalesce(1).write.mode("overwrite").parquet(cent_path)
+        _write_centroids(spark, C, cids, cent_path)
     else:
         C, cids = _read_centroids(spark, cent_path)
 
@@ -161,26 +203,11 @@ def ann_mv_process_batch(batch_emb: DataFrame, batch_id: int,
     postings.write.mode("overwrite").partitionBy("list_id").parquet(
         f"{state_path}/postings/batch_id={batch_id}"
     )
-    # occupancy side-state for the drift alarm: per-list counts of THIS
-    # batch, K rows, computed from the files just written (one slim
-    # column-pruned pass over the batch — crash-consistent with the
-    # postings) and overwritten replay-stable like everything else.
-    # The frozen quantizer cannot adapt to embedding-distribution
-    # drift; these counts are what lets ann_mv_drift SEE it.
-    # Explicit schema on the read-back: an EMPTY micro-batch writes a
-    # postings dir with no part files (partitionBy emits none), and a
-    # schema-inferring read would crash the stream on what must stay
-    # a harmless no-op (r12 review finding).
-    occ = (
-        spark.read
-        .schema("vec_id long, dist2 long, v array<long>, list_id long")
-        .parquet(f"{state_path}/postings/batch_id={batch_id}")
-        .groupBy(F.col("list_id").cast("long").alias("list_id"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    occ.coalesce(1).write.mode("overwrite").parquet(
-        f"{state_path}/occupancy/batch_id={batch_id}"
-    )
+    # the frozen quantizer cannot adapt to embedding-distribution
+    # drift; these counts are what lets ann_mv_drift SEE it
+    _write_occupancy(spark,
+                     f"{state_path}/postings/batch_id={batch_id}",
+                     f"{state_path}/occupancy/batch_id={batch_id}")
 
 
 def read_ann_mv(spark: SparkSession, state_path: str,
@@ -342,19 +369,10 @@ def compact_ann_mv_state(spark: SparkSession, state_path: str) -> int:
     # removes the old localCheckpoint pin on the merged frame
     merged = spark.read.option("basePath", path).parquet(path).select(
         "vec_id", "dist2", "v", "list_id")
-    tmp, old = jvm(f"{path}.fold.tmp"), jvm(f"{path}.fold.old")
-    fs.delete(tmp, True)
-    fs.delete(old, True)
+    fs.delete(jvm(f"{path}.fold.tmp"), True)
     merged.write.partitionBy("list_id").parquet(
         f"{path}.fold.tmp/batch_id={max_id}")
-    if not fs.rename(jvm_path, old):
-        raise IOError(
-            f"compact_ann_mv_state: rename {path} -> .fold.old failed")
-    if not fs.rename(tmp, jvm_path):
-        raise IOError(
-            f"compact_ann_mv_state: rename .fold.tmp -> {path} failed — "
-            f"state preserved at {path}.fold.old")
-    fs.delete(old, True)
+    _swap_dirs(spark, path, f"{path}.fold.tmp", "compact_ann_mv_state")
     return len(names) - 1
 
 
@@ -364,19 +382,29 @@ def rebuild_ann_mv(spark: SparkSession, state_path: str,
     on): retrain the coarse quantizer on the CURRENT corpus — the same
     content-keyed seed rule batch 0 used, now over every indexed
     vector — and reassign everything into a fresh single-fold
-    generation (centroids + postings/batch_id=0 + occupancy/
-    batch_id=0), swapped in by the compactor's sibling-dir rename
-    dance (no crash point mixes generations; the between-renames
-    window reads LOUDLY missing, never half-swapped). After the
-    rebuild the occupancy history is one in-distribution batch, so
-    `ann_mv_drift` reads ~0 — the alarm clears by construction.
+    generation folded at the CURRENT MAX batch id (the compactor's
+    convention: batch_id=0 would collide with — and be silently
+    overwritten by — a batch-0 retrain if a stream ever restarted
+    with a fresh checkpoint; the max id can only be re-delivered by
+    a same-checkpoint replay, which the quiesced contract already
+    excludes), swapped in by the shared sibling-dir rename dance (no
+    crash point mixes generations; the between-renames window reads
+    LOUDLY missing, never half-swapped). After the rebuild the
+    occupancy history is one in-distribution batch, so `ann_mv_drift`
+    reads ~0 — the alarm clears by construction.
 
     Run QUIESCED (stream stopped, all batches committed), like the
     compactor: a pre-rebuild batch replayed afterwards would assign
     against the NEW quantizer and duplicate vectors the fold already
-    carries. The stream resumes with fresh batch ids against the new
-    centroids — later drops are increments again. Returns the number
-    of vectors re-indexed."""
+    carries. The stream resumes on its OWN checkpoint (batch ids
+    continue above the fold) against the new centroids — later drops
+    are increments again. Returns the number of vectors re-indexed."""
+    jvm = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm(state_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    names = [s.getPath().getName()
+             for s in fs.listStatus(jvm(f"{state_path}/postings"))
+             if s.getPath().getName().startswith("batch_id=")]
+    fold_id = max(int(n.split("=", 1)[1]) for n in names)
     post = read_ann_mv(spark, state_path)
     vecs = post.select("vec_id", "v")
     C, cids = _seed_matrix(vecs, k_lists)
@@ -384,36 +412,18 @@ def rebuild_ann_mv(spark: SparkSession, state_path: str,
         raise ValueError(
             f"rebuild_ann_mv: index holds {C.shape[0]} vectors, "
             f"needs >= k_lists={k_lists} to train the quantizer")
-    tmp = f"{state_path}.rebuild.tmp"
-    jvm = spark._jvm.org.apache.hadoop.fs.Path
-    state_p, tmp_p, old_p = (jvm(state_path), jvm(tmp),
-                             jvm(f"{state_path}.rebuild.old"))
-    fs = state_p.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(tmp_p, True)
-    fs.delete(old_p, True)
-    rows = [(int(c), [int(x) for x in row]) for c, row in zip(cids, C)]
-    spark.createDataFrame(
-        rows, schema="c long, v array<long>"
-    ).coalesce(1).write.parquet(f"{tmp}/centroids")
+    tmp = f"{state_path}.fold.tmp"
+    fs.delete(jvm(tmp), True)
+    _write_centroids(spark, C, cids, f"{tmp}/centroids")
     _assign_postings(vecs, C, cids).write.partitionBy("list_id").parquet(
-        f"{tmp}/postings/batch_id=0")
-    occ = (
-        spark.read
-        .schema("vec_id long, dist2 long, v array<long>, list_id long")
-        .parquet(f"{tmp}/postings/batch_id=0")
-        .groupBy(F.col("list_id").cast("long").alias("list_id"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    occ.coalesce(1).write.parquet(f"{tmp}/occupancy/batch_id=0")
-    n = occ.agg(F.sum("c")).first()[0] or 0
-    if not fs.rename(state_p, old_p):
-        raise IOError(
-            f"rebuild_ann_mv: rename {state_path} -> .rebuild.old failed")
-    if not fs.rename(tmp_p, state_p):
-        raise IOError(
-            f"rebuild_ann_mv: rename .rebuild.tmp -> {state_path} failed "
-            f"— state preserved at {state_path}.rebuild.old")
-    fs.delete(old_p, True)
+        f"{tmp}/postings/batch_id={fold_id}")
+    _write_occupancy(spark, f"{tmp}/postings/batch_id={fold_id}",
+                     f"{tmp}/occupancy/batch_id={fold_id}")
+    # count from the K-row occupancy file just written — no second
+    # pass over the reassigned postings (r12 review finding)
+    n = (spark.read.parquet(f"{tmp}/occupancy/batch_id={fold_id}")
+         .agg(F.sum("c")).first()[0]) or 0
+    _swap_dirs(spark, state_path, tmp, "rebuild_ann_mv")
     return int(n)
 
 

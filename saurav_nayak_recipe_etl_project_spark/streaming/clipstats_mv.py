@@ -144,9 +144,14 @@ def compact_clipstats_state(spark: SparkSession, state_path: str) -> int:
     Crash posture (r12 review finding): the folded TOTALS must never
     coexist with the partials they fold — a read would silently
     double-count. The fold is written to a SIBLING temp dir and
-    swapped in by two renames: every crash window is either a no-op
-    (stray temp, cleaned next run) or a LOUD missing-state read
-    between the renames — never silent corruption."""
+    swapped in by the shared rename dance (`_swap_dirs`): every crash
+    window is either a no-op (stray temp, cleaned next run) or a LOUD
+    missing-state read between the renames — never silent
+    corruption."""
+    from saurav_nayak_recipe_etl_project_spark.streaming.ann_mv import (
+        _swap_dirs,
+    )
+
     path = f"{state_path}/counts"
     jvm = spark._jvm.org.apache.hadoop.fs.Path
     jvm_path = jvm(path)
@@ -162,18 +167,9 @@ def compact_clipstats_state(spark: SparkSession, state_path: str) -> int:
         spark.read.option("basePath", path).parquet(path)
         .groupBy("dim", "v").agg(F.sum("c").alias("c"))
     )
-    tmp, old = jvm(f"{path}.fold.tmp"), jvm(f"{path}.fold.old")
-    fs.delete(tmp, True)
-    fs.delete(old, True)
+    fs.delete(jvm(f"{path}.fold.tmp"), True)
     merged.write.parquet(f"{path}.fold.tmp/batch_id={max_id}")
-    if not fs.rename(jvm_path, old):
-        raise IOError(
-            f"compact_clipstats_state: rename {path} -> .fold.old failed")
-    if not fs.rename(tmp, jvm_path):
-        raise IOError(
-            f"compact_clipstats_state: rename .fold.tmp -> {path} failed — "
-            f"state preserved at {path}.fold.old")
-    fs.delete(old, True)
+    _swap_dirs(spark, path, f"{path}.fold.tmp", "compact_clipstats_state")
     return len(names) - 1
 
 

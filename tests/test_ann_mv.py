@@ -372,10 +372,12 @@ def test_rebuild_clears_drift_and_matches_fresh_build(spark, sf_dir,
     queries = emb.filter(F.col("vec_id") < ANN_MV_QUERIES)
     assert _search_set(ann_search_mv(spark, state, queries)) == \
         _search_set(ann_search_mv(spark, fresh, queries))
-    # alarm cleared: occupancy history is the single rebuilt fold
+    # alarm cleared: occupancy history is the single rebuilt fold, at
+    # the MAX pre-rebuild batch id (batch_id=0 would be silently
+    # overwritten by a fresh-checkpoint batch-0 retrain — r12 review)
     drift = ann_mv_drift(spark, state).collect()
-    assert [r["batch_id"] for r in drift] == [0]
+    assert [r["batch_id"] for r in drift] == [2]
     assert drift[0]["js_micro"] == 0  # one batch == the corpus mix
     # no leftover generation dirs
-    assert not os.path.exists(f"{state}.rebuild.tmp")
-    assert not os.path.exists(f"{state}.rebuild.old")
+    assert not os.path.exists(f"{state}.fold.tmp")
+    assert not os.path.exists(f"{state}.fold.old")
