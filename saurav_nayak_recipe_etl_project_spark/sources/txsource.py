@@ -1,0 +1,201 @@
+"""Spark 4 Python DataSource over the tx-log table (sources/txlog.py):
+`spark.read.format("txlog")` snapshot reads and — the point —
+`spark.readStream.format("txlog")`, the Delta-streaming-source
+equivalent: COMMIT VERSIONS ARE THE OFFSETS, so the ACID table the
+warehouse writes through tx_append/tx_sink_batch is directly a
+replayable Structured Streaming source with exactly-once semantics
+from the query checkpoint.
+
+Why versions make perfect offsets: commits are dense, immutable, and
+atomic (O_EXCL), so an offset {"v": N} names an exact, re-derivable
+set of data files forever — partitions(start, end) re-reads the SAME
+add-actions during recovery, and a replayed micro-batch yields
+byte-identical rows. Removal commits (delete/merge/compact/restore)
+are NOT representable as an append feed; the reader raises loudly and
+routes the consumer to tx_changes — the tx_read_incremental contract,
+now enforced inside the source itself.
+
+Scan parallelism: one InputPartition per ADDED FILE (not per commit),
+Arrow record batches across the Python->JVM boundary (the A12 lane).
+Schema is pinned at query start from the table's committed schema;
+files predating an additive evolution backfill the missing columns
+with NULLs — the same mergeSchema contract read_table honors.
+
+Burst protection: `.option("maxVersionsPerBatch", N)` caps how far
+latestOffset advances past this reader's last-seen position (the A12
+shard reader's pacing discipline, including its measured caveat: the
+4.1 runner asks latestOffset before initialOffset, so the first batch
+of a fresh query is necessarily uncapped)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from saurav_nayak_recipe_etl_project_spark.sources.txlog import (
+    _read_json_commit,
+    _schema_at,
+    latest_version,
+    snapshot_files,
+)
+
+ARROW_BATCH_ROWS = 4096
+
+
+def _table_schema_ddl(table: str) -> str:
+    v = latest_version(table)
+    if v < 0:
+        raise ValueError(f"txlog source: {table} has no commits")
+    fields = _schema_at(table, v)
+    if not fields:
+        raise ValueError(
+            f"txlog source: {table} records no schema at version {v}")
+    return ", ".join(f"{name} {typ}" for name, typ in fields.items())
+
+
+def _conform_batches(path: str, schema: StructType):
+    """Read one parquet data file and yield Arrow record batches
+    conformed to the READER schema: columns reordered, files that
+    predate an additive evolution get NULL-filled columns, types cast
+    to the declared arrow types (runs on the WORKER — pyarrow only,
+    no Spark)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    target = pa.schema([
+        (f.name, to_arrow_type(f.dataType)) for f in schema.fields
+    ])
+    t = pq.read_table(path)
+    n = t.num_rows
+    cols = []
+    for f in target:
+        if f.name in t.column_names:
+            cols.append(t.column(f.name).cast(f.type))
+        else:
+            cols.append(pa.nulls(n, f.type))
+    conformed = pa.table(cols, schema=target)
+    for batch in conformed.to_batches(max_chunksize=ARROW_BATCH_ROWS):
+        yield batch
+
+
+class TxLogSource(DataSource):
+    """format("txlog") — batch snapshot reads + the version-offset
+    streaming source over a sources/txlog.py table."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txlog"
+
+    def schema(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("txlog source requires .option('path', table)")
+        return _table_schema_ddl(path)
+
+    def reader(self, schema: StructType) -> "TxLogBatchReader":
+        return TxLogBatchReader(schema, self.options)
+
+    def streamReader(self, schema: StructType) -> "TxLogStreamReader":
+        return TxLogStreamReader(schema, self.options)
+
+
+class TxLogBatchReader(DataSourceReader):
+    """Snapshot read through the log (time travel via
+    .option('version', N)): one task per live file, Arrow lane. The
+    stats-pruned `where=` path stays on read_table — this is the
+    plugin surface, useful where the consumer speaks formats, not
+    this library."""
+
+    def __init__(self, schema: StructType, options):
+        self._schema = schema
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("txlog source requires .option('path', table)")
+        v = options.get("version")
+        self._version = int(v) if v is not None else None
+
+    def partitions(self):
+        live = snapshot_files(self._path, self._version)
+        return [InputPartition(os.path.join(self._path, f))
+                for f in sorted(live)]
+
+    def read(self, partition: InputPartition):
+        yield from _conform_batches(partition.value, self._schema)
+
+
+class TxLogStreamReader(DataSourceStreamReader):
+    """The tx log as a streaming source: offset {"v": N} = consumed
+    THROUGH commit version N. `.option("startingVersion", K)` begins
+    the feed at commit K (default 0 — the whole history-as-appends);
+    a removal commit inside a planned range raises and names
+    tx_changes; a cleaned (checkpointed-away) commit inside a range
+    raises rather than silently skipping data."""
+
+    def __init__(self, schema: StructType, options):
+        self._schema = schema
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("txlog source requires .option('path', table)")
+        self._start = int(options.get("startingVersion", 0))
+        mvb = options.get("maxVersionsPerBatch")
+        self._max_versions = int(mvb) if mvb is not None else None
+        if self._max_versions is not None and self._max_versions < 1:
+            raise ValueError("maxVersionsPerBatch must be >= 1")
+        self._seen_v = None  # last version this INSTANCE has seen
+
+    def initialOffset(self) -> dict:
+        self._seen_v = self._start - 1
+        return {"v": self._start - 1}
+
+    def latestOffset(self) -> dict:
+        v = latest_version(self._path)
+        floor = self._start - 1 if self._seen_v is None else self._seen_v
+        if self._max_versions is not None and self._seen_v is not None:
+            v = min(v, self._seen_v + self._max_versions)
+        return {"v": max(v, floor)}
+
+    def partitions(self, start: dict, end: dict):
+        # pacing position = the END of the in-flight range (the A12
+        # reader's measured lesson: commit() is not reliably invoked
+        # by the 4.1 runner; end-tracking here is the dependable
+        # signal, and it is also how a restarted query's first batch
+        # reveals the checkpointed position)
+        self._seen_v = max(self._seen_v or self._start - 1, end["v"])
+        files = []
+        for v in range(start["v"] + 1, end["v"] + 1):
+            try:
+                entry = _read_json_commit(self._path, v)
+            except FileNotFoundError:
+                raise RuntimeError(
+                    f"txlog stream: commit {v} is gone (log cleaned past "
+                    "a checkpoint while a consumer was behind) — "
+                    "re-bootstrap this consumer from a snapshot read"
+                ) from None
+            for a in entry["actions"]:
+                if a["op"] == "remove":
+                    raise RuntimeError(
+                        f"txlog stream: version {v} removed files "
+                        "(delete/merge/compact/restore) — an append feed "
+                        "cannot represent it; consume tx_changes instead")
+                files.append(a["file"])
+        return [InputPartition(os.path.join(self._path, f))
+                for f in files]
+
+    def read(self, partition: InputPartition):
+        yield from _conform_batches(partition.value, self._schema)
+
+    def commit(self, end: dict) -> None:
+        self._seen_v = max(self._seen_v or self._start - 1, end["v"])
+
+
+def register_txlog_source(spark) -> None:
+    """Idempotent registration: spark.read/readStream.format('txlog')."""
+    spark.dataSource.register(TxLogSource)
