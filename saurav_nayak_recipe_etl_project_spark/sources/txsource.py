@@ -19,7 +19,11 @@ Scan parallelism: one InputPartition per ADDED FILE (not per commit),
 Arrow record batches across the Python->JVM boundary (the A12 lane).
 Schema is pinned at query start from the table's committed schema;
 files predating an additive evolution backfill the missing columns
-with NULLs — the same mergeSchema contract read_table honors.
+with NULLs — the same mergeSchema contract read_table honors. The
+converse (an evolution committed AFTER the query started) follows
+Spark's pinned-query-schema rule: the new columns are ignored until
+the query restarts and re-reads the table schema — standard
+streaming-source behavior, not data loss (the files keep them).
 
 Burst protection: `.option("maxVersionsPerBatch", N)` caps how far
 latestOffset advances past this reader's last-seen position (the A12
