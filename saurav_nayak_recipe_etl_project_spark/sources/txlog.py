@@ -231,6 +231,51 @@ def _schema_fields(df: DataFrame) -> dict:
     return {f.name: f.dataType.simpleString() for f in df.schema.fields}
 
 
+# Sanctioned LOSSLESS type widenings (the Delta/Iceberg evolution
+# set this engine supports): exactly the promotions Spark 4.1's
+# parquet readers up-cast in place when handed the wider requested
+# schema (verified: int32 files read as bigint, float as double).
+_WIDENINGS = {
+    ("smallint", "int"), ("smallint", "bigint"), ("int", "bigint"),
+    ("float", "double"),
+}
+
+
+def _merged_schema(prior: dict, now: dict) -> dict:
+    """The schema a commit should record: prior columns keep the
+    WIDER of the two types (a narrow source never regresses the
+    table; a widening source promotes it — with the evolution flag,
+    enforced by _check_schema), new columns append after."""
+    out = {}
+    for c, t in prior.items():
+        nt = now.get(c)
+        out[c] = nt if (nt is not None and (t, nt) in _WIDENINGS) else t
+    for c, t in now.items():
+        if c not in out:
+            out[c] = t
+    return out
+
+
+def _schema_ddl(schema: dict) -> str:
+    return ", ".join(f"`{c}` {t}" for c, t in schema.items())
+
+
+def _read_files(spark: SparkSession, table: str, files: list[str],
+                version: int | None = None) -> DataFrame:
+    """Read data files under the COMMITTED schema at `version` (latest
+    when None): files that predate an additive evolution NULL-backfill
+    the new columns, and narrow-generation files up-cast in place
+    (int→bigint, float→double) — the type-widening read contract a
+    mergeSchema inference cannot provide (it refuses to merge int and
+    bigint footers). Falls back to mergeSchema for a log that predates
+    schema recording."""
+    v = latest_version(table) if version is None else version
+    schema = _schema_at(table, v)
+    reader = (spark.read.schema(_schema_ddl(schema)) if schema
+              else spark.read.option("mergeSchema", "true"))
+    return reader.parquet(*[os.path.join(table, f) for f in files])
+
+
 def _schema_at(table: str, version: int) -> dict | None:
     """The committed table schema at `version` — from the JSON commit
     when present, else from the checkpoint that replaced it."""
@@ -246,13 +291,18 @@ def _schema_at(table: str, version: int) -> dict | None:
 def _check_schema(df: DataFrame, table: str, evolve: bool,
                   at_version: int | None = None) -> None:
     """Schema enforcement (the Delta contract): an append whose
-    columns drift from the table raises unless `evolve=True`, and
-    evolution is ADDITIVE-ONLY — a changed column type or a dropped
-    column is always an error (silent widening/narrowing corrupts
-    every reader downstream; rewrite the table deliberately
-    instead). `at_version` pins the check to a captured base version
-    so callers can make check-then-commit atomic (a rival commit in
-    between bumps the version and the commit raises TxConflict)."""
+    columns drift from the table raises unless `evolve=True`.
+    Evolution is additive columns plus sanctioned LOSSLESS widenings
+    (int→bigint, float→double — the Delta/Iceberg type-widening set);
+    any other type change or a dropped column is always an error
+    (silent narrowing corrupts every reader downstream; rewrite the
+    table deliberately instead). A source NARROWER than the table is
+    accepted without the flag: the committed schema stays the wide
+    one and reads up-cast the narrow files in place — no contract
+    change happened. `at_version` pins the check to a captured base
+    version so callers can make check-then-commit atomic (a rival
+    commit in between bumps the version and the commit raises
+    TxConflict)."""
     v = latest_version(table) if at_version is None else at_version
     if v < 0:
         return
@@ -262,18 +312,23 @@ def _check_schema(df: DataFrame, table: str, evolve: bool,
     now = _schema_fields(df)
     changed = {c: (prior[c], now[c]) for c in prior
                if c in now and now[c] != prior[c]}
+    widened = {c: t for c, t in changed.items() if t in _WIDENINGS}
+    illegal = {c: t for c, t in changed.items()
+               if t not in _WIDENINGS and (t[1], t[0]) not in _WIDENINGS}
     dropped = [c for c in prior if c not in now]
     added = [c for c in now if c not in prior]
-    if changed or dropped:
+    if illegal or dropped:
         raise ValueError(
             f"tx schema change rejected for {table}: "
-            f"type changes {changed}, dropped columns {dropped} — "
-            "evolution is additive-only; rewrite the table to "
+            f"type changes {illegal}, dropped columns {dropped} — "
+            "evolution is additive columns and lossless widening "
+            "(int->bigint, float->double) only; rewrite the table to "
             "restructure it")
-    if added and not evolve:
+    if (added or widened) and not evolve:
         raise ValueError(
-            f"tx schema drift for {table}: new columns {added} — pass "
-            "allow_schema_evolution=True to add them deliberately")
+            f"tx schema drift for {table}: new columns {added}, "
+            f"widened types {widened} — pass "
+            "allow_schema_evolution=True to apply them deliberately")
 
 
 def _write_files(df: DataFrame, table: str,
@@ -333,8 +388,13 @@ def tx_append(df: DataFrame, table: str,
         _check_schema(df, table, allow_schema_evolution, at_version=base)
         if actions is None:
             actions = _write_files(df, table, stats_cols)
+        # record the MERGED schema: a narrow source never regresses a
+        # widened table; a widening/evolving source promotes it
+        prior = _schema_at(table, base) if base >= 0 else None
+        schema = _merged_schema(prior, _schema_fields(df)) if prior \
+            else _schema_fields(df)
         try:
-            _commit(table, base + 1, actions, txn, _schema_fields(df))
+            _commit(table, base + 1, actions, txn, schema)
             return base + 1
         except TxConflict:
             continue
@@ -396,8 +456,7 @@ def read_table(spark: SparkSession, table: str,
             # The predicate matches nothing, parquet row-group stats
             # skip the data pages, and zero-match reads are rare.
             files = sorted(live)
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(table, f) for f in files])
+    df = _read_files(spark, table, files, version)
     if where is not None:
         col, op, value = where
         df = df.filter(_OPS[op](F.col(col), F.lit(value)))
@@ -425,9 +484,8 @@ def tx_delete_where(spark: SparkSession, table: str, where: tuple,
     # matched. A delete keeps every row whose predicate is not
     # TRUE, so coalesce the negation to TRUE for NULLs.
     pred = _OPS[op](F.col(col), F.lit(value))
-    survivors = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(table, f) for f in touched]
-    ).filter(F.coalesce(~pred, F.lit(True)))
+    survivors = _read_files(spark, table, touched, base).filter(
+        F.coalesce(~pred, F.lit(True)))
     actions: list[dict] = [{"op": "remove", "file": f} for f in touched]
     actions += _write_files(survivors, table, stats_cols)
     _commit(table, base + 1, actions)  # schema carried forward
@@ -445,8 +503,7 @@ def tx_compact(spark: SparkSession, table: str, target_files: int = 1,
     after compaction (the Z-order/OPTIMIZE idea, 1-D)."""
     base = latest_version(table)
     live = snapshot_files(table, base)
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(table, f) for f in sorted(live)])
+    df = _read_files(spark, table, sorted(live), base)
     if cluster_by is not None:
         df = df.repartitionByRange(
             target_files, cluster_by).sortWithinPartitions(cluster_by)
@@ -495,9 +552,16 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
         raise ValueError(
             f"tx_merge: source has duplicate {key} values — an upsert "
             "must be key-unique (dedupe upstream, deliberately)")
-    _check_schema(source, table, allow_schema_evolution)
-    lo, hi = source.agg(F.min(key), F.max(key)).first()
+    # capture base BEFORE any further check (the tx_append TOCTOU
+    # lesson, ADVICE r12): the schema check and the snapshot are both
+    # pinned to this version, and the O_EXCL commit at base+1
+    # linearizes — a rival schema-evolution commit landing during the
+    # min/max agg or the file writes forces TxConflict instead of
+    # being schema-checked against the pre-rival version and silently
+    # dropped from _schema_fields(merged)
     base = latest_version(table)
+    _check_schema(source, table, allow_schema_evolution, at_version=base)
+    lo, hi = source.agg(F.min(key), F.max(key)).first()
     live = snapshot_files(table, base)
     if lo is None:
         return base  # empty source: no-op, no empty commit
@@ -514,8 +578,7 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
 
     tgt = None
     if touched:
-        tgt = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(table, f) for f in touched])
+        tgt = _read_files(spark, table, touched, base)
     if matched_delete is None and matched_update_condition is None:
         # plain upsert: survivors = unmatched targets, write-all source
         survivors = (None if tgt is None
@@ -562,7 +625,9 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
               else survivors.unionByName(to_write, allowMissingColumns=True))
     actions: list[dict] = [{"op": "remove", "file": f} for f in touched]
     actions += _write_files(merged, table, stats_cols)
-    _commit(table, base + 1, actions, schema=_schema_fields(merged))
+    prior = _schema_at(table, base) or {}
+    _commit(table, base + 1, actions,
+            schema=_merged_schema(prior, _schema_fields(merged)))
     return base + 1
 
 
@@ -598,8 +663,10 @@ def tx_changes(spark: SparkSession, table: str, from_version: int,
 
     def _read(files):
         src = files or donor
-        df = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(table, f) for f in src])
+        # BOTH sides read under the to_version schema: the diff is
+        # reported in the current contract, and a widened generation
+        # compares as the same logical values (int 7 == bigint 7)
+        df = _read_files(spark, table, src, to_version)
         return df if files else df.limit(0)
 
     return table_diff(_read(added), _read(removed), key, cols)
@@ -637,8 +704,7 @@ def tx_read_incremental(spark: SparkSession, table: str,
             added.append(a["file"])
     if not added:
         return None, latest
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(table, f) for f in added])
+    df = _read_files(spark, table, added, latest)
     return df, latest
 
 
@@ -809,13 +875,21 @@ def tx_checkpoint(table: str) -> int:
     tmp = path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     pq.write_table(t, tmp)
     os.replace(tmp, path)
-    ptr = os.path.join(_log_path(table), _CKPT_PTR)
-    tmp = ptr + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        f.write(json.dumps({"version": v}))
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, ptr)
+    # never REGRESS the pointer (ADVICE r12): two racing checkpoints
+    # (A folds v12, slower B then writes ptr=10) would otherwise leave
+    # reads resolving base=10 while tx_clean_log cleans to the max
+    # LISTED checkpoint (12) — commits 11-12 gone, healthy table
+    # unreadable. The pointer only moves forward; tx_clean_log
+    # additionally trusts only the pointer (see there).
+    existing = last_checkpoint_version(table)
+    if existing is None or existing < v:
+        ptr = os.path.join(_log_path(table), _CKPT_PTR)
+        tmp = ptr + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(json.dumps({"version": v}))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, ptr)
     return v
 
 
@@ -833,11 +907,23 @@ def tx_clean_log(table: str) -> int:
     checkpoint (their state lives in the checkpoint now). Time travel
     to cleaned versions and incremental reads across them raise
     loudly; the checkpoint version itself stays readable. Returns the
-    number of commit files removed."""
+    number of commit files removed.
+
+    The clean threshold is the `_last_checkpoint` POINTER, not the max
+    listed checkpoint (ADVICE r12): reads resolve through the pointer
+    first, so cleaning past it (possible when a checkpoint landed but
+    its pointer write crashed or lost a race) would leave
+    _resolve_snapshot replaying from the pointer into cleaned commits.
+    Cleaning only what the pointer can resolve keeps every surviving
+    read path replayable. Pointer missing entirely → fall back to the
+    max listed checkpoint (the directory-listing path _best_checkpoint
+    would also take)."""
     cvs = _checkpoint_versions(table)
     if not cvs:
         return 0
-    c = max(cvs)
+    c = last_checkpoint_version(table)
+    if c is None:
+        c = max(cvs)
     removed = 0
     for v in _json_versions(table):
         if v <= c:

@@ -159,14 +159,38 @@ def _write_occupancy(spark: SparkSession, postings_dir: str,
     occ.coalesce(1).write.mode("overwrite").parquet(occupancy_dir)
 
 
+def _recover_swap(spark: SparkSession, live: str) -> bool:
+    """Self-heal the `_swap_dirs` crash window (ADVICE r12): a crash
+    between its two renames strands the ONLY copy of the state at
+    `{live}.fold.old` with `live` missing — rename it back before any
+    maintenance proceeds, so the window is recoverable on the next
+    run instead of needing a manual rename. A strict no-op in every
+    other state (live present, or no .fold.old). Returns True when a
+    recovery happened."""
+    jvm = spark._jvm.org.apache.hadoop.fs.Path
+    live_p, old_p = jvm(live), jvm(f"{live}.fold.old")
+    fs = live_p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(live_p) and fs.exists(old_p):
+        if not fs.rename(old_p, live_p):
+            raise IOError(
+                f"recover_swap: rename {live}.fold.old -> {live} failed")
+        return True
+    return False
+
+
 def _swap_dirs(spark: SparkSession, live: str, tmp: str, label: str) -> None:
     """Publish `tmp` as `live` by two renames (live -> .old, tmp ->
     live, delete .old): no crash point mixes old and new state —
-    every window is a no-op (stray temp) or a LOUD missing-state read
-    between the renames. Shared by the compactor and the rebuild."""
+    every window is a no-op (stray temp) or a missing-state read
+    between the renames, self-healed by `_recover_swap` on the next
+    maintenance run. Shared by the compactor and the rebuild."""
     jvm = spark._jvm.org.apache.hadoop.fs.Path
     live_p, tmp_p, old_p = jvm(live), jvm(tmp), jvm(f"{live}.fold.old")
     fs = live_p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(live_p) and fs.exists(old_p):
+        # a PRIOR crash left the state at .fold.old; deleting it here
+        # would destroy the only copy — heal first
+        _recover_swap(spark, live)
     fs.delete(old_p, True)
     if not fs.rename(live_p, old_p):
         raise IOError(f"{label}: rename {live} -> .fold.old failed")
@@ -354,7 +378,13 @@ def compact_ann_mv_state(spark: SparkSession, state_path: str) -> int:
     (which would silently duplicate postings) — every window is
     either a no-op (stray temp, cleaned next run) or a LOUD
     missing-state read between the two renames."""
+    # heal any prior crashed swap FIRST (ADVICE r12): a rebuild crash
+    # strands the whole state dir, a compact crash strands postings —
+    # either way the live path reads missing and this call would
+    # otherwise return 0 instead of recovering
+    _recover_swap(spark, state_path)
     path = f"{state_path}/postings"
+    _recover_swap(spark, path)
     jvm = spark._jvm.org.apache.hadoop.fs.Path
     jvm_path = jvm(path)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -399,6 +429,9 @@ def rebuild_ann_mv(spark: SparkSession, state_path: str,
     carries. The stream resumes on its OWN checkpoint (batch ids
     continue above the fold) against the new centroids — later drops
     are increments again. Returns the number of vectors re-indexed."""
+    # heal any prior crashed swap before reading state (ADVICE r12)
+    _recover_swap(spark, state_path)
+    _recover_swap(spark, f"{state_path}/postings")
     jvm = spark._jvm.org.apache.hadoop.fs.Path
     fs = jvm(state_path).getFileSystem(spark._jsc.hadoopConfiguration())
     names = [s.getPath().getName()

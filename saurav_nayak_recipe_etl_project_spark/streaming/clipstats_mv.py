@@ -149,10 +149,13 @@ def compact_clipstats_state(spark: SparkSession, state_path: str) -> int:
     missing-state read between the renames — never silent
     corruption."""
     from saurav_nayak_recipe_etl_project_spark.streaming.ann_mv import (
+        _recover_swap,
         _swap_dirs,
     )
 
     path = f"{state_path}/counts"
+    # heal any prior crashed swap first (ADVICE r12)
+    _recover_swap(spark, path)
     jvm = spark._jvm.org.apache.hadoop.fs.Path
     jvm_path = jvm(path)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
