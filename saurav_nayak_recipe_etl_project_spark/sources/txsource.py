@@ -201,5 +201,20 @@ class TxLogStreamReader(DataSourceStreamReader):
 
 
 def register_txlog_source(spark) -> None:
-    """Idempotent registration: spark.read/readStream.format('txlog')."""
+    """Idempotent registration: spark.read/readStream.format('txlog').
+
+    The source's classes are shipped to the Python data-source runner
+    and the read workers BY VALUE (pyspark's vendored cloudpickle):
+    those processes inherit the JVM's cwd, not the driver's sys.path,
+    so a by-reference pickle would need this package importable from
+    an arbitrary cwd — exactly what a plain driver session doesn't
+    guarantee. By-value registration makes format("txlog") work from
+    any session that can import it once on the driver."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    cloudpickle.register_pickle_by_value(
+        sys.modules["saurav_nayak_recipe_etl_project_spark.sources.txlog"])
     spark.dataSource.register(TxLogSource)

@@ -154,12 +154,96 @@ def stream_mv_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_mv(spark, state)
 
 
-STREAM_MV_QUERIES = {"stream_mv_user_stats": stream_mv_user_stats}
+def run_mv_stream_txlog(spark: SparkSession, table: str,
+                        checkpoint_dir: str, state_path: str,
+                        max_versions_per_batch: int | None = None) -> None:
+    """The same IVM pipeline fed from the ACID table instead of file
+    drops: `spark.readStream.format("txlog")` (sources/txsource.py —
+    commit versions as offsets) → per-batch partials. This is the
+    lakehouse deployment shape: writers commit through tx_append, the
+    view maintains itself off the transaction log, and the query
+    checkpoint + dense immutable versions give exactly-once."""
+    from saurav_nayak_recipe_etl_project_spark.sources.txsource import (
+        register_txlog_source,
+    )
+
+    register_txlog_source(spark)
+    reader = spark.readStream.format("txlog").option("path", table)
+    if max_versions_per_batch is not None:
+        reader = reader.option("maxVersionsPerBatch",
+                               str(max_versions_per_batch))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        mv_process_batch(batch_df, batch_id, state_path)
+
+    await_or_raise(
+        reader.load().writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def txsource_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered entry, STRICT VALUE oracle — the A18 DataSource
+    driven end-to-end: the events corpus lands in a txlog ACID table
+    as three tx_append commits, the table is consumed through the
+    REAL `spark.readStream.format("txlog")` source across TWO query
+    lifetimes sharing one checkpoint (commits 0-1 in the first, commit
+    2 landing only after it stops), each micro-batch maintains the
+    user-stats MV, and the merged view must equal the one-shot SQL
+    groupBy bit-for-bit. One hash therefore proves the source's
+    version-offset planning, the Arrow read lane, exactly-once resume
+    from the checkpoint (a replay of commits 0-1 in the second
+    lifetime would double-count and mismatch), and the IVM merge."""
+    import tempfile
+
+    from saurav_nayak_recipe_etl_project_spark.sources.txlog import (
+        tx_append,
+    )
+
+    events = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value")
+    lo, hi = events.agg(F.min("event_id"), F.max("event_id")).first()
+    c1 = lo + (hi - lo) // 3
+    c2 = lo + 2 * (hi - lo) // 3
+    tmp = tempfile.mkdtemp(prefix="txsource_mv_")
+    table, ckpt, state = f"{tmp}/events_tx", f"{tmp}/ckpt", f"{tmp}/state"
+    tx_append(events.filter(F.col("event_id") <= c1), table, ["event_id"])
+    tx_append(events.filter((F.col("event_id") > c1)
+                            & (F.col("event_id") <= c2)),
+              table, ["event_id"])
+    run_mv_stream_txlog(spark, table, ckpt, state)
+    # the third commit lands only AFTER the first lifetime stopped:
+    # the resumed query must consume exactly it and nothing else
+    tx_append(events.filter(F.col("event_id") > c2), table, ["event_id"])
+    run_mv_stream_txlog(spark, table, ckpt, state)
+    return read_mv(spark, state)
+
+
+STREAM_MV_QUERIES = {
+    "stream_mv_user_stats": stream_mv_user_stats,
+    "txsource_mv": txsource_mv,
+}
 
 STREAM_MV_ORACLES = {
     # The one-shot aggregate the incrementally-maintained view must
     # equal exactly (integer-cents money sum, same association).
     "stream_mv_user_stats": """
+        SELECT user_id, event_type,
+          CAST(COUNT(*) AS BIGINT) AS n_events,
+          ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                / 100.0, 2) AS total_value,
+          (CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           / CAST(COUNT(*) AS BIGINT)) / 100.0 AS avg_value
+        FROM events
+        GROUP BY user_id, event_type
+    """,
+    # Same one-shot aggregate: the txlog-fed MV maintains an identical
+    # view, so the identical SQL is its strict oracle — any version
+    # replayed twice across the two query lifetimes doubles a partial
+    # and hash-mismatches.
+    "txsource_mv": """
         SELECT user_id, event_type,
           CAST(COUNT(*) AS BIGINT) AS n_events,
           ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)

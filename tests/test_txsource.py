@@ -142,3 +142,91 @@ def test_starting_version_skips_history(txsrc, tmp_path):
     out: list = []
     _drain(spark, t, ckpt, out, startingVersion="1")
     assert sorted(out) == [(2, "b")]
+
+
+def test_processing_time_trigger_paces_multiple_batches(txsrc, tmp_path):
+    """maxVersionsPerBatch under a RESIDENT processingTime trigger:
+    commits landing while the query is live must arrive as one
+    bounded micro-batch each WITHIN ONE query lifetime — the pacing
+    the availableNow single-batch fallback (documented above)
+    sidesteps. The r12 verdict's item 3a."""
+    import time
+
+    spark = txsrc
+    t, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    tx_append(_df(spark, [(0, "seed")]), t, ["k"])
+    batches: list = []
+
+    def sink(df, bid):
+        rows = sorted(tuple(r) for r in df.collect())
+        if rows:
+            batches.append(rows)
+
+    q = (spark.readStream.format("txlog").option("path", t)
+         .option("maxVersionsPerBatch", "1").load()
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(processingTime="300 milliseconds").start())
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and not batches:
+            time.sleep(0.1)
+        assert batches, "seed batch never arrived"
+        # three commits land while the query is LIVE; the cap must
+        # deliver them as three separate single-commit micro-batches
+        for i in range(1, 4):
+            tx_append(_df(spark, [(i, f"r{i}")]), t, ["k"])
+        while time.time() < deadline and len(batches) < 4:
+            time.sleep(0.1)
+        assert q.isActive
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert batches == [
+        [(0, "seed")], [(1, "r1")], [(2, "r2")], [(3, "r3")],
+    ]
+
+
+def test_txlog_fed_mv_equals_batch_twin(txsrc, tmp_path, sf_dir):
+    """The A18 source driving the G9 user-stats MV end-to-end: the
+    view maintained off readStream.format('txlog') must equal the
+    one-shot batch aggregate bit-for-bit, and a second lifetime after
+    a new commit must consume ONLY that commit."""
+    from pyspark.sql import functions as F
+
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+    from saurav_nayak_recipe_etl_project_spark.streaming.mv import (
+        _partial_agg,
+        read_mv,
+        run_mv_stream_txlog,
+    )
+
+    spark = txsrc
+    events = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value")
+    lo, hi = events.agg(F.min("event_id"), F.max("event_id")).first()
+    mid = (lo + hi) // 2
+    t = str(tmp_path / "events_tx")
+    ckpt, state = str(tmp_path / "ckpt"), str(tmp_path / "state")
+    tx_append(events.filter(F.col("event_id") <= mid), t, ["event_id"])
+    run_mv_stream_txlog(spark, t, ckpt, state)
+    half = _rows(read_mv(spark, state))
+    want_half = _rows(
+        _partial_agg(events.filter(F.col("event_id") <= mid)).select(
+            "user_id", "event_type", "n_events",
+            F.round(F.col("value_cents") / 100.0, 2).alias("total_value"),
+            ((F.col("value_cents") / F.col("n_events")) / F.lit(100.0))
+            .alias("avg_value")))
+    assert half == want_half
+    # second commit + second lifetime: incremental, not a re-read
+    tx_append(events.filter(F.col("event_id") > mid), t, ["event_id"])
+    run_mv_stream_txlog(spark, t, ckpt, state)
+    want_full = _rows(
+        _partial_agg(events).select(
+            "user_id", "event_type", "n_events",
+            F.round(F.col("value_cents") / 100.0, 2).alias("total_value"),
+            ((F.col("value_cents") / F.col("n_events")) / F.lit(100.0))
+            .alias("avg_value")))
+    assert _rows(read_mv(spark, state)) == want_full
