@@ -91,104 +91,86 @@ _load_optional()
 #   (2) the STALEST entries first — ordered by the round each was last
 #       externally verified in (computed from the CORRECTNESS_r*.json
 #       union) — until the window is full.
-# Round-12 window composition (executing the plan computed at r11
-# close, which this window completes — the full rotation closes and
-# the oldest external verification anywhere becomes r7):
-#   (1) changed in round 12 (10): the five acid_* entries (txlog grew
-#       log checkpointing + _last_checkpoint resolution, the tx_append
-#       base-capture TOCTOU fix, horizon-first vacuum, no-op delete
-#       suppression — all three existing entries read through the new
-#       resolve path; acid_orders_merge_delete is NEW — MERGE
-#       delete/conditional-update clauses through a checkpointed+
-#       cleaned log, strict clause-by-clause SQL oracle),
-#       stream_ann_index (ann_mv_process_batch now maintains the
-#       occupancy side-state; oracle unchanged, values proven
-#       unchanged), stream_ann_drift (NEW — the frozen-quantizer
-#       drift alarm, strict assignment-replay + G22-JS oracle),
-#       ann_recall_at_k (exact top-k computed once and re-shipped
-#       literal; values proven unchanged at 2 SFs), stream_clip_stats
-#       (NEW — the F71 clip calibration as a weighted-rank counts MV,
-#       F71 oracle verbatim), acid_orders_restore (NEW — metadata-only
-#       RESTORE TO VERSION AS OF, strict 4-commit-ledger oracle),
-#       stream_ann_rebuild (NEW — the drift alarm's response: full
-#       quantizer retrain + single-fold reassignment, strict
-#       full-corpus-seed replay oracle);
-#   (2) the 11 r5 leftovers (q9_profit_by_nation_year ..
-#       weekly_active_breakdown, alphabetical);
-#   (3) the r6 block alphabetically from ab_experiment_report — 32
-#       after ann_recall_at_k moved to (1); 10 + 11 + 32 = 53, so the
-#       50-cut drops the block's last three names (session_top_paths,
-#       stream_mv_user_stats, training_data_pipeline — r6-verified,
-#       they lead the r13 stale fill).
-# ROUND-13 FILL PLAN (computed now so the window stays mechanical):
-# after r13's changed entries (front), the three r6 leftovers below
-# this cut (session_top_paths, stream_mv_user_stats,
-# training_data_pipeline), then the stalest block: r7
-# (41 entries: events_json_extract, events_json_typed,
-# events_variant_stats, normalize_explode_structs, and the rest of
-# the r7-verified set per the CORRECTNESS_r7 window) — ~41 slots plus
-# changed entries fills the window; overflow spills to the r8 block
-# alphabetically.
+# Round-13 window composition (executing the r12 plan; after this
+# window lands in CORRECTNESS_r13, the oldest external verification
+# anywhere becomes r7x4 — the four alphabetical-tail r7 names below
+# the cut — then r8):
+#   (1) changed/new in round 13 (10): txsource_mv (NEW — the A18
+#       txlog DataSource driven end-to-end: three commits consumed by
+#       the real readStream.format('txlog') across two checkpoint-
+#       sharing lifetimes feeding the G9 user-stats MV; strict
+#       one-shot-SQL oracle), the five acid_* entries (txlog reads
+#       are now pinned-committed-schema with lossless type widening;
+#       tx_merge captures base before its schema check — the r12
+#       ADVICE TOCTOU; checkpoint pointer monotonic; clean-log
+#       threshold = pointer), and the four ann/clip MV entries
+#       (crashed-swap self-recovery in every maintenance entry
+#       point);
+#   (2) the three r6 leftovers (session_top_paths,
+#       stream_mv_user_stats, training_data_pipeline);
+#   (3) the 41-entry r7 block, alphabetical — 10 + 3 + 41 = 54, so
+#       the 50-cut drops its last four names (text_lm_score,
+#       text_type_token_ratio, weighted_sample_norep, zipf_slope) —
+#       they lead round 14's stale fill, followed by the r8 block.
 _DRIVER_PRIORITY = [
-    # -- (1) changed in round 12 --
+    # -- (1) changed/new in round 13 --
+    "txsource_mv",
     "acid_orders_ledger",
     "acid_orders_merge",
     "acid_orders_cdf",
     "acid_orders_merge_delete",
+    "acid_orders_restore",
     "stream_ann_index",
     "stream_ann_drift",
-    "ann_recall_at_k",
-    "stream_clip_stats",
-    "acid_orders_restore",
     "stream_ann_rebuild",
-    # -- (2) the 11 r5 leftovers --
-    "q9_profit_by_nation_year",
-    "quality_filter_pipeline",
-    "range_join_windows",
-    "rebalance_sources",
-    "sessionize_events",
-    "skew_diagnostics",
-    "snapshot_diff",
-    "stream_events_window",
-    "topk_parts_per_brand",
-    "validation_report",
-    "weekly_active_breakdown",
-    # -- (3) the r6 block, alphabetical from ab_experiment_report
-    #    (ann_recall_at_k is in (1)); the 50-cut drops the block's
-    #    last three names below --
-    "ab_experiment_report",
-    "ann_hnsw_topk",
-    "ann_index_partitioned_search",
-    "ann_index_stream_batch",
-    "ann_ivf_topk",
-    "ann_lsh_bucketed",
-    "cms_user_counts",
-    "decontaminate_5gram",
-    "dedup_clusters_star",
-    "dedup_embedding",
-    "dedup_minhash_lsh",
-    "dedup_segments",
-    "dedup_semantic",
-    "dedup_simhash",
-    "dedup_stream_lsh_batch",
-    "events_sliding_window",
-    "kfold_assignment",
-    "length_bucketing",
-    "lineitem_corr_matrix",
-    "lineitem_hist2d",
-    "lineitem_metrics_unpivot",
-    "nation_account_setops",
-    "order_reconciliation",
-    "orders_cube",
-    "part_pagerank",
-    "priority_status_chi2",
-    "quality_weighted_sample",
-    "revenue_cusum",
-    "revenue_growth_decomposition",
-    # -- below the 50-cut: the three r6 leftovers lead r13 --
+    "stream_clip_stats",
+    # -- (2) the three r6 leftovers --
     "session_top_paths",
     "stream_mv_user_stats",
     "training_data_pipeline",
+    # -- (3) the r7 block, alphabetical; the 50-cut falls after
+    #    supplier_scorecard (entry 50) --
+    "analytics_mart_pipeline",
+    "avg_lineitems_per_order",
+    "avg_order_value",
+    "benford_digit_audit",
+    "brand_return_rates",
+    "cohort_ltv",
+    "copurchase_reach3",
+    "copurchase_triangles",
+    "corpus_shuffle",
+    "customer_latest_order_lateral",
+    "customers_without_urgent_orders",
+    "dedup_subset_containment",
+    "discount_band_effect",
+    "doc_chunks_overlapping",
+    "doc_novelty_5gram",
+    "event_dow_hour_heatmap",
+    "event_time_weighted_avg",
+    "events_json_extract",
+    "events_json_typed",
+    "events_session_window",
+    "events_variant_stats",
+    "monthly_new_vs_repeat",
+    "monthly_revenue",
+    "monthly_seasonality_index",
+    "multimodal_thumbnail",
+    "nation_trade_balance",
+    "nest_unnest_roundtrip",
+    "normalize_explode_structs",
+    "normalize_posexplode",
+    "order_most_lineitems",
+    "orders_by_segment",
+    "part_pair_lift",
+    "rolling_weekly_active_users",
+    "segment_order_gini",
+    "segment_revenue_trend",
+    "segment_supplier_hhi",
+    "supplier_scorecard",
+    "text_lm_score",
+    "text_type_token_ratio",
+    "weighted_sample_norep",
+    "zipf_slope",
 ]
 
 

@@ -95,3 +95,15 @@ def test_legacy_doc_dedup_state_backfills_bucket(spark, tmp_path):
     for band_hash, bucket in rows:
         assert bucket == band_hash % N_STATE_BUCKETS
         assert 0 <= bucket < N_STATE_BUCKETS
+
+
+def test_bench_canonical_load_gate():
+    """The r12 verdict's bench-hygiene rule: runs starting above
+    ambient load 2 are non-canonical and excluded from the trend
+    instrument unless explicitly forced."""
+    from bench import canonical_load_gate
+
+    assert canonical_load_gate(0.5) == (True, True)
+    assert canonical_load_gate(2.0) == (True, True)
+    assert canonical_load_gate(5.31) == (False, False)
+    assert canonical_load_gate(5.31, force=True) == (False, True)
