@@ -133,6 +133,92 @@ def clip_stats_from_counts(cnt: DataFrame) -> DataFrame:
     )
 
 
+CLIP_DRIFT_BAND = 100_000  # 0.1 in micro units — fixed, SQL-portable
+
+
+def read_clipstats_batches(spark: SparkSession,
+                           state_path: str) -> DataFrame:
+    """(batch_id, v, c): each batch's pooled value counts with
+    provenance — the same partial partitions the MV maintains, read
+    WITH the batch_id partition column instead of merged across it."""
+    return (
+        spark.read.option("basePath", f"{state_path}/counts")
+        .parquet(f"{state_path}/counts")
+        .groupBy(F.col("batch_id").cast("long").alias("batch_id"), "v")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def clipstats_drift(spark: SparkSession, state_path: str,
+                    band: int = CLIP_DRIFT_BAND) -> DataFrame:
+    """Embedding value-distribution drift alarm over the clip-stats
+    MV (the G27 idea applied to the G28 state): per batch, the JS
+    divergence (micro-nats) of that batch's value-band histogram from
+    the all-batches corpus histogram — `drift_from_counts` (the G22
+    engine) reused VERBATIM with batch_id as the day key and the
+    fixed-width value band (v DIV 100000, i.e. 0.1 units — both
+    engines truncate integer division toward zero) as the category.
+    A drop whose embedding distribution shifted (new encoder version,
+    pipeline bug upstream) piles mass into different bands and its
+    js_micro jumps — caught from counts the ingest ALREADY maintains,
+    no second corpus scan, O(batches × bands) arithmetic.
+
+    Reads the per-batch partials, so it is a PRE-COMPACTION readout:
+    compact_clipstats_state folds history into one partition, after
+    which the alarm sees a single merged in-distribution batch (the
+    same reset-by-maintenance semantics as the G29 rebuild)."""
+    from saurav_nayak_recipe_etl_project_spark.streaming.drift import (
+        drift_from_counts,
+    )
+
+    cnt = read_clipstats_batches(spark, state_path).select(
+        F.col("batch_id").alias("d"),
+        F.expr(f"v DIV {band}").alias("event_type"),
+        "c",
+    ).groupBy("d", "event_type").agg(F.sum("c").alias("c"))
+    return drift_from_counts(cnt).select(
+        F.col("d").alias("batch_id"),
+        F.col("n_events").alias("n_values"),
+        "js_micro", "js_nats",
+    )
+
+
+def stream_clip_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered drift-alarm entry, STRICT VALUE oracle: three
+    vec_id-third batches through the real clip-stats maintenance —
+    batch 0 deliberately replayed (partials must be replay-stable),
+    batch 2 PLANTED with a +0.25 embedding shift (the new-encoder
+    incident) — then the per-batch value-histogram JS readout. The
+    oracle rebuilds the batch histograms analytically (same thirds,
+    same shift, same micro rounding) and reruns the G22 integer JS
+    arithmetic — one hash proves the per-batch counts, their replay
+    idempotency, the fixed-band pooling, and the drift scalar; the
+    planted batch separating (js_micro ≫ batches 0-1) is pinned in
+    tests, not here (the oracle already hash-verifies the values)."""
+    import tempfile
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
+    c1 = lo + (hi - lo) // 3
+    c2 = lo + 2 * (hi - lo) // 3
+    tmp = tempfile.mkdtemp(prefix="stream_clip_drift_")
+    state = f"{tmp}/state"
+    b0 = emb.filter(F.col("vec_id") <= c1)
+    clipstats_process_batch(b0, 0, state)
+    clipstats_process_batch(b0, 0, state)  # deliberate replay
+    clipstats_process_batch(
+        emb.filter((F.col("vec_id") > c1) & (F.col("vec_id") <= c2)),
+        1, state)
+    clipstats_process_batch(
+        emb.filter(F.col("vec_id") > c2).withColumn(
+            "embedding",
+            F.transform("embedding",
+                        lambda x: x.cast("double") + F.lit(0.25)),
+        ),
+        2, state)
+    return clipstats_drift(spark, state)
+
+
 def compact_clipstats_state(spark: SparkSession, state_path: str) -> int:
     """Fold every partial-count partition into one batch dir with
     duplicates merged — state shrinks to the distinct (dim, v)
@@ -224,8 +310,79 @@ def stream_clip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clip_stats_from_counts(read_clipstats_counts(spark, state))
 
 
+# Analytic rebuild of the three batch histograms (same thirds, same
+# planted +0.25 shift on the last third, same micro rounding and
+# fixed 0.1-unit band — integer // truncates toward zero in both
+# engines), then the G22 integer JS arithmetic verbatim.
+_CLIP_DRIFT_ORACLE = f"""
+    WITH bounds AS (
+      SELECT MIN(vec_id) AS lo, MAX(vec_id) AS hi FROM embeddings
+    ),
+    cuts AS (
+      SELECT lo + (hi - lo) // 3 AS c1,
+             lo + 2 * (hi - lo) // 3 AS c2
+      FROM bounds
+    ),
+    vals AS (
+      SELECT
+        CASE WHEN e.vec_id <= c.c1 THEN 0
+             WHEN e.vec_id <= c.c2 THEN 1 ELSE 2 END AS d,
+        CAST(round((CAST(embedding[i.i + 1] AS DOUBLE)
+          + CASE WHEN e.vec_id > c.c2 THEN 0.25 ELSE 0 END)
+          * {MICRO}) AS BIGINT) AS v
+      FROM embeddings e
+      CROSS JOIN cuts c,
+        UNNEST(range(0, len(embedding))) AS i(i)
+    ),
+    cnt AS (
+      SELECT d, v // {CLIP_DRIFT_BAND} AS event_type, COUNT(*) AS c
+      FROM vals GROUP BY 1, 2
+    ),
+    per_day AS (SELECT d, SUM(c) AS nd FROM cnt GROUP BY d),
+    per_type AS (
+      SELECT event_type, SUM(c) AS ct FROM cnt GROUP BY event_type
+    ),
+    n_all AS (SELECT SUM(c) AS nn FROM cnt),
+    grid AS (
+      SELECT per_day.d, per_day.nd, per_type.event_type, per_type.ct,
+        n_all.nn, COALESCE(cnt.c, 0) AS c,
+        CAST(COALESCE(cnt.c, 0) AS HUGEINT) * nn
+          + CAST(per_type.ct AS HUGEINT) * nd AS den
+      FROM per_day
+      CROSS JOIN per_type
+      LEFT JOIN cnt ON cnt.d = per_day.d
+        AND cnt.event_type = per_type.event_type
+      CROSS JOIN n_all
+    ),
+    terms AS (
+      SELECT d, c, ct, nd, nn,
+        CASE WHEN c > 0 THEN
+          CAST(round(ln(CAST(2 * CAST(c AS HUGEINT) * nn AS DOUBLE))
+               * 1000000) AS BIGINT)
+          - CAST(round(ln(CAST(den AS DOUBLE)) * 1000000) AS BIGINT)
+        ELSE 0 END AS dp,
+        CAST(round(ln(CAST(2 * CAST(ct AS HUGEINT) * nd AS DOUBLE))
+             * 1000000) AS BIGINT)
+        - CAST(round(ln(CAST(den AS DOUBLE)) * 1000000) AS BIGINT)
+          AS dq
+      FROM grid
+    ),
+    agg AS (
+      SELECT d, MAX(nd) AS nd, MAX(nn) AS nn,
+        SUM(CAST(c AS HUGEINT) * dp) AS sp,
+        SUM(CAST(ct AS HUGEINT) * dq) AS sq
+      FROM terms GROUP BY d
+    )
+    SELECT CAST(d AS BIGINT) AS batch_id, CAST(nd AS BIGINT) AS n_values,
+      CAST((sp // nd + sq // nn) // 2 AS BIGINT) AS js_micro,
+      ROUND(CAST((sp // nd + sq // nn) // 2 AS BIGINT) / 1000000.0, 4)
+        AS js_nats
+    FROM agg
+"""
+
 CLIPSTATS_MV_QUERIES = {
     "stream_clip_stats": stream_clip_stats,
+    "stream_clip_drift": stream_clip_drift,
 }
 
 # the F71 oracle reused verbatim: streamed MV == one-shot batch readout
@@ -235,4 +392,5 @@ from saurav_nayak_recipe_etl_project_spark.operators.linalg import (  # noqa: E4
 
 CLIPSTATS_MV_ORACLES = {
     "stream_clip_stats": _LINALG_ORACLES["embedding_dim_clip_stats"],
+    "stream_clip_drift": _CLIP_DRIFT_ORACLE,
 }

@@ -80,3 +80,41 @@ def test_real_stream_with_restart(spark, sf_dir, tmp_path):
     got = clip_stats_from_counts(read_clipstats_counts(spark, state))
     assert _rows(got) == _rows(
         QUERIES["embedding_dim_clip_stats"](spark, sf_dir))
+
+
+def test_clip_drift_planted_shift_fires_and_replay_stable(spark, sf_dir,
+                                                          tmp_path):
+    """The G30 alarm: a batch with a planted +0.25 embedding shift
+    must read clearly above the in-distribution batches, the readout
+    must be replay-stable, and serving stats stay unaffected."""
+    from saurav_nayak_recipe_etl_project_spark.streaming.clipstats_mv import (
+        clipstats_drift,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
+    c1 = lo + (hi - lo) // 3
+    c2 = lo + 2 * (hi - lo) // 3
+    state = str(tmp_path / "state")
+    # two in-distribution batches + one shifted: the corpus mix must
+    # be MAJORITY in-distribution for the alarm to single out the
+    # shifted batch (a 50/50 split diverges symmetrically — both
+    # halves read the same JS vs their own average; measured)
+    b0 = emb.filter(F.col("vec_id") <= c1)
+    b1 = emb.filter((F.col("vec_id") > c1) & (F.col("vec_id") <= c2))
+    shifted = emb.filter(F.col("vec_id") > c2).withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: x.cast("double") + F.lit(0.25)))
+    clipstats_process_batch(b0, 0, state)
+    clipstats_process_batch(b1, 1, state)
+    clipstats_process_batch(shifted, 2, state)
+    d1 = {r["batch_id"]: r["js_micro"]
+          for r in clipstats_drift(spark, state).collect()}
+    assert d1[2] > 2 * max(d1[0], d1[1]), d1
+    # replaying batches reproduces identical partials -> identical
+    # drift readout
+    clipstats_process_batch(shifted, 2, state)
+    clipstats_process_batch(b0, 0, state)
+    d2 = {r["batch_id"]: r["js_micro"]
+          for r in clipstats_drift(spark, state).collect()}
+    assert d2 == d1
