@@ -590,16 +590,149 @@ def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return thumbnail_pool(attach_blobs(load_table(spark, "documents", sf_dir)))
 
 
+AUDIO_SAMPLES = 256   # rendered samples per doc (4 frames)
+AUDIO_FRAME = 64      # frame length
+
+
+def audio_frame_features(blobs: DataFrame) -> DataFrame:
+    """Frame-level audio features through the REAL WAV codec round
+    trip — the audio twin of the thumbnail slot: each payload
+    'renders' to 256 deterministic int16 samples ((byte[i mod n] - 64)
+    · 512 — the documented stand-in while the container has no audio
+    libs; ASCII around '@' makes the sign content-dependent), is
+    ENCODED into real RIFF bytes by encode_wav_pcm16 and DECODED back
+    by decode_wav_pcm16 (the native codec is in the loop, not
+    bypassed), then every 64-sample frame emits energy, strict
+    zero-crossings, peak, and a one-level unnormalized Haar filterbank
+    split — low band = pairwise sums, high band = pairwise diffs —
+    genuine 2-band SPECTRAL energies that stay INTEGER-exact
+    (Parseval: low + high == 2·energy, pinned in tests), which is what
+    makes the readout hash-verifiable cross-engine where an FFT's
+    cos/sin would not be."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    # the closure references the module-level codec functions; ship
+    # them BY VALUE so the read workers (which inherit the JVM's cwd,
+    # not the driver's sys.path) never need this package importable —
+    # the txsource precedent, verified from a /tmp driver session
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+    import numpy as np
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "frame", "energy", "zero_crossings", "peak",
+                "low_energy", "high_energy",
+            )}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = np.frombuffer(bytes(blob), dtype=np.uint8)
+                if not len(b):
+                    continue
+                idx = np.arange(AUDIO_SAMPLES) % len(b)
+                samples = ((b[idx].astype(np.int64) - 64) * 512).astype(
+                    np.int16)
+                # the REAL codec round trip
+                rate, s16 = decode_wav_pcm16(encode_wav_pcm16(samples))
+                assert rate == 16000 and len(s16) == AUDIO_SAMPLES
+                s = s16.astype(np.int64).reshape(-1, AUDIO_FRAME)
+                energy = (s * s).sum(axis=1)
+                zc = ((s[:, 1:] * s[:, :-1]) < 0).sum(axis=1)
+                peak = np.abs(s).max(axis=1)
+                e, o = s[:, 0::2], s[:, 1::2]
+                low = ((e + o) ** 2).sum(axis=1)
+                high = ((e - o) ** 2).sum(axis=1)
+                for f in range(s.shape[0]):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame"].append(f)
+                    rows["energy"].append(int(energy[f]))
+                    rows["zero_crossings"].append(int(zc[f]))
+                    rows["peak"].append(int(peak[f]))
+                    rows["low_energy"].append(int(low[f]))
+                    rows["high_energy"].append(int(high[f]))
+            yield pd.DataFrame(rows)
+
+    return blobs.select("doc_id", "blob").mapInPandas(
+        gen,
+        schema="doc_id long, frame int, energy long, zero_crossings "
+               "long, peak long, low_energy long, high_energy long",
+    )
+
+
+def multimodal_audio_features(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Registered entry: the frame/spectral readout over the corpus's
+    fabricated payloads; STRICT oracle rebuilds the sample synthesis,
+    framing, zero-crossing LAG, and Haar band sums in pure integer
+    SQL."""
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.length("text") > 0)
+    return audio_frame_features(attach_blobs(docs))
+
+
 MULTIMODAL_QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_frames": multimodal_frames,
     "multimodal_byte_histogram": multimodal_byte_histogram,
     "multimodal_thumbnail": multimodal_thumbnail,
+    "multimodal_audio_features": multimodal_audio_features,
 }
 
 # The text is ASCII in the testdata, so utf-8 bytes == codepoints and
 # the byte-mean is reproducible in SQL exactly.
 MULTIMODAL_ORACLES = {
+    # sample(i) = (byte[i mod n] - 64) * 512 over 256 samples; frames
+    # of 64; zero crossings are strict sign flips (product < 0); the
+    # Haar bands are pairwise sum/diff energies — all integer, so the
+    # hash also proves the RIFF encode/decode round trip is lossless.
+    "multimodal_audio_features": """
+        WITH d AS (
+          SELECT doc_id, text, strlen(text) AS n
+          FROM documents WHERE strlen(text) > 0
+        ),
+        smp AS (
+          SELECT doc_id, i, i // 64 AS frame,
+            (ascii(substr(text, CAST((i % n) AS INT) + 1, 1)) - 64)
+              * 512 AS s
+          FROM d, UNNEST(generate_series(0, 255)) AS t(i)
+        ),
+        lagd AS (
+          SELECT doc_id, frame, i, s,
+            LAG(s) OVER (PARTITION BY doc_id, frame ORDER BY i) AS sp
+          FROM smp
+        ),
+        fr AS (
+          SELECT doc_id, frame,
+            SUM(CAST(s AS BIGINT) * s) AS energy,
+            SUM(CASE WHEN sp IS NOT NULL
+                     AND CAST(s AS BIGINT) * sp < 0
+                THEN 1 ELSE 0 END) AS zero_crossings,
+            MAX(ABS(s)) AS peak
+          FROM lagd GROUP BY doc_id, frame
+        ),
+        pairs AS (
+          SELECT doc_id, frame, i // 2 AS j,
+            SUM(s) AS a,
+            SUM(CASE WHEN i % 2 = 0 THEN s ELSE -s END) AS dd
+          FROM smp GROUP BY doc_id, frame, i // 2
+        ),
+        band AS (
+          SELECT doc_id, frame,
+            SUM(CAST(a AS BIGINT) * a) AS low_energy,
+            SUM(CAST(dd AS BIGINT) * dd) AS high_energy
+          FROM pairs GROUP BY doc_id, frame
+        )
+        SELECT fr.doc_id, CAST(fr.frame AS INT) AS frame,
+          CAST(energy AS BIGINT) AS energy,
+          CAST(zero_crossings AS BIGINT) AS zero_crossings,
+          CAST(peak AS BIGINT) AS peak,
+          CAST(low_energy AS BIGINT) AS low_energy,
+          CAST(high_energy AS BIGINT) AS high_energy
+        FROM fr JOIN band
+          ON fr.doc_id = band.doc_id AND fr.frame = band.frame
+    """,
     # pixel(p) = byte[(p mod n)] of the row-major 16x16 tiling; each
     # 4x4 cell averages its 16 pixels — /16.0 is a power-of-two
     # division, so the double is exact and hash-stable.

@@ -95,7 +95,7 @@ _load_optional()
 # window lands in CORRECTNESS_r13, the oldest external verification
 # anywhere becomes r7x4 — the four alphabetical-tail r7 names below
 # the cut — then r8):
-#   (1) changed/new in round 13 (11): txsource_mv (NEW — the A18
+#   (1) changed/new in round 13 (12): txsource_mv (NEW — the A18
 #       txlog DataSource driven end-to-end: three commits consumed by
 #       the real readStream.format('txlog') across two checkpoint-
 #       sharing lifetimes feeding the G9 user-stats MV; strict
@@ -110,11 +110,11 @@ _load_optional()
 #       strict analytic-histogram + G22-JS oracle);
 #   (2) the three r6 leftovers (session_top_paths,
 #       stream_mv_user_stats, training_data_pipeline);
-#   (3) the 41-entry r7 block, alphabetical — 11 + 3 + 41 = 55, so
-#       the 50-cut drops its last five names (supplier_scorecard,
-#       text_lm_score, text_type_token_ratio, weighted_sample_norep,
-#       zipf_slope) — they lead round 14's stale fill, then the r8
-#       block.
+#   (3) the 41-entry r7 block, alphabetical — 12 + 3 + 41 = 56, so
+#       the 50-cut drops its last six names (segment_supplier_hhi,
+#       supplier_scorecard, text_lm_score, text_type_token_ratio,
+#       weighted_sample_norep, zipf_slope) — they lead round 14's
+#       stale fill, then the r8 block.
 _DRIVER_PRIORITY = [
     # -- (1) changed/new in round 13 --
     "txsource_mv",
@@ -128,12 +128,13 @@ _DRIVER_PRIORITY = [
     "stream_ann_rebuild",
     "stream_clip_stats",
     "stream_clip_drift",
+    "multimodal_audio_features",
     # -- (2) the three r6 leftovers --
     "session_top_paths",
     "stream_mv_user_stats",
     "training_data_pipeline",
     # -- (3) the r7 block, alphabetical; the 50-cut falls after
-    #    segment_supplier_hhi (entry 50) --
+    #    segment_revenue_trend (entry 50) --
     "analytics_mart_pipeline",
     "avg_lineitems_per_order",
     "avg_order_value",

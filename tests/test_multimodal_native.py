@@ -203,3 +203,33 @@ def test_decode_media_native_rejects_unknown_mime(spark):
     )
     with pytest.raises(Exception, match="truncated"):
         decode_media_native(trunc).collect()
+
+
+def test_audio_frame_features_parseval_and_roundtrip(spark, sf_dir):
+    """The Haar filterbank is energy-preserving (unnormalized:
+    low + high == 2 * energy per frame), zero crossings are bounded
+    by the frame length, and the readout is deterministic across
+    runs (the RIFF round trip inside the operator is lossless)."""
+    from pyspark.sql import functions as F
+
+    from saurav_nayak_recipe_etl_project_spark.operators.multimodal import (
+        AUDIO_FRAME,
+        audio_frame_features,
+        attach_blobs,
+    )
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.length("text") > 0).limit(50)
+    out = audio_frame_features(attach_blobs(docs))
+    bad = out.filter(
+        (F.col("low_energy") + F.col("high_energy"))
+        != 2 * F.col("energy")).count()
+    assert bad == 0
+    assert out.filter(F.col("zero_crossings") >= AUDIO_FRAME).count() == 0
+    a = sorted(tuple(r) for r in out.collect())
+    b = sorted(tuple(r) for r in
+               audio_frame_features(attach_blobs(docs)).collect())
+    assert a == b and len(a) == 50 * 4
