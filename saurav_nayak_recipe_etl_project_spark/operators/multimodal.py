@@ -631,6 +631,17 @@ def audio_frame_features(blobs: DataFrame) -> DataFrame:
                 b = np.frombuffer(bytes(blob), dtype=np.uint8)
                 if not len(b):
                     continue
+                if int(b.max()) >= 128:
+                    # (byte-64)*512 would silently WRAP in int16 for
+                    # bytes >= 128 while the SQL oracle computes the
+                    # unwrapped codepoint formula — loud beats a
+                    # silent divergence (r13 review finding; the
+                    # testdata is ASCII, so this is a contract, not a
+                    # limitation hit in practice)
+                    raise ValueError(
+                        "audio_frame_features: non-ASCII payload "
+                        f"(doc_id={doc_id}) — the deterministic render "
+                        "is defined for ASCII bytes only")
                 idx = np.arange(AUDIO_SAMPLES) % len(b)
                 samples = ((b[idx].astype(np.int64) - 64) * 512).astype(
                     np.int16)

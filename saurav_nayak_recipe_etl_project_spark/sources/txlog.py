@@ -194,15 +194,32 @@ def _resolve_snapshot(table: str,
             f"version {version} of {table} was vacuumed (horizon "
             f"{horizon}) — its data files no longer exist")
     base = _best_checkpoint(table, version)
-    live: dict = {}
-    if base >= 0:
-        live, _, _ = _load_checkpoint(table, base)
     tail = [v for v in _json_versions(table) if base < v <= version]
     expected = list(range(base + 1, version + 1))
+    if tail != expected:
+        # The pointer's tail is broken — almost always a REGRESSED
+        # _last_checkpoint (the pointer write is a plain replace, so
+        # two checkpointers interleaving read-then-write can still
+        # move it backwards past the monotonic guard) whose commits a
+        # clean already folded. Before declaring the table unreadable,
+        # fall back to the DIRECTORY listing: checkpoint parquet files
+        # are never cleaned, so a newer listed checkpoint <= version
+        # repairs the replay (the rare failure path pays the listing;
+        # the happy path stays one pointer read).
+        listed = max((c for c in _checkpoint_versions(table)
+                      if c <= version), default=-1)
+        if listed > base:
+            base = listed
+            tail = [v for v in _json_versions(table)
+                    if base < v <= version]
+            expected = list(range(base + 1, version + 1))
     if tail != expected:
         raise ValueError(
             f"{table} log is missing commits {sorted(set(expected) - set(tail))} "
             f"between checkpoint {base} and version {version} — cannot replay")
+    live: dict = {}
+    if base >= 0:
+        live, _, _ = _load_checkpoint(table, base)
     for v in tail:
         for a in _read_json_commit(table, v)["actions"]:
             if a["op"] == "add":
@@ -289,7 +306,7 @@ def _schema_at(table: str, version: int) -> dict | None:
 
 
 def _check_schema(df: DataFrame, table: str, evolve: bool,
-                  at_version: int | None = None) -> None:
+                  at_version: int | None = None) -> dict | None:
     """Schema enforcement (the Delta contract): an append whose
     columns drift from the table raises unless `evolve=True`.
     Evolution is additive columns plus sanctioned LOSSLESS widenings
@@ -302,13 +319,15 @@ def _check_schema(df: DataFrame, table: str, evolve: bool,
     change happened. `at_version` pins the check to a captured base
     version so callers can make check-then-commit atomic (a rival
     commit in between bumps the version and the commit raises
-    TxConflict)."""
+    TxConflict). Returns the prior schema it checked against (None
+    for a fresh table) so callers reuse it instead of re-reading the
+    commit file."""
     v = latest_version(table) if at_version is None else at_version
     if v < 0:
-        return
+        return None
     prior = _schema_at(table, v)
     if prior is None:
-        return
+        return None
     now = _schema_fields(df)
     changed = {c: (prior[c], now[c]) for c in prior
                if c in now and now[c] != prior[c]}
@@ -329,6 +348,7 @@ def _check_schema(df: DataFrame, table: str, evolve: bool,
             f"tx schema drift for {table}: new columns {added}, "
             f"widened types {widened} — pass "
             "allow_schema_evolution=True to apply them deliberately")
+    return prior
 
 
 def _write_files(df: DataFrame, table: str,
@@ -385,12 +405,13 @@ def tx_append(df: DataFrame, table: str,
             last = last_txn_batch(table, txn["app"], at_version=base)
             if last is not None and txn["batch"] <= last:
                 return base  # idempotent replay: no-op
-        _check_schema(df, table, allow_schema_evolution, at_version=base)
+        prior = _check_schema(df, table, allow_schema_evolution,
+                              at_version=base)
         if actions is None:
             actions = _write_files(df, table, stats_cols)
         # record the MERGED schema: a narrow source never regresses a
         # widened table; a widening/evolving source promotes it
-        prior = _schema_at(table, base) if base >= 0 else None
+        # (prior comes back from the check — one commit-file read)
         schema = _merged_schema(prior, _schema_fields(df)) if prior \
             else _schema_fields(df)
         try:
@@ -442,6 +463,12 @@ def read_table(spark: SparkSession, table: str,
     skipping. Empty snapshots need the schema from somewhere, so an
     empty live set raises (a table with zero commits is a bug at this
     layer, not an empty DataFrame)."""
+    # resolve 'latest' ONCE: files and schema must come from the SAME
+    # version — a rival evolution committing between two independent
+    # latest_version() calls would return snapshot-N rows under
+    # schema@N+1 (r13 review finding)
+    if version is None:
+        version = latest_version(table)
     live = snapshot_files(table, version)
     if not live:
         raise ValueError(f"{table} snapshot is empty")
@@ -560,7 +587,8 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
     # being schema-checked against the pre-rival version and silently
     # dropped from _schema_fields(merged)
     base = latest_version(table)
-    _check_schema(source, table, allow_schema_evolution, at_version=base)
+    prior = _check_schema(source, table, allow_schema_evolution,
+                          at_version=base) or {}
     lo, hi = source.agg(F.min(key), F.max(key)).first()
     live = snapshot_files(table, base)
     if lo is None:
@@ -625,7 +653,6 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
               else survivors.unionByName(to_write, allowMissingColumns=True))
     actions: list[dict] = [{"op": "remove", "file": f} for f in touched]
     actions += _write_files(merged, table, stats_cols)
-    prior = _schema_at(table, base) or {}
     _commit(table, base + 1, actions,
             schema=_merged_schema(prior, _schema_fields(merged)))
     return base + 1

@@ -46,6 +46,7 @@ from pyspark.sql.types import StructType
 from saurav_nayak_recipe_etl_project_spark.sources.txlog import (
     _read_json_commit,
     _schema_at,
+    _schema_ddl,
     latest_version,
     snapshot_files,
 )
@@ -61,7 +62,10 @@ def _table_schema_ddl(table: str) -> str:
     if not fields:
         raise ValueError(
             f"txlog source: {table} records no schema at version {v}")
-    return ", ".join(f"{name} {typ}" for name, typ in fields.items())
+    # ONE renderer for the committed schema (txlog._schema_ddl): two
+    # renderers diverging on quoting would break this source — and
+    # only this source — for column names needing backticks
+    return _schema_ddl(fields)
 
 
 def _conform_batches(path: str, schema: StructType):

@@ -184,13 +184,12 @@ def _swap_dirs(spark: SparkSession, live: str, tmp: str, label: str) -> None:
     every window is a no-op (stray temp) or a missing-state read
     between the renames, self-healed by `_recover_swap` on the next
     maintenance run. Shared by the compactor and the rebuild."""
+    # a PRIOR crash may have left the only state copy at .fold.old;
+    # deleting it below would destroy it — heal first (no-op otherwise)
+    _recover_swap(spark, live)
     jvm = spark._jvm.org.apache.hadoop.fs.Path
     live_p, tmp_p, old_p = jvm(live), jvm(tmp), jvm(f"{live}.fold.old")
     fs = live_p.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(live_p) and fs.exists(old_p):
-        # a PRIOR crash left the state at .fold.old; deleting it here
-        # would destroy the only copy — heal first
-        _recover_swap(spark, live)
     fs.delete(old_p, True)
     if not fs.rename(live_p, old_p):
         raise IOError(f"{label}: rename {live} -> .fold.old failed")

@@ -136,19 +136,6 @@ def clip_stats_from_counts(cnt: DataFrame) -> DataFrame:
 CLIP_DRIFT_BAND = 100_000  # 0.1 in micro units — fixed, SQL-portable
 
 
-def read_clipstats_batches(spark: SparkSession,
-                           state_path: str) -> DataFrame:
-    """(batch_id, v, c): each batch's pooled value counts with
-    provenance — the same partial partitions the MV maintains, read
-    WITH the batch_id partition column instead of merged across it."""
-    return (
-        spark.read.option("basePath", f"{state_path}/counts")
-        .parquet(f"{state_path}/counts")
-        .groupBy(F.col("batch_id").cast("long").alias("batch_id"), "v")
-        .agg(F.sum("c").alias("c"))
-    )
-
-
 def clipstats_drift(spark: SparkSession, state_path: str,
                     band: int = CLIP_DRIFT_BAND) -> DataFrame:
     """Embedding value-distribution drift alarm over the clip-stats
@@ -171,11 +158,18 @@ def clipstats_drift(spark: SparkSession, state_path: str,
         drift_from_counts,
     )
 
-    cnt = read_clipstats_batches(spark, state_path).select(
-        F.col("batch_id").alias("d"),
-        F.expr(f"v DIV {band}").alias("event_type"),
-        "c",
-    ).groupBy("d", "event_type").agg(F.sum("c").alias("c"))
+    # ONE aggregation straight from the per-batch partials to the
+    # (batch, band) grid — banding inside the groupBy key, no wasted
+    # per-distinct-value intermediate (r13 review finding)
+    cnt = (
+        spark.read.option("basePath", f"{state_path}/counts")
+        .parquet(f"{state_path}/counts")
+        .groupBy(
+            F.col("batch_id").cast("long").alias("d"),
+            F.expr(f"v DIV {band}").alias("event_type"),
+        )
+        .agg(F.sum("c").alias("c"))
+    )
     return drift_from_counts(cnt).select(
         F.col("d").alias("batch_id"),
         F.col("n_events").alias("n_values"),
@@ -199,8 +193,8 @@ def stream_clip_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir)
     lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
-    c1 = lo + (hi - lo) // 3
-    c2 = lo + 2 * (hi - lo) // 3
+    c1 = lo + (hi - lo) // 3 if lo is not None else 0
+    c2 = lo + 2 * (hi - lo) // 3 if lo is not None else 0
     tmp = tempfile.mkdtemp(prefix="stream_clip_drift_")
     state = f"{tmp}/state"
     b0 = emb.filter(F.col("vec_id") <= c1)

@@ -205,8 +205,8 @@ def txsource_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, "events", sf_dir).select(
         "event_id", "user_id", "event_type", "value")
     lo, hi = events.agg(F.min("event_id"), F.max("event_id")).first()
-    c1 = lo + (hi - lo) // 3
-    c2 = lo + 2 * (hi - lo) // 3
+    c1 = lo + (hi - lo) // 3 if lo is not None else 0
+    c2 = lo + 2 * (hi - lo) // 3 if lo is not None else 0
     tmp = tempfile.mkdtemp(prefix="txsource_mv_")
     table, ckpt, state = f"{tmp}/events_tx", f"{tmp}/ckpt", f"{tmp}/state"
     tx_append(events.filter(F.col("event_id") <= c1), table, ["event_id"])
@@ -239,18 +239,10 @@ STREAM_MV_ORACLES = {
         FROM events
         GROUP BY user_id, event_type
     """,
-    # Same one-shot aggregate: the txlog-fed MV maintains an identical
-    # view, so the identical SQL is its strict oracle — any version
-    # replayed twice across the two query lifetimes doubles a partial
-    # and hash-mismatches.
-    "txsource_mv": """
-        SELECT user_id, event_type,
-          CAST(COUNT(*) AS BIGINT) AS n_events,
-          ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
-                / 100.0, 2) AS total_value,
-          (CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
-           / CAST(COUNT(*) AS BIGINT)) / 100.0 AS avg_value
-        FROM events
-        GROUP BY user_id, event_type
-    """,
 }
+
+# Same one-shot aggregate, the SAME string: the txlog-fed MV maintains
+# an identical view, so stream_mv_user_stats' oracle is its strict
+# oracle verbatim — any version replayed twice across the two query
+# lifetimes doubles a partial and hash-mismatches.
+STREAM_MV_ORACLES["txsource_mv"] = STREAM_MV_ORACLES["stream_mv_user_stats"]

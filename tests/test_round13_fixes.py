@@ -71,12 +71,13 @@ def test_merge_toctou_rival_schema_evolution_conflicts(spark, tmp_path,
     # pre-fix the merge then committed at rival+1 with the rival's
     # column silently dropped from _schema_fields(merged)
     def hook(df, table, evolve, at_version=None):
-        orig(df, table, evolve, at_version=at_version)
+        prior = orig(df, table, evolve, at_version=at_version)
         if not fired:
             fired.append(True)
             tx_append(_df(spark, [(9, "e", 7)],
                           "k long, s string, extra int"),
                       t, ["k"], allow_schema_evolution=True)
+        return prior
 
     monkeypatch.setattr(txlog, "_check_schema", hook)
     with pytest.raises(TxConflict):
@@ -191,3 +192,28 @@ def test_clipstats_compact_heals_crashed_swap(spark, sf_dir, tmp_path):
     after = _rows(clip_stats_from_counts(
         read_clipstats_counts(spark, state)))
     assert after == before
+
+
+def test_regressed_pointer_read_repairs_via_listing(spark, tmp_path):
+    """The monotonic write guard is itself check-then-write, so a true
+    interleave can still regress the pointer AFTER a clean already ran
+    against the newer one. The read path must then REPAIR through the
+    directory listing (checkpoint parquet files are never cleaned)
+    instead of raising 'missing commits' on a healthy table."""
+    t = str(tmp_path / "t")
+    tx_append(_df(spark, [(1, "a")]), t, ["k"])
+    tx_checkpoint(t)  # ckpt 0
+    tx_append(_df(spark, [(2, "b")]), t, ["k"])
+    tx_checkpoint(t)  # ckpt 1, ptr 1
+    tx_clean_log(t)   # cleans commits <= 1 (pointer = 1)
+    # NOW the lost-race pointer write lands (simulated directly)
+    ptr = os.path.join(txlog._log_path(t), txlog._CKPT_PTR)
+    with open(ptr, "w") as f:
+        f.write(json.dumps({"version": 0}))
+    # pointer says base=0, commit 1's JSON is gone — the listed
+    # checkpoint at 1 must repair the read
+    assert _rows(read_table(spark, t)) == [(1, "a"), (2, "b")]
+    # and the next checkpoint heals the pointer itself
+    tx_append(_df(spark, [(3, "c")]), t, ["k"])
+    tx_checkpoint(t)
+    assert last_checkpoint_version(t) == 2

@@ -230,3 +230,21 @@ def test_txlog_fed_mv_equals_batch_twin(txsrc, tmp_path, sf_dir):
             ((F.col("value_cents") / F.col("n_events")) / F.lit(100.0))
             .alias("avg_value")))
     assert _rows(read_mv(spark, state)) == want_full
+
+
+def test_stream_upcasts_pre_widening_files(txsrc, tmp_path):
+    """Type widening through the streaming source: files committed
+    under the narrow (int/float) contract must arrive up-cast to the
+    table's evolved wide schema via the Arrow casts."""
+    spark = txsrc
+    t, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    tx_append(spark.createDataFrame([(1, 1.5)], "k int, x float"),
+              t, ["k"])
+    tx_append(spark.createDataFrame([(2**40, 2.5)], "k long, x double"),
+              t, ["k"], allow_schema_evolution=True)
+    out: list = []
+    _drain(spark, t, ckpt, out)
+    assert sorted(out) == [(1, 1.5), (2**40, 2.5)]
+    got = spark.read.format("txlog").option("path", t).load()
+    assert {f.name: f.dataType.simpleString() for f in got.schema.fields} \
+        == {"k": "bigint", "x": "double"}
