@@ -342,6 +342,11 @@ HEADLINE = [
     # lifetimes feeding the user-stats MV — the one shape that times
     # the Python-source offset planning + Arrow read lane end-to-end.
     "txsource_mv",
+    # round-13 addition: the deletion-vector ledger (two accumulating
+    # merge-on-read deletes + the anti-join read path + compact fold)
+    # — the zero-rewrite delete twin of acid_orders_ledger's
+    # copy-on-write shape, measured side by side with it.
+    "acid_orders_dv",
 ]
 
 # ann_recall_at_k runs FIVE ANN paths + the exact oracle inside one

@@ -95,7 +95,7 @@ _load_optional()
 # window lands in CORRECTNESS_r13, the oldest external verification
 # anywhere becomes r7x4 — the four alphabetical-tail r7 names below
 # the cut — then r8):
-#   (1) changed/new in round 13 (12): txsource_mv (NEW — the A18
+#   (1) changed/new in round 13 (13): txsource_mv (NEW — the A18
 #       txlog DataSource driven end-to-end: three commits consumed by
 #       the real readStream.format('txlog') across two checkpoint-
 #       sharing lifetimes feeding the G9 user-stats MV; strict
@@ -110,11 +110,11 @@ _load_optional()
 #       strict analytic-histogram + G22-JS oracle);
 #   (2) the three r6 leftovers (session_top_paths,
 #       stream_mv_user_stats, training_data_pipeline);
-#   (3) the 41-entry r7 block, alphabetical — 12 + 3 + 41 = 56, so
-#       the 50-cut drops its last six names (segment_supplier_hhi,
-#       supplier_scorecard, text_lm_score, text_type_token_ratio,
-#       weighted_sample_norep, zipf_slope) — they lead round 14's
-#       stale fill, then the r8 block.
+#   (3) the 41-entry r7 block, alphabetical — 13 + 3 + 41 = 57, so
+#       the 50-cut drops its last seven names (segment_revenue_trend,
+#       segment_supplier_hhi, supplier_scorecard, text_lm_score,
+#       text_type_token_ratio, weighted_sample_norep, zipf_slope) —
+#       they lead round 14's stale fill, then the r8 block.
 _DRIVER_PRIORITY = [
     # -- (1) changed/new in round 13 --
     "txsource_mv",
@@ -123,6 +123,7 @@ _DRIVER_PRIORITY = [
     "acid_orders_cdf",
     "acid_orders_merge_delete",
     "acid_orders_restore",
+    "acid_orders_dv",
     "stream_ann_index",
     "stream_ann_drift",
     "stream_ann_rebuild",
@@ -134,7 +135,7 @@ _DRIVER_PRIORITY = [
     "stream_mv_user_stats",
     "training_data_pipeline",
     # -- (3) the r7 block, alphabetical; the 50-cut falls after
-    #    segment_revenue_trend (entry 50) --
+    #    segment_order_gini (entry 50) --
     "analytics_mart_pipeline",
     "avg_lineitems_per_order",
     "avg_order_value",

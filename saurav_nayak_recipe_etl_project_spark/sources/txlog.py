@@ -226,6 +226,19 @@ def _resolve_snapshot(table: str,
                 live[a["file"]] = a.get("stats") or {}
             elif a["op"] == "remove":
                 live.pop(a["file"], None)
+            elif a["op"] == "dv":
+                # deletion vector: the file stays live, its stats grow
+                # a _dvs list (which rides through checkpoints inside
+                # stats_json untouched); later DVs on the same file
+                # ACCUMULATE. A dv on a non-live file is log
+                # corruption — loud.
+                if a["file"] not in live:
+                    raise ValueError(
+                        f"{table} commit {v}: deletion vector targets "
+                        f"non-live file {a['file']} — corrupt log")
+                st = dict(live[a["file"]])
+                st["_dvs"] = list(st.get("_dvs", [])) + [a["dv"]]
+                live[a["file"]] = st
     return live, len(tail), base
 
 
@@ -277,20 +290,50 @@ def _schema_ddl(schema: dict) -> str:
     return ", ".join(f"`{c}` {t}" for c, t in schema.items())
 
 
+_REL_FILE_RE = r"(data/[^/]+/[^/]+)$"
+
+
 def _read_files(spark: SparkSession, table: str, files: list[str],
-                version: int | None = None) -> DataFrame:
+                version: int | None = None,
+                live: dict | None = None) -> DataFrame:
     """Read data files under the COMMITTED schema at `version` (latest
     when None): files that predate an additive evolution NULL-backfill
     the new columns, and narrow-generation files up-cast in place
     (int→bigint, float→double) — the type-widening read contract a
     mergeSchema inference cannot provide (it refuses to merge int and
     bigint footers). Falls back to mergeSchema for a log that predates
-    schema recording."""
+    schema recording.
+
+    `live` (the snapshot's {file: stats}) additionally applies any
+    DELETION VECTORS the stats carry: rows named by (file, position)
+    in the snapshot's DV parquet are anti-joined out via the parquet
+    reader's `_metadata.row_index` — merge-on-read delete, no file
+    rewrite. Callers reading snapshot state MUST pass live or DV'd
+    rows silently resurrect."""
     v = latest_version(table) if version is None else version
     schema = _schema_at(table, v)
     reader = (spark.read.schema(_schema_ddl(schema)) if schema
               else spark.read.option("mergeSchema", "true"))
-    return reader.parquet(*[os.path.join(table, f) for f in files])
+    df = reader.parquet(*[os.path.join(table, f) for f in files])
+    if live:
+        dv_dirs = sorted({d for f in files
+                          for d in (live.get(f) or {}).get("_dvs", [])})
+        if dv_dirs:
+            dv = spark.read.schema("file string, pos long").parquet(
+                *[os.path.join(table, d) for d in dv_dirs])
+            df = (
+                df.withColumn(
+                    "__dv_f",
+                    F.regexp_extract(F.col("_metadata.file_path"),
+                                     _REL_FILE_RE, 1))
+                .withColumn("__dv_p", F.col("_metadata.row_index"))
+                .join(dv,
+                      (F.col("__dv_f") == dv["file"])
+                      & (F.col("__dv_p") == dv["pos"]),
+                      "left_anti")
+                .drop("__dv_f", "__dv_p")
+            )
+    return df
 
 
 def _schema_at(table: str, version: int) -> dict | None:
@@ -483,7 +526,7 @@ def read_table(spark: SparkSession, table: str,
             # The predicate matches nothing, parquet row-group stats
             # skip the data pages, and zero-match reads are rare.
             files = sorted(live)
-    df = _read_files(spark, table, files, version)
+    df = _read_files(spark, table, files, version, live)
     if where is not None:
         col, op, value = where
         df = df.filter(_OPS[op](F.col(col), F.lit(value)))
@@ -491,10 +534,26 @@ def read_table(spark: SparkSession, table: str,
 
 
 def tx_delete_where(spark: SparkSession, table: str, where: tuple,
-                    stats_cols: list[str] | None = None) -> int:
+                    stats_cols: list[str] | None = None,
+                    deletion_vectors: bool = False) -> int:
     """File-granular delete: only files whose stats can contain a
-    matching row are rewritten (survivor rows re-added); every other
-    file is untouched. One atomic remove+add commit."""
+    matching row are touched; every other file is untouched.
+
+    Two physical strategies, same logical result:
+    - copy-on-write (default): touched files are REWRITTEN (survivor
+      rows re-added) in one atomic remove+add commit — reads stay
+      plain scans, the delete pays the rewrite.
+    - `deletion_vectors=True` (the Delta DV / Iceberg v2
+      position-delete design): the matching rows' (file, row_index)
+      positions are written as a small DV parquet and the commit
+      records only `dv` actions — ZERO data files rewritten, so
+      deleting 100 rows from a 1 GB file costs O(deleted rows), the
+      100 TB delete story. Reads merge-on-read: _read_files anti-joins
+      the positions via `_metadata.row_index`. Later DVs accumulate;
+      compaction/merge rewrites fold DVs away (their rows vanish with
+      the removed file); vacuum keeps DV files alive while any kept
+      snapshot references them. Both modes are NULL-safe: a NULL
+      predicate never deletes a row."""
     col, op, value = where
     base = latest_version(table)
     live = snapshot_files(table, base)
@@ -505,15 +564,42 @@ def tx_delete_where(spark: SparkSession, table: str, where: tuple,
         # NOTHING — an empty version would pollute history and the CDF
         # version sequence for zero state change
         return base
+    pred = _OPS[op](F.col(col), F.lit(value))
+    if deletion_vectors:
+        sub = os.path.join("data", f"dv-{uuid.uuid4().hex[:12]}")
+        dest = os.path.join(table, sub)
+        # read WITH the current DVs applied: rows already deleted must
+        # not be re-recorded; pred IS TRUE keeps NULL rows out
+        hits = (
+            _read_files(spark, table, touched, base, live)
+            .filter(pred.eqNullSafe(F.lit(True)))
+            .select(
+                F.regexp_extract(F.col("_metadata.file_path"),
+                                 _REL_FILE_RE, 1).alias("file"),
+                F.col("_metadata.row_index").alias("pos"),
+            )
+        )
+        hits.write.parquet(dest)
+        back = spark.read.schema("file string, pos long").parquet(dest)
+        dv_files = sorted(r["file"] for r in
+                          back.select("file").distinct().collect())
+        if not dv_files:
+            # stats overlapped but nothing matched: remove the empty
+            # DV dir, commit nothing
+            import shutil
+            shutil.rmtree(dest, ignore_errors=True)
+            return base
+        actions = [{"op": "dv", "file": f, "dv": sub} for f in dv_files]
+        _commit(table, base + 1, actions)
+        return base + 1
     # NULL-safe survivor filter: ~(col op value) is NULL (not
     # false) when the column is NULL, and a plain filter drops
     # NULL rows — silently deleting rows the predicate never
     # matched. A delete keeps every row whose predicate is not
     # TRUE, so coalesce the negation to TRUE for NULLs.
-    pred = _OPS[op](F.col(col), F.lit(value))
-    survivors = _read_files(spark, table, touched, base).filter(
+    survivors = _read_files(spark, table, touched, base, live).filter(
         F.coalesce(~pred, F.lit(True)))
-    actions: list[dict] = [{"op": "remove", "file": f} for f in touched]
+    actions = [{"op": "remove", "file": f} for f in touched]
     actions += _write_files(survivors, table, stats_cols)
     _commit(table, base + 1, actions)  # schema carried forward
     return base + 1
@@ -530,7 +616,7 @@ def tx_compact(spark: SparkSession, table: str, target_files: int = 1,
     after compaction (the Z-order/OPTIMIZE idea, 1-D)."""
     base = latest_version(table)
     live = snapshot_files(table, base)
-    df = _read_files(spark, table, sorted(live), base)
+    df = _read_files(spark, table, sorted(live), base, live)
     if cluster_by is not None:
         df = df.repartitionByRange(
             target_files, cluster_by).sortWithinPartitions(cluster_by)
@@ -606,7 +692,7 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
 
     tgt = None
     if touched:
-        tgt = _read_files(spark, table, touched, base)
+        tgt = _read_files(spark, table, touched, base, live)
     if matched_delete is None and matched_update_condition is None:
         # plain upsert: survivors = unmatched targets, write-all source
         survivors = (None if tgt is None
@@ -680,23 +766,32 @@ def tx_changes(spark: SparkSession, table: str, from_version: int,
     after = snapshot_files(table, to_version)
     removed = sorted(f for f in before if f not in after)
     added = sorted(f for f in after if f not in before)
+    # a file whose DELETION VECTORS changed between the versions
+    # mutated in place: its old content (before-DVs applied) joins the
+    # removed side and its new content the added side — unchanged rows
+    # hash out in table_diff, DV'd rows surface as 'removed'
+    modified = sorted(
+        f for f in before if f in after
+        and before[f].get("_dvs", []) != after[f].get("_dvs", []))
     # schema donor for an empty side: the other side's churn, else any
     # live file of either snapshot (a delete-everything commit leaves
     # `after` empty — the feed must report the removals, not crash)
-    donor = added or removed or sorted(after or before)
+    donor = added or removed or modified or sorted(after or before)
     if not donor:
         raise ValueError(
             f"tx_changes: {table} has no files at either version")
 
-    def _read(files):
+    def _read(files, live):
         src = files or donor
         # BOTH sides read under the to_version schema: the diff is
         # reported in the current contract, and a widened generation
-        # compares as the same logical values (int 7 == bigint 7)
-        df = _read_files(spark, table, src, to_version)
+        # compares as the same logical values (int 7 == bigint 7).
+        # Each side applies ITS OWN version's deletion vectors.
+        df = _read_files(spark, table, src, to_version, live)
         return df if files else df.limit(0)
 
-    return table_diff(_read(added), _read(removed), key, cols)
+    return table_diff(_read(added + modified, after),
+                      _read(removed + modified, before), key, cols)
 
 
 def tx_read_incremental(spark: SparkSession, table: str,
@@ -723,11 +818,12 @@ def tx_read_incremental(spark: SparkSession, table: str,
             "checkpoint) — re-bootstrap this consumer from a snapshot")
     for v in vs:
         for a in _read_json_commit(table, v)["actions"]:
-            if a["op"] == "remove":
+            if a["op"] in ("remove", "dv"):
                 raise ValueError(
-                    f"tx_read_incremental: version {v} removed files "
-                    "(delete/merge/compact) — an append feed cannot "
-                    "represent it; switch this consumer to tx_changes")
+                    f"tx_read_incremental: version {v} removed rows "
+                    "(delete/merge/compact/deletion-vector) — an append "
+                    "feed cannot represent it; switch this consumer to "
+                    "tx_changes")
             added.append(a["file"])
     if not added:
         return None, latest
@@ -791,8 +887,11 @@ def vacuum(table: str, keep_versions: int = 1) -> int:
         return 0
     keep = vs[-keep_versions:]
     referenced: set = set()
+    ref_dirs: set = set()  # deletion-vector dirs still referenced
     for v in keep:
-        referenced.update(snapshot_files(table, v))
+        for f, st in snapshot_files(table, v).items():
+            referenced.add(f)
+            ref_dirs.update(st.get("_dvs", []))
     # publish the horizon BEFORE deleting anything, via temp+rename
     # like _commit: if deletion is interrupted by a crash, time travel
     # past the horizon fails with the loud horizon error (conservative
@@ -810,6 +909,8 @@ def vacuum(table: str, keep_versions: int = 1) -> int:
     for sub in sorted(os.listdir(data_root)) if os.path.isdir(
             data_root) else []:
         subdir = os.path.join(data_root, sub)
+        if os.path.join("data", sub) in ref_dirs:
+            continue  # a kept snapshot still reads these DVs
         for f in sorted(os.listdir(subdir)):
             rel = os.path.join("data", sub, f)
             if f.endswith(".parquet") and rel not in referenced:
@@ -836,10 +937,19 @@ def tx_restore(table: str, to_version: int) -> int:
     base = latest_version(table)
     target = snapshot_files(table, to_version)  # loud if vacuumed/cleaned
     current = snapshot_files(table, base)
+    # a file live in BOTH snapshots whose stats differ (a deletion
+    # vector landed after the target version) must also roll back:
+    # remove-then-add re-establishes it with the target's stats — the
+    # add/remove replay order makes that exact
+    changed = sorted(f for f in current
+                     if f in target and current[f] != target[f])
     actions = [{"op": "remove", "file": f}
                for f in sorted(current) if f not in target]
+    actions += [{"op": "remove", "file": f} for f in changed]
     actions += [{"op": "add", "file": f, "stats": target[f]}
                 for f in sorted(target) if f not in current]
+    actions += [{"op": "add", "file": f, "stats": target[f]}
+                for f in changed]
     if not actions:
         return base
     _commit(table, base + 1, actions, schema=_schema_at(table, to_version))
@@ -855,7 +965,8 @@ def history(table: str) -> list[dict]:
         e = _read_json_commit(table, v)
         ops = [a["op"] for a in e["actions"]]
         out.append({"version": v, "adds": ops.count("add"),
-                    "removes": ops.count("remove"), "txn": e.get("txn")})
+                    "removes": ops.count("remove"),
+                    "dvs": ops.count("dv"), "txn": e.get("txn")})
     return out
 
 
@@ -1295,8 +1406,89 @@ UNION ALL
 SELECT 3, COUNT(*), CAST(SUM(cents) AS BIGINT) FROM c
 """
 
+def acid_orders_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered entry, STRICT VALUE oracle — deletion vectors
+    end-to-end: append lower/upper halves, DV-delete filled orders
+    (zero files rewritten), a SECOND DV-delete of a key range
+    (vectors ACCUMULATE on the same files), then compact (folds the
+    DVs away). Emits per version (version, n_orders, total_cents,
+    metadata_only) where metadata_only is the driver-observed "this
+    commit changed NO data file" witness — the oracle hard-codes the
+    expected booleans, so a DV delete that ever rewrites a file (or a
+    compact that doesn't) hash-mismatches, alongside any value error
+    in the merge-on-read row masking, DV accumulation, time travel
+    across DV versions, or the compaction fold."""
+    import tempfile
+
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    mid = (lo + hi) // 2 if lo is not None else 0
+    q = lo + (hi - lo) // 4 if lo is not None else 0
+    table = tempfile.mkdtemp(prefix="txlog_dv_")
+    stats = ["o_orderkey", "o_orderstatus"]
+    tx_append(orders.filter(F.col("o_orderkey") <= mid)
+              .repartition(4), table, stats)
+    tx_append(orders.filter(F.col("o_orderkey") > mid)
+              .repartition(4), table, stats)
+    tx_delete_where(spark, table, ("o_orderstatus", "=", "F"), stats,
+                    deletion_vectors=True)
+    tx_delete_where(spark, table, ("o_orderkey", "<=", q), stats,
+                    deletion_vectors=True)
+    tx_compact(spark, table, 1, stats)
+    files_at = [sorted(f for f in snapshot_files(table, v)
+                       if not f.split("/")[1].startswith("dv-"))
+                for v in range(latest_version(table) + 1)]
+    out = None
+    for v in range(latest_version(table) + 1):
+        meta_only = v > 0 and files_at[v] == files_at[v - 1]
+        snap = read_table(spark, table, version=v).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .alias("total_cents"),
+        ).select(F.lit(v).cast("long").alias("version"),
+                 "n_orders", "total_cents",
+                 F.lit(meta_only).alias("metadata_only"))
+        out = snap if out is None else out.unionByName(snap)
+    return out
+
+
+_DV_ORACLE = """
+WITH m AS (
+  SELECT (MIN(o_orderkey) + MAX(o_orderkey)) // 2 AS mid,
+         MIN(o_orderkey) + (MAX(o_orderkey) - MIN(o_orderkey)) // 4 AS q
+  FROM orders
+),
+c AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       FALSE AS metadata_only
+FROM c, m WHERE o_orderkey <= mid
+UNION ALL
+SELECT 1, COUNT(*), CAST(SUM(cents) AS BIGINT), FALSE FROM c
+UNION ALL
+SELECT 2, COUNT(*), CAST(SUM(cents) AS BIGINT), TRUE
+FROM c WHERE o_orderstatus <> 'F'
+UNION ALL
+SELECT 3, COUNT(*), CAST(SUM(cents) AS BIGINT), TRUE
+FROM c, m WHERE o_orderstatus <> 'F' AND o_orderkey > q
+UNION ALL
+SELECT 4, COUNT(*), CAST(SUM(cents) AS BIGINT), FALSE
+FROM c, m WHERE o_orderstatus <> 'F' AND o_orderkey > q
+"""
+
+
 TXLOG_QUERIES = {
     "acid_orders_ledger": acid_orders_ledger,
+    "acid_orders_dv": acid_orders_dv,
     "acid_orders_merge": acid_orders_merge,
     "acid_orders_cdf": acid_orders_cdf,
     "acid_orders_merge_delete": acid_orders_merge_delete,
@@ -1304,6 +1496,7 @@ TXLOG_QUERIES = {
 }
 TXLOG_ORACLES = {
     "acid_orders_ledger": _ACID_ORACLE,
+    "acid_orders_dv": _DV_ORACLE,
     "acid_orders_merge": _MERGE_ORACLE,
     "acid_orders_cdf": _CDF_ORACLE,
     "acid_orders_merge_delete": _MERGE_DELETE_ORACLE,

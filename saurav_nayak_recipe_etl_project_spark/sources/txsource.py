@@ -68,12 +68,31 @@ def _table_schema_ddl(table: str) -> str:
     return _schema_ddl(fields)
 
 
-def _conform_batches(path: str, schema: StructType):
+def _dv_positions(dv_dirs: list[str], rel_file: str):
+    """Deleted row positions for one data file, unioned across its
+    deletion-vector dirs (pyarrow only — runs on the worker)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    pos: set = set()
+    for d in dv_dirs:
+        for p in sorted(_glob.glob(os.path.join(d, "*.parquet"))):
+            t = pq.read_table(p, columns=["file", "pos"])
+            for f, x in zip(t.column("file").to_pylist(),
+                            t.column("pos").to_pylist()):
+                if f == rel_file:
+                    pos.add(x)
+    return pos
+
+
+def _conform_batches(path: str, schema: StructType,
+                     dv_pos: set | None = None):
     """Read one parquet data file and yield Arrow record batches
     conformed to the READER schema: columns reordered, files that
     predate an additive evolution get NULL-filled columns, types cast
-    to the declared arrow types (runs on the WORKER — pyarrow only,
-    no Spark)."""
+    to the declared arrow types, deletion-vector positions masked out
+    (runs on the WORKER — pyarrow only, no Spark)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_type
@@ -82,6 +101,12 @@ def _conform_batches(path: str, schema: StructType):
         (f.name, to_arrow_type(f.dataType)) for f in schema.fields
     ])
     t = pq.read_table(path)
+    if dv_pos:
+        keep = [i for i in range(t.num_rows) if i not in dv_pos]
+        # explicit int64 indices: an all-deleted file yields [] whose
+        # inferred null type has no take kernel
+        t = (t.slice(0, 0) if not keep
+             else t.take(pa.array(keep, pa.int64())))
     n = t.num_rows
     cols = []
     for f in target:
@@ -132,11 +157,24 @@ class TxLogBatchReader(DataSourceReader):
 
     def partitions(self):
         live = snapshot_files(self._path, self._version)
-        return [InputPartition(os.path.join(self._path, f))
-                for f in sorted(live)]
+        # partition value: (abs data file, relative name, abs DV dirs)
+        # — the reader masks deletion-vector positions worker-side
+        return [
+            InputPartition((
+                os.path.join(self._path, f), f,
+                [os.path.join(self._path, d)
+                 for d in live[f].get("_dvs", [])],
+            ))
+            for f in sorted(live)
+        ]
 
     def read(self, partition: InputPartition):
-        yield from _conform_batches(partition.value, self._schema)
+        path, rel, dv_dirs = partition.value
+        if not dv_dirs:
+            yield from _conform_batches(path, self._schema)
+            return
+        yield from _conform_batches(path, self._schema,
+                                    _dv_positions(dv_dirs, rel))
 
 
 class TxLogStreamReader(DataSourceStreamReader):
@@ -188,11 +226,12 @@ class TxLogStreamReader(DataSourceStreamReader):
                     "re-bootstrap this consumer from a snapshot read"
                 ) from None
             for a in entry["actions"]:
-                if a["op"] == "remove":
+                if a["op"] in ("remove", "dv"):
                     raise RuntimeError(
-                        f"txlog stream: version {v} removed files "
-                        "(delete/merge/compact/restore) — an append feed "
-                        "cannot represent it; consume tx_changes instead")
+                        f"txlog stream: version {v} removed rows "
+                        "(delete/merge/compact/restore/deletion-vector) "
+                        "— an append feed cannot represent it; consume "
+                        "tx_changes instead")
                 files.append(a["file"])
         return [InputPartition(os.path.join(self._path, f))
                 for f in files]
