@@ -101,17 +101,21 @@ def latest_version(table: str) -> int:
 
 def _commit(table: str, version: int, actions: list[dict],
             txn: dict | None = None,
-            schema: dict | None = None) -> None:
+            schema: dict | None = None,
+            checks: dict | None = None) -> None:
     """Atomically create version file `version` — O_CREAT|O_EXCL is
     the mutual exclusion: exactly one writer wins a version number.
-    Each commit records the table schema; a commit that adds no files
-    carries the prior version's schema forward."""
+    Each commit records the table schema and CHECK constraints; a
+    commit that passes neither carries the prior version's forward."""
     if schema is None and version > 0:
         schema = _schema_at(table, version - 1)
+    if checks is None:
+        checks = _checks_at(table, version - 1) if version > 0 else {}
     os.makedirs(_log_path(table), exist_ok=True)
     path = os.path.join(_log_path(table), f"{version:011d}.json")
     payload = json.dumps(
-        {"actions": actions, "txn": txn, "schema": schema}) + "\n"
+        {"actions": actions, "txn": txn, "schema": schema,
+         "checks": checks}) + "\n"
     # publish the FULL payload atomically: write a private temp file,
     # then hard-link it to the version name (link fails if the name is
     # taken — same mutual exclusion as O_EXCL, but no window where a
@@ -137,9 +141,10 @@ def _read_json_commit(table: str, v: int) -> dict:
         return json.loads(f.read())
 
 
-def _load_checkpoint(table: str, v: int) -> tuple[dict, dict | None, dict]:
-    """(live files, schema, txn high-water marks) from the parquet
-    checkpoint at version v."""
+def _load_checkpoint(
+        table: str, v: int) -> tuple[dict, dict | None, dict, dict]:
+    """(live files, schema, txn high-water marks, check constraints)
+    from the parquet checkpoint at version v."""
     import pyarrow.parquet as pq
 
     path = os.path.join(_log_path(table), f"{v:011d}{_CKPT_SUFFIX}")
@@ -153,7 +158,9 @@ def _load_checkpoint(table: str, v: int) -> tuple[dict, dict | None, dict]:
               if b"schema_json" in meta else None)
     txns = (json.loads(meta[b"txns_json"].decode())
             if b"txns_json" in meta else {})
-    return live, schema, txns
+    checks = (json.loads(meta[b"checks_json"].decode())
+              if b"checks_json" in meta else {})
+    return live, schema, txns, checks
 
 
 def _best_checkpoint(table: str, version: int) -> int:
@@ -219,7 +226,7 @@ def _resolve_snapshot(table: str,
             f"between checkpoint {base} and version {version} — cannot replay")
     live: dict = {}
     if base >= 0:
-        live, _, _ = _load_checkpoint(table, base)
+        live = _load_checkpoint(table, base)[0]
     for v in tail:
         for a in _read_json_commit(table, v)["actions"]:
             if a["op"] == "add":
@@ -348,6 +355,78 @@ def _schema_at(table: str, version: int) -> dict | None:
     return None
 
 
+def _checks_at(table: str, version: int) -> dict:
+    """The CHECK constraints in force at `version` — {name: [col, op,
+    literal]} from the JSON commit when present, else from the
+    checkpoint that replaced it."""
+    if version < 0:
+        return {}
+    if version in _json_versions(table):
+        return _read_json_commit(table, version).get("checks") or {}
+    if version in _checkpoint_versions(table):
+        return _load_checkpoint(table, version)[3]
+    return {}
+
+
+def table_checks(table: str) -> dict:
+    """The currently-enforced CHECK constraints."""
+    return _checks_at(table, latest_version(table))
+
+
+def _validate_checks(df: DataFrame, checks: dict, table: str) -> None:
+    """SQL-standard CHECK semantics: a row passes when the predicate
+    is TRUE or UNKNOWN (NULL); it is a violation only when FALSE. One
+    pass counts every constraint's violations; any violation raises
+    with the per-constraint counts — the write is rejected whole (the
+    Delta ADD CONSTRAINT write contract)."""
+    if not checks:
+        return
+    aggs = []
+    for name, (col, op, value) in sorted(checks.items()):
+        pred = _OPS[op](F.col(col), F.lit(value))
+        aggs.append(
+            F.sum(F.when(pred.eqNullSafe(F.lit(False)), 1).otherwise(0))
+            .alias(name))
+    row = df.agg(*aggs).first()
+    bad = {n: int(row[n] or 0) for n in sorted(checks) if row[n]}
+    if bad:
+        raise ValueError(
+            f"tx CHECK constraint violation for {table}: {bad} rows "
+            f"fail {sorted(bad)} — the write is rejected whole "
+            "(drop the constraint deliberately or fix the data)")
+
+
+def tx_set_check(spark: SparkSession, table: str, name: str,
+                 constraint: tuple) -> int:
+    """ALTER TABLE ADD CONSTRAINT ... CHECK (the Delta write
+    contract): records `constraint` = (col, op, literal) in the log —
+    every subsequent append/merge validates its rows and is rejected
+    whole on any violation. EXISTING data is validated first (a
+    constraint the current table violates raises instead of being
+    recorded — Delta semantics). One metadata-only commit; constraints
+    ride through checkpoints and survive log cleaning."""
+    base = latest_version(table)
+    if base < 0:
+        raise ValueError(f"{table} has no commits — append first")
+    checks = dict(_checks_at(table, base))
+    _validate_checks(read_table(spark, table), {name: constraint}, table)
+    checks[name] = list(constraint)
+    _commit(table, base + 1, [], checks=checks)
+    return base + 1
+
+
+def tx_drop_check(table: str, name: str) -> int:
+    """ALTER TABLE DROP CONSTRAINT: one metadata-only commit."""
+    base = latest_version(table)
+    checks = dict(_checks_at(table, base))
+    if name not in checks:
+        raise ValueError(f"{table} has no CHECK constraint {name!r} "
+                         f"(have {sorted(checks)})")
+    del checks[name]
+    _commit(table, base + 1, [], checks=checks)
+    return base + 1
+
+
 def _check_schema(df: DataFrame, table: str, evolve: bool,
                   at_version: int | None = None) -> dict | None:
     """Schema enforcement (the Delta contract): an append whose
@@ -450,6 +529,10 @@ def tx_append(df: DataFrame, table: str,
                 return base  # idempotent replay: no-op
         prior = _check_schema(df, table, allow_schema_evolution,
                               at_version=base)
+        # CHECK constraints as of base; a rival changing them mid-write
+        # forces TxConflict at base+1 and this re-validates (the same
+        # pinning as the schema check)
+        _validate_checks(df, _checks_at(table, base), table)
         if actions is None:
             actions = _write_files(df, table, stats_cols)
         # record the MERGED schema: a narrow source never regresses a
@@ -675,6 +758,10 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
     base = latest_version(table)
     prior = _check_schema(source, table, allow_schema_evolution,
                           at_version=base) or {}
+    # the rows a merge can WRITE all derive from the source — validate
+    # it whole against the CHECK constraints as of base (survivor rows
+    # already passed when they were written)
+    _validate_checks(source, _checks_at(table, base), table)
     lo, hi = source.agg(F.min(key), F.max(key)).first()
     live = snapshot_files(table, base)
     if lo is None:
@@ -1007,6 +1094,7 @@ def tx_checkpoint(table: str) -> int:
     ).replace_schema_metadata({
         b"schema_json": json.dumps(schema).encode(),
         b"txns_json": json.dumps(txns).encode(),
+        b"checks_json": json.dumps(_checks_at(table, v)).encode(),
         b"version": str(v).encode(),
     })
     path = os.path.join(_log_path(table), f"{v:011d}{_CKPT_SUFFIX}")

@@ -202,3 +202,60 @@ def test_restore_across_dv_brings_rows_back(spark, tmp_path):
     ch = sorted((r["k"], r["change_type"])
                 for r in tx_changes(spark, t, 1, 2, "k", ["s"]).collect())
     assert ch == [(2, "added")]
+
+
+# --- CHECK constraints (the Delta ADD CONSTRAINT write contract) -------
+
+def test_check_constraint_enforced_on_append_and_merge(spark, tmp_path):
+    from saurav_nayak_recipe_etl_project_spark.sources.txlog import (
+        table_checks,
+        tx_drop_check,
+        tx_set_check,
+    )
+
+    t = str(tmp_path / "t")
+    tx_append(_df(spark, [(1, 1)], "k long, v long"), t, ["k"])
+    tx_set_check(spark, t, "v_nonneg", ("v", ">=", 0))
+    assert table_checks(t) == {"v_nonneg": ["v", ">=", 0]}
+    # valid append passes; violating append is rejected WHOLE
+    tx_append(_df(spark, [(2, 5)], "k long, v long"), t, ["k"])
+    with pytest.raises(ValueError, match="v_nonneg"):
+        tx_append(_df(spark, [(3, 7), (4, -1)], "k long, v long"),
+                  t, ["k"])
+    assert _rows(read_table(spark, t)) == [(1, 1), (2, 5)]
+    # NULL passes (SQL-standard CHECK: violation only when FALSE)
+    tx_append(_df(spark, [(5, None)], "k long, v long"), t, ["k"])
+    # merge validates its source too
+    with pytest.raises(ValueError, match="v_nonneg"):
+        tx_merge(spark, t, _df(spark, [(2, -9)], "k long, v long"), "k")
+    tx_merge(spark, t, _df(spark, [(2, 9)], "k long, v long"), "k")
+    # dropping the constraint re-opens the gate
+    tx_drop_check(t, "v_nonneg")
+    assert table_checks(t) == {}
+    tx_append(_df(spark, [(6, -3)], "k long, v long"), t, ["k"])
+    assert (6, -3) in _rows(read_table(spark, t))
+
+
+def test_check_constraint_validates_existing_data_and_survives_clean(
+        spark, tmp_path):
+    from saurav_nayak_recipe_etl_project_spark.sources.txlog import (
+        table_checks,
+        tx_set_check,
+    )
+
+    t = str(tmp_path / "t")
+    tx_append(_df(spark, [(1, -5)], "k long, v long"), t, ["k"])
+    # existing data violates: the constraint is NOT recorded (Delta
+    # ADD CONSTRAINT semantics)
+    with pytest.raises(ValueError, match="v_nonneg"):
+        tx_set_check(spark, t, "v_nonneg", ("v", ">=", 0))
+    assert table_checks(t) == {}
+    tx_set_check(spark, t, "v_small", ("v", "<=", 100))
+    # constraints ride through checkpoints and survive log cleaning
+    tx_checkpoint(t)
+    tx_clean_log(t)
+    assert table_checks(t) == {"v_small": ["v", "<=", 100]}
+    with pytest.raises(ValueError, match="v_small"):
+        tx_append(_df(spark, [(2, 500)], "k long, v long"), t, ["k"])
+    tx_append(_df(spark, [(2, 50)], "k long, v long"), t, ["k"])
+    assert _rows(read_table(spark, t)) == [(1, -5), (2, 50)]
