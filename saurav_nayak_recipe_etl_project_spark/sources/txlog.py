@@ -396,6 +396,9 @@ def _validate_checks(df: DataFrame, checks: dict, table: str) -> None:
             "(drop the constraint deliberately or fix the data)")
 
 
+_CHECK_NAME_RE = r"^[A-Za-z_][A-Za-z0-9_]{0,127}$"
+
+
 def tx_set_check(spark: SparkSession, table: str, name: str,
                  constraint: tuple) -> int:
     """ALTER TABLE ADD CONSTRAINT ... CHECK (the Delta write
@@ -404,7 +407,27 @@ def tx_set_check(spark: SparkSession, table: str, name: str,
     whole on any violation. EXISTING data is validated first (a
     constraint the current table violates raises instead of being
     recorded — Delta semantics). One metadata-only commit; constraints
-    ride through checkpoints and survive log cleaning."""
+    ride through checkpoints and survive log cleaning.
+
+    Constraint names are plain identifiers (letter/underscore then
+    word characters, <=128 chars): the name is used verbatim as an
+    aggregation alias and Row field key in _validate_checks, so a
+    name with dots/backticks/spaces would break or mis-resolve every
+    subsequent write's validation (ADVICE r13) — rejected here, at
+    record time, not at the 400th append.
+
+    RESTORE note: tx_restore reinstates a historical snapshot; by
+    default (no session passed) it does NOT re-validate constraints
+    added after that snapshot — the Delta RESTORE semantics. Pass
+    tx_restore(..., spark=...) to validate the restored rows against
+    the constraints currently in force."""
+    import re
+
+    if not re.match(_CHECK_NAME_RE, name):
+        raise ValueError(
+            f"tx CHECK constraint name {name!r} is not a plain "
+            "identifier ([A-Za-z_][A-Za-z0-9_]*, <=128 chars) — the "
+            "name doubles as an aggregation alias in validation")
     base = latest_version(table)
     if base < 0:
         raise ValueError(f"{table} has no commits — append first")
@@ -493,12 +516,36 @@ def _write_files(df: DataFrame, table: str,
     actions = []
     for r in rows:
         name = os.path.basename(r["_f"])
-        stats = {"rows": r["_rows"]}
+        stats = {"rows": r["_rows"],
+                 "bytes": os.path.getsize(os.path.join(dest, name))}
         for c in stats_cols or []:
             stats[c] = [r[f"_min_{c}"], r[f"_max_{c}"]]
         actions.append({"op": "add", "file": os.path.join(sub, name),
                         "stats": stats})
     return actions
+
+
+def _discard_written(table: str, actions: list[dict]) -> None:
+    """Remove the data dirs a failed (never-committed) write produced —
+    they are invisible to every reader (the log never references them),
+    so this is cleanup, not a state change."""
+    import shutil
+
+    for d in sorted({os.path.dirname(a["file"]) for a in actions
+                     if a["op"] == "add"}):
+        shutil.rmtree(os.path.join(table, d), ignore_errors=True)
+
+
+def _read_written(spark: SparkSession, actions: list[dict],
+                  table: str) -> DataFrame:
+    """The rows a pending commit would make live — read back from the
+    files actually written, so validation sees the committed BYTES,
+    not a second evaluation of a possibly non-deterministic source
+    (ADVICE r13: rand()/timestamp sources could otherwise commit rows
+    that were never validated)."""
+    return spark.read.parquet(
+        *[os.path.join(table, a["file"]) for a in actions
+          if a["op"] == "add"])
 
 
 def tx_append(df: DataFrame, table: str,
@@ -529,12 +576,25 @@ def tx_append(df: DataFrame, table: str,
                 return base  # idempotent replay: no-op
         prior = _check_schema(df, table, allow_schema_evolution,
                               at_version=base)
-        # CHECK constraints as of base; a rival changing them mid-write
-        # forces TxConflict at base+1 and this re-validates (the same
-        # pinning as the schema check)
-        _validate_checks(df, _checks_at(table, base), table)
         if actions is None:
             actions = _write_files(df, table, stats_cols)
+        # CHECK constraints as of base, validated against the WRITTEN
+        # BYTES (read-back of the new files — ADVICE r13: validating
+        # the source DataFrame is a second evaluation, so a
+        # non-deterministic source could commit rows never validated;
+        # Delta enforces invariants on the rows actually written). A
+        # rival changing the checks mid-write forces TxConflict at
+        # base+1 and this re-validates (the same pinning as the schema
+        # check). A violation discards the uncommitted files.
+        checks = _checks_at(table, base)
+        if checks:
+            try:
+                _validate_checks(
+                    _read_written(df.sparkSession, actions, table),
+                    checks, table)
+            except ValueError:
+                _discard_written(table, actions)
+                raise
         # record the MERGED schema: a narrow source never regresses a
         # widened table; a widening/evolving source promotes it
         # (prior comes back from the check — one commit-file read)
@@ -715,7 +775,8 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
              key: str, stats_cols: list[str] | None = None,
              allow_schema_evolution: bool = False,
              matched_delete: tuple | None = None,
-             matched_update_condition: tuple | None = None) -> int:
+             matched_update_condition: tuple | None = None,
+             deletion_vectors: bool = False) -> int:
     """Row-level MERGE: source rows REPLACE table rows with the same
     `key`; unmatched source rows are INSERTED — the maintenance.py
     docstring's "table format with row-level merge", delivered.
@@ -741,7 +802,21 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
     formats refine the prune with a bloom or an inner join on file
     ranges, same contract). A source with duplicate keys raises (the
     Delta MERGE multiple-match rule) — an upsert that applies "one of"
-    two updates silently is a corruption, not a convenience."""
+    two updates silently is a corruption, not a convenience.
+
+    `deletion_vectors=True` (the Delta DV-MERGE / merge-on-read
+    upsert, r13 verdict item 2): instead of REWRITING every
+    stat-overlapping file, the matched target rows a clause fires on
+    (delete OR update) are recorded as position deletes in a DV
+    parquet, and only the REPLACEMENT rows (fired updates + inserts)
+    are appended as new files — ZERO data files removed, so a 1-row
+    upsert into a table of 1 GB files costs O(changed rows), not
+    O(touched file bytes): the dominant write-amplification cliff at
+    100 TB. Matched rows no clause fires on stay in place untouched.
+    Repeated DV merges ACCUMULATE vectors on the same files;
+    compaction and COW rewrites fold them away; CDF reports a DV'd
+    file as modified in place — all inherited from the A19 read
+    path."""
     ndup = (source.groupBy(key).count().filter(F.col("count") > 1)
             .limit(1).count())
     if ndup:
@@ -758,10 +833,6 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
     base = latest_version(table)
     prior = _check_schema(source, table, allow_schema_evolution,
                           at_version=base) or {}
-    # the rows a merge can WRITE all derive from the source — validate
-    # it whole against the CHECK constraints as of base (survivor rows
-    # already passed when they were written)
-    _validate_checks(source, _checks_at(table, base), table)
     lo, hi = source.agg(F.min(key), F.max(key)).first()
     live = snapshot_files(table, base)
     if lo is None:
@@ -780,11 +851,13 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
     tgt = None
     if touched:
         tgt = _read_files(spark, table, touched, base, live)
+    repl = None  # keys whose matched TARGET row leaves the table
     if matched_delete is None and matched_update_condition is None:
         # plain upsert: survivors = unmatched targets, write-all source
-        survivors = (None if tgt is None
+        survivors = (None if tgt is None or deletion_vectors
                      else tgt.join(source.select(key), key, "left_anti"))
         to_write = source
+        repl = source.select(key)
     else:
         del_f = (_cond_true(matched_delete) if matched_delete is not None
                  else F.lit(False))
@@ -796,14 +869,23 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
             survivors = None
             to_write = source  # nothing can match: all-insert
         else:
+            # a matched target row leaves when EITHER clause fires
+            # (delete drops it, update replaces it)
+            repl = (flags
+                    .filter(F.col("__tx_del") | F.col("__tx_upd"))
+                    .select(key))
             # target rows kept: unmatched, or matched with neither
             # clause firing (delete wins over update, Delta clause
-            # order)
-            survivors = (
-                tgt.join(flags.withColumn("__tx_m", F.lit(True)), key, "left")
-                .filter(F.col("__tx_m").isNull()
-                        | (~F.col("__tx_del") & ~F.col("__tx_upd")))
-                .drop("__tx_del", "__tx_upd", "__tx_m"))
+            # order). DV mode never rewrites survivors — they stay in
+            # their files and the fired rows are masked by position.
+            survivors = None
+            if not deletion_vectors:
+                survivors = (
+                    tgt.join(flags.withColumn("__tx_m", F.lit(True)),
+                             key, "left")
+                    .filter(F.col("__tx_m").isNull()
+                            | (~F.col("__tx_del") & ~F.col("__tx_upd")))
+                    .drop("__tx_del", "__tx_upd", "__tx_m"))
             # source rows written: unmatched inserts + matched updates
             # that fire and are not deletes. The anti and semi joins
             # each re-scan the touched files, but pruned to the single
@@ -819,15 +901,67 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
             upd = (src_f.join(tkeys, key, "left_semi")
                    .filter(~F.col("__tx_del") & F.col("__tx_upd")))
             to_write = ins.unionByName(upd).drop("__tx_del", "__tx_upd")
-    # allowMissingColumns: under additive evolution the survivors lack
-    # the source's new columns — they fill as NULL, the mergeSchema
-    # read contract
-    merged = (to_write if survivors is None
-              else survivors.unionByName(to_write, allowMissingColumns=True))
-    actions: list[dict] = [{"op": "remove", "file": f} for f in touched]
-    actions += _write_files(merged, table, stats_cols)
+    actions: list[dict] = []
+    write_df: DataFrame | None = None
+    if deletion_vectors and tgt is not None:
+        # merge-on-read MERGE: position-delete the fired matched rows,
+        # append only the replacement rows — zero data files removed
+        import shutil
+
+        sub = os.path.join("data", f"dv-{uuid.uuid4().hex[:12]}")
+        dest = os.path.join(table, sub)
+        # positions read WITH current DVs applied (already-masked rows
+        # are never re-recorded — the tx_delete_where discipline)
+        hits = (
+            _read_files(spark, table, touched, base, live)
+            .select(
+                F.col(key),
+                F.regexp_extract(F.col("_metadata.file_path"),
+                                 _REL_FILE_RE, 1).alias("file"),
+                F.col("_metadata.row_index").alias("pos"))
+            .join(repl, key, "left_semi")
+            .select("file", "pos")
+        )
+        hits.write.parquet(dest)
+        back = spark.read.schema("file string, pos long").parquet(dest)
+        dv_files = sorted(r["file"] for r in
+                          back.select("file").distinct().collect())
+        if dv_files:
+            actions += [{"op": "dv", "file": f, "dv": sub}
+                        for f in dv_files]
+        else:
+            shutil.rmtree(dest, ignore_errors=True)
+        if to_write.limit(1).count():
+            write_df = to_write
+        if not actions and write_df is None:
+            return base  # nothing fired, nothing to insert: no-op
+    else:
+        # copy-on-write: rewrite the touched files whole.
+        # allowMissingColumns: under additive evolution the survivors
+        # lack the source's new columns — they fill as NULL, the
+        # mergeSchema read contract
+        write_df = (to_write if survivors is None
+                    else survivors.unionByName(to_write,
+                                               allowMissingColumns=True))
+        actions += [{"op": "remove", "file": f} for f in touched]
+    if write_df is not None:
+        actions += _write_files(write_df, table, stats_cols)
+    # CHECK constraints validated against the WRITTEN BYTES (ADVICE
+    # r13, same as tx_append): every row this commit makes newly live
+    # is in the new files; a violation discards them uncommitted.
+    checks = _checks_at(table, base)
+    new = [a for a in actions if a["op"] == "add"]
+    if checks and new:
+        try:
+            _validate_checks(_read_written(spark, new, table),
+                             checks, table)
+        except ValueError:
+            _discard_written(table, new)
+            raise
     _commit(table, base + 1, actions,
-            schema=_merged_schema(prior, _schema_fields(merged)))
+            schema=_merged_schema(
+                prior, _schema_fields(write_df if write_df is not None
+                                      else source)))
     return base + 1
 
 
@@ -1006,7 +1140,8 @@ def vacuum(table: str, keep_versions: int = 1) -> int:
     return removed
 
 
-def tx_restore(table: str, to_version: int) -> int:
+def tx_restore(table: str, to_version: int,
+               spark: SparkSession | None = None) -> int:
     """RESTORE TABLE TO VERSION AS OF (the Delta RESTORE command):
     commit a new version whose live set EQUALS the target snapshot —
     remove files live now but absent then, re-add files live then but
@@ -1020,10 +1155,25 @@ def tx_restore(table: str, to_version: int) -> int:
     current state is a no-op — no empty commit. Returns the committed
     (or current) version; history/CDF show the restore as remove+add
     actions, so `tx_changes` across it reports exactly the rows that
-    came back or vanished."""
+    came back or vanished.
+
+    CHECK constraints: by default restore does NOT re-validate the
+    restored rows against constraints added after the target version
+    (the Delta RESTORE semantics — restore is a state rollback, not a
+    write; ADVICE r13 asked for this to be explicit). Pass `spark=`
+    to opt INTO validation: the restored live set is checked against
+    the constraints currently in force and a violation raises without
+    committing."""
     base = latest_version(table)
     target = snapshot_files(table, to_version)  # loud if vacuumed/cleaned
     current = snapshot_files(table, base)
+    if spark is not None:
+        checks = _checks_at(table, base)
+        if checks and target:
+            _validate_checks(
+                _read_files(spark, table, sorted(target), to_version,
+                            target),
+                checks, table)
     # a file live in BOTH snapshots whose stats differ (a deletion
     # vector landed after the target version) must also roll back:
     # remove-then-add re-establishes it with the target's stats — the
@@ -1574,10 +1724,147 @@ FROM c, m WHERE o_orderstatus <> 'F' AND o_orderkey > q
 """
 
 
+def acid_orders_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered DV-MERGE entry, STRICT VALUE oracle — merge-on-read
+    upserts end-to-end (r13 verdict item 2): append orders
+    (range-clustered files), then TWO deletion-vector MERGEs — first
+    the full clause set (%5 keys arrive 'D' → WHEN MATCHED DELETE;
+    %7 keys (not %5) arrive 'U' at double price → update; %11 keys
+    (not %5/%7) arrive with NULL status at triple price — NULL must
+    not fire the delete clause but the unconditional update does; %13
+    keys re-insert beyond the key space as 'N'), then a plain DV
+    upsert (%3 keys → 'X' at quadruple price) so vectors ACCUMULATE
+    on the same files — and finally a compact that folds every DV
+    away. Emits per (version, status): counts, integer cents, and
+    `prev_files_preserved` — the driver-observed witness that the
+    merge commits removed ZERO data files (every file of version v-1
+    still live at v; hard-coded TRUE for both merges and FALSE for
+    the compact in the oracle, so a DV merge that ever rewrites a
+    file on the matched side hash-mismatches)."""
+    import tempfile
+
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    hi = orders.agg(F.max("o_orderkey")).first()[0] or 0
+    table = tempfile.mkdtemp(prefix="txlog_mergedv_")
+    tx_append(orders.repartitionByRange(8, "o_orderkey")
+              .sortWithinPartitions("o_orderkey"), table, ["o_orderkey"])
+    k = F.col("o_orderkey")
+    src1 = orders.filter(
+        (k % 5 == 0) | (k % 7 == 0) | (k % 11 == 0)).select(
+        "o_orderkey",
+        F.when(k % 5 == 0, F.lit("D"))
+        .when(k % 7 == 0, F.lit("U"))
+        .otherwise(F.lit(None).cast("string")).alias("o_orderstatus"),
+        F.when(k % 5 == 0, F.col("o_totalprice"))
+        .when(k % 7 == 0, F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice") * 3).alias("o_totalprice"),
+    ).unionByName(
+        orders.filter(k % 13 == 0).select(
+            (k + hi + 1).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"), "o_totalprice")
+    )
+    tx_merge(spark, table, src1, "o_orderkey", ["o_orderkey"],
+             matched_delete=("o_orderstatus", "=", "D"),
+             deletion_vectors=True)
+    src2 = orders.filter(k % 3 == 0).select(
+        "o_orderkey", F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 4).alias("o_totalprice"))
+    tx_merge(spark, table, src2, "o_orderkey", ["o_orderkey"],
+             deletion_vectors=True)
+    tx_compact(spark, table, 1, ["o_orderkey"])
+    files_at = [sorted(snapshot_files(table, v))
+                for v in range(latest_version(table) + 1)]
+    out = None
+    for v in range(latest_version(table) + 1):
+        preserved = v > 0 and set(files_at[v - 1]) <= set(files_at[v])
+        snap = read_table(spark, table, version=v).groupBy(
+            "o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .alias("total_cents"),
+        ).select(F.lit(v).cast("long").alias("version"),
+                 "o_orderstatus", "n_orders", "total_cents",
+                 F.lit(preserved).alias("prev_files_preserved"))
+        out = snap if out is None else out.unionByName(snap)
+    return out
+
+
+_MERGE_DV_ORACLE = """
+WITH mx AS (SELECT MAX(o_orderkey) AS hi FROM orders),
+base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+src1 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'D'
+              WHEN o_orderkey % 7 = 0 THEN 'U'
+              ELSE NULL END AS o_orderstatus,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice
+              WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice * 3 END AS o_totalprice
+  FROM base
+  WHERE o_orderkey % 5 = 0 OR o_orderkey % 7 = 0 OR o_orderkey % 11 = 0
+  UNION ALL
+  SELECT o_orderkey + hi + 1, 'N', o_totalprice
+  FROM base, mx WHERE o_orderkey % 13 = 0
+),
+m1 AS (
+  SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice
+  FROM base b
+  WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM src1)
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM src1
+  WHERE o_orderstatus IS DISTINCT FROM 'D'
+),
+src2 AS (
+  SELECT o_orderkey, 'X' AS o_orderstatus,
+         o_totalprice * 4 AS o_totalprice
+  FROM base WHERE o_orderkey % 3 = 0
+),
+m2 AS (
+  SELECT * FROM m1
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src2)
+  UNION ALL
+  SELECT * FROM src2
+),
+v0 AS (SELECT * FROM base),
+agg AS (
+  SELECT CAST(0 AS BIGINT) AS version, o_orderstatus,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents,
+         FALSE AS prev_files_preserved
+  FROM v0 GROUP BY o_orderstatus
+  UNION ALL
+  SELECT 1, o_orderstatus, COUNT(*),
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+         TRUE
+  FROM m1 GROUP BY o_orderstatus
+  UNION ALL
+  SELECT 2, o_orderstatus, COUNT(*),
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+         TRUE
+  FROM m2 GROUP BY o_orderstatus
+  UNION ALL
+  SELECT 3, o_orderstatus, COUNT(*),
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+         FALSE
+  FROM m2 GROUP BY o_orderstatus
+)
+SELECT * FROM agg
+"""
+
+
 TXLOG_QUERIES = {
     "acid_orders_ledger": acid_orders_ledger,
     "acid_orders_dv": acid_orders_dv,
     "acid_orders_merge": acid_orders_merge,
+    "acid_orders_merge_dv": acid_orders_merge_dv,
     "acid_orders_cdf": acid_orders_cdf,
     "acid_orders_merge_delete": acid_orders_merge_delete,
     "acid_orders_restore": acid_orders_restore,
@@ -1586,6 +1873,7 @@ TXLOG_ORACLES = {
     "acid_orders_ledger": _ACID_ORACLE,
     "acid_orders_dv": _DV_ORACLE,
     "acid_orders_merge": _MERGE_ORACLE,
+    "acid_orders_merge_dv": _MERGE_DV_ORACLE,
     "acid_orders_cdf": _CDF_ORACLE,
     "acid_orders_merge_delete": _MERGE_DELETE_ORACLE,
     "acid_orders_restore": _RESTORE_ORACLE,

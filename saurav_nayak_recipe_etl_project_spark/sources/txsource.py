@@ -29,7 +29,15 @@ Burst protection: `.option("maxVersionsPerBatch", N)` caps how far
 latestOffset advances past this reader's last-seen position (the A12
 shard reader's pacing discipline, including its measured caveat: the
 4.1 runner asks latestOffset before initialOffset, so the first batch
-of a fresh query is necessarily uncapped)."""
+of a fresh query is necessarily uncapped). `.option(
+"maxBytesPerBatch", B)` paces by DATA VOLUME instead of commit count
+(r13 verdict item 6: commits vary in size, so a resumed stream under
+a count cap can still get one huge micro-batch): versions are
+admitted while the batch's accumulated added-file bytes stay under B,
+always at least one commit per batch so the stream can never stall.
+Byte sizes come from the commit's recorded file stats (`bytes`,
+written by _write_files since r14) with an os.path.getsize fallback
+for older commits. Both caps compose — the tighter one wins."""
 
 from __future__ import annotations
 
@@ -69,30 +77,37 @@ def _table_schema_ddl(table: str) -> str:
 
 
 def _dv_positions(dv_dirs: list[str], rel_file: str):
-    """Deleted row positions for one data file, unioned across its
-    deletion-vector dirs (pyarrow only — runs on the worker)."""
+    """Deleted row positions for one data file as a numpy int64 array,
+    unioned across its deletion-vector dirs (pyarrow only — runs on
+    the worker). Columnar end to end (ADVICE r13): the per-file match
+    is a pushed-down parquet filter (row-group stats prune non-matching
+    DV files before decode), not a Python row loop."""
     import glob as _glob
 
+    import numpy as np
     import pyarrow.parquet as pq
 
-    pos: set = set()
+    chunks = []
     for d in dv_dirs:
         for p in sorted(_glob.glob(os.path.join(d, "*.parquet"))):
-            t = pq.read_table(p, columns=["file", "pos"])
-            for f, x in zip(t.column("file").to_pylist(),
-                            t.column("pos").to_pylist()):
-                if f == rel_file:
-                    pos.add(x)
-    return pos
+            t = pq.read_table(p, columns=["pos"],
+                              filters=[("file", "==", rel_file)])
+            if t.num_rows:
+                chunks.append(t.column("pos").to_numpy(
+                    zero_copy_only=False))
+    if not chunks:
+        return None
+    return np.unique(np.concatenate(chunks)).astype(np.int64)
 
 
 def _conform_batches(path: str, schema: StructType,
-                     dv_pos: set | None = None):
+                     dv_pos=None):
     """Read one parquet data file and yield Arrow record batches
     conformed to the READER schema: columns reordered, files that
     predate an additive evolution get NULL-filled columns, types cast
-    to the declared arrow types, deletion-vector positions masked out
-    (runs on the WORKER — pyarrow only, no Spark)."""
+    to the declared arrow types, deletion-vector positions (a numpy
+    int64 array from _dv_positions) masked out with one vectorized
+    boolean filter (runs on the WORKER — pyarrow only, no Spark)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_type
@@ -101,12 +116,12 @@ def _conform_batches(path: str, schema: StructType,
         (f.name, to_arrow_type(f.dataType)) for f in schema.fields
     ])
     t = pq.read_table(path)
-    if dv_pos:
-        keep = [i for i in range(t.num_rows) if i not in dv_pos]
-        # explicit int64 indices: an all-deleted file yields [] whose
-        # inferred null type has no take kernel
-        t = (t.slice(0, 0) if not keep
-             else t.take(pa.array(keep, pa.int64())))
+    if dv_pos is not None and len(dv_pos):
+        import numpy as np
+
+        keep = np.ones(t.num_rows, dtype=bool)
+        keep[dv_pos] = False
+        t = t.filter(pa.array(keep))
     n = t.num_rows
     cols = []
     for f in target:
@@ -195,17 +210,56 @@ class TxLogStreamReader(DataSourceStreamReader):
         self._max_versions = int(mvb) if mvb is not None else None
         if self._max_versions is not None and self._max_versions < 1:
             raise ValueError("maxVersionsPerBatch must be >= 1")
+        mbb = options.get("maxBytesPerBatch")
+        self._max_bytes = int(mbb) if mbb is not None else None
+        if self._max_bytes is not None and self._max_bytes < 1:
+            raise ValueError("maxBytesPerBatch must be >= 1")
         self._seen_v = None  # last version this INSTANCE has seen
 
     def initialOffset(self) -> dict:
         self._seen_v = self._start - 1
         return {"v": self._start - 1}
 
+    def _commit_added_bytes(self, v: int) -> int:
+        total = 0
+        for a in _read_json_commit(self._path, v)["actions"]:
+            if a["op"] == "add":
+                b = (a.get("stats") or {}).get("bytes")
+                if b is None:  # commit predates the bytes stat
+                    try:
+                        b = os.path.getsize(
+                            os.path.join(self._path, a["file"]))
+                    except OSError:
+                        b = 0
+                total += int(b)
+        return total
+
     def latestOffset(self) -> dict:
         v = latest_version(self._path)
         floor = self._start - 1 if self._seen_v is None else self._seen_v
         if self._max_versions is not None and self._seen_v is not None:
             v = min(v, self._seen_v + self._max_versions)
+        if (self._max_bytes is not None and self._seen_v is not None
+                and v > self._seen_v):
+            # admit commits while the accumulated added bytes stay
+            # under the budget; ALWAYS at least one (a single commit
+            # larger than the budget must still flow or the stream
+            # stalls forever — the Delta maxBytesPerTrigger rule)
+            admitted = self._seen_v
+            total = 0
+            try:
+                for cand in range(self._seen_v + 1, v + 1):
+                    total += self._commit_added_bytes(cand)
+                    if total > self._max_bytes and cand > self._seen_v + 1:
+                        break
+                    admitted = cand
+                    if total >= self._max_bytes:
+                        break
+            except FileNotFoundError:
+                # a cleaned commit in range: stop pacing and let
+                # partitions() raise its loud re-bootstrap error
+                admitted = v
+            v = admitted
         return {"v": max(v, floor)}
 
     def partitions(self, start: dict, end: dict):

@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from saurav_nayak_recipe_etl_project_spark.sources.txlog import (
+    _read_json_commit,
     tx_append,
     tx_delete_where,
     read_table,
@@ -109,6 +110,48 @@ def test_stream_burst_cap_bounds_batches(txsrc, tmp_path):
     assert sorted(out2) == [(1, "r1"), (2, "r2"), (3, "r3")]
     # fully drained
     assert _drain(spark, t, ckpt, [], maxVersionsPerBatch="1") == []
+
+
+def test_stream_byte_cap_paces_uneven_commits(txsrc, tmp_path):
+    """maxBytesPerBatch (r13 verdict item 6): commit COUNT pacing lets
+    one huge commit blow up a micro-batch; byte pacing admits commits
+    while the accumulated added-file bytes stay under the budget —
+    deliberately uneven commits here (tiny, huge, tiny, tiny): the
+    huge one flows ALONE (oversized single commits must still flow),
+    and the two trailing tiny ones coalesce under the budget."""
+    spark = txsrc
+    t, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    tx_append(_df(spark, [(0, "seed")]), t, ["k"])
+    out: list = []
+    _drain(spark, t, ckpt, out)  # consume the seed; cap applies next
+    tx_append(_df(spark, [(1, "tiny1")]).coalesce(1), t, ["k"])
+    big = spark.range(2, 5002).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("row-"), F.col("id")).alias("s")).coalesce(1)
+    tx_append(big, t, ["k"])
+    tx_append(_df(spark, [(9001, "tiny2")]).coalesce(1), t, ["k"])
+    tx_append(_df(spark, [(9002, "tiny3")]).coalesce(1), t, ["k"])
+    # budget: comfortably above one tiny commit (~1 KB) plus another,
+    # far below the 5000-row commit
+    sizes = [a["stats"]["bytes"]
+             for v in range(1, 5)
+             for a in _read_json_commit(t, v)["actions"]]
+    tiny, huge = sizes[0], sizes[1]
+    assert huge > 4 * tiny
+    budget = str(tiny + huge // 4)
+    out2: list = []
+    # pyspark 4.1 runs ONE batch per availableNow lifetime on Python
+    # sources (see burst-cap test), so each drain = one paced batch
+    counts = []
+    for _ in range(3):
+        batches = _drain(spark, t, ckpt, out2, maxBytesPerBatch=budget)
+        assert len(batches) == 1
+        counts.append(len(batches[0]))
+    # batch 1: tiny1 alone (huge would exceed); batch 2: huge alone
+    # (oversized but must flow); batch 3: tiny2+tiny3 coalesce
+    assert counts == [1, 5000, 2]
+    assert _drain(spark, t, ckpt, [], maxBytesPerBatch=budget) == []
+    assert len(out2) == 5003
 
 
 def test_stream_removal_commit_is_loud(txsrc, tmp_path):
