@@ -102,20 +102,24 @@ def latest_version(table: str) -> int:
 def _commit(table: str, version: int, actions: list[dict],
             txn: dict | None = None,
             schema: dict | None = None,
-            checks: dict | None = None) -> None:
+            checks: dict | None = None,
+            colmap: dict | None = None) -> None:
     """Atomically create version file `version` — O_CREAT|O_EXCL is
     the mutual exclusion: exactly one writer wins a version number.
-    Each commit records the table schema and CHECK constraints; a
-    commit that passes neither carries the prior version's forward."""
+    Each commit records the table schema, CHECK constraints, and the
+    logical→physical column mapping; a commit that passes none of
+    them carries the prior version's forward."""
     if schema is None and version > 0:
         schema = _schema_at(table, version - 1)
     if checks is None:
         checks = _checks_at(table, version - 1) if version > 0 else {}
+    if colmap is None:
+        colmap = _colmap_at(table, version - 1) if version > 0 else {}
     os.makedirs(_log_path(table), exist_ok=True)
     path = os.path.join(_log_path(table), f"{version:011d}.json")
     payload = json.dumps(
         {"actions": actions, "txn": txn, "schema": schema,
-         "checks": checks}) + "\n"
+         "checks": checks, "colmap": colmap}) + "\n"
     # publish the FULL payload atomically: write a private temp file,
     # then hard-link it to the version name (link fails if the name is
     # taken — same mutual exclusion as O_EXCL, but no window where a
@@ -142,9 +146,9 @@ def _read_json_commit(table: str, v: int) -> dict:
 
 
 def _load_checkpoint(
-        table: str, v: int) -> tuple[dict, dict | None, dict, dict]:
-    """(live files, schema, txn high-water marks, check constraints)
-    from the parquet checkpoint at version v."""
+        table: str, v: int) -> tuple[dict, dict | None, dict, dict, dict]:
+    """(live files, schema, txn high-water marks, check constraints,
+    column mapping) from the parquet checkpoint at version v."""
     import pyarrow.parquet as pq
 
     path = os.path.join(_log_path(table), f"{v:011d}{_CKPT_SUFFIX}")
@@ -160,7 +164,9 @@ def _load_checkpoint(
             if b"txns_json" in meta else {})
     checks = (json.loads(meta[b"checks_json"].decode())
               if b"checks_json" in meta else {})
-    return live, schema, txns, checks
+    colmap = (json.loads(meta[b"colmap_json"].decode())
+              if b"colmap_json" in meta else {})
+    return live, schema, txns, checks, colmap
 
 
 def _best_checkpoint(table: str, version: int) -> int:
@@ -316,12 +322,25 @@ def _read_files(spark: SparkSession, table: str, files: list[str],
     in the snapshot's DV parquet are anti-joined out via the parquet
     reader's `_metadata.row_index` — merge-on-read delete, no file
     rewrite. Callers reading snapshot state MUST pass live or DV'd
-    rows silently resurrect."""
+    rows silently resurrect.
+
+    Column mapping: the files store PHYSICAL names (stable across
+    renames); the scan is pinned to the physical schema and the frame
+    is renamed to the LOGICAL names of `version` at the end — a
+    rename-then-read sees old files under the new name with zero
+    rewrites."""
     v = latest_version(table) if version is None else version
     schema = _schema_at(table, v)
-    reader = (spark.read.schema(_schema_ddl(schema)) if schema
-              else spark.read.option("mergeSchema", "true"))
+    colmap = _colmap_at(table, v)
+    if schema:
+        phys = {_phys(colmap, c): t for c, t in schema.items()}
+        reader = spark.read.schema(_schema_ddl(phys))
+    else:
+        reader = spark.read.option("mergeSchema", "true")
     df = reader.parquet(*[os.path.join(table, f) for f in files])
+    ren = {p: c for c, p in colmap.items() if p != c}
+    if ren:
+        df = df.withColumnsRenamed(ren)
     if live:
         dv_dirs = sorted({d for f in files
                           for d in (live.get(f) or {}).get("_dvs", [])})
@@ -371,6 +390,42 @@ def _checks_at(table: str, version: int) -> dict:
 def table_checks(table: str) -> dict:
     """The currently-enforced CHECK constraints."""
     return _checks_at(table, latest_version(table))
+
+
+def _colmap_at(table: str, version: int) -> dict:
+    """The logical→physical column mapping at `version` (the
+    Delta/Iceberg column-mapping idea: a RENAME changes only the
+    LOGICAL name; data files keep writing the stable PHYSICAL name —
+    the name the column was created under — so zero files are
+    rewritten and old files read under the new name). Empty dict =
+    identity (tables that never renamed pay nothing)."""
+    if version < 0:
+        return {}
+    if version in _json_versions(table):
+        return _read_json_commit(table, version).get("colmap") or {}
+    if version in _checkpoint_versions(table):
+        return _load_checkpoint(table, version)[4]
+    return {}
+
+
+def table_colmap(table: str) -> dict:
+    """The current logical→physical column mapping (empty = identity)."""
+    return _colmap_at(table, latest_version(table))
+
+
+def _phys(colmap: dict, col: str) -> str:
+    """Physical name of logical column `col` (identity when unmapped).
+    File stats are keyed by PHYSICAL names (stable across renames), so
+    every stats-prune translates its predicate column through this."""
+    return colmap.get(col, col)
+
+
+def _to_physical(df: DataFrame, colmap: dict) -> DataFrame:
+    """Rename a logical-named DataFrame to physical names for writing
+    (no-op without renames)."""
+    ren = {c: p for c, p in colmap.items()
+           if p != c and c in df.columns}
+    return df.withColumnsRenamed(ren) if ren else df
 
 
 def _validate_checks(df: DataFrame, checks: dict, table: str) -> None:
@@ -450,6 +505,55 @@ def tx_drop_check(table: str, name: str) -> int:
     return base + 1
 
 
+def tx_rename_column(table: str, old: str, new: str) -> int:
+    """ALTER TABLE RENAME COLUMN via column mapping (the Delta
+    `columnMapping.mode=name` / Iceberg field-id idea, r13 verdict
+    item 3): ONE metadata-only commit changes the LOGICAL name; the
+    PHYSICAL name (the name the column was created under) stays on
+    disk forever, so ZERO data files are rewritten — old files read
+    under the new name through the mapping, new appends write the
+    physical name, stats stay keyed by it, and time travel to a
+    pre-rename version reads the old name (the contract as of that
+    version). CHECK constraints referencing the column are rewritten
+    to the new name in the same commit.
+
+    Renaming BACK to the physical name drops the mapping entry
+    (identity restored). Renaming TO a name that is another column's
+    physical name is rejected — the physical namespace must stay
+    unambiguous (the same rule _check_schema enforces for added
+    columns)."""
+    base = latest_version(table)
+    if base < 0:
+        raise ValueError(f"{table} has no commits — append first")
+    schema = _schema_at(table, base)
+    if not schema:
+        raise ValueError(f"{table} records no schema — cannot rename")
+    if old not in schema:
+        raise ValueError(f"{table} has no column {old!r} "
+                         f"(have {sorted(schema)})")
+    if new in schema:
+        raise ValueError(f"{table} already has a column {new!r}")
+    if not new or "`" in new:
+        raise ValueError(f"invalid column name {new!r}")
+    colmap = dict(_colmap_at(table, base))
+    phys_old = colmap.pop(old, old)
+    for c in schema:
+        if c != old and _phys(colmap, c) == new:
+            raise ValueError(
+                f"cannot rename {old!r} to {new!r}: {new!r} is column "
+                f"{c!r}'s physical name — pick an unshadowed name")
+    if phys_old != new:
+        colmap[new] = phys_old
+    new_schema = {(new if c == old else c): t for c, t in schema.items()}
+    checks = {
+        n: [new if spec[0] == old else spec[0], spec[1], spec[2]]
+        for n, spec in _checks_at(table, base).items()
+    }
+    _commit(table, base + 1, [], schema=new_schema, checks=checks,
+            colmap=colmap)
+    return base + 1
+
+
 def _check_schema(df: DataFrame, table: str, evolve: bool,
                   at_version: int | None = None) -> dict | None:
     """Schema enforcement (the Delta contract): an append whose
@@ -487,7 +591,18 @@ def _check_schema(df: DataFrame, table: str, evolve: bool,
             f"type changes {illegal}, dropped columns {dropped} — "
             "evolution is additive columns and lossless widening "
             "(int->bigint, float->double) only; rewrite the table to "
-            "restructure it")
+            "restructure it (renames: tx_rename_column)")
+    if added:
+        # an added column may not shadow a renamed column's PHYSICAL
+        # name — its files would collide with the mapped column's
+        # storage namespace
+        retired = {p for c, p in _colmap_at(table, v).items() if p != c}
+        shadow = [c for c in added if c in retired]
+        if shadow:
+            raise ValueError(
+                f"tx schema evolution rejected for {table}: new "
+                f"columns {shadow} shadow a renamed column's physical "
+                "name — pick different names")
     if (added or widened) and not evolve:
         raise ValueError(
             f"tx schema drift for {table}: new columns {added}, "
@@ -537,15 +652,18 @@ def _discard_written(table: str, actions: list[dict]) -> None:
 
 
 def _read_written(spark: SparkSession, actions: list[dict],
-                  table: str) -> DataFrame:
+                  table: str, colmap: dict | None = None) -> DataFrame:
     """The rows a pending commit would make live — read back from the
     files actually written, so validation sees the committed BYTES,
     not a second evaluation of a possibly non-deterministic source
     (ADVICE r13: rand()/timestamp sources could otherwise commit rows
-    that were never validated)."""
-    return spark.read.parquet(
+    that were never validated). Files store physical names; the frame
+    comes back LOGICAL (checks reference logical columns)."""
+    df = spark.read.parquet(
         *[os.path.join(table, a["file"]) for a in actions
           if a["op"] == "add"])
+    ren = {p: c for c, p in (colmap or {}).items() if p != c}
+    return df.withColumnsRenamed(ren) if ren else df
 
 
 def tx_append(df: DataFrame, table: str,
@@ -568,6 +686,7 @@ def tx_append(df: DataFrame, table: str,
     # the same (app, batch) therefore turns the retry into a no-op,
     # and a rival schema evolution fails the retry loudly instead of
     # being silently regressed by a stale schema recommit.
+    colmap_used = None
     for _ in range(20):
         base = latest_version(table)
         if txn is not None:
@@ -576,8 +695,18 @@ def tx_append(df: DataFrame, table: str,
                 return base  # idempotent replay: no-op
         prior = _check_schema(df, table, allow_schema_evolution,
                               at_version=base)
+        # files store PHYSICAL names; a rival RENAME between retries
+        # invalidates already-written files (wrong physical names) —
+        # discard and rewrite under the new mapping
+        colmap = _colmap_at(table, base)
+        if actions is not None and colmap != colmap_used:
+            _discard_written(table, actions)
+            actions = None
         if actions is None:
-            actions = _write_files(df, table, stats_cols)
+            actions = _write_files(
+                _to_physical(df, colmap), table,
+                [_phys(colmap, c) for c in stats_cols or []])
+            colmap_used = colmap
         # CHECK constraints as of base, validated against the WRITTEN
         # BYTES (read-back of the new files — ADVICE r13: validating
         # the source DataFrame is a second evaluation, so a
@@ -590,7 +719,8 @@ def tx_append(df: DataFrame, table: str,
         if checks:
             try:
                 _validate_checks(
-                    _read_written(df.sparkSession, actions, table),
+                    _read_written(df.sparkSession, actions, table,
+                                  colmap),
                     checks, table)
             except ValueError:
                 _discard_written(table, actions)
@@ -661,7 +791,8 @@ def read_table(spark: SparkSession, table: str,
     files = sorted(live)
     if where is not None:
         col, op, value = where
-        files = [f for f in files if _overlaps(live[f], col, op, value)]
+        pcol = _phys(_colmap_at(table, version), col)
+        files = [f for f in files if _overlaps(live[f], pcol, op, value)]
         if not files:
             # preserve the FULL (merged) schema: fall back to the
             # whole file list — a single arbitrary file could predate
@@ -700,8 +831,9 @@ def tx_delete_where(spark: SparkSession, table: str, where: tuple,
     col, op, value = where
     base = latest_version(table)
     live = snapshot_files(table, base)
+    colmap = _colmap_at(table, base)
     touched = [f for f in sorted(live)
-               if _overlaps(live[f], col, op, value)]
+               if _overlaps(live[f], _phys(colmap, col), op, value)]
     if not touched:
         # no file's stats can contain a match: a no-op delete commits
         # NOTHING — an empty version would pollute history and the CDF
@@ -743,7 +875,8 @@ def tx_delete_where(spark: SparkSession, table: str, where: tuple,
     survivors = _read_files(spark, table, touched, base, live).filter(
         F.coalesce(~pred, F.lit(True)))
     actions = [{"op": "remove", "file": f} for f in touched]
-    actions += _write_files(survivors, table, stats_cols)
+    actions += _write_files(_to_physical(survivors, colmap), table,
+                            [_phys(colmap, c) for c in stats_cols or []])
     _commit(table, base + 1, actions)  # schema carried forward
     return base + 1
 
@@ -759,13 +892,15 @@ def tx_compact(spark: SparkSession, table: str, target_files: int = 1,
     after compaction (the Z-order/OPTIMIZE idea, 1-D)."""
     base = latest_version(table)
     live = snapshot_files(table, base)
+    colmap = _colmap_at(table, base)
     df = _read_files(spark, table, sorted(live), base, live)
     if cluster_by is not None:
         df = df.repartitionByRange(
             target_files, cluster_by).sortWithinPartitions(cluster_by)
     else:
         df = df.repartition(target_files)
-    actions = _write_files(df, table, stats_cols)
+    actions = _write_files(_to_physical(df, colmap), table,
+                           [_phys(colmap, c) for c in stats_cols or []])
     actions += [{"op": "remove", "file": f} for f in sorted(live)]
     _commit(table, base + 1, actions)
     return base + 1
@@ -835,12 +970,14 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
                           at_version=base) or {}
     lo, hi = source.agg(F.min(key), F.max(key)).first()
     live = snapshot_files(table, base)
+    colmap = _colmap_at(table, base)
+    pkey = _phys(colmap, key)
     if lo is None:
         return base  # empty source: no-op, no empty commit
     touched = [
         f for f in sorted(live)
-        if _overlaps(live[f], key, ">=", lo)
-        and _overlaps(live[f], key, "<=", hi)
+        if _overlaps(live[f], pkey, ">=", lo)
+        and _overlaps(live[f], pkey, "<=", hi)
     ]
 
     def _cond_true(cond: tuple):
@@ -945,7 +1082,9 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
                                                allowMissingColumns=True))
         actions += [{"op": "remove", "file": f} for f in touched]
     if write_df is not None:
-        actions += _write_files(write_df, table, stats_cols)
+        actions += _write_files(
+            _to_physical(write_df, colmap), table,
+            [_phys(colmap, c) for c in stats_cols or []])
     # CHECK constraints validated against the WRITTEN BYTES (ADVICE
     # r13, same as tx_append): every row this commit makes newly live
     # is in the new files; a violation discards them uncommitted.
@@ -953,7 +1092,7 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
     new = [a for a in actions if a["op"] == "add"]
     if checks and new:
         try:
-            _validate_checks(_read_written(spark, new, table),
+            _validate_checks(_read_written(spark, new, table, colmap),
                              checks, table)
         except ValueError:
             _discard_written(table, new)
@@ -1189,7 +1328,11 @@ def tx_restore(table: str, to_version: int,
                 for f in changed]
     if not actions:
         return base
-    _commit(table, base + 1, actions, schema=_schema_at(table, to_version))
+    # full state restore: the TARGET version's schema AND column
+    # mapping come back together (a restore across a rename rolls the
+    # logical names back with the data)
+    _commit(table, base + 1, actions, schema=_schema_at(table, to_version),
+            colmap=_colmap_at(table, to_version))
     return base + 1
 
 
@@ -1245,6 +1388,7 @@ def tx_checkpoint(table: str) -> int:
         b"schema_json": json.dumps(schema).encode(),
         b"txns_json": json.dumps(txns).encode(),
         b"checks_json": json.dumps(_checks_at(table, v)).encode(),
+        b"colmap_json": json.dumps(_colmap_at(table, v)).encode(),
         b"version": str(v).encode(),
     })
     path = os.path.join(_log_path(table), f"{v:011d}{_CKPT_SUFFIX}")
@@ -1860,11 +2004,101 @@ SELECT * FROM agg
 """
 
 
+def acid_orders_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered COLUMN-RENAME entry, STRICT VALUE oracle — column
+    mapping end-to-end (r13 verdict item 3): append the lower half of
+    orders, RENAME o_totalprice → price_usd (one metadata-only
+    commit), append the upper half UNDER THE NEW NAME (files keep
+    writing the physical name), then checkpoint + clean the log (the
+    mapping must survive via the checkpoint footer) and read back
+    every version plus a stats-pruned `where=` on the RENAMED column.
+    Emits (version, n_orders, total_cents, metadata_only): the cents
+    always come through the price column under whatever name the
+    version's contract gives it — a broken mapping NULL-backfills the
+    renamed column and the totals hash-mismatch; the rename version's
+    hard-coded metadata_only=TRUE witnesses zero files touched; the
+    version-99 row is the pruned post-clean read (colmap resolved
+    from the checkpoint, stats keyed by the physical name)."""
+    import tempfile
+
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    mid = (lo + hi) // 2 if lo is not None else 0
+    table = tempfile.mkdtemp(prefix="txlog_rename_")
+    stats = ["o_orderkey", "o_totalprice"]
+    tx_append(orders.filter(F.col("o_orderkey") <= mid)
+              .repartition(4), table, stats)
+    tx_rename_column(table, "o_totalprice", "price_usd")
+    tx_append(orders.filter(F.col("o_orderkey") > mid)
+              .withColumnRenamed("o_totalprice", "price_usd")
+              .repartition(4), table, ["o_orderkey", "price_usd"])
+    files_at = [sorted(snapshot_files(table, v))
+                for v in range(latest_version(table) + 1)]
+    out = None
+    for v in range(latest_version(table) + 1):
+        meta_only = v > 0 and files_at[v] == files_at[v - 1]
+        snap = read_table(spark, table, version=v)
+        price = "price_usd" if "price_usd" in snap.columns \
+            else "o_totalprice"
+        row = snap.agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col(price) * 100).cast("long"))
+            .alias("total_cents"),
+        ).select(F.lit(v).cast("long").alias("version"),
+                 "n_orders", "total_cents",
+                 F.lit(meta_only).alias("metadata_only"))
+        out = row if out is None else out.unionByName(row)
+    # the version reads above are planned (files resolved) pre-clean;
+    # the pruned read below must resolve colmap + stats THROUGH the
+    # checkpoint — the survival witness
+    tx_checkpoint(table)
+    tx_clean_log(table)
+    pruned = read_table(spark, table,
+                        where=("o_orderkey", ">", mid)).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("price_usd") * 100).cast("long"))
+        .alias("total_cents"),
+    ).select(F.lit(99).cast("long").alias("version"),
+             "n_orders", "total_cents",
+             F.lit(True).alias("metadata_only"))
+    return out.unionByName(pruned)
+
+
+_RENAME_ORACLE = """
+WITH m AS (
+  SELECT (MIN(o_orderkey) + MAX(o_orderkey)) // 2 AS mid FROM orders
+),
+c AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT CAST(0 AS BIGINT) AS version,
+       COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS total_cents,
+       FALSE AS metadata_only
+FROM c, m WHERE o_orderkey <= mid
+UNION ALL
+SELECT 1, COUNT(*), CAST(SUM(cents) AS BIGINT), TRUE
+FROM c, m WHERE o_orderkey <= mid
+UNION ALL
+SELECT 2, COUNT(*), CAST(SUM(cents) AS BIGINT), FALSE FROM c
+UNION ALL
+SELECT 99, COUNT(*), CAST(SUM(cents) AS BIGINT), TRUE
+FROM c, m WHERE o_orderkey > mid
+"""
+
+
 TXLOG_QUERIES = {
     "acid_orders_ledger": acid_orders_ledger,
     "acid_orders_dv": acid_orders_dv,
     "acid_orders_merge": acid_orders_merge,
     "acid_orders_merge_dv": acid_orders_merge_dv,
+    "acid_orders_rename": acid_orders_rename,
     "acid_orders_cdf": acid_orders_cdf,
     "acid_orders_merge_delete": acid_orders_merge_delete,
     "acid_orders_restore": acid_orders_restore,
@@ -1874,6 +2108,7 @@ TXLOG_ORACLES = {
     "acid_orders_dv": _DV_ORACLE,
     "acid_orders_merge": _MERGE_ORACLE,
     "acid_orders_merge_dv": _MERGE_DV_ORACLE,
+    "acid_orders_rename": _RENAME_ORACLE,
     "acid_orders_cdf": _CDF_ORACLE,
     "acid_orders_merge_delete": _MERGE_DELETE_ORACLE,
     "acid_orders_restore": _RESTORE_ORACLE,

@@ -52,6 +52,7 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from saurav_nayak_recipe_etl_project_spark.sources.txlog import (
+    _colmap_at,
     _read_json_commit,
     _schema_at,
     _schema_ddl,
@@ -62,8 +63,8 @@ from saurav_nayak_recipe_etl_project_spark.sources.txlog import (
 ARROW_BATCH_ROWS = 4096
 
 
-def _table_schema_ddl(table: str) -> str:
-    v = latest_version(table)
+def _table_schema_ddl(table: str, version: int | None = None) -> str:
+    v = latest_version(table) if version is None else version
     if v < 0:
         raise ValueError(f"txlog source: {table} has no commits")
     fields = _schema_at(table, v)
@@ -101,17 +102,21 @@ def _dv_positions(dv_dirs: list[str], rel_file: str):
 
 
 def _conform_batches(path: str, schema: StructType,
-                     dv_pos=None):
+                     dv_pos=None, colmap: dict | None = None):
     """Read one parquet data file and yield Arrow record batches
     conformed to the READER schema: columns reordered, files that
     predate an additive evolution get NULL-filled columns, types cast
     to the declared arrow types, deletion-vector positions (a numpy
     int64 array from _dv_positions) masked out with one vectorized
-    boolean filter (runs on the WORKER — pyarrow only, no Spark)."""
+    boolean filter (runs on the WORKER — pyarrow only, no Spark).
+    `colmap` maps the reader's LOGICAL names to the PHYSICAL names the
+    files store (the txlog column-mapping contract — a renamed column
+    reads its old on-disk name)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_type
 
+    colmap = colmap or {}
     target = pa.schema([
         (f.name, to_arrow_type(f.dataType)) for f in schema.fields
     ])
@@ -125,8 +130,9 @@ def _conform_batches(path: str, schema: StructType,
     n = t.num_rows
     cols = []
     for f in target:
-        if f.name in t.column_names:
-            cols.append(t.column(f.name).cast(f.type))
+        phys = colmap.get(f.name, f.name)
+        if phys in t.column_names:
+            cols.append(t.column(phys).cast(f.type))
         else:
             cols.append(pa.nulls(n, f.type))
     conformed = pa.table(cols, schema=target)
@@ -146,7 +152,10 @@ class TxLogSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("txlog source requires .option('path', table)")
-        return _table_schema_ddl(path)
+        v = self.options.get("version")
+        # time travel reads the contract AS OF the version — schema and
+        # column mapping both (the read_table rule)
+        return _table_schema_ddl(path, int(v) if v is not None else None)
 
     def reader(self, schema: StructType) -> "TxLogBatchReader":
         return TxLogBatchReader(schema, self.options)
@@ -169,6 +178,12 @@ class TxLogBatchReader(DataSourceReader):
             raise ValueError("txlog source requires .option('path', table)")
         v = options.get("version")
         self._version = int(v) if v is not None else None
+        # logical→physical mapping at the read version (files store
+        # physical names; the reader schema is logical)
+        self._colmap = _colmap_at(
+            self._path,
+            latest_version(self._path) if self._version is None
+            else self._version)
 
     def partitions(self):
         live = snapshot_files(self._path, self._version)
@@ -186,10 +201,12 @@ class TxLogBatchReader(DataSourceReader):
     def read(self, partition: InputPartition):
         path, rel, dv_dirs = partition.value
         if not dv_dirs:
-            yield from _conform_batches(path, self._schema)
+            yield from _conform_batches(path, self._schema,
+                                        colmap=self._colmap)
             return
         yield from _conform_batches(path, self._schema,
-                                    _dv_positions(dv_dirs, rel))
+                                    _dv_positions(dv_dirs, rel),
+                                    colmap=self._colmap)
 
 
 class TxLogStreamReader(DataSourceStreamReader):
@@ -215,6 +232,9 @@ class TxLogStreamReader(DataSourceStreamReader):
         if self._max_bytes is not None and self._max_bytes < 1:
             raise ValueError("maxBytesPerBatch must be >= 1")
         self._seen_v = None  # last version this INSTANCE has seen
+        # pinned like the schema: a rename committed after query start
+        # applies on restart (files keep physical names either way)
+        self._colmap = _colmap_at(self._path, latest_version(self._path))
 
     def initialOffset(self) -> dict:
         self._seen_v = self._start - 1
@@ -291,7 +311,8 @@ class TxLogStreamReader(DataSourceStreamReader):
                 for f in files]
 
     def read(self, partition: InputPartition):
-        yield from _conform_batches(partition.value, self._schema)
+        yield from _conform_batches(partition.value, self._schema,
+                                    colmap=self._colmap)
 
     def commit(self, end: dict) -> None:
         self._seen_v = max(self._seen_v or self._start - 1, end["v"])
