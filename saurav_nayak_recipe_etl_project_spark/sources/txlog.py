@@ -103,7 +103,8 @@ def _commit(table: str, version: int, actions: list[dict],
             txn: dict | None = None,
             schema: dict | None = None,
             checks: dict | None = None,
-            colmap: dict | None = None) -> None:
+            colmap: dict | None = None,
+            partition_by: list | None = None) -> None:
     """Atomically create version file `version` — O_CREAT|O_EXCL is
     the mutual exclusion: exactly one writer wins a version number.
     Each commit records the table schema, CHECK constraints, and the
@@ -115,11 +116,15 @@ def _commit(table: str, version: int, actions: list[dict],
         checks = _checks_at(table, version - 1) if version > 0 else {}
     if colmap is None:
         colmap = _colmap_at(table, version - 1) if version > 0 else {}
+    if partition_by is None:
+        partition_by = (_partition_by_at(table, version - 1)
+                        if version > 0 else [])
     os.makedirs(_log_path(table), exist_ok=True)
     path = os.path.join(_log_path(table), f"{version:011d}.json")
     payload = json.dumps(
         {"actions": actions, "txn": txn, "schema": schema,
-         "checks": checks, "colmap": colmap}) + "\n"
+         "checks": checks, "colmap": colmap,
+         "partition_by": partition_by}) + "\n"
     # publish the FULL payload atomically: write a private temp file,
     # then hard-link it to the version name (link fails if the name is
     # taken — same mutual exclusion as O_EXCL, but no window where a
@@ -146,9 +151,11 @@ def _read_json_commit(table: str, v: int) -> dict:
 
 
 def _load_checkpoint(
-        table: str, v: int) -> tuple[dict, dict | None, dict, dict, dict]:
+        table: str, v: int
+) -> tuple[dict, dict | None, dict, dict, dict, list]:
     """(live files, schema, txn high-water marks, check constraints,
-    column mapping) from the parquet checkpoint at version v."""
+    column mapping, partition columns) from the parquet checkpoint at
+    version v."""
     import pyarrow.parquet as pq
 
     path = os.path.join(_log_path(table), f"{v:011d}{_CKPT_SUFFIX}")
@@ -166,7 +173,9 @@ def _load_checkpoint(
               if b"checks_json" in meta else {})
     colmap = (json.loads(meta[b"colmap_json"].decode())
               if b"colmap_json" in meta else {})
-    return live, schema, txns, checks, colmap
+    partition_by = (json.loads(meta[b"partition_by_json"].decode())
+                    if b"partition_by_json" in meta else [])
+    return live, schema, txns, checks, colmap, partition_by
 
 
 def _best_checkpoint(table: str, version: int) -> int:
@@ -303,7 +312,33 @@ def _schema_ddl(schema: dict) -> str:
     return ", ".join(f"`{c}` {t}" for c, t in schema.items())
 
 
-_REL_FILE_RE = r"(data/[^/]+/[^/]+)$"
+# relative data-file path at the end of an absolute/URI path:
+# data/<txdir>/(<hive col=value dirs>/)*<file> — the optional middle
+# segments carry partition values; requiring the `=` keeps the match
+# anchored to the real layout even if the table's own path contains a
+# "data/" segment
+_REL_FILE_RE = r"(data/[^/]+(?:/[^/]+=[^/]+)*/[^/]+)$"
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _attach_partition_cols(df: DataFrame, pby: list,
+                           phys_types: dict) -> DataFrame:
+    """Derive hive partition columns from `_metadata.file_path`
+    (`.../col=value/...`), url-decoded, NULL for the hive default
+    marker, cast to the committed type. Runs entirely JVM-side in the
+    scan's projection — no per-file reads, no discovery pass."""
+    import re as _re
+
+    for p in pby:
+        raw = F.url_decode(F.regexp_extract(
+            F.col("_metadata.file_path"),
+            "/" + _re.escape(p) + "=([^/]+)/", 1))
+        df = df.withColumn(
+            p,
+            F.when(raw == _HIVE_NULL, F.lit(None))
+            .otherwise(raw).cast(phys_types.get(p, "string")))
+    return df
 
 
 def _read_files(spark: SparkSession, table: str, files: list[str],
@@ -332,12 +367,23 @@ def _read_files(spark: SparkSession, table: str, files: list[str],
     v = latest_version(table) if version is None else version
     schema = _schema_at(table, v)
     colmap = _colmap_at(table, v)
+    pby = _partition_by_at(table, v)
     if schema:
         phys = {_phys(colmap, c): t for c, t in schema.items()}
-        reader = spark.read.schema(_schema_ddl(phys))
+        # partition columns live in the DIRECTORY names, not the files
+        file_phys = {p: t for p, t in phys.items() if p not in pby}
+        reader = spark.read.schema(_schema_ddl(file_phys))
     else:
+        phys = {}
         reader = spark.read.option("mergeSchema", "true")
     df = reader.parquet(*[os.path.join(table, f) for f in files])
+    if pby and schema:
+        # re-materialize hive partition values from the scanned path —
+        # one scan over any number of tx dirs (Spark's own partition
+        # discovery refuses multiple roots), values typed by the
+        # committed schema, NULLs via the hive default marker
+        df = _attach_partition_cols(df, pby, phys)
+        df = df.select(*phys)  # committed column order
     ren = {p: c for c, p in colmap.items() if p != c}
     if ren:
         df = df.withColumnsRenamed(ren)
@@ -411,6 +457,50 @@ def _colmap_at(table: str, version: int) -> dict:
 def table_colmap(table: str) -> dict:
     """The current logical→physical column mapping (empty = identity)."""
     return _colmap_at(table, latest_version(table))
+
+
+def _partition_by_at(table: str, version: int) -> list:
+    """The table's PHYSICAL partition columns at `version` (fixed at
+    table creation — the Delta/Iceberg partition-spec contract this
+    engine supports; empty = unpartitioned). At 100 TB this is the
+    FIRST prune: hive-style `col=value` directories whose values ride
+    in every add-action's stats (`_part`), matched before any min/max
+    stats are consulted."""
+    if version < 0:
+        return []
+    if version in _json_versions(table):
+        return _read_json_commit(table, version).get("partition_by") or []
+    if version in _checkpoint_versions(table):
+        return _load_checkpoint(table, version)[5]
+    return []
+
+
+def table_partition_by(table: str) -> list:
+    """The table's physical partition columns (empty = unpartitioned)."""
+    return _partition_by_at(table, latest_version(table))
+
+
+_PYOPS = {
+    "=": lambda a, b: a == b,
+    "<=": lambda a, b: a <= b,
+    "<": lambda a, b: a < b,
+    ">=": lambda a, b: a >= b,
+    ">": lambda a, b: a > b,
+}
+
+
+def _part_prunes(stats: dict, pcol: str, op: str, value) -> bool:
+    """True when the file's recorded partition VALUE proves it cannot
+    match `pcol op value` — the directory-level prune, consulted
+    BEFORE min/max stats (and valid even when the writer recorded no
+    stats columns)."""
+    part = stats.get("_part") or {}
+    if pcol not in part or part[pcol] is None:
+        return False
+    try:
+        return not _PYOPS[op](part[pcol], value)
+    except TypeError:
+        return False  # incomparable types: never skip blindly
 
 
 def _phys(colmap: dict, col: str) -> str:
@@ -612,56 +702,91 @@ def _check_schema(df: DataFrame, table: str, evolve: bool,
 
 
 def _write_files(df: DataFrame, table: str,
-                 stats_cols: list[str] | None) -> list[dict]:
+                 stats_cols: list[str] | None,
+                 partition_by: list | None = None) -> list[dict]:
     """Write the dataframe as new data files under data/tx-<uuid>/ and
     return their add-actions with per-file min/max stats (one read of
     the delta grouped by input_file_name — production formats take
-    these from parquet footers; same numbers)."""
+    these from parquet footers; same numbers). All column names here
+    are PHYSICAL (callers translate through the colmap).
+
+    `partition_by` writes hive-style `col=value` directories under the
+    tx dir (one file never spans partitions); partition values are
+    recorded TYPED in each add-action's stats under `_part` (the
+    directory-level prune input) and the partition columns get [v, v]
+    min/max stats for free. Stat and partition columns must be
+    JSON-primitive types (string/int/float/bool)."""
     spark = df.sparkSession
     sub = os.path.join("data", f"tx-{uuid.uuid4().hex[:12]}")
     dest = os.path.join(table, sub)
-    df.write.parquet(dest)
-    back = spark.read.parquet(dest)
+    if partition_by:
+        df.write.partitionBy(*partition_by).parquet(dest)
+        # an EMPTY partitioned write emits no part files at all (plain
+        # writes emit one schema-carrying empty file) — no add actions
+        if not any(fn.endswith(".parquet")
+                   for _root, _dirs, fns in os.walk(dest) for fn in fns):
+            return []
+        # basePath re-materializes the partition columns for the stats
+        back = spark.read.option("basePath", dest).parquet(dest)
+    else:
+        df.write.parquet(dest)
+        back = spark.read.parquet(dest)
+    cols = list(stats_cols or [])
+    cols += [p for p in partition_by or [] if p not in cols]
     aggs = [F.count(F.lit(1)).alias("_rows")]
-    for c in stats_cols or []:
+    for c in cols:
         aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
     rows = (
         back.groupBy(F.input_file_name().alias("_f")).agg(*aggs).collect()
     )
     actions = []
     for r in rows:
-        name = os.path.basename(r["_f"])
+        # relative path INCLUDING partition dirs: everything from the
+        # uuid'd tx dir on (unique in the URI by construction)
+        uri = r["_f"]
+        rel = uri[uri.index(sub):]
         stats = {"rows": r["_rows"],
-                 "bytes": os.path.getsize(os.path.join(dest, name))}
-        for c in stats_cols or []:
+                 "bytes": os.path.getsize(os.path.join(table, rel))}
+        for c in cols:
             stats[c] = [r[f"_min_{c}"], r[f"_max_{c}"]]
-        actions.append({"op": "add", "file": os.path.join(sub, name),
-                        "stats": stats})
+        if partition_by:
+            stats["_part"] = {p: r[f"_min_{p}"] for p in partition_by}
+        actions.append({"op": "add", "file": rel, "stats": stats})
     return actions
 
 
 def _discard_written(table: str, actions: list[dict]) -> None:
     """Remove the data dirs a failed (never-committed) write produced —
     they are invisible to every reader (the log never references them),
-    so this is cleanup, not a state change."""
+    so this is cleanup, not a state change. Removes the whole tx dir
+    (partitioned writes nest hive dirs below it)."""
     import shutil
 
-    for d in sorted({os.path.dirname(a["file"]) for a in actions
-                     if a["op"] == "add"}):
+    for d in sorted({os.path.join(*a["file"].split("/")[:2])
+                     for a in actions if a["op"] == "add"}):
         shutil.rmtree(os.path.join(table, d), ignore_errors=True)
 
 
 def _read_written(spark: SparkSession, actions: list[dict],
-                  table: str, colmap: dict | None = None) -> DataFrame:
+                  table: str, colmap: dict | None = None,
+                  base: int | None = None) -> DataFrame:
     """The rows a pending commit would make live — read back from the
     files actually written, so validation sees the committed BYTES,
     not a second evaluation of a possibly non-deterministic source
     (ADVICE r13: rand()/timestamp sources could otherwise commit rows
     that were never validated). Files store physical names; the frame
-    comes back LOGICAL (checks reference logical columns)."""
+    comes back LOGICAL (checks reference logical columns), with hive
+    partition columns re-derived from the paths."""
     df = spark.read.parquet(
         *[os.path.join(table, a["file"]) for a in actions
           if a["op"] == "add"])
+    v = latest_version(table) if base is None else base
+    pby = _partition_by_at(table, v)
+    if pby:
+        schema = _schema_at(table, v) or {}
+        phys_types = {_phys(colmap or {}, c): t
+                      for c, t in schema.items()}
+        df = _attach_partition_cols(df, pby, phys_types)
     ren = {p: c for c, p in (colmap or {}).items() if p != c}
     return df.withColumnsRenamed(ren) if ren else df
 
@@ -669,9 +794,18 @@ def _read_written(spark: SparkSession, actions: list[dict],
 def tx_append(df: DataFrame, table: str,
               stats_cols: list[str] | None = None,
               txn: dict | None = None,
-              allow_schema_evolution: bool = False) -> int:
+              allow_schema_evolution: bool = False,
+              partition_by: list[str] | None = None) -> int:
     """Append-only commit: new files + one log entry, O(delta).
-    Returns the committed version."""
+    Returns the committed version.
+
+    `partition_by` (r13 verdict item 4, first commit only): the table
+    becomes hive-partitioned — every write lays files out under
+    `col=value` directories, partition values ride typed in the log,
+    and a partition predicate prunes files BEFORE min/max stats are
+    consulted (the directory-level first prune a 100 TB read needs).
+    The partition spec is fixed at creation (the Delta/Iceberg
+    contract); later appends may restate it but not change it."""
     actions = None
     # blind appends COMMUTE, so a lost race is retried at the next
     # version number automatically (the Delta protocol's append
@@ -699,13 +833,23 @@ def tx_append(df: DataFrame, table: str,
         # invalidates already-written files (wrong physical names) —
         # discard and rewrite under the new mapping
         colmap = _colmap_at(table, base)
+        pby = _partition_by_at(table, base)
+        if partition_by is not None:
+            req = [_phys(colmap, c) for c in partition_by]
+            if base < 0:
+                pby = req
+            elif req != pby:
+                raise ValueError(
+                    f"tx partition spec is fixed at table creation: "
+                    f"{table} is partitioned by {pby}, append asked "
+                    f"for {req}")
         if actions is not None and colmap != colmap_used:
             _discard_written(table, actions)
             actions = None
         if actions is None:
             actions = _write_files(
                 _to_physical(df, colmap), table,
-                [_phys(colmap, c) for c in stats_cols or []])
+                [_phys(colmap, c) for c in stats_cols or []], pby)
             colmap_used = colmap
         # CHECK constraints as of base, validated against the WRITTEN
         # BYTES (read-back of the new files — ADVICE r13: validating
@@ -720,7 +864,7 @@ def tx_append(df: DataFrame, table: str,
             try:
                 _validate_checks(
                     _read_written(df.sparkSession, actions, table,
-                                  colmap),
+                                  colmap, base),
                     checks, table)
             except ValueError:
                 _discard_written(table, actions)
@@ -731,7 +875,8 @@ def tx_append(df: DataFrame, table: str,
         schema = _merged_schema(prior, _schema_fields(df)) if prior \
             else _schema_fields(df)
         try:
-            _commit(table, base + 1, actions, txn, schema)
+            _commit(table, base + 1, actions, txn, schema,
+                    partition_by=pby)
             return base + 1
         except TxConflict:
             continue
@@ -792,7 +937,11 @@ def read_table(spark: SparkSession, table: str,
     if where is not None:
         col, op, value = where
         pcol = _phys(_colmap_at(table, version), col)
-        files = [f for f in files if _overlaps(live[f], pcol, op, value)]
+        # partition prune FIRST (directory-level: exact values, valid
+        # even with no stats columns recorded), then min/max stats
+        files = [f for f in files
+                 if not _part_prunes(live[f], pcol, op, value)
+                 and _overlaps(live[f], pcol, op, value)]
         if not files:
             # preserve the FULL (merged) schema: fall back to the
             # whole file list — a single arbitrary file could predate
@@ -832,8 +981,10 @@ def tx_delete_where(spark: SparkSession, table: str, where: tuple,
     base = latest_version(table)
     live = snapshot_files(table, base)
     colmap = _colmap_at(table, base)
+    pcol = _phys(colmap, col)
     touched = [f for f in sorted(live)
-               if _overlaps(live[f], _phys(colmap, col), op, value)]
+               if not _part_prunes(live[f], pcol, op, value)
+               and _overlaps(live[f], pcol, op, value)]
     if not touched:
         # no file's stats can contain a match: a no-op delete commits
         # NOTHING — an empty version would pollute history and the CDF
@@ -876,7 +1027,8 @@ def tx_delete_where(spark: SparkSession, table: str, where: tuple,
         F.coalesce(~pred, F.lit(True)))
     actions = [{"op": "remove", "file": f} for f in touched]
     actions += _write_files(_to_physical(survivors, colmap), table,
-                            [_phys(colmap, c) for c in stats_cols or []])
+                            [_phys(colmap, c) for c in stats_cols or []],
+                            _partition_by_at(table, base))
     _commit(table, base + 1, actions)  # schema carried forward
     return base + 1
 
@@ -900,7 +1052,8 @@ def tx_compact(spark: SparkSession, table: str, target_files: int = 1,
     else:
         df = df.repartition(target_files)
     actions = _write_files(_to_physical(df, colmap), table,
-                           [_phys(colmap, c) for c in stats_cols or []])
+                           [_phys(colmap, c) for c in stats_cols or []],
+                           _partition_by_at(table, base))
     actions += [{"op": "remove", "file": f} for f in sorted(live)]
     _commit(table, base + 1, actions)
     return base + 1
@@ -1084,7 +1237,8 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
     if write_df is not None:
         actions += _write_files(
             _to_physical(write_df, colmap), table,
-            [_phys(colmap, c) for c in stats_cols or []])
+            [_phys(colmap, c) for c in stats_cols or []],
+            _partition_by_at(table, base))
     # CHECK constraints validated against the WRITTEN BYTES (ADVICE
     # r13, same as tx_append): every row this commit makes newly live
     # is in the new files; a violation discards them uncommitted.
@@ -1092,8 +1246,9 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
     new = [a for a in actions if a["op"] == "add"]
     if checks and new:
         try:
-            _validate_checks(_read_written(spark, new, table, colmap),
-                             checks, table)
+            _validate_checks(
+                _read_written(spark, new, table, colmap, base),
+                checks, table)
         except ValueError:
             _discard_written(table, new)
             raise
@@ -1271,11 +1426,15 @@ def vacuum(table: str, keep_versions: int = 1) -> int:
         subdir = os.path.join(data_root, sub)
         if os.path.join("data", sub) in ref_dirs:
             continue  # a kept snapshot still reads these DVs
-        for f in sorted(os.listdir(subdir)):
-            rel = os.path.join("data", sub, f)
-            if f.endswith(".parquet") and rel not in referenced:
-                os.remove(os.path.join(subdir, f))
-                removed += 1
+        # walk the whole tx dir: partitioned writes nest hive
+        # col=value directories below it
+        for root, _dirs, fnames in os.walk(subdir):
+            for f in sorted(fnames):
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, table)
+                if f.endswith(".parquet") and rel not in referenced:
+                    os.remove(full)
+                    removed += 1
     return removed
 
 
@@ -1389,6 +1548,8 @@ def tx_checkpoint(table: str) -> int:
         b"txns_json": json.dumps(txns).encode(),
         b"checks_json": json.dumps(_checks_at(table, v)).encode(),
         b"colmap_json": json.dumps(_colmap_at(table, v)).encode(),
+        b"partition_by_json": json.dumps(
+            _partition_by_at(table, v)).encode(),
         b"version": str(v).encode(),
     })
     path = os.path.join(_log_path(table), f"{v:011d}{_CKPT_SUFFIX}")
@@ -2093,12 +2254,105 @@ FROM c, m WHERE o_orderkey > mid
 """
 
 
+def acid_orders_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered PARTITIONED-TABLE entry, STRICT VALUE oracle (r13
+    verdict item 4): create an orders table hive-partitioned by
+    o_orderstatus (partition values typed in the log), append both
+    halves, then read it three ways — full (per-status rollup proves
+    the partition column re-materializes from the directory names), a
+    partition-pruned `where=` (the witness column pins, from the
+    ACTUAL scanned file list, that a partition predicate never touches
+    another partition's files AND scanned strictly fewer files than
+    live), and a stats-range read WITHIN partitions. A DV delete in
+    between proves merge-on-read works on the nested layout. The
+    pruned read runs after checkpoint+clean (the spec survives via the
+    checkpoint footer)."""
+    import tempfile
+
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    mid = (lo + hi) // 2 if lo is not None else 0
+    q = lo + (hi - lo) // 4 if lo is not None else 0
+    table = tempfile.mkdtemp(prefix="txlog_part_")
+    tx_append(orders.filter(F.col("o_orderkey") <= mid)
+              .repartition(2), table, ["o_orderkey"],
+              partition_by=["o_orderstatus"])
+    tx_append(orders.filter(F.col("o_orderkey") > mid)
+              .repartition(2), table, ["o_orderkey"])
+    # merge-on-read on the nested layout: DV the low quarter
+    tx_delete_where(spark, table, ("o_orderkey", "<=", q),
+                    ["o_orderkey"], deletion_vectors=True)
+    tx_checkpoint(table)
+    tx_clean_log(table)
+
+    def _cents(df):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .alias("total_cents"))
+
+    full = read_table(spark, table).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .alias("total_cents"),
+    ).select(F.concat(F.lit("full:"), F.col("o_orderstatus")).alias("grp"),
+             "n_orders", "total_cents",
+             F.lit(False).alias("scan_pruned"))
+    def _data_files(df):  # inputFiles also lists the DV anti-join side
+        return [f for f in df.inputFiles() if "/data/dv-" not in f]
+
+    pr = read_table(spark, table, where=("o_orderstatus", "=", "F"))
+    pfiles = _data_files(pr)
+    pruned_ok = (len(pfiles) > 0
+                 and all("o_orderstatus=F/" in f for f in pfiles)
+                 and len(pfiles) < len(snapshot_files(table)))
+    pruned = _cents(pr).select(
+        F.lit("pruned:F").alias("grp"), "n_orders", "total_cents",
+        F.lit(pruned_ok).alias("scan_pruned"))
+    rg = read_table(spark, table, where=("o_orderkey", ">", mid))
+    range_ok = 0 < len(_data_files(rg)) < len(snapshot_files(table))
+    ranged = _cents(rg).select(
+        F.lit("range").alias("grp"), "n_orders", "total_cents",
+        F.lit(range_ok).alias("scan_pruned"))
+    return full.unionByName(pruned).unionByName(ranged)
+
+
+_PARTITIONED_ORACLE = """
+WITH m AS (
+  SELECT (MIN(o_orderkey) + MAX(o_orderkey)) // 2 AS mid,
+         MIN(o_orderkey) + (MAX(o_orderkey) - MIN(o_orderkey)) // 4 AS q
+  FROM orders
+),
+c AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders, m WHERE o_orderkey > q
+)
+SELECT 'full:' || o_orderstatus AS grp, COUNT(*) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       FALSE AS scan_pruned
+FROM c GROUP BY o_orderstatus
+UNION ALL
+SELECT 'pruned:F', COUNT(*), CAST(SUM(cents) AS BIGINT), TRUE
+FROM c WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT 'range', COUNT(*), CAST(SUM(cents) AS BIGINT), TRUE
+FROM c, m WHERE o_orderkey > mid
+"""
+
+
 TXLOG_QUERIES = {
     "acid_orders_ledger": acid_orders_ledger,
     "acid_orders_dv": acid_orders_dv,
     "acid_orders_merge": acid_orders_merge,
     "acid_orders_merge_dv": acid_orders_merge_dv,
     "acid_orders_rename": acid_orders_rename,
+    "acid_orders_partitioned": acid_orders_partitioned,
     "acid_orders_cdf": acid_orders_cdf,
     "acid_orders_merge_delete": acid_orders_merge_delete,
     "acid_orders_restore": acid_orders_restore,
@@ -2109,6 +2363,7 @@ TXLOG_ORACLES = {
     "acid_orders_merge": _MERGE_ORACLE,
     "acid_orders_merge_dv": _MERGE_DV_ORACLE,
     "acid_orders_rename": _RENAME_ORACLE,
+    "acid_orders_partitioned": _PARTITIONED_ORACLE,
     "acid_orders_cdf": _CDF_ORACLE,
     "acid_orders_merge_delete": _MERGE_DELETE_ORACLE,
     "acid_orders_restore": _RESTORE_ORACLE,

@@ -102,7 +102,8 @@ def _dv_positions(dv_dirs: list[str], rel_file: str):
 
 
 def _conform_batches(path: str, schema: StructType,
-                     dv_pos=None, colmap: dict | None = None):
+                     dv_pos=None, colmap: dict | None = None,
+                     part: dict | None = None):
     """Read one parquet data file and yield Arrow record batches
     conformed to the READER schema: columns reordered, files that
     predate an additive evolution get NULL-filled columns, types cast
@@ -111,7 +112,10 @@ def _conform_batches(path: str, schema: StructType,
     boolean filter (runs on the WORKER — pyarrow only, no Spark).
     `colmap` maps the reader's LOGICAL names to the PHYSICAL names the
     files store (the txlog column-mapping contract — a renamed column
-    reads its old on-disk name)."""
+    reads its old on-disk name). `part` carries a hive-partitioned
+    file's typed partition values (from the add-action's `_part`
+    stats): partition columns live in directory names, not in the
+    file, so they re-materialize here as constants."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_type
@@ -128,11 +132,14 @@ def _conform_batches(path: str, schema: StructType,
         keep[dv_pos] = False
         t = t.filter(pa.array(keep))
     n = t.num_rows
+    part = part or {}
     cols = []
     for f in target:
         phys = colmap.get(f.name, f.name)
         if phys in t.column_names:
             cols.append(t.column(phys).cast(f.type))
+        elif phys in part and part[phys] is not None:
+            cols.append(pa.array([part[phys]] * n).cast(f.type))
         else:
             cols.append(pa.nulls(n, f.type))
     conformed = pa.table(cols, schema=target)
@@ -187,26 +194,28 @@ class TxLogBatchReader(DataSourceReader):
 
     def partitions(self):
         live = snapshot_files(self._path, self._version)
-        # partition value: (abs data file, relative name, abs DV dirs)
-        # — the reader masks deletion-vector positions worker-side
+        # partition value: (abs data file, relative name, abs DV dirs,
+        # hive partition values) — the reader masks deletion-vector
+        # positions and re-materializes partition columns worker-side
         return [
             InputPartition((
                 os.path.join(self._path, f), f,
                 [os.path.join(self._path, d)
                  for d in live[f].get("_dvs", [])],
+                live[f].get("_part"),
             ))
             for f in sorted(live)
         ]
 
     def read(self, partition: InputPartition):
-        path, rel, dv_dirs = partition.value
+        path, rel, dv_dirs, part = partition.value
         if not dv_dirs:
             yield from _conform_batches(path, self._schema,
-                                        colmap=self._colmap)
+                                        colmap=self._colmap, part=part)
             return
         yield from _conform_batches(path, self._schema,
                                     _dv_positions(dv_dirs, rel),
-                                    colmap=self._colmap)
+                                    colmap=self._colmap, part=part)
 
 
 class TxLogStreamReader(DataSourceStreamReader):
@@ -306,13 +315,15 @@ class TxLogStreamReader(DataSourceStreamReader):
                         "(delete/merge/compact/restore/deletion-vector) "
                         "— an append feed cannot represent it; consume "
                         "tx_changes instead")
-                files.append(a["file"])
-        return [InputPartition(os.path.join(self._path, f))
-                for f in files]
+                files.append((a["file"],
+                              (a.get("stats") or {}).get("_part")))
+        return [InputPartition((os.path.join(self._path, f), part))
+                for f, part in files]
 
     def read(self, partition: InputPartition):
-        yield from _conform_batches(partition.value, self._schema,
-                                    colmap=self._colmap)
+        path, part = partition.value
+        yield from _conform_batches(path, self._schema,
+                                    colmap=self._colmap, part=part)
 
     def commit(self, end: dict) -> None:
         self._seen_v = max(self._seen_v or self._start - 1, end["v"])

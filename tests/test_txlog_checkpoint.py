@@ -115,8 +115,8 @@ def test_append_toctou_rival_replay_no_duplicate(spark, tmp_path,
     orig = txlog._write_files
     fired = []
 
-    def hook(df, table, stats_cols):
-        actions = orig(df, table, stats_cols)
+    def hook(df, table, stats_cols, partition_by=None):
+        actions = orig(df, table, stats_cols, partition_by)
         if not fired:
             fired.append(True)
             # rival lands the SAME (app, batch) inside the window
@@ -139,8 +139,8 @@ def test_append_toctou_rival_schema_evolution_is_loud(spark, tmp_path,
     orig = txlog._write_files
     fired = []
 
-    def hook(df, table, stats_cols):
-        actions = orig(df, table, stats_cols)
+    def hook(df, table, stats_cols, partition_by=None):
+        actions = orig(df, table, stats_cols, partition_by)
         if not fired:
             fired.append(True)
             tx_append(_df(spark, [(5, "e", 7)],
