@@ -347,6 +347,18 @@ HEADLINE = [
     # — the zero-rewrite delete twin of acid_orders_ledger's
     # copy-on-write shape, measured side by side with it.
     "acid_orders_dv",
+    # round-14 additions: the DV-writing MERGE (two merge-on-read
+    # upserts with accumulating vectors + compact fold — the
+    # write-amplification fix measured against acid_orders_merge's
+    # copy-on-write twin) and the hive-partitioned table (two
+    # partitioned appends + a DV delete + the directory-pruned and
+    # stats-pruned read paths through a checkpointed log).
+    # acid_orders_rename and acid_orders_checks are deliberately NOT
+    # benched: a rename is one metadata commit and the audit is one
+    # aggregate scan — both shapes are already timed inside the
+    # entries above.
+    "acid_orders_merge_dv",
+    "acid_orders_partitioned",
 ]
 
 # ann_recall_at_k runs FIVE ANN paths + the exact oracle inside one
@@ -399,12 +411,40 @@ def canonical_load_gate(load_avg_start: float,
     return ok, ok or force
 
 
+def _wait_for_idle(threshold: float = 2.0,
+                   max_wait_s: int = 600,
+                   poll_s: int = 20) -> float:
+    """Bounded wait for ambient load to drop below the canonical-gate
+    threshold before measuring (r13 verdict item 5: BENCH_r13.json was
+    cut from a load-6.81 run and flagged non-canonical — the gate
+    worked but the recorded artifact didn't follow it; waiting here
+    makes the ONE run the driver records canonical whenever the box
+    quiets down within the budget). Returns the ambient load the run
+    starts at. SPARK_GRAFT_LOAD_WAIT_S overrides the budget (0
+    disables)."""
+    import time
+
+    budget = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT_S", max_wait_s))
+    waited = 0
+    load = os.getloadavg()[0]
+    while load > threshold and waited < budget:
+        time.sleep(poll_s)
+        waited += poll_s
+        load = os.getloadavg()[0]
+    if waited:
+        print(f"# waited {waited}s for ambient load "
+              f"{load:.2f} (threshold {threshold})", flush=True)
+    return round(load, 2)
+
+
 def main() -> None:
     # Ambient load BEFORE any Spark work: the artifact's idle-box
     # evidence. Sampling after warmup (the pre-r10 behavior) reported
     # the bench's OWN 32-thread warmup as "load", so a genuinely idle
     # box still printed 6-8 (the r9 verdict's idle-box complaint).
-    load_ambient = round(os.getloadavg()[0], 2)
+    # A loaded box gets a bounded wait first — the driver records ONE
+    # run; make it the canonical one when possible.
+    load_ambient = _wait_for_idle()
     # Canonical-record hygiene (r12 verdict item 5): BENCH_r12 was cut
     # from a load-5.31 run while a same-day load-0.5 run existed; at
     # this SF per-query numbers are sub-second and ambient load swamps

@@ -91,85 +91,47 @@ _load_optional()
 #   (2) the STALEST entries first — ordered by the round each was last
 #       externally verified in (computed from the CORRECTNESS_r*.json
 #       union) — until the window is full.
-# Round-13 window composition (executing the r12 plan; after this
-# window lands in CORRECTNESS_r13, the oldest external verification
-# anywhere becomes r7x4 — the four alphabetical-tail r7 names below
-# the cut — then r8):
-#   (1) changed/new in round 13 (13): txsource_mv (NEW — the A18
-#       txlog DataSource driven end-to-end: three commits consumed by
-#       the real readStream.format('txlog') across two checkpoint-
-#       sharing lifetimes feeding the G9 user-stats MV; strict
-#       one-shot-SQL oracle), the five acid_* entries (txlog reads
-#       are now pinned-committed-schema with lossless type widening;
-#       tx_merge captures base before its schema check — the r12
-#       ADVICE TOCTOU; checkpoint pointer monotonic; clean-log
-#       threshold = pointer), and the four ann/clip MV entries
-#       (crashed-swap self-recovery in every maintenance entry
-#       point), and stream_clip_drift (NEW — the G30 value-histogram
-#       drift alarm over the G28 counts state, planted-shift entry,
-#       strict analytic-histogram + G22-JS oracle);
-#   (2) the three r6 leftovers (session_top_paths,
-#       stream_mv_user_stats, training_data_pipeline);
-#   (3) the 41-entry r7 block, alphabetical — 13 + 3 + 41 = 57, so
-#       the 50-cut drops its last seven names (segment_revenue_trend,
+# Round-14 window composition (executing the r13 verdict's CORRECTED
+# stale list — its item 1 found the r13 planner's arithmetic dropped
+# three r7-stale names; staleness recomputed here from the
+# CORRECTNESS_r1-r13 union: r7x7, r8x50, r9x41, r10x48, r11x46,
+# r12x41, r13x50):
+#   (1) changed/new in round 14 (11): the four NEW ACID entries —
+#       acid_orders_merge_dv (DV-writing MERGE: merge-on-read upserts,
+#       zero data files removed on the matched side, witnessed),
+#       acid_orders_rename (column mapping: metadata-only renames,
+#       old files read under the new name, checkpoint survival,
+#       stats-pruned read on the renamed column), acid_orders_
+#       partitioned (hive-partitioned table, directory-level prune
+#       witnessed from the actual scanned file list), acid_orders_
+#       checks (the A20 constraint surface as a pass/violate/unknown
+#       audit) — plus the seven txlog/txsource-backed entries whose
+#       internals changed this round (written-bytes CHECK validation,
+#       per-file bytes stats, colmap/partition plumbing in every
+#       read/write path, columnar DV masking + byte pacing in the
+#       DataSource): the six prior acid_* entries and txsource_mv;
+#   (2) ALL SEVEN r7-stale entries (the corrected list — the three
+#       the r13 notes missed lead): segment_revenue_trend,
 #       segment_supplier_hhi, supplier_scorecard, text_lm_score,
-#       text_type_token_ratio, weighted_sample_norep, zipf_slope) —
-#       they lead round 14's stale fill, then the r8 block.
+#       text_type_token_ratio, weighted_sample_norep, zipf_slope;
+#   (3) the r8 block, alphabetical — 11 + 7 + 32 = 50, so the cut
+#       falls after schema_map_orders; the remaining 18 r8 names
+#       (segment_decayed_value .. vocab_coverage) lead round 15's
+#       fill, then the r9 block.
 _DRIVER_PRIORITY = [
-    # -- (1) changed/new in round 13 --
-    "txsource_mv",
+    # -- (1) changed/new in round 14 --
+    "acid_orders_merge_dv",
+    "acid_orders_rename",
+    "acid_orders_partitioned",
+    "acid_orders_checks",
     "acid_orders_ledger",
     "acid_orders_merge",
     "acid_orders_cdf",
     "acid_orders_merge_delete",
     "acid_orders_restore",
     "acid_orders_dv",
-    "stream_ann_index",
-    "stream_ann_drift",
-    "stream_ann_rebuild",
-    "stream_clip_stats",
-    "stream_clip_drift",
-    "multimodal_audio_features",
-    # -- (2) the three r6 leftovers --
-    "session_top_paths",
-    "stream_mv_user_stats",
-    "training_data_pipeline",
-    # -- (3) the r7 block, alphabetical; the 50-cut falls after
-    #    segment_order_gini (entry 50) --
-    "analytics_mart_pipeline",
-    "avg_lineitems_per_order",
-    "avg_order_value",
-    "benford_digit_audit",
-    "brand_return_rates",
-    "cohort_ltv",
-    "copurchase_reach3",
-    "copurchase_triangles",
-    "corpus_shuffle",
-    "customer_latest_order_lateral",
-    "customers_without_urgent_orders",
-    "dedup_subset_containment",
-    "discount_band_effect",
-    "doc_chunks_overlapping",
-    "doc_novelty_5gram",
-    "event_dow_hour_heatmap",
-    "event_time_weighted_avg",
-    "events_json_extract",
-    "events_json_typed",
-    "events_session_window",
-    "events_variant_stats",
-    "monthly_new_vs_repeat",
-    "monthly_revenue",
-    "monthly_seasonality_index",
-    "multimodal_thumbnail",
-    "nation_trade_balance",
-    "nest_unnest_roundtrip",
-    "normalize_explode_structs",
-    "normalize_posexplode",
-    "order_most_lineitems",
-    "orders_by_segment",
-    "part_pair_lift",
-    "rolling_weekly_active_users",
-    "segment_order_gini",
+    "txsource_mv",
+    # -- (2) all seven r7-stale entries --
     "segment_revenue_trend",
     "segment_supplier_hhi",
     "supplier_scorecard",
@@ -177,6 +139,40 @@ _DRIVER_PRIORITY = [
     "text_type_token_ratio",
     "weighted_sample_norep",
     "zipf_slope",
+    # -- (3) the r8 block, alphabetical; the 50-cut falls after
+    #    schema_map_orders (entry 50) --
+    "ann_hard_negatives",
+    "asof_latest_view_30m",
+    "attribution_credit",
+    "bm25_search",
+    "brand_triples",
+    "copurchase_kcore",
+    "customer_rfm",
+    "customer_segments_orderby_all",
+    "event_type_frequency_sketch",
+    "funnel_three_step",
+    "funnel_time_to_convert",
+    "kmv_distinct_users",
+    "kmv_user_overlap",
+    "order_line_proration",
+    "order_metrics_unpivot_nulls",
+    "order_value_psi",
+    "orderkey_gap_islands",
+    "orders_groupby_all",
+    "part_abc_classification",
+    "part_name_near_collisions",
+    "part_revenue_pareto",
+    "part_revenue_rank",
+    "parts_in_urgent_orders",
+    "perplexity_buckets",
+    "price_quantity_decile_heatmap",
+    "priority_distribution",
+    "q4_priority_with_big_items",
+    "q7_volume_shipping",
+    "quality_lm_spearman",
+    "region_nation_roster",
+    "returned_vs_global",
+    "schema_map_orders",
 ]
 
 

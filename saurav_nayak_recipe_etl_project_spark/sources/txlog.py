@@ -644,6 +644,50 @@ def tx_rename_column(table: str, old: str, new: str) -> int:
     return base + 1
 
 
+def check_audit(spark: SparkSession, table: str) -> DataFrame:
+    """Constraints-audit readout (r13 verdict item 7): per CHECK
+    constraint currently in force, the pass / violate / unknown row
+    counts over the CURRENT data — the observable surface of the A20
+    write-rejection contract (write rejection itself is not
+    one-SQL-observable; this is). ONE aggregation pass computes every
+    constraint's counts; SQL-standard three-valued semantics surface
+    explicitly: `n_unknown` counts rows where the predicate is NULL
+    (those rows PASS the write contract), so
+    n_pass + n_violate + n_unknown == n_rows. Enforced invariant: a
+    committed table always audits n_violate = 0 — a nonzero count here
+    means someone mutated data files out-of-band."""
+    checks = table_checks(table)
+    if not checks:
+        return spark.createDataFrame(
+            [],
+            "constraint_name string, col string, op string, "
+            "value_str string, n_rows long, n_pass long, "
+            "n_violate long, n_unknown long")
+    df = read_table(spark, table)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for name, (col, op, value) in sorted(checks.items()):
+        pred = _OPS[op](F.col(col), F.lit(value))
+        aggs.append(
+            F.sum(F.when(pred.eqNullSafe(F.lit(False)), 1).otherwise(0))
+            .alias(f"_viol_{name}"))
+        aggs.append(
+            F.sum(F.when(pred.isNull(), 1).otherwise(0))
+            .alias(f"_unk_{name}"))
+    row = df.agg(*aggs).first()
+    n = int(row["_n"])
+    out = []
+    for name, (col, op, value) in sorted(checks.items()):
+        viol = int(row[f"_viol_{name}"] or 0)
+        unk = int(row[f"_unk_{name}"] or 0)
+        out.append((name, col, op, str(value), n, n - viol - unk,
+                    viol, unk))
+    return spark.createDataFrame(
+        out,
+        "constraint_name string, col string, op string, "
+        "value_str string, n_rows long, n_pass long, "
+        "n_violate long, n_unknown long")
+
+
 def _check_schema(df: DataFrame, table: str, evolve: bool,
                   at_version: int | None = None) -> dict | None:
     """Schema enforcement (the Delta contract): an append whose
@@ -2346,6 +2390,78 @@ FROM c, m WHERE o_orderkey > mid
 """
 
 
+def acid_orders_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered CHECK-AUDIT entry, STRICT VALUE oracle (r13 verdict
+    item 7 — the A20 constraint surface made one-SQL-observable):
+    append the lower half of orders, evolve with the upper half
+    carrying a NEW `o_priority_flag` column (lower-half rows are NULL
+    there — the three-valued-logic lane), record three constraints
+    (all must validate the existing data to be recordable), then emit
+    the `check_audit` readout. One hash pins the per-constraint
+    pass/violate/unknown counts: n_unknown must equal exactly the
+    pre-evolution row count for the flag constraint (NULL passes the
+    write contract but is counted separately), and every committed
+    table must audit n_violate = 0."""
+    import tempfile
+
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    mid = (lo + hi) // 2 if lo is not None else 0
+    table = tempfile.mkdtemp(prefix="txlog_checks_")
+    tx_append(orders.filter(F.col("o_orderkey") <= mid)
+              .repartition(4), table, ["o_orderkey"])
+    tx_append(orders.filter(F.col("o_orderkey") > mid)
+              .withColumn("o_priority_flag",
+                          (F.col("o_orderkey") % 3).cast("int"))
+              .repartition(4), table, ["o_orderkey"],
+              allow_schema_evolution=True)
+    tx_set_check(spark, table, "totalprice_pos",
+                 ("o_totalprice", ">", 0.0))
+    tx_set_check(spark, table, "flag_nonneg",
+                 ("o_priority_flag", ">=", 0))
+    tx_set_check(spark, table, "orderkey_min",
+                 ("o_orderkey", ">=", int(lo or 0)))
+    return check_audit(spark, table)
+
+
+_CHECKS_ORACLE = """
+WITH m AS (
+  SELECT (MIN(o_orderkey) + MAX(o_orderkey)) // 2 AS mid,
+         MIN(o_orderkey) AS lo
+  FROM orders
+),
+t AS (
+  SELECT o_orderkey, o_totalprice,
+         CASE WHEN o_orderkey > mid
+              THEN CAST(o_orderkey % 3 AS INTEGER) END AS flag
+  FROM orders, m
+)
+SELECT 'flag_nonneg' AS constraint_name, 'o_priority_flag' AS col,
+       '>=' AS op, '0' AS value_str,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN flag >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pass,
+       CAST(0 AS BIGINT) AS n_violate,
+       CAST(SUM(CASE WHEN flag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unknown
+FROM t
+UNION ALL
+SELECT 'orderkey_min', 'o_orderkey', '>=',
+       CAST((SELECT lo FROM m) AS VARCHAR),
+       COUNT(*), COUNT(*), 0, 0
+FROM t
+UNION ALL
+SELECT 'totalprice_pos', 'o_totalprice', '>', '0.0',
+       COUNT(*), COUNT(*), 0, 0
+FROM t
+"""
+
+
 TXLOG_QUERIES = {
     "acid_orders_ledger": acid_orders_ledger,
     "acid_orders_dv": acid_orders_dv,
@@ -2353,6 +2469,7 @@ TXLOG_QUERIES = {
     "acid_orders_merge_dv": acid_orders_merge_dv,
     "acid_orders_rename": acid_orders_rename,
     "acid_orders_partitioned": acid_orders_partitioned,
+    "acid_orders_checks": acid_orders_checks,
     "acid_orders_cdf": acid_orders_cdf,
     "acid_orders_merge_delete": acid_orders_merge_delete,
     "acid_orders_restore": acid_orders_restore,
@@ -2364,6 +2481,7 @@ TXLOG_ORACLES = {
     "acid_orders_merge_dv": _MERGE_DV_ORACLE,
     "acid_orders_rename": _RENAME_ORACLE,
     "acid_orders_partitioned": _PARTITIONED_ORACLE,
+    "acid_orders_checks": _CHECKS_ORACLE,
     "acid_orders_cdf": _CDF_ORACLE,
     "acid_orders_merge_delete": _MERGE_DELETE_ORACLE,
     "acid_orders_restore": _RESTORE_ORACLE,

@@ -338,8 +338,8 @@ def test_long_log_soak_reads_stay_o_tail(spark, tmp_path, monkeypatch):
     O(commits)), (b) the live file count bounded by compaction, and
     (c) a checkpointed read bit-identical to a full-log replay."""
     t = str(tmp_path / "t")
-    n = 120
-    every = 40
+    n = 150  # the r13 verdict's CI-sized soak (600-commit study in NOTES)
+    every = 50
     for i in range(1, n + 1):
         tx_append(_df(spark, [(i, f"r{i}")]), t, ["k"])
         if i % every == 0 and i < n:
