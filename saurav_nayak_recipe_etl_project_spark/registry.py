@@ -96,7 +96,7 @@ _load_optional()
 # three r7-stale names; staleness recomputed here from the
 # CORRECTNESS_r1-r13 union: r7x7, r8x50, r9x41, r10x48, r11x46,
 # r12x41, r13x50):
-#   (1) changed/new in round 14 (11): the four NEW ACID entries —
+#   (1) changed/new in round 14 (12): the five NEW ACID entries —
 #       acid_orders_merge_dv (DV-writing MERGE: merge-on-read upserts,
 #       zero data files removed on the matched side, witnessed),
 #       acid_orders_rename (column mapping: metadata-only renames,
@@ -105,7 +105,10 @@ _load_optional()
 #       partitioned (hive-partitioned table, directory-level prune
 #       witnessed from the actual scanned file list), acid_orders_
 #       checks (the A20 constraint surface as a pass/violate/unknown
-#       audit) — plus the seven txlog/txsource-backed entries whose
+#       audit), acid_orders_optimize (bin-packing small-file
+#       compaction: only sub-target files rewritten, big-file-
+#       untouched witness) — plus the seven txlog/txsource-backed
+#       entries whose
 #       internals changed this round (written-bytes CHECK validation,
 #       per-file bytes stats, colmap/partition plumbing in every
 #       read/write path, columnar DV masking + byte pacing in the
@@ -114,16 +117,17 @@ _load_optional()
 #       the r13 notes missed lead): segment_revenue_trend,
 #       segment_supplier_hhi, supplier_scorecard, text_lm_score,
 #       text_type_token_ratio, weighted_sample_norep, zipf_slope;
-#   (3) the r8 block, alphabetical — 11 + 7 + 32 = 50, so the cut
-#       falls after schema_map_orders; the remaining 18 r8 names
-#       (segment_decayed_value .. vocab_coverage) lead round 15's
-#       fill, then the r9 block.
+#   (3) the r8 block, alphabetical — 12 + 7 + 31 = 50, so the cut
+#       falls after returned_vs_global; the remaining 19 r8 names
+#       (schema_map_orders, segment_decayed_value .. vocab_coverage)
+#       lead round 15's fill, then the r9 block.
 _DRIVER_PRIORITY = [
     # -- (1) changed/new in round 14 --
     "acid_orders_merge_dv",
     "acid_orders_rename",
     "acid_orders_partitioned",
     "acid_orders_checks",
+    "acid_orders_optimize",
     "acid_orders_ledger",
     "acid_orders_merge",
     "acid_orders_cdf",
@@ -172,7 +176,6 @@ _DRIVER_PRIORITY = [
     "quality_lm_spearman",
     "region_nation_roster",
     "returned_vs_global",
-    "schema_map_orders",
 ]
 
 

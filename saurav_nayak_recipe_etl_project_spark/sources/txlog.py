@@ -20,9 +20,14 @@ add/remove FILE actions, so
 - COMPACT folds small files remove+add in one atomic commit, a
   no-op to every reader;
 - CONCURRENT writers race on the next version file with
-  O_CREAT|O_EXCL — the loser gets TxConflict and must re-derive from
-  the new latest version (optimistic concurrency, the Delta
-  protocol's mutual-exclusion primitive);
+  O_CREAT|O_EXCL (optimistic concurrency, the Delta protocol's
+  mutual-exclusion primitive); a losing read-modify-write op then
+  runs LOGICAL conflict resolution (_commit_rmw, the Delta
+  ConflictChecker / WriteSerializable behavior): rival blind appends
+  that touched none of the files it read commute — the op re-commits
+  unchanged and the rival's files stay live — while rivals that
+  removed/DV'd a read file or changed table metadata surface
+  TxConflict for a real re-derivation;
 - STREAMING appends carry a (app_id, batch_id) txn action; a
   replayed micro-batch is detected and skipped — the idempotent-sink
   recipe every foreachBatch writer in streaming/ hand-rolls,
@@ -119,12 +124,15 @@ def _commit(table: str, version: int, actions: list[dict],
     if partition_by is None:
         partition_by = (_partition_by_at(table, version - 1)
                         if version > 0 else [])
+    import time
+
     os.makedirs(_log_path(table), exist_ok=True)
     path = os.path.join(_log_path(table), f"{version:011d}.json")
     payload = json.dumps(
         {"actions": actions, "txn": txn, "schema": schema,
          "checks": checks, "colmap": colmap,
-         "partition_by": partition_by}) + "\n"
+         "partition_by": partition_by,
+         "ts": round(time.time(), 6)}) + "\n"
     # publish the FULL payload atomically: write a private temp file,
     # then hard-link it to the version name (link fails if the name is
     # taken — same mutual exclusion as O_EXCL, but no window where a
@@ -853,8 +861,10 @@ def tx_append(df: DataFrame, table: str,
     actions = None
     # blind appends COMMUTE, so a lost race is retried at the next
     # version number automatically (the Delta protocol's append
-    # auto-resolution); read-modify-write ops (delete/compact) do NOT
-    # retry — their base may be stale, so TxConflict surfaces there.
+    # auto-resolution); read-modify-write ops (delete/merge/compact)
+    # get the converse through _commit_rmw: rival blind appends
+    # commute with them, anything touching their read set or the
+    # table metadata surfaces TxConflict.
     # Each attempt captures base = latest_version FIRST and runs the
     # txn-replay and schema checks AGAINST THAT BASE, then commits at
     # base+1: a rival commit landing anywhere in the window (including
@@ -929,6 +939,62 @@ def tx_append(df: DataFrame, table: str,
         "writer storm, back off")
 
 
+def _commit_rmw(table: str, base: int, actions: list[dict],
+                read_set: set, schema: dict | None = None) -> int:
+    """Commit a read-modify-write op (delete/merge/compact) with
+    Delta-style LOGICAL conflict resolution (the ConflictChecker /
+    WriteSerializable behavior): losing the version race to a rival
+    commit no longer aborts unconditionally — the rival's commits are
+    inspected, and if they are BLIND APPENDS that touched none of the
+    files this op read (`read_set`) and changed no table metadata,
+    the same actions re-commit at the next version (the rival's new
+    files simply stay live — appends commute with file-granular
+    rewrites of OTHER files). A rival that removed or DV'd a file in
+    the read set, changed schema/checks/colmap/partitioning, or whose
+    commit was already cleaned away raises TxConflict: the op's
+    derivation is genuinely stale and the CALLER must re-derive.
+    At 100 TB this is the difference between nightly compaction
+    blocking every ingest writer and the two proceeding unbothered."""
+    schema0 = _schema_at(table, base)
+    checks0 = _checks_at(table, base)
+    colmap0 = _colmap_at(table, base)
+    pby0 = _partition_by_at(table, base)
+    v = base
+    for _ in range(20):
+        try:
+            _commit(table, v + 1, actions, schema=schema)
+            return v + 1
+        except TxConflict:
+            latest = latest_version(table)
+            for rv in range(v + 1, latest + 1):
+                try:
+                    e = _read_json_commit(table, rv)
+                except FileNotFoundError:
+                    raise TxConflict(
+                        f"version {rv} of {table} was cleaned while "
+                        "this writer raced — re-derive from the "
+                        "latest snapshot") from None
+                for a in e["actions"]:
+                    if a["op"] in ("remove", "dv") and \
+                            a["file"] in read_set:
+                        raise TxConflict(
+                            f"concurrent commit {rv} {a['op']}d "
+                            f"{a['file']}, which this operation read "
+                            "— re-derive from the latest snapshot")
+            if (_schema_at(table, latest) != schema0
+                    or _checks_at(table, latest) != checks0
+                    or _colmap_at(table, latest) != colmap0
+                    or _partition_by_at(table, latest) != pby0):
+                raise TxConflict(
+                    f"concurrent metadata change on {table} "
+                    "(schema/constraints/column mapping/partitioning) "
+                    "— re-derive from the latest snapshot")
+            v = latest
+    raise TxConflict(
+        f"read-modify-write on {table} lost 20 straight version "
+        "races — writer storm, back off")
+
+
 def _overlaps(stats: dict, col: str, op: str, value) -> bool:
     """Can a file with these stats contain a row matching
     `col op value`? Missing stats → must read (never skip blindly)."""
@@ -960,14 +1026,21 @@ _OPS = {
 
 def read_table(spark: SparkSession, table: str,
                version: int | None = None,
-               where: tuple | None = None) -> DataFrame:
-    """Snapshot read (time travel with `version=`). `where` is a
-    simple predicate tuple (col, op, literal): files whose stats
-    cannot contain a match are pruned BEFORE the scan, and the
-    residual filter is applied to the survivors — log-level data
-    skipping. Empty snapshots need the schema from somewhere, so an
-    empty live set raises (a table with zero commits is a bug at this
-    layer, not an empty DataFrame)."""
+               where: tuple | None = None,
+               timestamp: float | None = None) -> DataFrame:
+    """Snapshot read (time travel with `version=`, or TIMESTAMP AS OF
+    with `timestamp=` — resolved to the latest commit at or before it,
+    the Delta rule). `where` is a simple predicate tuple (col, op,
+    literal): files whose stats cannot contain a match are pruned
+    BEFORE the scan, and the residual filter is applied to the
+    survivors — log-level data skipping. Empty snapshots need the
+    schema from somewhere, so an empty live set raises (a table with
+    zero commits is a bug at this layer, not an empty DataFrame)."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError(
+                "pass version= OR timestamp=, not both")
+        version = version_at_timestamp(table, timestamp)
     # resolve 'latest' ONCE: files and schema must come from the SAME
     # version — a rival evolution committing between two independent
     # latest_version() calls would return snapshot-N rows under
@@ -1060,8 +1133,7 @@ def tx_delete_where(spark: SparkSession, table: str, where: tuple,
             shutil.rmtree(dest, ignore_errors=True)
             return base
         actions = [{"op": "dv", "file": f, "dv": sub} for f in dv_files]
-        _commit(table, base + 1, actions)
-        return base + 1
+        return _commit_rmw(table, base, actions, set(touched))
     # NULL-safe survivor filter: ~(col op value) is NULL (not
     # false) when the column is NULL, and a plain filter drops
     # NULL rows — silently deleting rows the predicate never
@@ -1073,8 +1145,8 @@ def tx_delete_where(spark: SparkSession, table: str, where: tuple,
     actions += _write_files(_to_physical(survivors, colmap), table,
                             [_phys(colmap, c) for c in stats_cols or []],
                             _partition_by_at(table, base))
-    _commit(table, base + 1, actions)  # schema carried forward
-    return base + 1
+    # schema carried forward; blind-append rivals commute (_commit_rmw)
+    return _commit_rmw(table, base, actions, set(touched))
 
 
 def tx_compact(spark: SparkSession, table: str, target_files: int = 1,
@@ -1099,8 +1171,58 @@ def tx_compact(spark: SparkSession, table: str, target_files: int = 1,
                            [_phys(colmap, c) for c in stats_cols or []],
                            _partition_by_at(table, base))
     actions += [{"op": "remove", "file": f} for f in sorted(live)]
-    _commit(table, base + 1, actions)
-    return base + 1
+    return _commit_rmw(table, base, actions, set(live))
+
+
+def tx_optimize(spark: SparkSession, table: str,
+                target_file_bytes: int = 128 * 1024 * 1024,
+                stats_cols: list[str] | None = None,
+                cluster_by: str | None = None) -> int:
+    """Bin-packing OPTIMIZE (the Delta OPTIMIZE / small-file
+    compaction, r14): rewrite ONLY the live files smaller than
+    `target_file_bytes` into ~target-sized files; files already at
+    target are NOT touched — unlike `tx_compact`, which rewrites the
+    whole table, this is the nightly maintenance shape that stays
+    O(small files) at any table size. Sizes come from the per-file
+    `bytes` stats (getsize fallback for pre-r14 commits). Deletion
+    vectors on the packed files fold away with the rewrite; packing is
+    partition-aware for free (_write_files re-partitions hive layout);
+    a rival blind append during the pack commutes via _commit_rmw —
+    OPTIMIZE never blocks ingest. No-op (no commit) when fewer than
+    two small files exist. Returns the committed (or current)
+    version."""
+    base = latest_version(table)
+    live = snapshot_files(table, base)
+    colmap = _colmap_at(table, base)
+
+    def _size(f: str, st: dict) -> int:
+        b = st.get("bytes")
+        if b is None:
+            try:
+                b = os.path.getsize(os.path.join(table, f))
+            except OSError:
+                b = 0
+        return int(b)
+
+    small = {f: _size(f, st) for f, st in live.items()
+             if _size(f, st) < target_file_bytes}
+    # a small file carrying deletion vectors is worth rewriting even
+    # alone (the pack folds the DV read tax away)
+    if len(small) < 2 and not any(
+            live[f].get("_dvs") for f in small):
+        return base
+    n_out = max(1, -(-sum(small.values()) // target_file_bytes))
+    df = _read_files(spark, table, sorted(small), base, live)
+    if cluster_by is not None:
+        df = df.repartitionByRange(
+            n_out, cluster_by).sortWithinPartitions(cluster_by)
+    else:
+        df = df.coalesce(n_out)
+    actions = _write_files(_to_physical(df, colmap), table,
+                           [_phys(colmap, c) for c in stats_cols or []],
+                           _partition_by_at(table, base))
+    actions += [{"op": "remove", "file": f} for f in sorted(small)]
+    return _commit_rmw(table, base, actions, set(small))
 
 
 def tx_merge(spark: SparkSession, table: str, source: DataFrame,
@@ -1296,11 +1418,11 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
         except ValueError:
             _discard_written(table, new)
             raise
-    _commit(table, base + 1, actions,
-            schema=_merged_schema(
-                prior, _schema_fields(write_df if write_df is not None
-                                      else source)))
-    return base + 1
+    return _commit_rmw(
+        table, base, actions, set(touched),
+        schema=_merged_schema(
+            prior, _schema_fields(write_df if write_df is not None
+                                  else source)))
 
 
 def tx_changes(spark: SparkSession, table: str, from_version: int,
@@ -1541,16 +1663,38 @@ def tx_restore(table: str, to_version: int,
 
 def history(table: str) -> list[dict]:
     """One dict per version with a surviving JSON commit: counts of
-    add/remove actions + txn (commits folded away by tx_clean_log no
-    longer have per-commit history — the log-retention contract)."""
+    add/remove actions + txn + commit timestamp (commits folded away
+    by tx_clean_log no longer have per-commit history — the
+    log-retention contract)."""
     out = []
     for v in _json_versions(table):
         e = _read_json_commit(table, v)
         ops = [a["op"] for a in e["actions"]]
         out.append({"version": v, "adds": ops.count("add"),
                     "removes": ops.count("remove"),
-                    "dvs": ops.count("dv"), "txn": e.get("txn")})
+                    "dvs": ops.count("dv"), "txn": e.get("txn"),
+                    "ts": e.get("ts")})
     return out
+
+
+def version_at_timestamp(table: str, ts: float) -> int:
+    """TIMESTAMP AS OF resolution (the Delta rule): the LATEST version
+    whose commit timestamp is <= `ts`. Raises loudly when `ts`
+    predates the first surviving commit, and resolves only over
+    commits whose JSON survives (commits folded below a checkpoint
+    lose their timestamps with their history — time travel to them is
+    already version-gated; pre-r14 commits without a ts are skipped)."""
+    best = None
+    for v in _json_versions(table):
+        cts = _read_json_commit(table, v).get("ts")
+        if cts is not None and cts <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"{table} has no surviving commit at or before timestamp "
+            f"{ts} (first commits may have been cleaned, or ts "
+            "predates the table)")
+    return best
 
 
 def tx_checkpoint(table: str) -> int:
@@ -2462,6 +2606,111 @@ FROM t
 """
 
 
+def acid_orders_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered OPTIMIZE entry, STRICT VALUE oracle (r14 — the
+    bin-packing small-file compaction): append 60% of orders as ONE
+    big file, then three small incremental slices (the nightly-drop
+    shape that accretes small files), DV-delete a key range (the
+    vector rides on a small file), then `tx_optimize` with the big
+    file's size as the target — ONLY the small files (and the DV) may
+    be packed. Emits per version (version, n_orders, total_cents,
+    big_untouched): the final row's hard-coded big_untouched=TRUE
+    witnesses that the pack left the at-target file alone AND shrank
+    the file count — an optimize that rewrites the big file (or packs
+    nothing) hash-mismatches, alongside any value error in the pack's
+    DV fold."""
+    import tempfile
+
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    lo, hi = lo or 0, hi or 0
+    b0 = lo + (hi - lo) * 6 // 10
+    c1 = b0 + (hi - b0) // 3
+    c2 = b0 + 2 * (hi - b0) // 3
+    e = c2 + (hi - c2) // 2
+    table = tempfile.mkdtemp(prefix="txlog_opt_")
+    k = F.col("o_orderkey")
+    tx_append(orders.filter(k <= b0).repartition(1), table,
+              ["o_orderkey"])
+    tx_append(orders.filter((k > b0) & (k <= c1)).repartition(1),
+              table, ["o_orderkey"])
+    tx_append(orders.filter((k > c1) & (k <= c2)).repartition(1),
+              table, ["o_orderkey"])
+    tx_append(orders.filter(k > c2).repartition(1), table,
+              ["o_orderkey"])
+    tx_delete_where(spark, table, ("o_orderkey", ">", e),
+                    ["o_orderkey"], deletion_vectors=True)
+    live0 = snapshot_files(table, 0)
+    big_file = next(iter(live0))
+    big_bytes = live0[big_file]["bytes"]
+    tx_optimize(spark, table, target_file_bytes=big_bytes,
+                stats_cols=["o_orderkey"])
+    files_at = [sorted(snapshot_files(table, v))
+                for v in range(latest_version(table) + 1)]
+    out = None
+    for v in range(latest_version(table) + 1):
+        final = v == latest_version(table)
+        untouched = (final and big_file in files_at[v]
+                     and len(files_at[v]) < len(files_at[v - 1]))
+        snap = read_table(spark, table, version=v).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .alias("total_cents"),
+        ).select(F.lit(v).cast("long").alias("version"),
+                 "n_orders", "total_cents",
+                 F.lit(untouched).alias("big_untouched"))
+        out = snap if out is None else out.unionByName(snap)
+    return out
+
+
+_OPTIMIZE_ORACLE = """
+WITH m AS (
+  SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi FROM orders
+),
+b AS (
+  SELECT lo, hi,
+         lo + (hi - lo) * 6 // 10 AS b0
+  FROM m
+),
+b2 AS (
+  SELECT *, b0 + (hi - b0) // 3 AS c1,
+         b0 + 2 * (hi - b0) // 3 AS c2
+  FROM b
+),
+b3 AS (
+  SELECT *, c2 + (hi - c2) // 2 AS e FROM b2
+),
+c AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       FALSE AS big_untouched
+FROM c, b3 WHERE k <= b0
+UNION ALL
+SELECT 1, COUNT(*), CAST(SUM(cents) AS BIGINT), FALSE
+FROM c, b3 WHERE k <= c1
+UNION ALL
+SELECT 2, COUNT(*), CAST(SUM(cents) AS BIGINT), FALSE
+FROM c, b3 WHERE k <= c2
+UNION ALL
+SELECT 3, COUNT(*), CAST(SUM(cents) AS BIGINT), FALSE FROM c
+UNION ALL
+SELECT 4, COUNT(*), CAST(SUM(cents) AS BIGINT), FALSE
+FROM c, b3 WHERE k <= e
+UNION ALL
+SELECT 5, COUNT(*), CAST(SUM(cents) AS BIGINT), TRUE
+FROM c, b3 WHERE k <= e
+"""
+
+
 TXLOG_QUERIES = {
     "acid_orders_ledger": acid_orders_ledger,
     "acid_orders_dv": acid_orders_dv,
@@ -2470,6 +2719,7 @@ TXLOG_QUERIES = {
     "acid_orders_rename": acid_orders_rename,
     "acid_orders_partitioned": acid_orders_partitioned,
     "acid_orders_checks": acid_orders_checks,
+    "acid_orders_optimize": acid_orders_optimize,
     "acid_orders_cdf": acid_orders_cdf,
     "acid_orders_merge_delete": acid_orders_merge_delete,
     "acid_orders_restore": acid_orders_restore,
@@ -2482,6 +2732,7 @@ TXLOG_ORACLES = {
     "acid_orders_rename": _RENAME_ORACLE,
     "acid_orders_partitioned": _PARTITIONED_ORACLE,
     "acid_orders_checks": _CHECKS_ORACLE,
+    "acid_orders_optimize": _OPTIMIZE_ORACLE,
     "acid_orders_cdf": _CDF_ORACLE,
     "acid_orders_merge_delete": _MERGE_DELETE_ORACLE,
     "acid_orders_restore": _RESTORE_ORACLE,
