@@ -1149,24 +1149,50 @@ def tx_delete_where(spark: SparkSession, table: str, where: tuple,
     return _commit_rmw(table, base, actions, set(touched))
 
 
+def _cluster(df: DataFrame, cluster_by, target_files: int) -> DataFrame:
+    """Re-layout for a compaction rewrite: a single column
+    range-clusters (tight disjoint 1-D min/max per file); a PAIR of
+    numeric columns Z-ORDERS (Morton-interleaved equi-width ranks via
+    operators/layout.py — every file gets a small min/max BOX in both
+    dimensions, so stats pruning works on either column alone: the
+    Delta OPTIMIZE ZORDER layout)."""
+    if cluster_by is None:
+        return df.repartition(target_files)
+    if isinstance(cluster_by, (list, tuple)):
+        if len(cluster_by) == 1:
+            cluster_by = cluster_by[0]
+        elif len(cluster_by) == 2:
+            from saurav_nayak_recipe_etl_project_spark.operators.layout import (
+                optimize_layout_zorder,
+            )
+
+            return optimize_layout_zorder(
+                df, cluster_by[0], cluster_by[1], target_files)
+        else:
+            raise ValueError(
+                "cluster_by supports one column (range) or two "
+                "(Z-order); higher dimensions dilute pruning power "
+                "per dimension — pick the two hottest predicates")
+    return df.repartitionByRange(
+        target_files, cluster_by).sortWithinPartitions(cluster_by)
+
+
 def tx_compact(spark: SparkSession, table: str, target_files: int = 1,
                stats_cols: list[str] | None = None,
-               cluster_by: str | None = None) -> int:
+               cluster_by=None) -> int:
     """Fold the live file set into `target_files` files — remove+add
     in ONE commit, so every reader sees either the old layout or the
     new one, never both or neither. `cluster_by` range-partitions +
-    sorts the rewrite on that column, so post-compact files carry
+    sorts the rewrite on that column so post-compact files carry
     TIGHT DISJOINT min/max ranges and stats skipping stays effective
-    after compaction (the Z-order/OPTIMIZE idea, 1-D)."""
+    after compaction; a PAIR of columns Z-orders the rewrite
+    (Morton-interleaved ranks — both columns prune alone, the Delta
+    OPTIMIZE ZORDER layout)."""
     base = latest_version(table)
     live = snapshot_files(table, base)
     colmap = _colmap_at(table, base)
     df = _read_files(spark, table, sorted(live), base, live)
-    if cluster_by is not None:
-        df = df.repartitionByRange(
-            target_files, cluster_by).sortWithinPartitions(cluster_by)
-    else:
-        df = df.repartition(target_files)
+    df = _cluster(df, cluster_by, target_files)
     actions = _write_files(_to_physical(df, colmap), table,
                            [_phys(colmap, c) for c in stats_cols or []],
                            _partition_by_at(table, base))
@@ -1177,7 +1203,7 @@ def tx_compact(spark: SparkSession, table: str, target_files: int = 1,
 def tx_optimize(spark: SparkSession, table: str,
                 target_file_bytes: int = 128 * 1024 * 1024,
                 stats_cols: list[str] | None = None,
-                cluster_by: str | None = None) -> int:
+                cluster_by=None) -> int:
     """Bin-packing OPTIMIZE (the Delta OPTIMIZE / small-file
     compaction, r14): rewrite ONLY the live files smaller than
     `target_file_bytes` into ~target-sized files; files already at
@@ -1213,11 +1239,8 @@ def tx_optimize(spark: SparkSession, table: str,
         return base
     n_out = max(1, -(-sum(small.values()) // target_file_bytes))
     df = _read_files(spark, table, sorted(small), base, live)
-    if cluster_by is not None:
-        df = df.repartitionByRange(
-            n_out, cluster_by).sortWithinPartitions(cluster_by)
-    else:
-        df = df.coalesce(n_out)
+    df = (df.coalesce(n_out) if cluster_by is None
+          else _cluster(df, cluster_by, n_out))
     actions = _write_files(_to_physical(df, colmap), table,
                            [_phys(colmap, c) for c in stats_cols or []],
                            _partition_by_at(table, base))

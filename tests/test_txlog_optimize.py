@@ -119,6 +119,30 @@ def test_optimize_commutes_with_rival_append(spark, tmp_path,
     assert _rows(read_table(spark, t)) == [(1, "a"), (2, "b"), (9, "late")]
 
 
+def test_compact_zorder_prunes_on_both_columns(spark, tmp_path):
+    """cluster_by=[a, b] Z-orders the compaction rewrite: a predicate
+    on the SECOND column alone must prune files — under the
+    lexicographic (single-column) layout it cannot (every b-value
+    lands in every file)."""
+    from saurav_nayak_recipe_etl_project_spark.sources.txlog import (
+        tx_compact,
+    )
+
+    rows = [(i, (i * 37) % 100, f"r{i}") for i in range(400)]
+    zt, lt = str(tmp_path / "z"), str(tmp_path / "l")
+    for t, cb in ((zt, ["k", "v"]), (lt, "k")):
+        tx_append(_df(spark, rows, "k long, v long, s string")
+                  .repartition(4), t, ["k", "v"])
+        tx_compact(spark, t, 8, ["k", "v"], cluster_by=cb)
+    zq = read_table(spark, zt, where=("v", "<=", 10))
+    lq = read_table(spark, lt, where=("v", "<=", 10))
+    assert _rows(zq) == _rows(lq) == sorted(
+        (k, v, s) for k, v, s in rows if v <= 10)
+    # the Z-ordered table scans strictly fewer files on the b-only
+    # predicate; the lexicographic one reads everything
+    assert len(zq.inputFiles()) < len(lq.inputFiles()) == 8
+
+
 def test_timestamp_as_of(spark, tmp_path):
     t = str(tmp_path / "t")
     tx_append(_df(spark, [(1, "a")]), t, ["k"])

@@ -166,6 +166,26 @@ def test_partitioned_txsource_batch_and_stream(spark, tmp_path):
     assert sorted(out) == sorted(ROWS)
 
 
+def test_streaming_sink_into_partitioned_table(spark, tmp_path):
+    """tx_sink_batch inherits the partition spec: a streaming writer's
+    micro-batches land hive-partitioned (and replay stays a no-op)."""
+    from saurav_nayak_recipe_etl_project_spark.sources.txlog import (
+        tx_sink_batch,
+    )
+
+    t = str(tmp_path / "t")
+    tx_append(_df(spark, [(0, "a")]), t, ["k"], partition_by=["s"])
+    tx_sink_batch(_df(spark, [(1, "b"), (2, "a")]), 0, t, app="w",
+                  stats_cols=["k"])
+    tx_sink_batch(_df(spark, [(1, "b"), (2, "a")]), 0, t, app="w",
+                  stats_cols=["k"])  # replay: no-op
+    assert latest_version(t) == 1
+    assert _rows(read_table(spark, t)) == [(0, "a"), (1, "b"), (2, "a")]
+    got = read_table(spark, t, where=("s", "=", "b"))
+    assert all("s=b/" in f for f in got.inputFiles())
+    assert _rows(got) == [(1, "b")]
+
+
 def test_rename_partition_column(spark, tmp_path):
     t = str(tmp_path / "t")
     tx_append(_df(spark, ROWS), t, ["k"], partition_by=["s"])
