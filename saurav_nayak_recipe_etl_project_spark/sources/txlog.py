@@ -109,7 +109,8 @@ def _commit(table: str, version: int, actions: list[dict],
             schema: dict | None = None,
             checks: dict | None = None,
             colmap: dict | None = None,
-            partition_by: list | None = None) -> None:
+            partition_by: list | None = None,
+            retired: list | None = None) -> None:
     """Atomically create version file `version` — O_CREAT|O_EXCL is
     the mutual exclusion: exactly one writer wins a version number.
     Each commit records the table schema, CHECK constraints, and the
@@ -124,6 +125,8 @@ def _commit(table: str, version: int, actions: list[dict],
     if partition_by is None:
         partition_by = (_partition_by_at(table, version - 1)
                         if version > 0 else [])
+    if retired is None:
+        retired = _retired_at(table, version - 1) if version > 0 else []
     import time
 
     os.makedirs(_log_path(table), exist_ok=True)
@@ -131,7 +134,7 @@ def _commit(table: str, version: int, actions: list[dict],
     payload = json.dumps(
         {"actions": actions, "txn": txn, "schema": schema,
          "checks": checks, "colmap": colmap,
-         "partition_by": partition_by,
+         "partition_by": partition_by, "retired": retired,
          "ts": round(time.time(), 6)}) + "\n"
     # publish the FULL payload atomically: write a private temp file,
     # then hard-link it to the version name (link fails if the name is
@@ -160,10 +163,10 @@ def _read_json_commit(table: str, v: int) -> dict:
 
 def _load_checkpoint(
         table: str, v: int
-) -> tuple[dict, dict | None, dict, dict, dict, list]:
+) -> tuple[dict, dict | None, dict, dict, dict, list, list]:
     """(live files, schema, txn high-water marks, check constraints,
-    column mapping, partition columns) from the parquet checkpoint at
-    version v."""
+    column mapping, partition columns, retired physical names) from
+    the parquet checkpoint at version v."""
     import pyarrow.parquet as pq
 
     path = os.path.join(_log_path(table), f"{v:011d}{_CKPT_SUFFIX}")
@@ -183,7 +186,9 @@ def _load_checkpoint(
               if b"colmap_json" in meta else {})
     partition_by = (json.loads(meta[b"partition_by_json"].decode())
                     if b"partition_by_json" in meta else [])
-    return live, schema, txns, checks, colmap, partition_by
+    retired = (json.loads(meta[b"retired_json"].decode())
+               if b"retired_json" in meta else [])
+    return live, schema, txns, checks, colmap, partition_by, retired
 
 
 def _best_checkpoint(table: str, version: int) -> int:
@@ -488,6 +493,20 @@ def table_partition_by(table: str) -> list:
     return _partition_by_at(table, latest_version(table))
 
 
+def _retired_at(table: str, version: int) -> list:
+    """PHYSICAL column names retired by tx_drop_column as of
+    `version` — monotonically growing: a retired physical name still
+    has bytes in old data files, so no later column may ever map to
+    it (the field-id guarantee, done with names)."""
+    if version < 0:
+        return []
+    if version in _json_versions(table):
+        return _read_json_commit(table, version).get("retired") or []
+    if version in _checkpoint_versions(table):
+        return _load_checkpoint(table, version)[6]
+    return []
+
+
 _PYOPS = {
     "=": lambda a, b: a == b,
     "<=": lambda a, b: a <= b,
@@ -652,6 +671,52 @@ def tx_rename_column(table: str, old: str, new: str) -> int:
     return base + 1
 
 
+def tx_drop_column(table: str, col: str) -> int:
+    """ALTER TABLE DROP COLUMN via column mapping (the second half of
+    the Delta/Iceberg rename/drop mapping, r14): ONE metadata-only
+    commit removes the LOGICAL column — zero data files rewritten
+    (the bytes stay in place; readers simply stop requesting the
+    column), time travel to a pre-drop version still reads it, and
+    the physical name is RETIRED forever: a later re-add of the same
+    logical name (tx_append with evolution) gets a FRESH physical
+    name, so old data can never resurrect through it — the field-id
+    guarantee, done with names. Rejected for partition columns (the
+    directory layout depends on them — Delta's rule) and for columns
+    a CHECK constraint references (drop the constraint deliberately
+    first); dropping the last column is meaningless."""
+    base = latest_version(table)
+    if base < 0:
+        raise ValueError(f"{table} has no commits")
+    schema = _schema_at(table, base)
+    if not schema:
+        raise ValueError(f"{table} records no schema — cannot drop")
+    if col not in schema:
+        raise ValueError(f"{table} has no column {col!r} "
+                         f"(have {sorted(schema)})")
+    if len(schema) == 1:
+        raise ValueError(
+            f"cannot drop {col!r}: it is the last column of {table}")
+    colmap = dict(_colmap_at(table, base))
+    phys = colmap.pop(col, col)
+    if phys in _partition_by_at(table, base):
+        raise ValueError(
+            f"cannot drop {col!r}: it is a partition column of "
+            f"{table} (the directory layout depends on it)")
+    refs = sorted(n for n, spec in _checks_at(table, base).items()
+                  if spec[0] == col)
+    if refs:
+        raise ValueError(
+            f"cannot drop {col!r}: CHECK constraints {refs} reference "
+            "it — tx_drop_check them deliberately first")
+    new_schema = {c: t for c, t in schema.items() if c != col}
+    retired = list(_retired_at(table, base))
+    if phys not in retired:
+        retired.append(phys)
+    _commit(table, base + 1, [], schema=new_schema, colmap=colmap,
+            retired=retired)
+    return base + 1
+
+
 def check_audit(spark: SparkSession, table: str) -> DataFrame:
     """Constraints-audit readout (r13 verdict item 7): per CHECK
     constraint currently in force, the pass / violate / unknown row
@@ -697,7 +762,8 @@ def check_audit(spark: SparkSession, table: str) -> DataFrame:
 
 
 def _check_schema(df: DataFrame, table: str, evolve: bool,
-                  at_version: int | None = None) -> dict | None:
+                  at_version: int | None = None,
+                  allow_readd: bool = False) -> dict | None:
     """Schema enforcement (the Delta contract): an append whose
     columns drift from the table raises unless `evolve=True`.
     Evolution is additive columns plus sanctioned LOSSLESS widenings
@@ -738,13 +804,26 @@ def _check_schema(df: DataFrame, table: str, evolve: bool,
         # an added column may not shadow a renamed column's PHYSICAL
         # name — its files would collide with the mapped column's
         # storage namespace
-        retired = {p for c, p in _colmap_at(table, v).items() if p != c}
-        shadow = [c for c in added if c in retired]
+        renamed = {p for c, p in _colmap_at(table, v).items() if p != c}
+        shadow = [c for c in added if c in renamed]
         if shadow:
             raise ValueError(
                 f"tx schema evolution rejected for {table}: new "
                 f"columns {shadow} shadow a renamed column's physical "
                 "name — pick different names")
+        # nor may it reuse a DROPPED column's physical name: the old
+        # files still hold that column's bytes, which would silently
+        # resurrect. tx_append re-adds safely (fresh physical name,
+        # allow_readd); other writers route there.
+        if not allow_readd:
+            reused = [c for c in added if c in _retired_at(table, v)]
+            if reused:
+                raise ValueError(
+                    f"tx schema evolution rejected for {table}: "
+                    f"columns {reused} reuse a retired (dropped) "
+                    "column's physical name — re-add via tx_append "
+                    "(which assigns a fresh physical name) or pick "
+                    "different names")
     if (added or widened) and not evolve:
         raise ValueError(
             f"tx schema drift for {table}: new columns {added}, "
@@ -882,11 +961,27 @@ def tx_append(df: DataFrame, table: str,
             if last is not None and txn["batch"] <= last:
                 return base  # idempotent replay: no-op
         prior = _check_schema(df, table, allow_schema_evolution,
-                              at_version=base)
+                              at_version=base, allow_readd=True)
         # files store PHYSICAL names; a rival RENAME between retries
         # invalidates already-written files (wrong physical names) —
         # discard and rewrite under the new mapping
         colmap = _colmap_at(table, base)
+        # re-adding a DROPPED column name: assign a FRESH physical
+        # name so the old files' bytes (under the retired name) can
+        # never resurrect — the new column starts NULL everywhere
+        retired = _retired_at(table, base)
+        readds = [c for c in df.columns
+                  if c in retired and c not in (prior or {})]
+        if readds:
+            colmap = dict(colmap)
+            taken = (set(retired) | set(df.columns)
+                     | {_phys(colmap, x) for x in (prior or {})})
+            for c in readds:
+                i = 2
+                while f"{c}__{i}" in taken:
+                    i += 1
+                colmap[c] = f"{c}__{i}"
+                taken.add(f"{c}__{i}")
         pby = _partition_by_at(table, base)
         if partition_by is not None:
             req = [_phys(colmap, c) for c in partition_by]
@@ -930,7 +1025,7 @@ def tx_append(df: DataFrame, table: str,
             else _schema_fields(df)
         try:
             _commit(table, base + 1, actions, txn, schema,
-                    partition_by=pby)
+                    colmap=colmap, partition_by=pby)
             return base + 1
         except TxConflict:
             continue
@@ -1674,11 +1769,14 @@ def tx_restore(table: str, to_version: int,
                 for f in sorted(target) if f not in current]
     actions += [{"op": "add", "file": f, "stats": target[f]}
                 for f in changed]
-    if not actions:
+    if not actions and (
+            _schema_at(table, to_version) == _schema_at(table, base)
+            and _colmap_at(table, to_version) == _colmap_at(table, base)):
         return base
     # full state restore: the TARGET version's schema AND column
-    # mapping come back together (a restore across a rename rolls the
-    # logical names back with the data)
+    # mapping come back together (a restore across a rename or a
+    # column drop rolls the logical contract back — possibly with
+    # ZERO file actions, a pure metadata restore)
     _commit(table, base + 1, actions, schema=_schema_at(table, to_version),
             colmap=_colmap_at(table, to_version))
     return base + 1
@@ -1761,6 +1859,7 @@ def tx_checkpoint(table: str) -> int:
         b"colmap_json": json.dumps(_colmap_at(table, v)).encode(),
         b"partition_by_json": json.dumps(
             _partition_by_at(table, v)).encode(),
+        b"retired_json": json.dumps(_retired_at(table, v)).encode(),
         b"version": str(v).encode(),
     })
     path = os.path.join(_log_path(table), f"{v:011d}{_CKPT_SUFFIX}")
