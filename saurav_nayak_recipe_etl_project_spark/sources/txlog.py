@@ -335,6 +335,18 @@ _REL_FILE_RE = r"(data/[^/]+(?:/[^/]+=[^/]+)*/[^/]+)$"
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
+def _rel_file_expr() -> F.Column:
+    """The scanned row's ON-DISK relative data-file path, from
+    `_metadata.file_path`. The metadata column is a URI, so
+    hive-escaped partition dir names arrive re-encoded (s=x%3Ay →
+    s=x%253Ay) — decode the URI layer ONCE so the value matches the
+    log's file keys (which keep the hive escaping). The '+' pre-escape
+    guards url_decode's form-semantics ('+' is never URI-encoded)."""
+    enc = F.regexp_extract(F.col("_metadata.file_path"),
+                           _REL_FILE_RE, 1)
+    return F.url_decode(F.regexp_replace(enc, r"\+", "%2B"))
+
+
 def _attach_partition_cols(df: DataFrame, pby: list,
                            phys_types: dict) -> DataFrame:
     """Derive hive partition columns from `_metadata.file_path`
@@ -343,10 +355,20 @@ def _attach_partition_cols(df: DataFrame, pby: list,
     scan's projection — no per-file reads, no discovery pass."""
     import re as _re
 
+    def _decode(col):
+        # url_decode treats '+' as a space (application/x-www-form
+        # semantics) but neither URI nor hive path escaping ENCODES
+        # '+', so pre-escape it — only genuine %XX sequences decode
+        return F.url_decode(F.regexp_replace(col, r"\+", "%2B"))
+
     for p in pby:
-        raw = F.url_decode(F.regexp_extract(
+        enc = F.regexp_extract(
             F.col("_metadata.file_path"),
-            "/" + _re.escape(p) + "=([^/]+)/", 1))
+            "/" + _re.escape(p) + "=([^/]+)/", 1)
+        # TWO decode layers: _metadata.file_path is a URI (the
+        # hive-escaped dir name s=x%3Ay arrives as s=x%253Ay), so
+        # decode the URI encoding first, then the hive escaping
+        raw = _decode(_decode(enc))
         df = df.withColumn(
             p,
             F.when(raw == _HIVE_NULL, F.lit(None))
@@ -407,10 +429,7 @@ def _read_files(spark: SparkSession, table: str, files: list[str],
             dv = spark.read.schema("file string, pos long").parquet(
                 *[os.path.join(table, d) for d in dv_dirs])
             df = (
-                df.withColumn(
-                    "__dv_f",
-                    F.regexp_extract(F.col("_metadata.file_path"),
-                                     _REL_FILE_RE, 1))
+                df.withColumn("__dv_f", _rel_file_expr())
                 .withColumn("__dv_p", F.col("_metadata.row_index"))
                 .join(dv,
                       (F.col("__dv_f") == dv["file"])
@@ -871,11 +890,16 @@ def _write_files(df: DataFrame, table: str,
         back.groupBy(F.input_file_name().alias("_f")).agg(*aggs).collect()
     )
     actions = []
+    from urllib.parse import unquote
+
     for r in rows:
         # relative path INCLUDING partition dirs: everything from the
-        # uuid'd tx dir on (unique in the URI by construction)
+        # uuid'd tx dir on (unique in the URI by construction).
+        # input_file_name() returns a URI, so hive-escaped dir names
+        # (s=p%3Dq) arrive double-encoded (%253D) — unquote ONCE back
+        # to the on-disk name (unquote leaves literal '+' alone)
         uri = r["_f"]
-        rel = uri[uri.index(sub):]
+        rel = unquote(uri[uri.index(sub):])
         stats = {"rows": r["_rows"],
                  "bytes": os.path.getsize(os.path.join(table, rel))}
         for c in cols:
@@ -1212,8 +1236,7 @@ def tx_delete_where(spark: SparkSession, table: str, where: tuple,
             _read_files(spark, table, touched, base, live)
             .filter(pred.eqNullSafe(F.lit(True)))
             .select(
-                F.regexp_extract(F.col("_metadata.file_path"),
-                                 _REL_FILE_RE, 1).alias("file"),
+                _rel_file_expr().alias("file"),
                 F.col("_metadata.row_index").alias("pos"),
             )
         )
@@ -1490,8 +1513,7 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
             _read_files(spark, table, touched, base, live)
             .select(
                 F.col(key),
-                F.regexp_extract(F.col("_metadata.file_path"),
-                                 _REL_FILE_RE, 1).alias("file"),
+                _rel_file_expr().alias("file"),
                 F.col("_metadata.row_index").alias("pos"))
             .join(repl, key, "left_semi")
             .select("file", "pos")

@@ -166,6 +166,34 @@ def test_partitioned_txsource_batch_and_stream(spark, tmp_path):
     assert sorted(out) == sorted(ROWS)
 
 
+def test_partition_values_with_special_chars_roundtrip(spark, tmp_path):
+    """Hive path escaping: ':' and '=' are %-encoded in directory
+    names and must decode back; a literal '+' is NOT encoded by hive
+    and must NOT decode as a space (the url_decode form-semantics
+    trap); NULL partition values ride the hive default marker."""
+    t = str(tmp_path / "t")
+    rows = [(1, "a+b"), (2, "x:y"), (3, "p=q"), (4, None), (5, "w z")]
+    tx_append(_df(spark, rows), t, ["k"], partition_by=["s"])
+    assert _rows(read_table(spark, t)) == rows
+    got = read_table(spark, t, where=("s", "=", "a+b"))
+    assert _rows(got) == [(1, "a+b")]
+    # DV deletes work on the escaped dirs too (the rel-path extraction
+    # must match the log's hive-escaped file keys, not the URI form)
+    tx_delete_where(spark, t, ("s", "=", "x:y"), ["k"],
+                    deletion_vectors=True)
+    assert _rows(read_table(spark, t)) == [
+        (1, "a+b"), (3, "p=q"), (4, None), (5, "w z")]
+    # and the DataSource's worker-side mask agrees
+    from saurav_nayak_recipe_etl_project_spark.sources.txsource import (
+        register_txlog_source,
+    )
+
+    register_txlog_source(spark)
+    via_src = spark.read.format("txlog").option("path", t).load()
+    assert _rows(via_src) == [
+        (1, "a+b"), (3, "p=q"), (4, None), (5, "w z")]
+
+
 def test_streaming_sink_into_partitioned_table(spark, tmp_path):
     """tx_sink_batch inherits the partition spec: a streaming writer's
     micro-batches land hive-partitioned (and replay stays a no-op)."""
