@@ -747,15 +747,18 @@ def check_audit(spark: SparkSession, table: str) -> DataFrame:
     (those rows PASS the write contract), so
     n_pass + n_violate + n_unknown == n_rows. Enforced invariant: a
     committed table always audits n_violate = 0 — a nonzero count here
-    means someone mutated data files out-of-band."""
-    checks = table_checks(table)
+    means someone mutated data files out-of-band. Version resolved
+    ONCE: the audited rows and the constraint set come from the same
+    snapshot (the read_table single-resolution rule)."""
+    v = latest_version(table)
+    checks = _checks_at(table, v)
     if not checks:
         return spark.createDataFrame(
             [],
             "constraint_name string, col string, op string, "
             "value_str string, n_rows long, n_pass long, "
             "n_violate long, n_unknown long")
-    df = read_table(spark, table)
+    df = read_table(spark, table, version=v)
     aggs = [F.count(F.lit(1)).alias("_n")]
     for name, (col, op, value) in sorted(checks.items()):
         pred = _OPS[op](F.col(col), F.lit(value))
@@ -1321,7 +1324,8 @@ def tx_compact(spark: SparkSession, table: str, target_files: int = 1,
 def tx_optimize(spark: SparkSession, table: str,
                 target_file_bytes: int = 128 * 1024 * 1024,
                 stats_cols: list[str] | None = None,
-                cluster_by=None) -> int:
+                cluster_by=None,
+                where: tuple | None = None) -> int:
     """Bin-packing OPTIMIZE (the Delta OPTIMIZE / small-file
     compaction, r14): rewrite ONLY the live files smaller than
     `target_file_bytes` into ~target-sized files; files already at
@@ -1334,7 +1338,14 @@ def tx_optimize(spark: SparkSession, table: str,
     a rival blind append during the pack commutes via _commit_rmw —
     OPTIMIZE never blocks ingest. No-op (no commit) when fewer than
     two small files exist. Returns the committed (or current)
-    version."""
+    version.
+
+    `where=(col, op, literal)` scopes the pack to the files the
+    predicate can match — OPTIMIZE WHERE, the partition-scoped
+    maintenance shape: at 100 TB you pack TODAY'S partition after the
+    day closes, not the whole table; files other partitions own are
+    untouched by construction (directory-level prune first, then
+    stats)."""
     base = latest_version(table)
     live = snapshot_files(table, base)
     colmap = _colmap_at(table, base)
@@ -1350,6 +1361,12 @@ def tx_optimize(spark: SparkSession, table: str,
 
     small = {f: _size(f, st) for f, st in live.items()
              if _size(f, st) < target_file_bytes}
+    if where is not None:
+        col, op, value = where
+        pcol = _phys(colmap, col)
+        small = {f: b for f, b in small.items()
+                 if not _part_prunes(live[f], pcol, op, value)
+                 and _overlaps(live[f], pcol, op, value)}
     # a small file carrying deletion vectors is worth rewriting even
     # alone (the pack folds the DV read tax away)
     if len(small) < 2 and not any(

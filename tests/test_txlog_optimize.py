@@ -119,6 +119,25 @@ def test_optimize_commutes_with_rival_append(spark, tmp_path,
     assert _rows(read_table(spark, t)) == [(1, "a"), (2, "b"), (9, "late")]
 
 
+def test_optimize_where_scopes_to_the_partition(spark, tmp_path):
+    """OPTIMIZE WHERE: pack only the predicate's partition — the other
+    partitions' small files stay exactly as they are."""
+    t = str(tmp_path / "t")
+    for r in [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "a")]:
+        tx_append(_df(spark, [r]), t, ["k"], partition_by=["s"])
+    before = snapshot_files(t)
+    b_files = sorted(f for f in before if "s=b/" in f)
+    v = tx_optimize(spark, t, target_file_bytes=1 << 20,
+                    stats_cols=["k"], where=("s", "=", "a"))
+    assert v == 5
+    after = snapshot_files(t)
+    # the b-partition's files are untouched; the a-partition packed
+    assert sorted(f for f in after if "s=b/" in f) == b_files
+    assert len([f for f in after if "s=a/" in f]) == 1
+    assert _rows(read_table(spark, t)) == [
+        (1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "a")]
+
+
 def test_compact_zorder_prunes_on_both_columns(spark, tmp_path):
     """cluster_by=[a, b] Z-orders the compaction rewrite: a predicate
     on the SECOND column alone must prune files — under the
