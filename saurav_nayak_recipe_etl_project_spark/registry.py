@@ -96,7 +96,7 @@ _load_optional()
 # three r7-stale names; staleness recomputed here from the
 # CORRECTNESS_r1-r13 union: r7x7, r8x50, r9x41, r10x48, r11x46,
 # r12x41, r13x50):
-#   (1) changed/new in round 14 (12): the five NEW ACID entries —
+#   (1) changed/new in round 14 (13): the six NEW ACID entries —
 #       acid_orders_merge_dv (DV-writing MERGE: merge-on-read upserts,
 #       zero data files removed on the matched side, witnessed),
 #       acid_orders_rename (column mapping: metadata-only renames,
@@ -107,7 +107,9 @@ _load_optional()
 #       checks (the A20 constraint surface as a pass/violate/unknown
 #       audit), acid_orders_optimize (bin-packing small-file
 #       compaction: only sub-target files rewritten, big-file-
-#       untouched witness) — plus the seven txlog/txsource-backed
+#       untouched witness), acid_orders_cdf_rows (the Delta CDF
+#       _change_type vocabulary: full pre/post row images) — plus
+#       the seven txlog/txsource-backed
 #       entries whose
 #       internals changed this round (written-bytes CHECK validation,
 #       per-file bytes stats, colmap/partition plumbing in every
@@ -117,10 +119,10 @@ _load_optional()
 #       the r13 notes missed lead): segment_revenue_trend,
 #       segment_supplier_hhi, supplier_scorecard, text_lm_score,
 #       text_type_token_ratio, weighted_sample_norep, zipf_slope;
-#   (3) the r8 block, alphabetical — 12 + 7 + 31 = 50, so the cut
-#       falls after returned_vs_global; the remaining 19 r8 names
-#       (schema_map_orders, segment_decayed_value .. vocab_coverage)
-#       lead round 15's fill, then the r9 block.
+#   (3) the r8 block, alphabetical — 13 + 7 + 30 = 50, so the cut
+#       falls after region_nation_roster; the remaining 20 r8 names
+#       (returned_vs_global, schema_map_orders, segment_decayed_value
+#       .. vocab_coverage) lead round 15's fill, then the r9 block.
 _DRIVER_PRIORITY = [
     # -- (1) changed/new in round 14 --
     "acid_orders_merge_dv",
@@ -128,6 +130,7 @@ _DRIVER_PRIORITY = [
     "acid_orders_partitioned",
     "acid_orders_checks",
     "acid_orders_optimize",
+    "acid_orders_cdf_rows",
     "acid_orders_ledger",
     "acid_orders_merge",
     "acid_orders_cdf",
@@ -175,7 +178,6 @@ _DRIVER_PRIORITY = [
     "q7_volume_shipping",
     "quality_lm_spearman",
     "region_nation_roster",
-    "returned_vs_global",
 ]
 
 

@@ -1598,6 +1598,16 @@ def tx_changes(spark: SparkSession, table: str, from_version: int,
         table_diff,
     )
 
+    a, b = _cdf_sides(spark, table, from_version, to_version)
+    return table_diff(a, b, key, cols)
+
+
+def _cdf_sides(spark: SparkSession, table: str, from_version: int,
+               to_version: int) -> tuple[DataFrame, DataFrame]:
+    """(after-side rows, before-side rows) for a change feed between
+    two versions, reading ONLY the files the intervening commits
+    touched — shared by tx_changes (key+change_type) and
+    tx_changes_rows (full pre/post images)."""
     if from_version >= to_version:
         raise ValueError("tx_changes needs from_version < to_version")
     before = snapshot_files(table, from_version)
@@ -1628,8 +1638,40 @@ def tx_changes(spark: SparkSession, table: str, from_version: int,
         df = _read_files(spark, table, src, to_version, live)
         return df if files else df.limit(0)
 
-    return table_diff(_read(added + modified, after),
-                      _read(removed + modified, before), key, cols)
+    return (_read(added + modified, after),
+            _read(removed + modified, before))
+
+
+def tx_changes_rows(spark: SparkSession, table: str, from_version: int,
+                    to_version: int, key: str) -> DataFrame:
+    """Change data feed WITH full row images (the Delta CDF
+    `_change_type` vocabulary, r14): every changed row between the
+    versions, carrying ALL columns plus `_change_type` ∈ insert /
+    delete / update_preimage / update_postimage — an updated key
+    emits BOTH its old and new row, so a downstream consumer can
+    apply, audit, or revert the change without re-reading either
+    snapshot. Same O(churn) read as tx_changes (only touched files);
+    rewrite-only churn (compaction, survivor rewrites) compares
+    struct-equal and is filtered out; each side applies its own
+    version's deletion vectors."""
+    a, b = _cdf_sides(spark, table, from_version, to_version)
+    schema = _schema_at(table, to_version) or {}
+    cols = [c for c in schema if c != key] or         [c for c in a.columns if c != key]
+    av = a.select(F.col(key).alias("_k"), F.struct(*cols).alias("_a"))
+    bv = b.select(F.col(key).alias("_k"), F.struct(*cols).alias("_b"))
+    j = bv.join(av, "_k", "full_outer")
+    ins = (j.filter(F.col("_b").isNull())
+           .select("_k", "_a.*", F.lit("insert").alias("_change_type")))
+    dele = (j.filter(F.col("_a").isNull())
+            .select("_k", "_b.*", F.lit("delete").alias("_change_type")))
+    chg = j.filter(F.col("_a").isNotNull() & F.col("_b").isNotNull()
+                   & ~F.col("_a").eqNullSafe(F.col("_b")))
+    pre = chg.select("_k", "_b.*",
+                     F.lit("update_preimage").alias("_change_type"))
+    post = chg.select("_k", "_a.*",
+                      F.lit("update_postimage").alias("_change_type"))
+    return (ins.unionByName(dele).unionByName(pre).unionByName(post)
+            .withColumnRenamed("_k", key))
 
 
 def tx_read_incremental(spark: SparkSession, table: str,
@@ -2137,6 +2179,72 @@ UNION ALL
 SELECT o_orderkey + hi + 1, 'added'
 FROM base, mx WHERE o_orderkey % 13 = 0
 """
+
+def acid_orders_cdf_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered CDF-with-images entry, STRICT VALUE oracle (r14 —
+    the Delta `_change_type` vocabulary): the acid_orders_cdf scenario
+    (append → MERGE upserts+inserts → DELETE the open orders), read
+    back through `tx_changes_rows(0, 2)` — every changed row with its
+    FULL image: %7 keys emit BOTH update_preimage (original
+    status/price) and update_postimage ('U' at double price), non-%7
+    open orders emit delete rows with their original values, %13
+    re-keyed rows emit insert images, and every untouched-or-rewritten
+    row must be ABSENT (survivor rewrites compare struct-equal). The
+    oracle states all four image classes analytically — a wrong value
+    in ANY image, a missing pre/post pair, or churn leaking through
+    hash-mismatches."""
+    import tempfile
+
+    from saurav_nayak_recipe_etl_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    hi = orders.agg(F.max("o_orderkey")).first()[0] or 0
+    table = tempfile.mkdtemp(prefix="txlog_cdfrows_")
+    tx_append(orders.repartitionByRange(8, "o_orderkey")
+              .sortWithinPartitions("o_orderkey"), table, ["o_orderkey"])
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"))
+    inserts = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + hi + 1).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"), "o_totalprice")
+    tx_merge(spark, table, updates.unionByName(inserts), "o_orderkey",
+             ["o_orderkey"])
+    tx_delete_where(spark, table, ("o_orderstatus", "=", "O"),
+                    ["o_orderkey"])
+    return tx_changes_rows(spark, table, 0, 2, "o_orderkey").select(
+        "o_orderkey", "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("_change_type").alias("change_type"))
+
+
+_CDF_ROWS_ORACLE = """
+WITH mx AS (SELECT MAX(o_orderkey) AS hi FROM orders),
+base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+)
+SELECT o_orderkey, o_orderstatus,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       'update_preimage' AS change_type
+FROM base WHERE o_orderkey % 7 = 0
+UNION ALL
+SELECT o_orderkey, 'U',
+       CAST(round(o_totalprice * 2 * 100) AS BIGINT),
+       'update_postimage'
+FROM base WHERE o_orderkey % 7 = 0
+UNION ALL
+SELECT o_orderkey, o_orderstatus,
+       CAST(round(o_totalprice * 100) AS BIGINT), 'delete'
+FROM base WHERE o_orderkey % 7 <> 0 AND o_orderstatus = 'O'
+UNION ALL
+SELECT o_orderkey + hi + 1, 'N',
+       CAST(round(o_totalprice * 100) AS BIGINT), 'insert'
+FROM base, mx WHERE o_orderkey % 13 = 0
+"""
+
 
 MERGE_DELETE_UPDATE_BELOW = 150000.0  # conditional-update price gate
 
@@ -2882,6 +2990,7 @@ TXLOG_QUERIES = {
     "acid_orders_checks": acid_orders_checks,
     "acid_orders_optimize": acid_orders_optimize,
     "acid_orders_cdf": acid_orders_cdf,
+    "acid_orders_cdf_rows": acid_orders_cdf_rows,
     "acid_orders_merge_delete": acid_orders_merge_delete,
     "acid_orders_restore": acid_orders_restore,
 }
@@ -2895,6 +3004,7 @@ TXLOG_ORACLES = {
     "acid_orders_checks": _CHECKS_ORACLE,
     "acid_orders_optimize": _OPTIMIZE_ORACLE,
     "acid_orders_cdf": _CDF_ORACLE,
+    "acid_orders_cdf_rows": _CDF_ROWS_ORACLE,
     "acid_orders_merge_delete": _MERGE_DELETE_ORACLE,
     "acid_orders_restore": _RESTORE_ORACLE,
 }

@@ -141,6 +141,52 @@ def test_restore_validation_optin_and_default_exemption(spark, tmp_path):
     assert _rows(read_table(spark, t)) == [(-5, "old"), (1, "a")]
 
 
+def test_cdf_rows_emits_all_four_image_classes(spark, tmp_path):
+    from saurav_nayak_recipe_etl_project_spark.sources.txlog import (
+        tx_changes_rows,
+    )
+
+    t = str(tmp_path / "t")
+    tx_append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), t, ["k"])
+    tx_merge(spark, t, _df(spark, [(2, "B"), (9, "new")]), "k", ["k"])
+    tx_delete_where(spark, t, ("s", "=", "c"), ["k"])
+    got = tx_changes_rows(spark, t, 0, 2, "k")
+    assert set(got.columns) == {"k", "s", "_change_type"}
+    assert _rows(got) == [
+        (2, "B", "update_postimage"),
+        (2, "b", "update_preimage"),
+        (3, "c", "delete"),
+        (9, "new", "insert"),
+    ]
+
+
+def test_cdf_rows_rewrite_only_churn_is_empty(spark, tmp_path):
+    from saurav_nayak_recipe_etl_project_spark.sources.txlog import (
+        tx_changes_rows, tx_compact,
+    )
+
+    t = str(tmp_path / "t")
+    tx_append(_df(spark, [(1, "a"), (2, "b")]), t, ["k"])
+    tx_compact(spark, t, 1, ["k"])
+    assert tx_changes_rows(spark, t, 0, 1, "k").count() == 0
+
+
+def test_cdf_rows_across_dv_and_rename(spark, tmp_path):
+    from saurav_nayak_recipe_etl_project_spark.sources.txlog import (
+        tx_changes_rows, tx_rename_column,
+    )
+
+    t = str(tmp_path / "t")
+    tx_append(_df(spark, [(1, "a"), (2, "F")]), t, ["k"])
+    tx_delete_where(spark, t, ("s", "=", "F"), ["k"],
+                    deletion_vectors=True)
+    tx_rename_column(t, "s", "label")
+    # images read under the TO-version contract: renamed column name
+    got = tx_changes_rows(spark, t, 0, 2, "k")
+    assert set(got.columns) == {"k", "label", "_change_type"}
+    assert _rows(got) == [(2, "F", "delete")]
+
+
 def test_write_files_record_byte_stats(spark, tmp_path):
     t = str(tmp_path / "t")
     tx_append(_df(spark, [(1, "a"), (2, "b")]), t, ["k"])
