@@ -1429,9 +1429,13 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
     compaction and COW rewrites fold them away; CDF reports a DV'd
     file as modified in place — all inherited from the A19 read
     path."""
-    ndup = (source.groupBy(key).count().filter(F.col("count") > 1)
-            .limit(1).count())
-    if ndup:
+    # ONE aggregate job answers key range, emptiness, AND the
+    # duplicate-key rule (count == distinct count ⟺ key-unique) —
+    # folding what used to be two source scans
+    klo, khi, n_rows, n_keys = source.agg(
+        F.min(key), F.max(key), F.count(F.lit(1)),
+        F.countDistinct(key)).first()
+    if n_rows != n_keys:
         raise ValueError(
             f"tx_merge: source has duplicate {key} values — an upsert "
             "must be key-unique (dedupe upstream, deliberately)")
@@ -1445,7 +1449,7 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
     base = latest_version(table)
     prior = _check_schema(source, table, allow_schema_evolution,
                           at_version=base) or {}
-    lo, hi = source.agg(F.min(key), F.max(key)).first()
+    lo, hi = klo, khi
     live = snapshot_files(table, base)
     colmap = _colmap_at(table, base)
     pkey = _phys(colmap, key)
@@ -1544,7 +1548,9 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
                         for f in dv_files]
         else:
             shutil.rmtree(dest, ignore_errors=True)
-        if to_write.limit(1).count():
+        # plain upsert writes the whole (non-empty) source — no probe
+        # needed; the clause path may write nothing (all-delete)
+        if to_write is source or to_write.limit(1).count():
             write_df = to_write
         if not actions and write_df is None:
             return base  # nothing fired, nothing to insert: no-op
