@@ -23,6 +23,54 @@ from saurav_nayak_recipe_etl_project_spark.sources.txlog import (
 N_VERSIONS = 8
 
 
+def _rmw_racer(table, barrier, out_q):
+    """Child process: a read-modify-write writer that prepared its
+    actions at base, then loses the version race to the parent's
+    blind appends — _commit_rmw must commute past them."""
+    from saurav_nayak_recipe_etl_project_spark.sources.txlog import (
+        _commit_rmw,
+    )
+
+    base = 0
+    actions = [{"op": "remove", "file": "data/old-0"},
+               {"op": "add", "file": "data/rewrite-0",
+                "stats": {"rows": 1}}]
+    barrier.wait()   # parent lands rival appends now
+    barrier.wait()   # rivals are committed; our base is stale
+    v = _commit_rmw(table, base, actions, {"data/old-0"})
+    out_q.put(v)
+
+
+def test_rmw_commutes_with_rival_appends_cross_process(tmp_path):
+    from saurav_nayak_recipe_etl_project_spark.sources.txlog import (
+        _commit,
+        snapshot_files,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    _commit(table, 0, [{"op": "add", "file": "data/old-0",
+                        "stats": {"rows": 1}}], schema={"k": "bigint"})
+    ctx = mp.get_context("fork")
+    barrier = ctx.Barrier(2)
+    out_q = ctx.Queue()
+    p = ctx.Process(target=_rmw_racer, args=(table, barrier, out_q))
+    p.start()
+    barrier.wait()
+    for i in (1, 2):  # two rival blind appends take versions 1-2
+        _commit(table, i, [{"op": "add", "file": f"data/rival-{i}",
+                            "stats": {"rows": 1}}])
+    barrier.wait()
+    v = out_q.get(timeout=120)
+    p.join(timeout=60)
+    assert p.exitcode == 0
+    # the rmw writer re-committed its UNCHANGED actions after the
+    # rivals: versions 1-2 are the appends, 3 the rewrite
+    assert v == 3 and latest_version(table) == 3
+    live = set(snapshot_files(table))
+    assert live == {"data/rival-1", "data/rival-2", "data/rewrite-0"}
+
+
 def _racer(table, barrier, out_q, who):
     # child process: pure-Python commit path only, no Spark needed
     from saurav_nayak_recipe_etl_project_spark.sources.txlog import (
