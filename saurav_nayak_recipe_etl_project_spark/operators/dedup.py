@@ -148,7 +148,8 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, tau: float = 0.3,
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = 32, n: int = 3,
                        text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       shingles: DataFrame | None = None) -> DataFrame:
     """32-permutation MinHash signature per doc, xxhash64-seeded —
     deterministic across runs/executors (no RNG state to ship).
 
@@ -158,8 +159,14 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 32, n: int = 3,
     "permutations" are integer mixes (a·h+b mod p) of that base —
     the classic universal-hash MinHash, ~32× less string hashing.
     One groupBy with 32 codegen'd mins, map-side combined.
+
+    `shingles`: optional precomputed DISTINCT (doc_id, shingle) frame
+    (shingle_rows output) — callers that already materialized it
+    (e.g. the pair MV keeps it checkpointed as batch state) skip a
+    second shingle explode; identical values by construction.
     """
-    sh = shingle_rows(docs, n, text_col, id_col)
+    sh = shingles if shingles is not None \
+        else shingle_rows(docs, n, text_col, id_col)
     base = F.pmod(F.xxhash64("shingle"), F.lit(4294967296)).alias("h")
     hashed = sh.select("doc_id", base)
     aggs = [
@@ -451,14 +458,15 @@ def embedding_dup_pairs_bucketed(emb: DataFrame, tau: float = 0.3,
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    bucketed = None
-    for t in range(n_tables):
-        part = e.select(
-            "vec_id", "v", F.lit(t).alias("tbl"),
+    # one scan computing every table's bucket (was an n_tables-branch
+    # union re-scanning the corpus per table — same rows, same values)
+    bucketed = e.select(
+        "vec_id", "v",
+        F.posexplode(F.array(*[
             _bucket(F.col("v"), n_planes, plane_offset=t * n_planes)
-            .alias("bucket"),
-        )
-        bucketed = part if bucketed is None else bucketed.unionByName(part)
+            for t in range(n_tables)
+        ])).alias("tbl", "bucket"),
+    )
 
     def pair_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()

@@ -90,6 +90,13 @@ def pagerank_fixed_point(edges: DataFrame, n_iters: int = PR_ITERS) -> DataFrame
                  + F.expr(f"({PR_DAMP_NUM} * coalesce(c, 0)) div {PR_DAMP_DEN}"))
                 .cast("long").alias("pr_micro"),
             )
+            # lazy localCheckpoint: iteration i+1 broadcasts pr, which
+            # without the cut re-executes the WHOLE chain of earlier
+            # iterations once per broadcast build (plan depth grows per
+            # iteration — guide §5 lineage truncation for iterative
+            # algorithms). Node-sized frame; values unchanged (integer
+            # arithmetic, same rows).
+            .localCheckpoint(eager=False)
         )
     return pr
 

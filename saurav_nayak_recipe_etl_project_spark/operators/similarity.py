@@ -96,6 +96,21 @@ def cosine_topk(emb: DataFrame, n_queries: int = N_QUERIES,
     )
 
 
+def _plane_signs(p: int, dim: int) -> list[float]:
+    """The ±1 weights of hyperplane `p`: parity of xxhash64(plane, dim)
+    — the SAME values the pre-r14 per-row expression computed
+    (F.pmod(F.xxhash64(p, d), 2) * 2 - 1), evaluated ONCE on the
+    driver via the pinned pure-Python replica (functions/xxh.py)
+    instead of once per row × plane × dim in the interpreted HOF
+    evaluator. Equality with F.xxhash64 is pinned by test."""
+    from saurav_nayak_recipe_etl_project_spark.functions.xxh import (
+        spark_xxhash64_ints,
+    )
+
+    return [float(2 * (spark_xxhash64_ints(p, d) & 1) - 1)
+            for d in range(dim)]
+
+
 def _bucket(v_col, n_planes: int = 8, dim: int = 64,
             plane_offset: int = 0) -> F.Column:
     """Random-hyperplane LSH bucket id: sign bit per plane, packed.
@@ -105,29 +120,28 @@ def _bucket(v_col, n_planes: int = 8, dim: int = 64,
     broadcast or seed. `plane_offset` selects an independent plane set
     (multi-table LSH: OR-ing L tables lifts recall from p to
     1-(1-p)^L at L× candidate cost — the standard recall knob).
+
+    The weights are data-independent, so they are evaluated at
+    plan-build time (_plane_signs) and embedded as LITERAL arrays: the
+    per-row work drops from 2×dim interpreted expression nodes per
+    plane (xxhash64 + pmod + arithmetic) to one literal-array zip_with
+    — same fold order, same float arithmetic, bit-identical buckets
+    (r14 optimization; before/after measured in OPTIMIZATION_r14.md).
     """
-    def plane_dot(p):
+    def plane_dot(p: int):
+        signs = F.array(*[F.lit(w) for w in _plane_signs(p, dim)])
         return F.aggregate(
-            F.zip_with(
-                v_col,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, d: x * (F.pmod(F.xxhash64(p, d), F.lit(2)) * 2 - 1),
-            ),
+            F.zip_with(v_col, signs, lambda x, w: x * w),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
 
-    return F.aggregate(
-        F.transform(
-            F.sequence(F.lit(plane_offset), F.lit(plane_offset + n_planes - 1)),
-            lambda p: F.when(
-                plane_dot(p) > 0,
-                F.pow(F.lit(2.0), p - plane_offset).cast("int"),
-            ).otherwise(0),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    out = F.lit(0)
+    for i in range(n_planes):
+        out = out + F.when(
+            plane_dot(plane_offset + i) > 0, F.lit(1 << i)
+        ).otherwise(0)
+    return out
 
 
 def lsh_bucketed_topk(emb: DataFrame, n_queries: int = N_QUERIES,
@@ -140,15 +154,17 @@ def lsh_bucketed_topk(emb: DataFrame, n_queries: int = N_QUERIES,
     pair is scored exactly once. Recall < 1 by design; scales by
     bucket count × tables."""
     e = emb.select("vec_id", _as_double("embedding").alias("v"))
-    # one row per (vector, table) with that table's bucket id
-    bucketed = None
-    for t in range(n_tables):
-        part = e.select(
-            "vec_id", "v", F.lit(t).alias("tbl"),
+    # one row per (vector, table) with that table's bucket id — ONE
+    # corpus scan computing all tables' buckets, posexploded (the
+    # pre-r14 8-branch union re-scanned the corpus once per table;
+    # same rows, same values, 1 scan instead of n_tables)
+    bucketed = e.select(
+        "vec_id", "v",
+        F.posexplode(F.array(*[
             _bucket(F.col("v"), n_planes, plane_offset=t * n_planes)
-            .alias("bucket"),
-        )
-        bucketed = part if bucketed is None else bucketed.unionByName(part)
+            for t in range(n_tables)
+        ])).alias("tbl", "bucket"),
+    )
     queries = bucketed.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),

@@ -854,13 +854,83 @@ def _check_schema(df: DataFrame, table: str, evolve: bool,
     return prior
 
 
+def _footer_stats_actions(dest: str, sub: str,
+                          cols: list[str]) -> list[dict] | None:
+    """Per-file add-action stats from the parquet FOOTERS of the files
+    just written — the production table-format idiom (Delta/Iceberg
+    take write stats from the writer, never from a second read), and
+    one whole Spark job less per commit than the read-back aggregate.
+    Driver-side metadata reads, O(touched files) like the commit
+    itself. Returns None when any stat column is non-numeric or any
+    footer lacks usable statistics (the caller then falls back to the
+    read-back aggregate, which is always correct):
+
+    - only integer/float/boolean columns qualify — parquet writers may
+      TRUNCATE binary (string) min/max, which would record a prefix as
+      the min and corrupt stats pruning;
+    - a chunk with rows but no min/max (e.g. a double chunk holding
+      NaN — writers drop stats rather than mis-order NaN) disqualifies
+      the file: Spark's MAX treats NaN as the largest double, footer
+      stats ignore it, and recording the smaller max could let a
+      reader prune a file that matches. The fallback reproduces the
+      old numbers exactly in every such case.
+    """
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(os.path.join(dest, "*.parquet")))
+    if not files:
+        return []
+    schema = pq.read_schema(files[0])
+    for c in cols:
+        if c not in schema.names:
+            return None
+        t = schema.field(c).type
+        if not (pa.types.is_integer(t) or pa.types.is_floating(t)
+                or pa.types.is_boolean(t)):
+            return None
+    actions = []
+    for path in files:
+        md = pq.ParquetFile(path).metadata
+        if md.num_rows == 0:
+            # the read-back aggregate emits no group for an empty part
+            # file — reproduce that (the file stays orphaned on disk,
+            # invisible to the log, same as before)
+            continue
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        stats = {"rows": md.num_rows, "bytes": os.path.getsize(path)}
+        for c in cols:
+            idx = names.index(c)
+            mn = mx = None
+            for rg in range(md.num_row_groups):
+                cc = md.row_group(rg).column(idx)
+                st = cc.statistics
+                rg_rows = md.row_group(rg).num_rows
+                if st is None or (not st.has_min_max
+                                  and not (st.has_null_count
+                                           and st.null_count == rg_rows)):
+                    return None  # rows present but no stats: fall back
+                if st.has_min_max:
+                    v_mn, v_mx = st.min, st.max
+                    mn = v_mn if mn is None else min(mn, v_mn)
+                    mx = v_mx if mx is None else max(mx, v_mx)
+            stats[c] = [mn, mx]
+        rel = os.path.join(sub, os.path.basename(path))
+        actions.append({"op": "add", "file": rel, "stats": stats})
+    return actions
+
+
 def _write_files(df: DataFrame, table: str,
                  stats_cols: list[str] | None,
                  partition_by: list | None = None) -> list[dict]:
     """Write the dataframe as new data files under data/tx-<uuid>/ and
-    return their add-actions with per-file min/max stats (one read of
-    the delta grouped by input_file_name — production formats take
-    these from parquet footers; same numbers). All column names here
+    return their add-actions with per-file min/max stats. Stats come
+    from the parquet FOOTERS when every stat column is numeric (the
+    production-format idiom — zero extra Spark jobs; see
+    _footer_stats_actions); otherwise from one read of the delta
+    grouped by input_file_name (same numbers). All column names here
     are PHYSICAL (callers translate through the colmap).
 
     `partition_by` writes hive-style `col=value` directories under the
@@ -883,6 +953,11 @@ def _write_files(df: DataFrame, table: str,
         back = spark.read.option("basePath", dest).parquet(dest)
     else:
         df.write.parquet(dest)
+        # footer fast path (unpartitioned only: partition values need
+        # the hive-unescape lane below, kept on one code path)
+        actions = _footer_stats_actions(dest, sub, list(stats_cols or []))
+        if actions is not None:
+            return actions
         back = spark.read.parquet(dest)
     cols = list(stats_cols or [])
     cols += [p for p in partition_by or [] if p not in cols]

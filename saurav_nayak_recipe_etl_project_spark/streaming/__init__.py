@@ -6,6 +6,27 @@ from __future__ import annotations
 DEFAULT_STREAM_TIMEOUT = 120
 
 
+def rebalance_for_write(df, *cols):
+    """Size the file fan-out of a per-batch state write with the AQE
+    REBALANCE hint (guide §6: coalesce on write, target-sized files):
+    without it, every `partitionBy` state write emits
+    (input partitions × partition values) files — hundreds of tiny
+    files per micro-batch at local shuffle settings, and every later
+    state read pays their open cost. REBALANCE lets AQE coalesce a
+    small batch into few advisory-size partitions (→ one file per
+    hive value here) and SPLIT a large one (→ ~advisory-size files at
+    warehouse scale), so the same code is right at sf0.001 and at
+    100 TB. Keyed form clusters rows of one hive partition value
+    together so each value gets its own file(s), never one writer
+    holding all values."""
+    from pyspark.sql import functions as F
+
+    # column args must reach the analyzer as attributes, not string
+    # literals (REBALANCE rejects literal parameters)
+    return (df.hint("rebalance", *[F.col(c) for c in cols])
+            if cols else df.hint("rebalance"))
+
+
 def await_or_raise(query, timeout: int = DEFAULT_STREAM_TIMEOUT) -> None:
     """Block on a streaming query and FAIL LOUDLY on timeout.
 

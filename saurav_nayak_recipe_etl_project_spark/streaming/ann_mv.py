@@ -71,6 +71,9 @@ from saurav_nayak_recipe_etl_project_spark.operators.kmeans import (
     _vec_micro,
 )
 from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+from saurav_nayak_recipe_etl_project_spark.streaming import (
+    rebalance_for_write,
+)
 
 ANN_MV_LISTS = 8     # coarse quantizer size (IVF nlist)
 ANN_MV_NPROBE = 2    # lists probed per query
@@ -223,9 +226,13 @@ def ann_mv_process_batch(batch_emb: DataFrame, batch_id: int,
         C, cids = _read_centroids(spark, cent_path)
 
     postings = _assign_postings(v, C, cids)
-    postings.write.mode("overwrite").partitionBy("list_id").parquet(
-        f"{state_path}/postings/batch_id={batch_id}"
-    )
+    # rebalance: without it the write emits (input partitions ×
+    # posting lists) tiny files per batch; the occupancy read-back and
+    # every probe-time scan pay their open cost (guide §6)
+    rebalance_for_write(postings, "list_id").write.mode("overwrite") \
+        .partitionBy("list_id").parquet(
+            f"{state_path}/postings/batch_id={batch_id}"
+        )
     # the frozen quantizer cannot adapt to embedding-distribution
     # drift; these counts are what lets ann_mv_drift SEE it
     _write_occupancy(spark,
@@ -447,8 +454,9 @@ def rebuild_ann_mv(spark: SparkSession, state_path: str,
     tmp = f"{state_path}.fold.tmp"
     fs.delete(jvm(tmp), True)
     _write_centroids(spark, C, cids, f"{tmp}/centroids")
-    _assign_postings(vecs, C, cids).write.partitionBy("list_id").parquet(
-        f"{tmp}/postings/batch_id={fold_id}")
+    rebalance_for_write(_assign_postings(vecs, C, cids), "list_id") \
+        .write.partitionBy("list_id").parquet(
+            f"{tmp}/postings/batch_id={fold_id}")
     _write_occupancy(spark, f"{tmp}/postings/batch_id={fold_id}",
                      f"{tmp}/occupancy/batch_id={fold_id}")
     # count from the K-row occupancy file just written — no second

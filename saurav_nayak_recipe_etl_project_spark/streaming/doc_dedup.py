@@ -45,7 +45,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from saurav_nayak_recipe_etl_project_spark.streaming import await_or_raise
+from saurav_nayak_recipe_etl_project_spark.streaming import (
+    await_or_raise,
+    rebalance_for_write,
+)
 
 from saurav_nayak_recipe_etl_project_spark.operators.dedup import (
     minhash_signatures,
@@ -61,10 +64,13 @@ N_STATE_BUCKETS = 16
 
 
 def band_keys(docs: DataFrame, n_hashes: int = N_HASHES,
-              n_bands: int = N_BANDS) -> DataFrame:
-    """(doc_id, band_id, band_hash) rows — the LSH candidate keys."""
+              n_bands: int = N_BANDS,
+              shingles: DataFrame | None = None) -> DataFrame:
+    """(doc_id, band_id, band_hash) rows — the LSH candidate keys.
+    `shingles` (optional, precomputed shingle_rows output) skips the
+    shingle explode when the caller already materialized it."""
     rows_per_band = n_hashes // n_bands
-    sigs = minhash_signatures(docs, n_hashes)
+    sigs = minhash_signatures(docs, n_hashes, shingles=shingles)
     return sigs.select(
         "doc_id",
         F.posexplode(
@@ -185,10 +191,10 @@ def _process_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
     All writes are OVERWRITEs of per-batch_id partition dirs, and the
     state view excludes this batch's own partition, so re-running the
     same (batch_df, batch_id) reproduces identical output."""
-    batch_df = batch_df.localCheckpoint()
+    batch_df = batch_df.localCheckpoint(eager=False)
     bands = band_keys(batch_df).withColumn(
         "bucket", F.pmod(F.col("band_hash"), F.lit(N_STATE_BUCKETS)).cast("int")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # the bucket dirs this batch can possibly hit — bounded by
     # N_STATE_BUCKETS, so the collect is O(1) regardless of batch size
     touched = [r["bucket"] for r in bands.select("bucket").distinct().collect()]
@@ -211,7 +217,11 @@ def _process_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
     )
     dup_ids = cross.unionByName(within).distinct()
     survivors = batch_df.join(dup_ids, "doc_id", "left_anti")
-    survivors.write.mode("overwrite").parquet(
+    # rebalance_for_write: the survivor/new-key writes otherwise emit
+    # one file per input partition (× bucket values for the state),
+    # and every later batch's membership read pays the open cost of
+    # those tiny files (guide §6: size output files on write)
+    rebalance_for_write(survivors).write.mode("overwrite").parquet(
         f"{out_path}/batch_id={batch_id}"
     )
     # append-only state: only the keys this batch introduces; O(batch)
@@ -221,9 +231,10 @@ def _process_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
         bands.select("band_id", "band_hash", "bucket").distinct()
         .join(seen_keys, ["band_id", "band_hash"], "left_anti")
     )
-    new_keys.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{state_path}/batch_id={batch_id}"
-    )
+    rebalance_for_write(new_keys, "bucket").write.mode("overwrite") \
+        .partitionBy("bucket").parquet(
+            f"{state_path}/batch_id={batch_id}"
+        )
     if retention_batches is not None:
         cutoff = batch_id - retention_batches
         state_dir = spark._jvm.org.apache.hadoop.fs.Path(state_path)

@@ -58,6 +58,9 @@ from saurav_nayak_recipe_etl_project_spark.operators.dedup import (
     shingle_rows,
 )
 from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+from saurav_nayak_recipe_etl_project_spark.streaming import (
+    rebalance_for_write,
+)
 from saurav_nayak_recipe_etl_project_spark.streaming.doc_dedup import (
     band_keys,
 )
@@ -96,13 +99,18 @@ def pair_mv_process_batch(batch_docs: DataFrame, batch_id: int,
     later endpoint is in this batch, append batch state. Idempotent
     under replay (see module docstring)."""
     spark = batch_docs.sparkSession
-    docs = batch_docs.select("doc_id", "text").localCheckpoint()
+    docs = batch_docs.select("doc_id", "text").localCheckpoint(eager=False)
     # per-doc band keys and distinct shingle rows — pure per-doc
-    # functions, identical under any batching
-    bands_new = band_keys(docs).localCheckpoint()
+    # functions, identical under any batching. Shingles materialize
+    # FIRST and feed the signature pipeline, so the explode+distinct
+    # runs once per batch, not once for state and again inside
+    # band_keys (r14: the batch's dominant recompute).
     sh_new = shingle_rows(docs).withColumn(
         "bucket", F.pmod(F.col("doc_id"), F.lit(N_DOC_BUCKETS)).cast("int")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
+    bands_new = band_keys(
+        docs, shingles=sh_new.select("doc_id", "shingle")
+    ).localCheckpoint(eager=False)
 
     bands_old = _read_part(
         spark, f"{state_path}/bands",
@@ -130,7 +138,7 @@ def pair_mv_process_batch(batch_docs: DataFrame, batch_id: int,
             F.greatest("a.doc_id", "o.doc_id").alias("doc_b"),
         )
     )
-    cand = within.unionByName(cross).distinct().localCheckpoint()
+    cand = within.unionByName(cross).distinct().localCheckpoint(eager=False)
 
     # exact verify: shingles of batch docs + state shingles of just
     # the candidates' OLD endpoints (bucket-dir prune, then semi-join)
@@ -180,16 +188,21 @@ def pair_mv_process_batch(batch_docs: DataFrame, batch_id: int,
         .filter(jacc >= tau)
         .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
     )
-    # replay-stable overwrites: pairs, then this batch's state
+    # replay-stable overwrites: pairs, then this batch's state.
+    # rebalance_for_write sizes the file fan-out (without it the
+    # shingle write emits input-partitions × 16 bucket files per
+    # batch, and every later batch's membership read pays their open
+    # cost — measured as a major share of this harness's wall time).
     pairs.write.mode("overwrite").parquet(
         f"{state_path}/pairs/batch_id={batch_id}"
     )
-    bands_new.write.mode("overwrite").parquet(
+    rebalance_for_write(bands_new).write.mode("overwrite").parquet(
         f"{state_path}/bands/batch_id={batch_id}"
     )
-    sh_new.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{state_path}/shingles/batch_id={batch_id}"
-    )
+    rebalance_for_write(sh_new, "bucket").write.mode("overwrite") \
+        .partitionBy("bucket").parquet(
+            f"{state_path}/shingles/batch_id={batch_id}"
+        )
 
 
 def read_pair_mv(spark: SparkSession, state_path: str) -> DataFrame:
