@@ -662,9 +662,14 @@ def star_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
         new_e = (
             _star(_star(e, "large"), "small").distinct().localCheckpoint()
         )
+        # fixpoint probe in ONE job: both sides are distinct sets, so
+        # a row appears twice in the union iff it is in both — any
+        # count==1 row is the symmetric difference (was two exceptAll
+        # jobs per round; same decision, half the probe jobs)
         delta = (
-            new_e.exceptAll(e).limit(1).count()
-            + e.exceptAll(new_e).limit(1).count()
+            new_e.unionByName(e)
+            .groupBy("a", "b").agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") == 1).limit(1).count()
         )
         e = new_e
         if delta == 0:

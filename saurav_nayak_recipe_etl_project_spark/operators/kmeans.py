@@ -44,6 +44,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+from saurav_nayak_recipe_etl_project_spark.functions.localframe import (
+    local_frame,
+)
 
 MICRO = 1_000_000
 KMEANS_K = 4
@@ -307,8 +310,8 @@ def kmeans_arrow(emb: DataFrame, k: int = KMEANS_K,
                 "quantization too wide for this dimensionality)"
             )
         norm_rows.append((int(c), n2))
-    norms = spark.createDataFrame(
-        norm_rows, schema="cluster long, centroid_norm2 long"
+    norms = local_frame(
+        spark, norm_rows, "cluster long, centroid_norm2 long"
     )
     int64_max = F.lit(2**63 - 1).cast("decimal(38,0)")
     return report.join(F.broadcast(norms), "cluster").select(

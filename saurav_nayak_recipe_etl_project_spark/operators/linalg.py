@@ -31,6 +31,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+from saurav_nayak_recipe_etl_project_spark.functions.localframe import (
+    local_frame,
+)
 
 MICRO = 1_000_000
 
@@ -267,8 +270,8 @@ def linear_probe_accuracy(emb: DataFrame, ridge: float = 1e-3,
     scored = e.select("v", "k").mapInPandas(
         score_gen, schema="k int, pred_k int"
     )
-    lab_rows = spark.createDataFrame(
-        [(k, lab) for lab, k in lab_idx.items()], "k int, label int"
+    lab_rows = local_frame(
+        spark, [(k, lab) for lab, k in lab_idx.items()], "k int, label int"
     )
     return (
         scored.groupBy("k")

@@ -19,6 +19,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from saurav_nayak_recipe_etl_project_spark.functions.localframe import (
+    local_frame,
+)
 from saurav_nayak_recipe_etl_project_spark.functions.vector_fn import cosine
 from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
 
@@ -665,7 +668,8 @@ def _exact_rerank(e: DataFrame, short: DataFrame, q_ids, q_mat,
     broadcast the Q query vectors, cosine in JVM column algebra — no
     Python in this stage."""
     spark = e.sparkSession
-    qv = spark.createDataFrame(
+    qv = local_frame(
+        spark,
         [(int(i), [float(x) for x in q_mat[j]])
          for j, i in enumerate(q_ids)],
         "query_id long, qv array<double>",
@@ -1184,8 +1188,8 @@ def recall_at_k(emb: DataFrame, n_queries: int = N_QUERIES,
         for r in cosine_topk(emb, n_queries, k)
         .select("query_id", "neighbor_id").collect()
     ]
-    exact = emb.sparkSession.createDataFrame(
-        exact_rows, "query_id long, neighbor_id long")
+    exact = local_frame(emb.sparkSession,
+                        exact_rows, "query_id long, neighbor_id long")
     approx = (
         lsh_bucketed_topk(emb, n_queries, k)
         .select("query_id", "neighbor_id")
@@ -1219,7 +1223,8 @@ def recall_at_k(emb: DataFrame, n_queries: int = N_QUERIES,
     )
     # literal method rows — a method that returns ZERO candidates must
     # still report recall 0.0, not vanish from the output
-    methods = emb.sparkSession.createDataFrame(
+    methods = local_frame(
+        emb.sparkSession,
         [("hnsw",), ("ivf",), ("ivfpq",), ("lsh_bucketed",), ("pq",)],
         "method string",
     )

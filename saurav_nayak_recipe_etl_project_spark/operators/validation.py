@@ -25,6 +25,9 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+from saurav_nayak_recipe_etl_project_spark.functions.localframe import (
+    local_frame,
+)
 
 VALID_ORDER_STATUS = ("O", "F", "P")
 VALID_ORDER_PRIORITY = (
@@ -292,8 +295,8 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     total = counts.agg(F.sum("n").alias("total"))
-    bz = spark.createDataFrame(
-        [(d + 1, ppm) for d, ppm in enumerate(BENFORD_PPM)],
+    bz = local_frame(
+        spark, [(d + 1, ppm) for d, ppm in enumerate(BENFORD_PPM)],
         "digit int, benford_ppm long",
     )
     return (

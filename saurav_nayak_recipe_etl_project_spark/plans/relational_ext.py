@@ -29,6 +29,9 @@ from saurav_nayak_recipe_etl_project_spark.functions.ranking import (
     with_global_rank,
 )
 from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
+from saurav_nayak_recipe_etl_project_spark.functions.localframe import (
+    local_frame,
+)
 
 def _cents():
     # Column construction needs an active session -> build lazily.
@@ -574,7 +577,7 @@ def ab_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # literal arm spine: an arm with zero assigned users still reports
     # (n=0, c=0) instead of making the whole readout vanish
-    spine = spark.createDataFrame([(0,), (1,)], "arm long")
+    spine = local_frame(spark, [(0,), (1,)], "arm long")
     arms = (
         spine.join(arms, "arm", "left")
         .select(

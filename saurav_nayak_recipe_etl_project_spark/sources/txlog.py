@@ -54,6 +54,9 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from saurav_nayak_recipe_etl_project_spark.functions.localframe import (
+    local_frame,
+)
 
 _LOG_DIR = "_txlog"
 _HORIZON = "_vacuum_horizon"
@@ -776,8 +779,8 @@ def check_audit(spark: SparkSession, table: str) -> DataFrame:
         unk = int(row[f"_unk_{name}"] or 0)
         out.append((name, col, op, str(value), n, n - viol - unk,
                     viol, unk))
-    return spark.createDataFrame(
-        out,
+    return local_frame(
+        spark, out,
         "constraint_name string, col string, op string, "
         "value_str string, n_rows long, n_pass long, "
         "n_violate long, n_unknown long")

@@ -135,10 +135,17 @@ def _assign_postings(v: DataFrame, C, cids) -> DataFrame:
 
 def _write_centroids(spark: SparkSession, C, cids, cent_path: str) -> None:
     """Materialize the K×d quantizer (shared by batch-0 training and
-    the rebuild — one writer, one layout)."""
+    the rebuild — one writer, one layout). local_frame: writing a
+    pickled-rows frame costs a Python-worker job (~6 s/write on the
+    r14 bench box — it was the single largest cost of stream_ann_index);
+    the Arrow lane writes the same bytes in one JVM task."""
+    from saurav_nayak_recipe_etl_project_spark.functions.localframe import (
+        local_frame,
+    )
+
     rows = [(int(c), [int(x) for x in row]) for c, row in zip(cids, C)]
-    spark.createDataFrame(
-        rows, schema="c long, v array<long>"
+    local_frame(
+        spark, rows, "c long, v array<long>"
     ).coalesce(1).write.mode("overwrite").parquet(cent_path)
 
 
@@ -291,8 +298,11 @@ def ann_search_mv(spark: SparkSession, state_path: str,
     probed_lists = sorted({lst for _, lst in probe})
 
     post = read_ann_mv(spark, state_path, lists=probed_lists)
-    pairs = spark.createDataFrame(
-        probe, schema="q_vec_id long, list_id long")
+    from saurav_nayak_recipe_etl_project_spark.functions.localframe import (
+        local_frame,
+    )
+
+    pairs = local_frame(spark, probe, "q_vec_id long, list_id long")
     cand = post.join(F.broadcast(pairs), "list_id").filter(
         F.col("vec_id") != F.col("q_vec_id")
     )

@@ -191,10 +191,10 @@ def _process_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
     All writes are OVERWRITEs of per-batch_id partition dirs, and the
     state view excludes this batch's own partition, so re-running the
     same (batch_df, batch_id) reproduces identical output."""
-    batch_df = batch_df.localCheckpoint(eager=False)
+    batch_df = batch_df.localCheckpoint()
     bands = band_keys(batch_df).withColumn(
         "bucket", F.pmod(F.col("band_hash"), F.lit(N_STATE_BUCKETS)).cast("int")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     # the bucket dirs this batch can possibly hit — bounded by
     # N_STATE_BUCKETS, so the collect is O(1) regardless of batch size
     touched = [r["bucket"] for r in bands.select("bucket").distinct().collect()]

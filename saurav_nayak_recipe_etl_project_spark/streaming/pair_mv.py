@@ -99,7 +99,7 @@ def pair_mv_process_batch(batch_docs: DataFrame, batch_id: int,
     later endpoint is in this batch, append batch state. Idempotent
     under replay (see module docstring)."""
     spark = batch_docs.sparkSession
-    docs = batch_docs.select("doc_id", "text").localCheckpoint(eager=False)
+    docs = batch_docs.select("doc_id", "text").localCheckpoint()
     # per-doc band keys and distinct shingle rows — pure per-doc
     # functions, identical under any batching. Shingles materialize
     # FIRST and feed the signature pipeline, so the explode+distinct
@@ -107,10 +107,10 @@ def pair_mv_process_batch(batch_docs: DataFrame, batch_id: int,
     # band_keys (r14: the batch's dominant recompute).
     sh_new = shingle_rows(docs).withColumn(
         "bucket", F.pmod(F.col("doc_id"), F.lit(N_DOC_BUCKETS)).cast("int")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     bands_new = band_keys(
         docs, shingles=sh_new.select("doc_id", "shingle")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
 
     bands_old = _read_part(
         spark, f"{state_path}/bands",
@@ -138,7 +138,7 @@ def pair_mv_process_batch(batch_docs: DataFrame, batch_id: int,
             F.greatest("a.doc_id", "o.doc_id").alias("doc_b"),
         )
     )
-    cand = within.unionByName(cross).distinct().localCheckpoint(eager=False)
+    cand = within.unionByName(cross).distinct().localCheckpoint()
 
     # exact verify: shingles of batch docs + state shingles of just
     # the candidates' OLD endpoints (bucket-dir prune, then semi-join)
