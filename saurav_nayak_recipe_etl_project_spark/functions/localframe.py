@@ -9,10 +9,18 @@ driver-side through Arrow into JVM batches instead: the same write job
 reads JVM Arrow data and costs ~0.6 s warm (measurements in
 OPTIMIZATION_r14.md).
 
-Values are identical: the declared schema is enforced either way, and
-columns are built with dtype=object so None stays a NULL (a None in a
-float64 numpy column would silently become NaN — a VALUE — under
-Arrow).
+Values are identical: every row is checked against the declared schema
+with PySpark's OWN classic-path verifier (_make_type_verifier) before
+the Arrow conversion, so a value that does not fit the declared type
+raises the exact classic-path PySparkTypeError instead of being
+silently cast (ADVICE r14: the Arrow object-dtype lane truncates
+local_frame(spark, [(2.5,)], 'a long') to 2 — and
+convertToArrowArraySafely does NOT catch it, because the safe-cast
+flag only guards numpy-dtype casts, not the python-object converter).
+The rows are bounded by contract, so the O(rows) driver-side check is
+free. Columns are built with dtype=object so None stays a NULL (a
+None in a float64 numpy column would silently become NaN — a VALUE —
+under Arrow).
 """
 
 from __future__ import annotations
@@ -33,7 +41,15 @@ def local_frame(spark: SparkSession, rows, schema: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.types import _parse_datatype_string
 
+    from pyspark.sql.types import _make_type_verifier
+
     st = _parse_datatype_string(schema)
+    # classic-path type enforcement BEFORE the Arrow conversion: a
+    # mistyped value raises the same PySparkTypeError createDataFrame
+    # would, instead of Arrow's silent object->int cast (ADVICE r14)
+    verify = _make_type_verifier(st)
+    for r in rows:
+        verify(r)
     names = [f.name for f in st.fields]
     pdf = pd.DataFrame({
         n: pd.Series([r[i] for r in rows], dtype=object)

@@ -449,6 +449,65 @@ def embedding_dup_pairs_bucketed(emb: DataFrame, tau: float = 0.3,
     single-table recall for angle θ is (1-θ/π)^planes, L tables lift
     it to 1-(1-p)^L. Recall<1 by design; the blocked exact form above
     is the oracle it is measured against in tests."""
+    import os as _os
+
+    variant = _os.environ.get("SPARK_GRAFT_EMB_BUCKET", "hof")
+    if variant == "pairs":
+        return _emb_bucketed_pairs(emb, tau, n_planes, n_tables)
+    if variant == "union":
+        return _emb_bucketed_union(emb, tau, n_planes, n_tables)
+    if variant == "pos":
+        return _emb_bucketed_pos(emb, tau, n_planes, n_tables)
+    return _emb_bucketed_hof(emb, tau, n_planes, n_tables)
+
+
+def _emb_bucketed_hof(emb: DataFrame, tau: float, n_planes: int,
+                      n_tables: int) -> DataFrame:
+    """r15 shape: one scan, one COMPACT bucket-array expression
+    (similarity._bucket_array — same values, ~tables·planes× fewer
+    expression nodes, which moves the cost off the driver's
+    analyzer/AQE re-optimizer), posexploded into the bucket-group
+    pandas verify unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    from saurav_nayak_recipe_etl_project_spark.operators.similarity import (
+        _bucket_array,
+    )
+
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    bucketed = e.select(
+        "vec_id", "v",
+        F.posexplode(
+            _bucket_array(F.col("v"), n_planes, n_tables)
+        ).alias("tbl", "bucket"),
+    )
+
+    def pair_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack(pdf["v"].to_numpy())
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        ai, aj = np.nonzero((sims >= tau) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame(
+            {"id_a": ids[ai], "id_b": ids[aj],
+             "cos_sim": np.round(sims[ai, aj], 6)}
+        )
+
+    return (
+        bucketed.groupBy("tbl", "bucket")
+        .applyInPandas(pair_bucket, schema="id_a long, id_b long, cos_sim double")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def _emb_bucketed_pos(emb: DataFrame, tau: float, n_planes: int,
+                      n_tables: int) -> DataFrame:
+    """r14 shape: one scan computing every table's bucket, posexplode
+    carrying the full vector into the groupBy shuffle."""
     import numpy as np
     import pandas as pd
 
@@ -458,8 +517,6 @@ def embedding_dup_pairs_bucketed(emb: DataFrame, tau: float = 0.3,
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    # one scan computing every table's bucket (was an n_tables-branch
-    # union re-scanning the corpus per table — same rows, same values)
     bucketed = e.select(
         "vec_id", "v",
         F.posexplode(F.array(*[
@@ -483,6 +540,105 @@ def embedding_dup_pairs_bucketed(emb: DataFrame, tau: float = 0.3,
         bucketed.groupBy("tbl", "bucket")
         .applyInPandas(pair_bucket, schema="id_a long, id_b long, cos_sim double")
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def _emb_bucketed_union(emb: DataFrame, tau: float, n_planes: int,
+                        n_tables: int) -> DataFrame:
+    """r13 shape: one corpus scan PER TABLE, unioned."""
+    import numpy as np
+    import pandas as pd
+
+    from saurav_nayak_recipe_etl_project_spark.operators.similarity import _bucket
+
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    bucketed = None
+    for t in range(n_tables):
+        part = e.select(
+            "vec_id", "v", F.lit(t).alias("tbl"),
+            _bucket(F.col("v"), n_planes,
+                    plane_offset=t * n_planes).alias("bucket"),
+        )
+        bucketed = part if bucketed is None else bucketed.unionByName(part)
+
+    def pair_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack(pdf["v"].to_numpy())
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        ai, aj = np.nonzero((sims >= tau) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame(
+            {"id_a": ids[ai], "id_b": ids[aj],
+             "cos_sim": np.round(sims[ai, aj], 6)}
+        )
+
+    return (
+        bucketed.groupBy("tbl", "bucket")
+        .applyInPandas(pair_bucket, schema="id_a long, id_b long, cos_sim double")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def _emb_bucketed_pairs(emb: DataFrame, tau: float, n_planes: int,
+                        n_tables: int) -> DataFrame:
+    """Guide-§8 shape: the bucket SHUFFLE carries only (vec_id, tbl,
+    bucket) — candidate ids form with a JVM self-join on the narrow
+    rows, and the 64-double payload never enters a shuffle: vectors
+    re-attach to the (output-proportional) candidate set by joins the
+    planner sizes itself (broadcast when the candidate set is small,
+    shuffle of 2× candidates otherwise — never 8× the corpus).
+    Same candidate set as the bucket-group form by construction
+    (pairs sharing ≥1 (tbl, bucket)), same exact-cosine verify."""
+    import numpy as np
+    import pandas as pd
+
+    from saurav_nayak_recipe_etl_project_spark.operators.similarity import _bucket
+
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    narrow = e.select(
+        "vec_id",
+        F.posexplode(F.array(*[
+            _bucket(F.col("v"), n_planes, plane_offset=t * n_planes)
+            for t in range(n_tables)
+        ])).alias("tbl", "bucket"),
+    )
+    a, b = narrow.alias("a"), narrow.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    va = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    paired = cand.join(va, "id_a").join(vb, "id_b")
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ma = np.stack(pdf["va"].to_numpy())
+            mb = np.stack(pdf["vb"].to_numpy())
+            ma = ma / np.linalg.norm(ma, axis=1, keepdims=True)
+            mb = mb / np.linalg.norm(mb, axis=1, keepdims=True)
+            sims = np.einsum("ij,ij->i", ma, mb)
+            keep = sims >= tau
+            yield pd.DataFrame({
+                "id_a": pdf["id_a"].to_numpy()[keep],
+                "id_b": pdf["id_b"].to_numpy()[keep],
+                "cos_sim": np.round(sims[keep], 6),
+            })
+
+    return paired.mapInPandas(
+        score, schema="id_a long, id_b long, cos_sim double"
     )
 
 
@@ -536,6 +692,10 @@ def dup_clusters(docs: DataFrame, tau: float = 0.5, n: int = 3,
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        # EAGER checkpoint, deliberately (r15: the lazy form lets the
+        # limit(1) convergence probe leave cached partitions unfilled,
+        # and the next round re-evaluates the whole propagation plan —
+        # measured as a clear regression on the star loop; same here)
         new_labels = (
             labels.join(neighbor_min, "src", "left")
             .select(
@@ -659,6 +819,12 @@ def star_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
         return out.where(F.col("a") != F.col("b"))
 
     for rnd in range(max_rounds):
+        # EAGER checkpoint, deliberately (r15 measured the lazy form:
+        # the probe's limit(1) short-circuits and leaves cached
+        # partitions unfilled, so the next round re-evaluates the
+        # un-materialized plan — dedup_clusters_star regressed
+        # 3.9 -> 5.5 s; the r14 lazy-checkpoint hazard generalizes to
+        # any first consumer that does not compute EVERY partition)
         new_e = (
             _star(_star(e, "large"), "small").distinct().localCheckpoint()
         )

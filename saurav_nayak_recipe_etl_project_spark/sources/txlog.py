@@ -857,8 +857,102 @@ def _check_schema(df: DataFrame, table: str, evolve: bool,
     return prior
 
 
-def _footer_stats_actions(dest: str, sub: str,
-                          cols: list[str]) -> list[dict] | None:
+def _footer_file_stats(path: str, cols: list[str]) -> dict | None:
+    """min/max stats for `cols` from one parquet file's footer, or None
+    when any chunk lacks usable statistics (caller falls back). Chunks
+    are matched by EXACT path_in_schema — ADVICE r14: matching by LEAF
+    name let a nested struct field named like a stat column alias the
+    wrong chunk; any absent/ambiguous path disqualifies the file. A
+    file with zero rows returns {} (caller skips it, mirroring the
+    read-back aggregate, which emits no group for an empty part
+    file)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    if md.num_rows == 0:
+        return {}
+    stats = {"rows": md.num_rows, "bytes": os.path.getsize(path)}
+    if not cols:
+        return stats
+    paths = [md.row_group(0).column(i).path_in_schema
+             for i in range(md.num_columns)]
+    for c in cols:
+        if paths.count(c) != 1:
+            return None  # absent or ambiguous leaf path: fall back
+        idx = paths.index(c)
+        mn = mx = None
+        for rg in range(md.num_row_groups):
+            cc = md.row_group(rg).column(idx)
+            st = cc.statistics
+            rg_rows = md.row_group(rg).num_rows
+            if st is None or (not st.has_min_max
+                              and not (st.has_null_count
+                                       and st.null_count == rg_rows)):
+                return None  # rows present but no stats: fall back
+            if st.has_min_max:
+                v_mn, v_mx = st.min, st.max
+                mn = v_mn if mn is None else min(mn, v_mn)
+                mx = v_mx if mx is None else max(mx, v_mx)
+        stats[c] = [mn, mx]
+    return stats
+
+
+def _classify_part_value(raw: str) -> tuple:
+    """Classify one hive partition dir value (already unescaped):
+    ("null", None) for the hive NULL marker, ("int", i) for a
+    CANONICAL integer rendering, ("str", raw) for a value no Spark
+    partition-type inference rule would re-type, ("amb", None) for
+    anything inference could plausibly parse as a number, date or
+    timestamp (non-canonical ints, float/decimal/scientific notation,
+    ISO-date prefixes) — those force the read-back fallback so Spark
+    itself does the typing."""
+    import re as _re
+
+    if raw == _HIVE_NULL:
+        return "null", None
+    try:
+        i = int(raw)
+        return ("int", i) if str(i) == raw else ("amb", None)
+    except ValueError:
+        pass
+    try:
+        float(raw)
+        return "amb", None
+    except ValueError:
+        pass
+    if _re.match(r"^\d{4}-\d{2}-\d{2}", raw):
+        return "amb", None
+    return "str", raw
+
+
+def _type_part_column(raw_values: list) -> dict | None:
+    """COLUMN-WIDE partition typing, replicating Spark's inference
+    rule (the read-back lane's source of truth): Spark types the whole
+    column, not each value — all canonical ints ⇒ int; any plain
+    string in the mix ⇒ EVERY value reads back as its raw string; any
+    ambiguous value ⇒ None (no fast path). Returns {raw -> typed} or
+    None."""
+    kinds = {}
+    for raw in raw_values:
+        kinds[raw] = _classify_part_value(raw)
+        if kinds[raw][0] == "amb":
+            return None
+    non_null = {k for k, (kind, _v) in kinds.items() if kind != "null"}
+    all_int = all(kinds[k][0] == "int" for k in non_null)
+    out = {}
+    for raw, (kind, val) in kinds.items():
+        if kind == "null":
+            out[raw] = None
+        elif all_int:
+            out[raw] = val
+        else:
+            out[raw] = raw  # column is string-typed: raw rendering
+    return out
+
+
+def _footer_stats_actions(dest: str, sub: str, cols: list[str],
+                          partition_by: list | None = None
+                          ) -> list[dict] | None:
     """Per-file add-action stats from the parquet FOOTERS of the files
     just written — the production table-format idiom (Delta/Iceberg
     take write stats from the writer, never from a second read), and
@@ -877,52 +971,96 @@ def _footer_stats_actions(dest: str, sub: str,
       stats ignore it, and recording the smaller max could let a
       reader prune a file that matches. The fallback reproduces the
       old numbers exactly in every such case.
+
+    `partition_by` (r15, VERDICT item 4): hive-partitioned writes
+    qualify too — dir names are unescaped driver-side (unquote — the
+    same %XX layer F.url_decode removes on the read side), values
+    typed by the column-wide inference replica (_type_part_column;
+    anything Spark could type differently falls back), partition
+    columns get the read-back lane's [v, v] stats and `_part` entry.
     """
     import glob as _glob
 
-    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    files = sorted(_glob.glob(os.path.join(dest, "*.parquet")))
+    partition_by = partition_by or []
+    if partition_by:
+        files = sorted(_glob.glob(os.path.join(
+            dest, *(["*=*"] * len(partition_by)), "*.parquet")))
+    else:
+        files = sorted(_glob.glob(os.path.join(dest, "*.parquet")))
     if not files:
         return []
+    file_cols = [c for c in cols if c not in partition_by]
     schema = pq.read_schema(files[0])
-    for c in cols:
+    import pyarrow as pa
+
+    for c in file_cols:
         if c not in schema.names:
             return None
         t = schema.field(c).type
         if not (pa.types.is_integer(t) or pa.types.is_floating(t)
                 or pa.types.is_boolean(t)):
             return None
+    # decode + column-type the partition values across ALL files first
+    # (Spark's inference is column-wide, so per-file typing would drift
+    # from the read-back lane on mixed values)
+    from urllib.parse import unquote
+
+    raw_parts: dict[str, list] = {}  # path -> [raw value per pcol]
+    if partition_by:
+        per_col: list[list] = [[] for _ in partition_by]
+        for path in files:
+            comps = os.path.relpath(os.path.dirname(path),
+                                    dest).split(os.sep)
+            if len(comps) != len(partition_by):
+                return None
+            raws = []
+            for j, (p, comp) in enumerate(zip(partition_by, comps)):
+                if not comp.startswith(f"{p}="):
+                    return None
+                raw = unquote(comp[len(p) + 1:])
+                raws.append(raw)
+                per_col[j].append(raw)
+            raw_parts[path] = raws
+        typed = [_type_part_column(v) for v in per_col]
+        if any(t is None for t in typed):
+            return None
     actions = []
     for path in files:
-        md = pq.ParquetFile(path).metadata
-        if md.num_rows == 0:
-            # the read-back aggregate emits no group for an empty part
-            # file — reproduce that (the file stays orphaned on disk,
-            # invisible to the log, same as before)
-            continue
-        names = [md.schema.column(i).name for i in range(md.num_columns)]
-        stats = {"rows": md.num_rows, "bytes": os.path.getsize(path)}
-        for c in cols:
-            idx = names.index(c)
-            mn = mx = None
-            for rg in range(md.num_row_groups):
-                cc = md.row_group(rg).column(idx)
-                st = cc.statistics
-                rg_rows = md.row_group(rg).num_rows
-                if st is None or (not st.has_min_max
-                                  and not (st.has_null_count
-                                           and st.null_count == rg_rows)):
-                    return None  # rows present but no stats: fall back
-                if st.has_min_max:
-                    v_mn, v_mx = st.min, st.max
-                    mn = v_mn if mn is None else min(mn, v_mn)
-                    mx = v_mx if mx is None else max(mx, v_mx)
-            stats[c] = [mn, mx]
-        rel = os.path.join(sub, os.path.basename(path))
+        stats = _footer_file_stats(path, file_cols)
+        if stats is None:
+            return None
+        if not stats:
+            continue  # empty part file: no add action (as before)
+        if partition_by:
+            part_vals = {p: typed[j][raw_parts[path][j]]
+                         for j, p in enumerate(partition_by)}
+            for p in partition_by:
+                stats[p] = [part_vals[p], part_vals[p]]
+            stats["_part"] = part_vals
+        rel = os.path.join(sub, os.path.relpath(path, dest))
         actions.append({"op": "add", "file": rel, "stats": stats})
     return actions
+
+
+def _dv_file_list(dest: str) -> list[str]:
+    """Distinct data-file paths named by the DV parquet just written,
+    read driver-side from the 'file' column ONLY (dictionary-encoded
+    strings — metadata-scale bytes even for billions of positions),
+    replacing the whole Spark read-back job each DV commit used to run
+    (r15, guide §1.2: don't re-launch a job to learn what you just
+    wrote). Reads the actual written bytes, so the answer is identical
+    to the old `back.select("file").distinct().collect()`."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    out: set[str] = set()
+    for p in _glob.glob(os.path.join(dest, "*.parquet")):
+        t = pq.read_table(p, columns=["file"])
+        out.update(t.column("file").unique().to_pylist())
+    return sorted(out)
 
 
 def _write_files(df: DataFrame, table: str,
@@ -952,12 +1090,20 @@ def _write_files(df: DataFrame, table: str,
         if not any(fn.endswith(".parquet")
                    for _root, _dirs, fns in os.walk(dest) for fn in fns):
             return []
+        # footer fast path (r15: partitioned too — hive dir values are
+        # decoded driver-side; any value Spark's column-wide partition
+        # inference could type differently falls back to the read-back
+        # lane below, which stays the source of truth)
+        actions = (None if os.environ.get("SPARK_GRAFT_FOOTER_PART") == "0"
+                   else _footer_stats_actions(dest, sub,
+                                              list(stats_cols or []),
+                                              partition_by))
+        if actions is not None:
+            return actions
         # basePath re-materializes the partition columns for the stats
         back = spark.read.option("basePath", dest).parquet(dest)
     else:
         df.write.parquet(dest)
-        # footer fast path (unpartitioned only: partition values need
-        # the hive-unescape lane below, kept on one code path)
         actions = _footer_stats_actions(dest, sub, list(stats_cols or []))
         if actions is not None:
             return actions
@@ -1322,9 +1468,7 @@ def tx_delete_where(spark: SparkSession, table: str, where: tuple,
             )
         )
         hits.write.parquet(dest)
-        back = spark.read.schema("file string, pos long").parquet(dest)
-        dv_files = sorted(r["file"] for r in
-                          back.select("file").distinct().collect())
+        dv_files = _dv_file_list(dest)
         if not dv_files:
             # stats overlapped but nothing matched: remove the empty
             # DV dir, commit nothing
@@ -1618,9 +1762,7 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
             .select("file", "pos")
         )
         hits.write.parquet(dest)
-        back = spark.read.schema("file string, pos long").parquet(dest)
-        dv_files = sorted(r["file"] for r in
-                          back.select("file").distinct().collect())
+        dv_files = _dv_file_list(dest)
         if dv_files:
             actions += [{"op": "dv", "file": f, "dv": sub}
                         for f in dv_files]

@@ -191,12 +191,18 @@ def _process_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
     All writes are OVERWRITEs of per-batch_id partition dirs, and the
     state view excludes this batch's own partition, so re-running the
     same (batch_df, batch_id) reproduces identical output."""
-    batch_df = batch_df.localCheckpoint()
+    # batch input: bounded micro-batch scan, consumed by the shingle
+    # explode and the survivors anti-join — both cheap pruned scans;
+    # not worth a dedicated materialization job (r15)
     bands = band_keys(batch_df).withColumn(
         "bucket", F.pmod(F.col("band_hash"), F.lit(N_STATE_BUCKETS)).cast("int")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # the bucket dirs this batch can possibly hit — bounded by
-    # N_STATE_BUCKETS, so the collect is O(1) regardless of batch size
+    # N_STATE_BUCKETS, so the collect is O(1) regardless of batch size.
+    # This collect is bands' FIRST consumer: the lazy checkpoint
+    # materializes inside it (one job instead of materialize+collect;
+    # every later join in this batch reads the cache — no concurrent
+    # first-consumers, so the r14 lazy-checkpoint hazard is absent)
     touched = [r["bucket"] for r in bands.select("bucket").distinct().collect()]
     seen, fs = _retained_seen(spark, state_path, batch_id,
                               retention_batches, touched)

@@ -99,15 +99,26 @@ def pair_mv_process_batch(batch_docs: DataFrame, batch_id: int,
     later endpoint is in this batch, append batch state. Idempotent
     under replay (see module docstring)."""
     spark = batch_docs.sparkSession
-    docs = batch_docs.select("doc_id", "text").localCheckpoint()
+    # batch input: a bounded micro-batch scan — consumed twice (the
+    # shingle explode below and the old_ids anti-join), both cheap
+    # column-pruned scans, so it is NOT checkpointed (r15: the eager
+    # materialization job cost more than the second scan at any scale)
+    docs = batch_docs.select("doc_id", "text")
     # per-doc band keys and distinct shingle rows — pure per-doc
     # functions, identical under any batching. Shingles materialize
     # FIRST and feed the signature pipeline, so the explode+distinct
     # runs once per batch, not once for state and again inside
-    # band_keys (r14: the batch's dominant recompute).
+    # band_keys (r14: the batch's dominant recompute). sh_new's
+    # checkpoint is LAZY: its single pre-write consumer chain runs
+    # through bands_new's eager materialization (one job computes
+    # both, sh_new caching as it streams past); the state write and
+    # sh_all union then reuse the cache. bands_new stays EAGER — its
+    # band self-join evaluates two shuffle-map stages concurrently,
+    # which under a lazy checkpoint each re-evaluate the whole
+    # signature pipeline (measured 2× WORSE in r14; recorded there).
     sh_new = shingle_rows(docs).withColumn(
         "bucket", F.pmod(F.col("doc_id"), F.lit(N_DOC_BUCKETS)).cast("int")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     bands_new = band_keys(
         docs, shingles=sh_new.select("doc_id", "shingle")
     ).localCheckpoint()
@@ -138,7 +149,13 @@ def pair_mv_process_batch(batch_docs: DataFrame, batch_id: int,
             F.greatest("a.doc_id", "o.doc_id").alias("doc_b"),
         )
     )
-    cand = within.unionByName(cross).distinct().localCheckpoint()
+    # LAZY checkpoint: the touched-buckets collect below is cand's
+    # first consumer and runs before any other — it materializes the
+    # cache in the same job (one job instead of a dedicated
+    # materialization + a collect), and the verify join then reads
+    # the cache. No concurrent first-consumers, so the r14 lazy-
+    # checkpoint hazard does not apply on this frame.
+    cand = within.unionByName(cross).distinct().localCheckpoint(eager=False)
 
     # exact verify: shingles of batch docs + state shingles of just
     # the candidates' OLD endpoints (bucket-dir prune, then semi-join)

@@ -1,4 +1,4 @@
-"""Capture .explain("formatted") for headline queries into plans/r14/.
+"""Capture .explain("formatted") for headline queries into plans/<round>/ (SPARK_GRAFT_PLANS_DIR, default r15).
 
 Usage:
     python tools/capture_plans.py before [name ...]
@@ -31,7 +31,7 @@ def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:] or HEADLINE
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r14")
+        os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r15"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="capture_plans")
     spark.sparkContext.setLogLevel("ERROR")

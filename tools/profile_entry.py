@@ -87,12 +87,7 @@ def main() -> None:
         comp = j.get("completionTime")
         if not (sub and comp):
             continue
-        fmt = "%Y-%m-%dT%H:%M:%S.%fGMT"
-        dur = (time.mktime(time.strptime(comp, fmt))
-               + float(comp[-7:-3]) % 1
-               - time.mktime(time.strptime(sub, fmt))
-               - float(sub[-7:-3]) % 1)
-        # simpler: parse millis
+        # timestamps arrive as '%Y-%m-%dT%H:%M:%S.mmmGMT'
         def ms(s):
             return (time.mktime(time.strptime(s[:19], "%Y-%m-%dT%H:%M:%S"))
                     * 1000 + int(s[20:23]))
