@@ -251,11 +251,16 @@ def lsh_verified_pairs(docs: DataFrame, tau: float = 0.5, n_hashes: int = 32,
     the LSH S-curve (≥97% at j≥0.7 with 8×4 bands), so use it for
     high-similarity dedup; sweep tau down only with more bands.
     """
+    import os as _os
+
     sigs_pairs = minhash_lsh_pairs(
         docs, n_hashes=n_hashes, n_bands=n_bands, tau=0.0, n=n,
         text_col=text_col, id_col=id_col,
     ).select("doc_a", "doc_b")
     sh = shingle_rows(docs, n, text_col, id_col)
+    if _os.environ.get("SPARK_GRAFT_LVP", "persist") == "persist":
+        from pyspark import StorageLevel
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("_db"), F.col("shingle").alias("sh_b"))

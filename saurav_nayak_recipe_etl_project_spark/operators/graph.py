@@ -60,9 +60,28 @@ def pagerank_fixed_point(edges: DataFrame, n_iters: int = PR_ITERS) -> DataFrame
     # that builds it re-executes ~(n_iters + 3) times through lineage
     # (measured 7.1s -> 2.6s at sf0.1 with the persist). At warehouse
     # scale this is the step you materialize to parquet once.
+    # (The cached partition count tracks AQE's advisory size via
+    # canChangeCachedPlanOutputPartitioning=true in session.py — r15:
+    # it otherwise pinned the distinct's raw 32-lane fan-out, and
+    # every downstream job re-walked all 32 cached partitions of a
+    # node-scale table; BENCH_r14's 8-vs-32-core inversion, ratio
+    # 0.47, came from exactly this.)
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # deg and nodes are NODE-sized and re-read by every iteration's
+    # broadcast build / label join — cache them once (lazy: the first
+    # consumer is a full-scan broadcast/count, so the r15 limit-probe
+    # hazard does not apply) instead of re-aggregating the edge table
+    # per iteration (r15: each re-aggregation was a full cached-edge
+    # pass per iteration, the bulk of this entry's 32-core overhead)
+    import os as _os
+    if _os.environ.get("SPARK_GRAFT_PR_CACHE", "1") != "0":
+        deg = edges.groupBy("src").agg(
+            F.count("*").alias("deg")).localCheckpoint(eager=False)
+        nodes = edges.select(
+            F.col("src").alias("node")).distinct().localCheckpoint(eager=False)
+    else:
+        deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        nodes = edges.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.withColumn("pr_micro", F.lit(0).cast("long"))

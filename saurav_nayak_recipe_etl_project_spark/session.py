@@ -35,6 +35,15 @@ def get_spark(app_name: str = "saurav-nayak-recipe-etl-spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE coalesce/size the output partitioning of CACHED
+        # plans too (off by default): persisted iteration state (the
+        # pagerank edge table, the dedup signature/shingle caches)
+        # otherwise pins the raw shuffle fan-out — 32 cached
+        # partitions of a node-scale table at local[32], re-walked by
+        # every downstream job (r15; the BENCH_r14 8-vs-32-core
+        # inversions on iterative entries came from exactly this)
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
