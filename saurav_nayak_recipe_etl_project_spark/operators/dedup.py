@@ -251,16 +251,20 @@ def lsh_verified_pairs(docs: DataFrame, tau: float = 0.5, n_hashes: int = 32,
     the LSH S-curve (≥97% at j≥0.7 with 8×4 bands), so use it for
     high-similarity dedup; sweep tau down only with more bands.
     """
-    import os as _os
-
     sigs_pairs = minhash_lsh_pairs(
         docs, n_hashes=n_hashes, n_bands=n_bands, tau=0.0, n=n,
         text_col=text_col, id_col=id_col,
     ).select("doc_a", "doc_b")
-    sh = shingle_rows(docs, n, text_col, id_col)
-    if _os.environ.get("SPARK_GRAFT_LVP", "persist") == "persist":
-        from pyspark import StorageLevel
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    # the distinct shingle frame feeds the sizes aggregate and BOTH
+    # verify-join sides; ReuseExchange only dedupes the exchange, not
+    # the explode+distinct re-evaluations (r15: persist measured
+    # corpus_release_pipeline 7.50->6.44s, dedup_lsh_verified
+    # 1.51->1.35s interleaved — at warehouse scale this is the frame
+    # you materialize to parquet once)
+    from pyspark import StorageLevel
+
+    sh = shingle_rows(docs, n, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("_db"), F.col("shingle").alias("sh_b"))
@@ -454,15 +458,6 @@ def embedding_dup_pairs_bucketed(emb: DataFrame, tau: float = 0.3,
     single-table recall for angle θ is (1-θ/π)^planes, L tables lift
     it to 1-(1-p)^L. Recall<1 by design; the blocked exact form above
     is the oracle it is measured against in tests."""
-    import os as _os
-
-    variant = _os.environ.get("SPARK_GRAFT_EMB_BUCKET", "hof")
-    if variant == "pairs":
-        return _emb_bucketed_pairs(emb, tau, n_planes, n_tables)
-    if variant == "union":
-        return _emb_bucketed_union(emb, tau, n_planes, n_tables)
-    if variant == "pos":
-        return _emb_bucketed_pos(emb, tau, n_planes, n_tables)
     return _emb_bucketed_hof(emb, tau, n_planes, n_tables)
 
 
@@ -508,146 +503,6 @@ def _emb_bucketed_hof(emb: DataFrame, tau: float, n_planes: int,
         .dropDuplicates(["id_a", "id_b"])
     )
 
-
-def _emb_bucketed_pos(emb: DataFrame, tau: float, n_planes: int,
-                      n_tables: int) -> DataFrame:
-    """r14 shape: one scan computing every table's bucket, posexplode
-    carrying the full vector into the groupBy shuffle."""
-    import numpy as np
-    import pandas as pd
-
-    from saurav_nayak_recipe_etl_project_spark.operators.similarity import _bucket
-
-    e = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    bucketed = e.select(
-        "vec_id", "v",
-        F.posexplode(F.array(*[
-            _bucket(F.col("v"), n_planes, plane_offset=t * n_planes)
-            for t in range(n_tables)
-        ])).alias("tbl", "bucket"),
-    )
-
-    def pair_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vec_id"].to_numpy()
-        mat = np.stack(pdf["v"].to_numpy())
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = mat @ mat.T
-        ai, aj = np.nonzero((sims >= tau) & (ids[:, None] < ids[None, :]))
-        return pd.DataFrame(
-            {"id_a": ids[ai], "id_b": ids[aj],
-             "cos_sim": np.round(sims[ai, aj], 6)}
-        )
-
-    return (
-        bucketed.groupBy("tbl", "bucket")
-        .applyInPandas(pair_bucket, schema="id_a long, id_b long, cos_sim double")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-
-
-def _emb_bucketed_union(emb: DataFrame, tau: float, n_planes: int,
-                        n_tables: int) -> DataFrame:
-    """r13 shape: one corpus scan PER TABLE, unioned."""
-    import numpy as np
-    import pandas as pd
-
-    from saurav_nayak_recipe_etl_project_spark.operators.similarity import _bucket
-
-    e = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    bucketed = None
-    for t in range(n_tables):
-        part = e.select(
-            "vec_id", "v", F.lit(t).alias("tbl"),
-            _bucket(F.col("v"), n_planes,
-                    plane_offset=t * n_planes).alias("bucket"),
-        )
-        bucketed = part if bucketed is None else bucketed.unionByName(part)
-
-    def pair_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vec_id"].to_numpy()
-        mat = np.stack(pdf["v"].to_numpy())
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = mat @ mat.T
-        ai, aj = np.nonzero((sims >= tau) & (ids[:, None] < ids[None, :]))
-        return pd.DataFrame(
-            {"id_a": ids[ai], "id_b": ids[aj],
-             "cos_sim": np.round(sims[ai, aj], 6)}
-        )
-
-    return (
-        bucketed.groupBy("tbl", "bucket")
-        .applyInPandas(pair_bucket, schema="id_a long, id_b long, cos_sim double")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-
-
-def _emb_bucketed_pairs(emb: DataFrame, tau: float, n_planes: int,
-                        n_tables: int) -> DataFrame:
-    """Guide-§8 shape: the bucket SHUFFLE carries only (vec_id, tbl,
-    bucket) — candidate ids form with a JVM self-join on the narrow
-    rows, and the 64-double payload never enters a shuffle: vectors
-    re-attach to the (output-proportional) candidate set by joins the
-    planner sizes itself (broadcast when the candidate set is small,
-    shuffle of 2× candidates otherwise — never 8× the corpus).
-    Same candidate set as the bucket-group form by construction
-    (pairs sharing ≥1 (tbl, bucket)), same exact-cosine verify."""
-    import numpy as np
-    import pandas as pd
-
-    from saurav_nayak_recipe_etl_project_spark.operators.similarity import _bucket
-
-    e = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    narrow = e.select(
-        "vec_id",
-        F.posexplode(F.array(*[
-            _bucket(F.col("v"), n_planes, plane_offset=t * n_planes)
-            for t in range(n_tables)
-        ])).alias("tbl", "bucket"),
-    )
-    a, b = narrow.alias("a"), narrow.alias("b")
-    cand = (
-        a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
-               & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(F.col("a.vec_id").alias("id_a"),
-                F.col("b.vec_id").alias("id_b"))
-        .distinct()
-    )
-    va = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    vb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    paired = cand.join(va, "id_a").join(vb, "id_b")
-
-    def score(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ma = np.stack(pdf["va"].to_numpy())
-            mb = np.stack(pdf["vb"].to_numpy())
-            ma = ma / np.linalg.norm(ma, axis=1, keepdims=True)
-            mb = mb / np.linalg.norm(mb, axis=1, keepdims=True)
-            sims = np.einsum("ij,ij->i", ma, mb)
-            keep = sims >= tau
-            yield pd.DataFrame({
-                "id_a": pdf["id_a"].to_numpy()[keep],
-                "id_b": pdf["id_b"].to_numpy()[keep],
-                "cos_sim": np.round(sims[keep], 6),
-            })
-
-    return paired.mapInPandas(
-        score, schema="id_a long, id_b long, cos_sim double"
-    )
-
-
-# --- F-extension: duplicate-cluster resolution ------------------------------
 
 def dup_clusters(docs: DataFrame, tau: float = 0.5, n: int = 3,
                  max_iters: int = 50, text_col: str = "text",

@@ -73,15 +73,10 @@ def pagerank_fixed_point(edges: DataFrame, n_iters: int = PR_ITERS) -> DataFrame
     # hazard does not apply) instead of re-aggregating the edge table
     # per iteration (r15: each re-aggregation was a full cached-edge
     # pass per iteration, the bulk of this entry's 32-core overhead)
-    import os as _os
-    if _os.environ.get("SPARK_GRAFT_PR_CACHE", "1") != "0":
-        deg = edges.groupBy("src").agg(
-            F.count("*").alias("deg")).localCheckpoint(eager=False)
-        nodes = edges.select(
-            F.col("src").alias("node")).distinct().localCheckpoint(eager=False)
-    else:
-        deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-        nodes = edges.select(F.col("src").alias("node")).distinct()
+    deg = edges.groupBy("src").agg(
+        F.count("*").alias("deg")).localCheckpoint(eager=False)
+    nodes = edges.select(
+        F.col("src").alias("node")).distinct().localCheckpoint(eager=False)
     n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.withColumn("pr_micro", F.lit(0).cast("long"))

@@ -209,17 +209,11 @@ def lsh_bucketed_topk(emb: DataFrame, n_queries: int = N_QUERIES,
     # bit-identical values, ~tables·planes× fewer expression nodes;
     # the unrolled tree made driver analysis/AQE re-optimization the
     # entry's dominant cost, measured on dedup_embedding).
-    import os as _os
-    if _os.environ.get("SPARK_GRAFT_LSH", "hof") == "unrolled":
-        barr = F.array(*[
-            _bucket(F.col("v"), n_planes, plane_offset=t * n_planes)
-            for t in range(n_tables)
-        ])
-    else:
-        barr = _bucket_array(F.col("v"), n_planes, n_tables)
     bucketed = e.select(
         "vec_id", "v",
-        F.posexplode(barr).alias("tbl", "bucket"),
+        F.posexplode(
+            _bucket_array(F.col("v"), n_planes, n_tables)
+        ).alias("tbl", "bucket"),
     )
     queries = bucketed.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),

@@ -1094,10 +1094,8 @@ def _write_files(df: DataFrame, table: str,
         # decoded driver-side; any value Spark's column-wide partition
         # inference could type differently falls back to the read-back
         # lane below, which stays the source of truth)
-        actions = (None if os.environ.get("SPARK_GRAFT_FOOTER_PART") == "0"
-                   else _footer_stats_actions(dest, sub,
-                                              list(stats_cols or []),
-                                              partition_by))
+        actions = _footer_stats_actions(dest, sub, list(stats_cols or []),
+                                        partition_by)
         if actions is not None:
             return actions
         # basePath re-materializes the partition columns for the stats

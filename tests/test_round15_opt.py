@@ -45,21 +45,40 @@ def _tiny_emb(spark, n=60, dim=8):
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
 
-def test_emb_bucketed_pair_variant_identical(spark):
+def test_bucket_array_matches_bucket(spark):
+    """The compact HOF bucket-array form is BIT-IDENTICAL to the
+    unrolled per-table _bucket expressions (same per-plane fold order,
+    same packing arithmetic) — the identity the r15 driver-cost
+    rewrite rests on."""
+    from pyspark.sql import functions as F
+
+    import saurav_nayak_recipe_etl_project_spark.operators.similarity as S
+
+    emb = _tiny_emb(spark)
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    n_planes, n_tables = 4, 8
+    both = e.select(
+        S._bucket_array(F.col("v"), n_planes, n_tables).alias("hof"),
+        F.array(*[
+            S._bucket(F.col("v"), n_planes, plane_offset=t * n_planes)
+            for t in range(n_tables)
+        ]).alias("unrolled"),
+    ).collect()
+    for r in both:
+        assert r["hof"] == r["unrolled"]
+
+
+def test_emb_bucketed_pairs_nonempty(spark):
     import saurav_nayak_recipe_etl_project_spark.operators.dedup as D
 
     emb = _tiny_emb(spark)
-
-    def run(variant):
-        os.environ["SPARK_GRAFT_EMB_BUCKET"] = variant
-        try:
-            return {(r["id_a"], r["id_b"], r["cos_sim"])
-                    for r in D.embedding_dup_pairs_bucketed(emb).collect()}
-        finally:
-            os.environ.pop("SPARK_GRAFT_EMB_BUCKET", None)
-
-    assert run("pairs") == run("pos")
-    assert len(run("pairs")) > 0
+    pairs = {(r["id_a"], r["id_b"], r["cos_sim"])
+             for r in D.embedding_dup_pairs_bucketed(emb).collect()}
+    # the planted near-duplicates must surface with exact cosine
+    assert len(pairs) > 0
 
 
 def test_ann_memo_method_identical_to_standalone(spark, sf_dir):
