@@ -198,9 +198,15 @@ def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 32, n_bands: int = 8,
     # The signature table feeds three plan branches (banding + both
     # sides of the verify join); persist it once instead of recomputing
     # the shingle explode 3× — at warehouse scale this is the step
-    # you'd checkpoint to parquet.
-    sigs = minhash_signatures(docs, n_hashes, n, text_col, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # you'd checkpoint to parquet. Scoped (r15): one live cache per
+    # session, not one per query build.
+    from saurav_nayak_recipe_etl_project_spark.functions.cachereg import (
+        persist_scoped,
+    )
+
+    sigs = persist_scoped(
+        minhash_signatures(docs, n_hashes, n, text_col, id_col),
+        "minhash_lsh_pairs.sigs",
     )
     bands = sigs.select(
         "doc_id",
@@ -260,11 +266,15 @@ def lsh_verified_pairs(docs: DataFrame, tau: float = 0.5, n_hashes: int = 32,
     # the explode+distinct re-evaluations (r15: persist measured
     # corpus_release_pipeline 7.50->6.44s, dedup_lsh_verified
     # 1.51->1.35s interleaved — at warehouse scale this is the frame
-    # you materialize to parquet once)
-    from pyspark import StorageLevel
+    # you materialize to parquet once). Scoped: at most one live
+    # shingle cache per session (functions/cachereg.py — unbounded
+    # CacheManager growth measurably slowed every later query).
+    from saurav_nayak_recipe_etl_project_spark.functions.cachereg import (
+        persist_scoped,
+    )
 
-    sh = shingle_rows(docs, n, text_col, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK)
+    sh = persist_scoped(shingle_rows(docs, n, text_col, id_col),
+                        "lsh_verified_pairs.shingles")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("_db"), F.col("shingle").alias("sh_b"))

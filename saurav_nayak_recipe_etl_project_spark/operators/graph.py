@@ -66,7 +66,11 @@ def pagerank_fixed_point(edges: DataFrame, n_iters: int = PR_ITERS) -> DataFrame
     # every downstream job re-walked all 32 cached partitions of a
     # node-scale table; BENCH_r14's 8-vs-32-core inversion, ratio
     # 0.47, came from exactly this.)
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    from saurav_nayak_recipe_etl_project_spark.functions.cachereg import (
+        persist_scoped,
+    )
+
+    edges = persist_scoped(edges, "pagerank.edges")
     # deg and nodes are NODE-sized and re-read by every iteration's
     # broadcast build / label join — cache them once (lazy: the first
     # consumer is a full-scan broadcast/count, so the r15 limit-probe
