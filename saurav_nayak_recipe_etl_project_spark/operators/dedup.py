@@ -562,10 +562,12 @@ def dup_clusters(docs: DataFrame, tau: float = 0.5, n: int = 3,
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        # EAGER checkpoint, deliberately (r15: the lazy form lets the
-        # limit(1) convergence probe leave cached partitions unfilled,
-        # and the next round re-evaluates the whole propagation plan —
-        # measured as a clear regression on the star loop; same here)
+        # LAZY checkpoint + FULL-count probe = one job per iteration:
+        # the probe below joins and counts EVERY row of new_labels
+        # (no limit — a limit(1) short-circuit would leave cached
+        # partitions unfilled and re-evaluate the propagation plan
+        # next round, the r15-measured hazard), so new_labels
+        # materializes inside the job that answers convergence.
         new_labels = (
             labels.join(neighbor_min, "src", "left")
             .select(
@@ -573,13 +575,14 @@ def dup_clusters(docs: DataFrame, tau: float = 0.5, n: int = 3,
                 F.least(F.col("label"), F.coalesce("nmin", F.col("label")))
                 .alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(
+                eager=__import__("os").environ.get(
+                    "SPARK_GRAFT_CC_EAGER") == "1")
         )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "src")
             .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
             .count()
         )
         labels = new_labels
@@ -689,23 +692,28 @@ def star_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
         return out.where(F.col("a") != F.col("b"))
 
     for rnd in range(max_rounds):
-        # EAGER checkpoint, deliberately (r15 measured the lazy form:
-        # the probe's limit(1) short-circuits and leaves cached
-        # partitions unfilled, so the next round re-evaluates the
-        # un-materialized plan — dedup_clusters_star regressed
-        # 3.9 -> 5.5 s; the r14 lazy-checkpoint hazard generalizes to
-        # any first consumer that does not compute EVERY partition)
+        # LAZY checkpoint + FULL-count probe = ONE job per round: the
+        # probe below is new_e's first consumer and aggregates every
+        # group, so it computes (and caches) every partition — unlike
+        # the r15-measured limit(1) lazy form, whose short-circuit left
+        # partitions unfilled and re-evaluated the plan next round
+        # (dedup_clusters_star 3.9 -> 5.5 s). Full count vs limit(1)
+        # costs nothing extra: the groupBy must finish before the
+        # filter can emit anyway.
+        import os as _os  # A/B switch, removed after measurement
+        _eager = _os.environ.get("SPARK_GRAFT_CC_EAGER") == "1"
         new_e = (
-            _star(_star(e, "large"), "small").distinct().localCheckpoint()
+            _star(_star(e, "large"), "small").distinct()
+            .localCheckpoint(eager=_eager)
         )
-        # fixpoint probe in ONE job: both sides are distinct sets, so
-        # a row appears twice in the union iff it is in both — any
-        # count==1 row is the symmetric difference (was two exceptAll
-        # jobs per round; same decision, half the probe jobs)
+        # fixpoint probe: both sides are distinct sets, so a row
+        # appears twice in the union iff it is in both — any count==1
+        # row is the symmetric difference (was two exceptAll jobs per
+        # round; same decision, half the probe jobs)
         delta = (
             new_e.unionByName(e)
             .groupBy("a", "b").agg(F.count(F.lit(1)).alias("_c"))
-            .filter(F.col("_c") == 1).limit(1).count()
+            .filter(F.col("_c") == 1).count()
         )
         e = new_e
         if delta == 0:

@@ -1759,19 +1759,45 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
             .join(repl, key, "left_semi")
             .select("file", "pos")
         )
-        hits.write.parquet(dest)
-        dv_files = _dv_file_list(dest)
-        if dv_files:
+        # the DV-position write and the replacement-row probe+write
+        # are independent (distinct dirs; both scan the key-pruned
+        # touched files + source), so they run CONCURRENTLY from
+        # driver threads (guide §2.6) — the two heaviest jobs of a DV
+        # merge overlap instead of adding. Both outputs stay invisible
+        # until the single _commit_rmw below, so atomicity/idempotency
+        # are unchanged; action order in the log is composed
+        # deterministically after both finish, exactly as before.
+        from saurav_nayak_recipe_etl_project_spark.streaming import (
+            parallel_actions,
+        )
+
+        res: dict = {"dv_files": [], "add_actions": None}
+
+        def _write_dv() -> None:
+            hits.write.parquet(dest)
+            res["dv_files"] = _dv_file_list(dest)
+
+        def _write_repl() -> None:
+            # plain upsert writes the whole (non-empty) source — no
+            # probe needed; the clause path may write nothing
+            # (all-delete)
+            if to_write is source or to_write.limit(1).count():
+                res["add_actions"] = _write_files(
+                    _to_physical(to_write, colmap), table,
+                    [_phys(colmap, c) for c in stats_cols or []],
+                    _partition_by_at(table, base))
+
+        parallel_actions(_write_dv, _write_repl)
+        if res["dv_files"]:
             actions += [{"op": "dv", "file": f, "dv": sub}
-                        for f in dv_files]
+                        for f in res["dv_files"]]
         else:
             shutil.rmtree(dest, ignore_errors=True)
-        # plain upsert writes the whole (non-empty) source — no probe
-        # needed; the clause path may write nothing (all-delete)
-        if to_write is source or to_write.limit(1).count():
+        if res["add_actions"] is not None:
             write_df = to_write
         if not actions and write_df is None:
             return base  # nothing fired, nothing to insert: no-op
+        actions += res["add_actions"] or []
     else:
         # copy-on-write: rewrite the touched files whole.
         # allowMissingColumns: under additive evolution the survivors
@@ -1781,11 +1807,11 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
                     else survivors.unionByName(to_write,
                                                allowMissingColumns=True))
         actions += [{"op": "remove", "file": f} for f in touched]
-    if write_df is not None:
-        actions += _write_files(
-            _to_physical(write_df, colmap), table,
-            [_phys(colmap, c) for c in stats_cols or []],
-            _partition_by_at(table, base))
+        if write_df is not None:
+            actions += _write_files(
+                _to_physical(write_df, colmap), table,
+                [_phys(colmap, c) for c in stats_cols or []],
+                _partition_by_at(table, base))
     # CHECK constraints validated against the WRITTEN BYTES (ADVICE
     # r13, same as tx_append): every row this commit makes newly live
     # is in the new files; a violation discards them uncommitted.

@@ -27,6 +27,33 @@ def rebalance_for_write(df, *cols):
             if cols else df.hint("rebalance"))
 
 
+def parallel_actions(*thunks) -> None:
+    """Run independent Spark ACTIONS from concurrent driver threads
+    (guide §2.6, overlap independent jobs): their per-job driver
+    latencies overlap and the scheduler back-fills executor slots
+    freed by one action's straggler tail with the others' tasks.
+    Callers must pass actions whose plans read only already-
+    materialized inputs (caches, checkpoints, state files) — two
+    concurrent first consumers of one unmaterialized lazy checkpoint
+    each re-evaluate its whole plan (the r14-measured hazard).
+    Every action is awaited; the first failure re-raises after all
+    have settled, so no thunk is abandoned mid-write."""
+    import os
+
+    if len(thunks) <= 1 or os.environ.get("SPARK_GRAFT_SEQ_ACTIONS") == "1":
+        for t in thunks:
+            t()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        errors = [f.exception() for f in futures]
+        for err in errors:
+            if err is not None:
+                raise err
+
+
 def await_or_raise(query, timeout: int = DEFAULT_STREAM_TIMEOUT) -> None:
     """Block on a streaming query and FAIL LOUDLY on timeout.
 

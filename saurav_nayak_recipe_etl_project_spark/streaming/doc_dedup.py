@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 
 from saurav_nayak_recipe_etl_project_spark.streaming import (
     await_or_raise,
+    parallel_actions,
     rebalance_for_write,
 )
 
@@ -227,9 +228,6 @@ def _process_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
     # one file per input partition (× bucket values for the state),
     # and every later batch's membership read pays the open cost of
     # those tiny files (guide §6: size output files on write)
-    rebalance_for_write(survivors).write.mode("overwrite").parquet(
-        f"{out_path}/batch_id={batch_id}"
-    )
     # append-only state: only the keys this batch introduces; O(batch)
     # written bytes regardless of corpus size. bucket is a partition
     # column so future batches' membership reads prune to touched dirs.
@@ -237,10 +235,20 @@ def _process_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
         bands.select("band_id", "band_hash", "bucket").distinct()
         .join(seen_keys, ["band_id", "band_hash"], "left_anti")
     )
-    rebalance_for_write(new_keys, "bucket").write.mode("overwrite") \
-        .partitionBy("bucket").parquet(
+    # the survivor and state-key writes are independent (distinct
+    # dirs; both read only the materialized bands cache, the batch
+    # scan and earlier-batch state files), so they run concurrently
+    # from driver threads (guide §2.6) — per-job driver latencies
+    # overlap, replay idempotency unchanged (same overwrites of the
+    # same replay-stable batch_id dirs)
+    parallel_actions(
+        lambda: rebalance_for_write(survivors).write.mode("overwrite")
+        .parquet(f"{out_path}/batch_id={batch_id}"),
+        lambda: rebalance_for_write(new_keys, "bucket").write
+        .mode("overwrite").partitionBy("bucket").parquet(
             f"{state_path}/batch_id={batch_id}"
-        )
+        ),
+    )
     if retention_batches is not None:
         cutoff = batch_id - retention_batches
         state_dir = spark._jvm.org.apache.hadoop.fs.Path(state_path)

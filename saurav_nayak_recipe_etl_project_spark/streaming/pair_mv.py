@@ -59,6 +59,7 @@ from saurav_nayak_recipe_etl_project_spark.operators.dedup import (
 )
 from saurav_nayak_recipe_etl_project_spark.sources.catalog import load_table
 from saurav_nayak_recipe_etl_project_spark.streaming import (
+    parallel_actions,
     rebalance_for_write,
 )
 from saurav_nayak_recipe_etl_project_spark.streaming.doc_dedup import (
@@ -205,21 +206,30 @@ def pair_mv_process_batch(batch_docs: DataFrame, batch_id: int,
         .filter(jacc >= tau)
         .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
     )
-    # replay-stable overwrites: pairs, then this batch's state.
+    # replay-stable overwrites: pairs + this batch's state. The three
+    # writes are mutually independent (distinct dirs; all three read
+    # only already-materialized caches — sh_new/bands_new/cand were
+    # checkpointed above — plus earlier-batch state files), so they
+    # run CONCURRENTLY from driver threads (guide §2.6): their per-job
+    # driver latencies overlap instead of adding, heaviest first so
+    # FIFO gives the verify chain resources and the two state writes
+    # back-fill its tail. Idempotency is unchanged — each write still
+    # overwrites its own replay-stable batch_id dir.
     # rebalance_for_write sizes the file fan-out (without it the
     # shingle write emits input-partitions × 16 bucket files per
     # batch, and every later batch's membership read pays their open
     # cost — measured as a major share of this harness's wall time).
-    pairs.write.mode("overwrite").parquet(
-        f"{state_path}/pairs/batch_id={batch_id}"
-    )
-    rebalance_for_write(bands_new).write.mode("overwrite").parquet(
-        f"{state_path}/bands/batch_id={batch_id}"
-    )
-    rebalance_for_write(sh_new, "bucket").write.mode("overwrite") \
-        .partitionBy("bucket").parquet(
+    parallel_actions(
+        lambda: pairs.write.mode("overwrite").parquet(
+            f"{state_path}/pairs/batch_id={batch_id}"
+        ),
+        lambda: rebalance_for_write(sh_new, "bucket").write
+        .mode("overwrite").partitionBy("bucket").parquet(
             f"{state_path}/shingles/batch_id={batch_id}"
-        )
+        ),
+        lambda: rebalance_for_write(bands_new).write.mode("overwrite")
+        .parquet(f"{state_path}/bands/batch_id={batch_id}"),
+    )
 
 
 def read_pair_mv(spark: SparkSession, state_path: str) -> DataFrame:

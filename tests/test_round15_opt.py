@@ -213,3 +213,45 @@ def test_footer_stats_partitioned_numeric_and_mixed_values(
     slow = {a["stats"]["_part"]["s"]
             for a in acts_for(amb_rows, force_readback=True)}
     assert fast == slow
+
+
+def test_parallel_actions_runs_all_and_propagates_failure():
+    """parallel_actions must (a) execute every thunk exactly once,
+    (b) surface the first failure, and (c) never abandon a thunk when
+    a sibling fails — a batch whose state write silently vanished
+    would corrupt the MV, so all thunks are awaited before raising."""
+    from saurav_nayak_recipe_etl_project_spark.streaming import (
+        parallel_actions,
+    )
+
+    ran = []
+    parallel_actions(
+        lambda: ran.append("a"),
+        lambda: ran.append("b"),
+        lambda: ran.append("c"),
+    )
+    assert sorted(ran) == ["a", "b", "c"]
+
+    done = []
+
+    def boom():
+        raise RuntimeError("boom")
+
+    import time
+
+    def slow_ok():
+        time.sleep(0.1)
+        done.append("slow")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        parallel_actions(boom, slow_ok)
+    assert done == ["slow"]  # sibling finished despite the failure
+
+    # sequential kill-switch used by the A/B harness
+    os.environ["SPARK_GRAFT_SEQ_ACTIONS"] = "1"
+    try:
+        seq = []
+        parallel_actions(lambda: seq.append(1), lambda: seq.append(2))
+        assert seq == [1, 2]
+    finally:
+        del os.environ["SPARK_GRAFT_SEQ_ACTIONS"]
